@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory for the graft engine.
+  *
+  * Config rationale (SURVEY.md §7, FIXTURES.md §B):
+  *  - `spark.sql.shuffle.partitions=32` matches local[32]; on a real cluster
+  *    this is overridden (or AQE coalesces) — never the 200 default.
+  *  - AQE on: runtime join-strategy switching + skew-join splitting + shuffle
+  *    partition coalescing are the 100 TB safety net.
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: the driver test data's
+  *    `events.ts` column is physical INT64 TIMESTAMP(NANOS) which Spark
+  *    otherwise refuses to read; with the flag it reads as bigint epoch-nanos.
+  *  - UTC session timezone so timestamp_ntz literals compare identically with
+  *    the DuckDB oracle.
+  */
+object GraftSession {
+  def builder(master: String = "local[32]"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Apply graft-required runtime confs to an externally built session
+    * (Verify/Bench build their own; the driver may too). All of these are
+    * dynamic SQLConfs, safe to set post-construction. */
+  def tune(s: SparkSession): SparkSession = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s
+  }
+}
+
+/** Loader for the driver-generated test tables (TESTDATA.md). One parquet
+  * file per table; schemas in FIXTURES.md §B. */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(s: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(s)
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every table as a temp view (for SQL-path tests). */
+  def registerAll(s: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(s, dir, n).createOrReplaceTempView(n))
+}

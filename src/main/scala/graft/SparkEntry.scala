@@ -1,13 +1,112 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps operator-inventory names (SURVEY.md §2.3) to Spark plans;
+  * `oracleSql` holds the DuckDB-runnable equivalent for the hash-compare
+  * correctness gate. Names and column aliases MUST match between the two
+  * (the driver sorts columns by name before hashing values). Queries without
+  * an oracle entry (hash-divergent or non-SQL-expressible ops) get a weaker
+  * rows-only check. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Multi-way join + broadcast dim + hash agg (TPC-H Q5 shape). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q03JoinMultiway(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_filter_sort" -> (Relational.q01ScanFilterSort _),
+    "q02_project_case"     -> (Relational.q02ProjectCase _),
+    "q03_join_multiway"    -> (Relational.q03JoinMultiway _),
+    "q04_join_left_agg"    -> (Relational.q04JoinLeftAgg _),
+    "q05_join_semi"        -> (Relational.q05JoinSemi _),
+    "q06_join_anti"        -> (Relational.q06JoinAnti _),
+    "q07_join_theta"       -> (Relational.q07JoinTheta _),
+    "q08_agg_tpch_q1"      -> (Relational.q08AggTpchQ1 _),
+    "q09_count_distinct"   -> (Relational.q09CountDistinct _),
+    "q10_rollup"           -> (Relational.q10Rollup _),
+    "q11_cube"             -> (Relational.q11Cube _),
+    "q12_grouping_sets"    -> (Relational.q12GroupingSets _),
+    "q13_window_rank"      -> (Relational.q13WindowRank _),
+    "q14_window_lag"       -> (Relational.q14WindowLag _),
+    "q15_window_frame"     -> (Relational.q15WindowFrame _),
+    "q16_topk"             -> (Relational.q16TopK _),
+    "q17_intersect"        -> (Relational.q17Intersect _),
+    "q18_except"           -> (Relational.q18Except _),
+    "q19_string_funcs"     -> (Relational.q19StringFuncs _),
+    "q20_date_funcs"       -> (Relational.q20DateFuncs _),
+    "q21_math_funcs"       -> (Relational.q21MathFuncs _),
+    "q22_array_groupby"    -> (Relational.q22ArrayGroupBy _),
+    "q23_json_extract"     -> (Relational.q23JsonExtract _),
+    "q24_event_tumbling"   -> (Relational.q24EventTumbling _),
+    "q25_hash_bucket"      -> (Relational.q25HashBucket _),
+    "q26_dedup_exact"      -> (Relational.q26DedupExact _),
+    "q27_text_stats"       -> (Relational.q27TextStats _),
+  )
+
+  /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
+    * json_extract_string ≡ get_json_object; epoch_ns(ts) ≡ the bigint
+    * epoch-nanos Spark reads under nanosAsLong; integer-ish outputs CAST to
+    * BIGINT on both sides (DuckDB LENGTH/EXTRACT/ROW_NUMBER return BIGINT,
+    * DuckDB SUM(BIGINT) returns HUGEINT). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_filter_sort" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber",
+    "q02_project_case" ->
+      "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 50000 THEN 'mid' ELSE 'small' END AS bucket, ROUND(o_totalprice * 0.9, 2) AS discounted FROM orders WHERE o_orderstatus <> 'F' ORDER BY o_orderkey",
+    "q03_join_multiway" ->
+      "SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+    "q04_join_left_agg" ->
+      "SELECT c.c_custkey, COUNT(o.o_orderkey) AS n FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey ORDER BY c.c_custkey",
+    "q05_join_semi" ->
+      "SELECT c_custkey FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000) ORDER BY c_custkey",
+    "q06_join_anti" ->
+      "SELECT c_custkey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000) ORDER BY c_custkey",
+    "q07_join_theta" ->
+      "SELECT p_partkey, s_suppkey FROM part JOIN supplier ON p_retailprice < s_acctbal WHERE p_partkey <= 20 AND s_suppkey <= 20 ORDER BY p_partkey, s_suppkey",
+    "q08_agg_tpch_q1" ->
+      "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, ROUND(SUM(l_extendedprice), 2) AS sum_base, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, ROUND(AVG(l_quantity), 4) AS avg_qty, COUNT(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q09_count_distinct" ->
+      "SELECT COUNT(DISTINCT o_custkey) AS n FROM orders",
+    "q10_rollup" ->
+      "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus) ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST",
+    "q11_cube" ->
+      "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus) ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST",
+    "q12_grouping_sets" ->
+      "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus)) ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST",
+    "q13_window_rank" ->
+      "SELECT o_custkey, o_orderkey, rnk FROM (SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders) t WHERE rnk <= 2 ORDER BY o_custkey, rnk",
+    "q14_window_lag" ->
+      "SELECT o_orderkey, ROUND(o_totalprice - LAG(o_totalprice, 1, 0.0) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta FROM orders ORDER BY o_orderkey",
+    "q15_window_frame" ->
+      "SELECT o_orderkey, ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS run3 FROM orders ORDER BY o_orderkey",
+    "q16_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q17_intersect" ->
+      "SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k",
+    "q18_except" ->
+      "SELECT n_nationkey FROM nation EXCEPT SELECT s_nationkey FROM supplier ORDER BY n_nationkey",
+    "q19_string_funcs" ->
+      "SELECT p_partkey, UPPER(SUBSTR(p_name, 1, 5)) AS u, CAST(LENGTH(p_name) AS BIGINT) AS l, CONCAT(p_brand, '#', p_type) AS b FROM part WHERE p_name LIKE '%ol%' ORDER BY p_partkey",
+    "q20_date_funcs" ->
+      "SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
+    "q21_math_funcs" ->
+      "SELECT l_orderkey, ROUND(ABS(l_extendedprice - FLOOR(l_extendedprice)), 2) AS frac, CAST(CEIL(l_quantity) AS BIGINT) AS cq FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey",
+    "q22_array_groupby" ->
+      "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label ORDER BY label",
+    "q23_json_extract" ->
+      "SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS s FROM events GROUP BY event_type ORDER BY event_type",
+    "q24_event_tumbling" ->
+      "SELECT (epoch_ns(ts) - (epoch_ns(ts) % 3600000000000)) AS hour_bucket, event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    // q25_hash_bucket: intentionally no oracle — Spark Murmur3 HASH() has no
+    // DuckDB equivalent (SURVEY §2.3.10); rows-only check.
+    "q26_dedup_exact" ->
+      "SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, event_type FROM events) t",
+    "q27_text_stats" ->
+      "SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS c FROM documents GROUP BY lang ORDER BY lang",
+  )
 }

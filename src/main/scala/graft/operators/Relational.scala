@@ -1,0 +1,278 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational query surface of the engine (SURVEY.md §2.3, Q1–Q27).
+  *
+  * The reference (dkwkehgud77/kafka-avro-pipeline-java) implements no query
+  * operators itself — it lands rows in MySQL and delegates querying there
+  * (reference README.md:204). This object supplies that delegated surface as
+  * declarative Spark plans: every query is DataFrame-API (Catalyst-optimized,
+  * whole-stage-codegen'd), with deterministic output (total ORDER BY, doubles
+  * ROUNDed) so results hash-match the DuckDB oracle (FIXTURES.md §C).
+  *
+  * Scale notes (100 TB design intent) are per-query in Scaladoc; the global
+  * rules: filters/projections stay adjacent to scans (pushdown + pruning),
+  * dimension tables are broadcast explicitly, aggregations rely on Catalyst's
+  * partial/final hash aggregation (map-side combine), AQE handles skew +
+  * partition coalescing at runtime.
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Q1 — scan + project + filter + sort. Filter and 3-column projection are
+    * pushed into the parquet scan (PushedFilters / ReadSchema). */
+  def q01ScanFilterSort(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q2 — expression evaluation: CASE, arithmetic, ROUND. */
+  def q02ProjectCase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus") =!= "F")
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 50000, "mid")
+          .otherwise("small").as("bucket"),
+        round(col("o_totalprice") * 0.9, 2).as("discounted"))
+      .orderBy("o_orderkey")
+
+  /** Q3 — multi-way join (TPC-H Q5 shape): customer ⋈ orders ⋈ lineitem ⋈
+    * nation, revenue per nation. nation is broadcast (25 rows at any SF);
+    * the fact-fact joins shuffle on their keys and AQE picks strategy. */
+  def q03JoinMultiway(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    val n = t(s, dir, "nation")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Q4 — left outer join + aggregate (customers with zero orders kept). */
+  def q04JoinLeftAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n"))
+      .orderBy("c_custkey")
+
+  /** Q5 — left semi join (EXISTS). The filter on the build side is applied
+    * before the join so only qualifying orders shuffle. */
+  def q05JoinSemi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders").filter(col("o_totalprice") > 100000),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  /** Q6 — left anti join (NOT EXISTS): customers with no 300k+ order. (The
+    * unfiltered variant is empty on the test data — every customer has at
+    * least one order — so the predicate keeps the result non-degenerate.) */
+  def q06JoinAnti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  /** Q7 — theta (non-equi) join; both inputs pre-filtered tiny so Catalyst
+    * broadcasts one side into a nested-loop join — the only sane physical
+    * strategy for a pure inequality predicate. */
+  def q07JoinTheta(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").filter(col("p_partkey") <= 20)
+      .join(
+        t(s, dir, "supplier").filter(col("s_suppkey") <= 20),
+        col("p_retailprice") < col("s_acctbal"))
+      .select("p_partkey", "s_suppkey")
+      .orderBy("p_partkey", "s_suppkey")
+
+  /** Q8 — TPC-H Q1 shape: the flagship hash aggregation. Partial aggregation
+    * (map-side combine) means only |groups| × partitions rows shuffle. */
+  def q08AggTpchQ1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp_ntz(lit("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q9 — exact COUNT(DISTINCT): Catalyst expands to a two-phase distinct
+    * aggregate (partial dedup per partition before the shuffle). */
+  def q09CountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").agg(countDistinct(col("o_custkey")).as("n"))
+
+  /** Q10 — ROLLUP. */
+  def q10Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
+
+  /** Q11 — CUBE. */
+  def q11Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
+
+  /** Q12 — GROUPING SETS. */
+  def q12GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
+
+  /** Q13 — ranking window (top-2 orders per customer). One shuffle on the
+    * partition key; rank filter applied before the final sort. rnk cast to
+    * long for DuckDB ROW_NUMBER (BIGINT) schema parity. */
+  def q13WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 2)
+      .select("o_custkey", "o_orderkey", "rnk")
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** Q14 — analytic window: LAG with default. */
+  def q14WindowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        round(col("o_totalprice") - lag(col("o_totalprice"), 1, 0.0).over(w), 2).as("delta"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Q15 — explicit frame: 3-row running sum. */
+  def q15WindowFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-2, Window.currentRow)
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("run3"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Q16 — top-k: Catalyst rewrites sort+limit to TakeOrderedAndProject
+    * (per-partition heap, no global sort). */
+  def q16TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Q17 — INTERSECT (set semantics). */
+  def q17Intersect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  /** Q18 — EXCEPT (set semantics): nations with no supplier (suppliers only
+    * cover a subset of nations in the test data; customers cover all 25). */
+  def q18Except(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").select("n_nationkey")
+      .except(t(s, dir, "supplier").select(col("s_nationkey").as("n_nationkey")))
+      .orderBy("n_nationkey")
+
+  /** Q19 — string functions (dialect-common core). LENGTH cast to long for
+    * DuckDB BIGINT parity. */
+  def q19StringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_name").like("%ol%"))
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 5)).as("u"),
+        length(col("p_name")).cast("long").as("l"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("b"))
+      .orderBy("p_partkey")
+
+  /** Q20 — date/time: EXTRACT(YEAR). */
+  def q20DateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(year(col("o_orderdate")).cast("long").as("y"))
+      .groupBy("y")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("y")
+
+  /** Q21 — math functions. Spark FLOOR(double)→long promotes back to double
+    * in the subtraction, matching DuckDB's double FLOOR numerically. */
+  def q21MathFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"),
+        round(abs(col("l_extendedprice") - floor(col("l_extendedprice"))), 2).as("frac"),
+        ceil(col("l_quantity")).cast("long").as("cq"))
+      .orderBy("l_orderkey")
+
+  /** Q22 — grouping over the embeddings table (array column carried). */
+  def q22ArrayGroupBy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label")
+
+  /** Q23 — JSON extraction from the events.props string column. Spark
+    * get_json_object ≡ DuckDB json_extract_string (FIXTURES.md §C). */
+  def q23JsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("s"))
+      .orderBy("event_type")
+
+  /** Q24 — batch-equivalent tumbling window over the events stream table.
+    * ts is bigint epoch-nanos (nanosAsLong); bucket = 1h in nanos. The
+    * streaming twin is graft.streaming.EventStreams.tumblingCounts. */
+  def q24EventTumbling(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        (col("ts") - (col("ts") % lit(3600000000000L))).as("hour_bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
+      .orderBy("hour_bucket", "event_type")
+
+  /** Q25 — hash bucketing (NOT oracle-comparable: Spark Murmur3 ≠ DuckDB
+    * hash; SURVEY §2.3.10). Driver records rows-only check. */
+  def q25HashBucket(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        (abs(hash(col("c_name"))) % 8).cast("long").as("bucket"))
+      .orderBy("c_custkey")
+
+  /** Q26 — exact deduplication: DISTINCT on the dedup key then count.
+    * Two-phase: per-partition hash dedup before the shuffle. */
+  def q26DedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select("user_id", "event_type")
+      .distinct()
+      .agg(count(lit(1)).as("n"))
+
+  /** Q27 — text-stats aggregate over documents. */
+  def q27TextStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("c"))
+      .orderBy("lang")
+}
