@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -46,6 +46,20 @@ object SparkEntry {
     "q25_hash_bucket"      -> (Relational.q25HashBucket _),
     "q26_dedup_exact"      -> (Relational.q26DedupExact _),
     "q27_text_stats"       -> (Relational.q27TextStats _),
+    // LLM-data-pipeline extensions (SURVEY §2.3.11 + builder brief)
+    "q28_dedup_md5"        -> (Dedup.q28DedupMd5 _),
+    "q29_token_count"      -> (TextAnalysis.q29TokenCount _),
+    "q30_text_quality"     -> (TextAnalysis.q30TextQuality _),
+    "q31_lang_id"          -> (TextAnalysis.q31LangId _),
+    "q32_fingerprint_md5"  -> (TextAnalysis.q32FingerprintMd5 _),
+    "q33_jaccard_pairs"    -> (Dedup.q33JaccardPairs _),
+    "q34_minhash_bands"    -> (Dedup.q34MinhashBands _),
+    "q35_simhash"          -> (Dedup.q35Simhash _),
+    "q36_cosine_topk"      -> ((s, d) => Similarity.q36CosineTopK(s, d)),
+    "q37_neardup_embedding" -> (Dedup.q37NeardupEmbedding _),
+    "q38_multimodal_bytes" -> (Multimodal.q38MultimodalBytes _),
+    "q39_lsh_buckets"      -> (Similarity.q39LshCosineBuckets _),
+    "q40_winnow_fingerprint" -> (TextAnalysis.q40WinnowFingerprint _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -108,5 +122,27 @@ object SparkEntry {
       "SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, event_type FROM events) t",
     "q27_text_stats" ->
       "SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS c FROM documents GROUP BY lang ORDER BY lang",
+    "q28_dedup_md5" ->
+      "SELECT source, COUNT(DISTINCT md5(text)) AS n_unique, COUNT(*) AS n_total FROM documents GROUP BY source ORDER BY source",
+    "q29_token_count" ->
+      "SELECT lang, CAST(SUM(ws) AS BIGINT) AS total_ws, CAST(SUM(bpe) AS BIGINT) AS total_bpe, CAST(MAX(ws) AS BIGINT) AS max_ws, CAST(MIN(ws) AS BIGINT) AS min_ws FROM (SELECT lang, len(string_split_regex(trim(text), '\\s+')) AS ws, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe FROM documents) t GROUP BY lang ORDER BY lang",
+    "q30_text_quality" ->
+      "SELECT lang, ROUND(AVG(ar), 4) AS alpha_ratio, ROUND(AVG(sr), 4) AS stopword_ratio, ROUND(AVG(len), 2) AS avg_len FROM (SELECT lang, CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / LENGTH(text) AS ar, CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to)\\b')) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) AS sr, CAST(LENGTH(text) AS BIGINT) AS len FROM documents) t GROUP BY lang ORDER BY lang",
+    "q31_lang_id" ->
+      "SELECT CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en' WHEN s_de >= s_es AND s_de >= s_fr THEN 'de' WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang, COUNT(*) AS n FROM (SELECT len(regexp_extract_all(text, '\\b(the|of|and|to|in)\\b')) AS s_en, len(regexp_extract_all(text, '\\b(der|die|das|und|ist)\\b')) AS s_de, len(regexp_extract_all(text, '\\b(el|la|los|que|a)\\b')) AS s_es, len(regexp_extract_all(text, '\\b(le|les|et|des|du)\\b')) AS s_fr FROM documents) t GROUP BY 1 ORDER BY 1",
+    "q32_fingerprint_md5" ->
+      "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM documents ORDER BY doc_id",
+    "q33_jaccard_pairs" ->
+      "WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents WHERE doc_id < 40), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
+    // q34_minhash_bands, q35_simhash: engine-internal xxhash64 — no DuckDB
+    // twin (FIXTURES §C hash quarantine); rows-only checks.
+    "q36_cosine_topk" ->
+      "WITH f0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings), f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM f0), d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot, SUM(q.v * q.v) AS qq, SUM(c.v * c.v) AS cc FROM f q JOIN f c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id GROUP BY 1, 2), r AS (SELECT qid, cid, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d), rk AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM r) SELECT qid, cid, sim, rnk FROM rk WHERE rnk <= 5 ORDER BY qid, rnk",
+    "q37_neardup_embedding" ->
+      "WITH f0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings WHERE vec_id < 300), f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM f0), d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, SUM(a.v * b.v) AS dot, SUM(a.v * a.v) AS qq, SUM(b.v * b.v) AS cc FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2) SELECT id1, id2, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d ORDER BY sim DESC, id1, id2 LIMIT 20",
+    "q38_multimodal_bytes" ->
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents WHERE doc_id < 100 ORDER BY doc_id",
+    // q39_lsh_buckets, q40_winnow_fingerprint: engine-internal hash families
+    // (random-hyperplane LSH, winnowing) — rows-only checks.
   )
 }

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Deduplication operators for training-data pipelines: exact (hash-key),
+  * n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Scale design (100 TB): every variant avoids the quadratic all-pairs
+  * comparison except inside LSH buckets (MinHash) or an explicit bounded
+  * subset (the oracle-checked Jaccard/cosine demos). Signatures are computed
+  * in one map-side pass with partial aggregation; the only shuffles are the
+  * per-key groupBys on doc_id / band signature.
+  */
+object Dedup {
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
+
+  // ---------------------------------------------------------------- exact
+
+  /** Q28 — exact dedup by content hash, counted per source. md5 is identical
+    * in Spark and DuckDB so this carries a full oracle. At scale: the
+    * groupBy(md5) shuffle carries 16-byte keys, not documents. */
+  def q28DedupMd5(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy("source")
+      .agg(
+        countDistinct(md5(col("text"))).as("n_unique"),
+        count(lit(1)).as("n_total"))
+      .orderBy("source")
+
+  /** Library form: keep one row per exact-content key. */
+  def dropExactDuplicates(d: DataFrame, textCol: String = "text"): DataFrame =
+    d.withColumn("__fp", md5(col(textCol)))
+      .dropDuplicates("__fp")
+      .drop("__fp")
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** Distinct word set per doc, exploded (doc_id, word). */
+  private def wordSets(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("word"))
+
+  /** Q33 — exact word-set Jaccard for all pairs in a bounded subset
+    * (doc_id < 40): the verification kernel that LSH candidates feed at
+    * scale. inter/union are exact integer ratios → identical doubles in
+    * both engines. */
+  def q33JaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = wordSets(docs(s, dir).filter(col("doc_id") < 40)).cache()
+    val sizes = d.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = d.as("a")
+      .join(d.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("id1") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id2") === col("sb.doc_id"))
+      .select(col("id1"), col("id2"),
+        round(col("inter").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("inter")), 4).as("jaccard"))
+      .orderBy("id1", "id2")
+  }
+
+  // --------------------------------------------------------- MinHash+LSH
+
+  val MinHashK = 16      // signature length
+  val BandRows = 4       // rows per band → 4 bands
+  val ShingleWords = 3
+
+  /** Word k-shingles of a document as an array column. */
+  private def shingles(text: Column, k: Int = ShingleWords): Column = {
+    val words = split(trim(text), "\\s+")
+    transform(
+      sequence(lit(0), size(words) - k),
+      i => concat_ws(" ", slice(words, i + 1, lit(k))))
+  }
+
+  /** MinHash signatures: one pass, MinHashK `min(xxhash64(i, shingle))`
+    * aggregates — partial aggregation means only (doc_id, 16 longs) shuffle,
+    * never the shingles. Hash family = xxhash64 seeded by function index. */
+  def minhashSignatures(d: DataFrame): DataFrame = {
+    val sh = d
+      .filter(size(split(trim(col("text")), "\\s+")) >= ShingleWords)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val aggs = (0 until MinHashK).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band signatures: hash each BandRows-run of the signature. Docs agreeing
+    * on any band land in the same LSH bucket. */
+  def lshBands(sigs: DataFrame): DataFrame = {
+    val nBands = MinHashK / BandRows
+    val bandStructs = (0 until nBands).map { b =>
+      val cols = (0 until BandRows).map(r => col(s"mh${b * BandRows + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Candidate near-dup pairs: join within LSH buckets only — the scale path
+    * (bucket sizes are small, so the join is near-linear, vs O(n²) brute
+    * force). Pairs deduplicated across bands. */
+  def minhashCandidatePairs(d: DataFrame): DataFrame = {
+    val bands = lshBands(minhashSignatures(d))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
+  /** Q34 — MinHash/LSH bucket statistics (rows-only: xxhash64 has no DuckDB
+    * twin, FIXTURES §C). Always 4 rows (one per band), deterministic. */
+  def q34MinhashBands(s: SparkSession, dir: String): DataFrame =
+    lshBands(minhashSignatures(docs(s, dir)))
+      .groupBy("band", "sig").agg(count(lit(1)).as("bucket_n"))
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("bucket_n") > 1, col("bucket_n")).otherwise(0L)).as("docs_in_collisions"),
+        sum(col("bucket_n") * (col("bucket_n") - 1) / 2).cast("long").as("candidate_pairs"))
+      .orderBy("band")
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per document: per-bit vote of xxhash64(word) over all
+    * words. One pass, 64 codegen'd conditional-sum aggregates; only
+    * (doc_id, 64 ints) reach the shuffle. */
+  def simhash(d: DataFrame): DataFrame = {
+    val words = d.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b")
+    }
+    val packed = (0 until 64)
+      .map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+      .reduce(_ + _)
+    words.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** Q35 — SimHash fingerprints (rows-only; engine-internal hash). */
+  def q35Simhash(s: SparkSession, dir: String): DataFrame =
+    simhash(docs(s, dir).filter(col("doc_id") < 100)).orderBy("doc_id")
+
+  // ------------------------------------------------ embedding cosine dedup
+
+  /** Q37 — embedding-cosine near-dup mining: top-20 most similar pairs in a
+    * bounded subset (vec_id < 300). Exact double math + ROUND(4) so it
+    * oracle-matches; tie-break by (id1, id2). The unbounded scale path is
+    * Similarity.lshCosineBuckets. */
+  def q37NeardupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).filter(col("vec_id") < 300)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val a = e.toDF("id1", "v1")
+    val b = e.toDF("id2", "v2")
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(VectorOps.cosine(col("v1"), col("v2")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("id1"), col("id2"))
+      .limit(20)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor / similarity search over the embeddings
+  * table (array<float>, 64-dim).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k (Q36): exact baseline. O(Q×N) — fine when the
+  *    query set is small and broadcastable; at 100 TB the N side stays
+  *    partition-parallel and never shuffles (queries are broadcast).
+  *  - LSH-bucketed (Q39): random-hyperplane signatures (seeded, engine-
+  *    internal) bucket the corpus; candidate generation is a bucket join —
+  *    near-linear, the actual scale path.
+  */
+object Similarity {
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
+
+  /** Q36 — brute-force cosine top-5 per query vector (vec_id < 5 as the
+    * query set, broadcast into a nested-loop join against the corpus).
+    * Ranking uses the ROUNDed similarity with vec_id tie-break so both
+    * engines rank identically despite float accumulation-order noise. */
+  def q36CosineTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 5).toDF("qid", "qv")
+    val c = e.toDF("cid", "cv")
+    val sims = broadcast(q).join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(VectorOps.cosine(col("qv"), col("cv")), 4).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    sims.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Random-hyperplane LSH signature: bit b = sign(v · h_b) where h_b is a
+    * deterministic pseudo-random hyperplane derived from xxhash64(b, i) —
+    * reproducible across runs with no RNG state. nBits=16 → 64k buckets. */
+  def lshSignature(d: DataFrame, vecCol: String, nBits: Int = 16): DataFrame = {
+    val bits = (0 until nBits).map { b =>
+      // h_b[i] in [-0.5, 0.5): (xxhash64(b,i) mod 1000)/1000 - 0.5
+      val dotB = aggregate(
+        zip_with(col(vecCol),
+          transform(sequence(lit(0), size(col(vecCol)) - 1),
+            i => (pmod(xxhash64(lit(b), i), lit(1000)).cast("double") / 1000.0) - 0.5),
+          (x, h) => x * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotB > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }
+    d.withColumn("lsh_bucket", bits.reduce(_ + _))
+  }
+
+  /** Q39 — LSH bucket histogram (rows-only: engine-internal hash family).
+    * The candidate-generation stage of ANN at scale: corpus bucketed once,
+    * queries probe matching buckets only. */
+  def q39LshCosineBuckets(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    lshSignature(e, "v", nBits = 8)
+      .groupBy("lsh_bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lsh_bucket")
+  }
+
+  /** Full ANN query path over LSH buckets: signature-join then exact rerank
+    * within candidates — the composition a 100 TB pipeline runs. */
+  def annSearch(corpus: DataFrame, queries: DataFrame, k: Int = 10, nBits: Int = 8): DataFrame = {
+    val cb = lshSignature(corpus.select(col("vec_id").as("cid"), col("v").as("cv")), "cv", nBits)
+    val qb = lshSignature(queries.select(col("vec_id").as("qid"), col("v").as("qv")), "qv", nBits)
+      .withColumnRenamed("lsh_bucket", "qbucket")
+    val cands = broadcast(qb).join(cb, col("qbucket") === col("lsh_bucket") && col("qid") =!= col("cid"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    cands.select(col("qid"), col("cid"),
+        round(VectorOps.cosine(col("qv"), col("cv")), 4).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+}

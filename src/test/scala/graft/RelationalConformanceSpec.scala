@@ -30,6 +30,23 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT event_type, CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS s FROM events GROUP BY event_type ORDER BY event_type",
     "q24_event_tumbling" -> // ts already bigint epoch-nanos under nanosAsLong
       "SELECT (ts - (ts % 3600000000000)) AS hour_bucket, event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    // DuckDB string_split_regex/len(regexp_extract_all) -> Spark split/regexp_count
+    "q29_token_count" ->
+      "SELECT lang, SUM(ws) AS total_ws, SUM(bpe) AS total_bpe, MAX(ws) AS max_ws, MIN(ws) AS min_ws FROM (SELECT lang, CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS ws, CAST(regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]') AS BIGINT) AS bpe FROM documents) t GROUP BY lang ORDER BY lang",
+    "q30_text_quality" ->
+      "SELECT lang, ROUND(AVG(ar), 4) AS alpha_ratio, ROUND(AVG(sr), 4) AS stopword_ratio, ROUND(AVG(len), 2) AS avg_len FROM (SELECT lang, CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '')) AS DOUBLE) / LENGTH(text) AS ar, CAST(regexp_count(text, '\\\\b(the|a|of|and|to)\\\\b') AS DOUBLE) / size(split(trim(text), '\\\\s+')) AS sr, CAST(LENGTH(text) AS BIGINT) AS len FROM documents) t GROUP BY lang ORDER BY lang",
+    "q31_lang_id" ->
+      "SELECT CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en' WHEN s_de >= s_es AND s_de >= s_fr THEN 'de' WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang, COUNT(*) AS n FROM (SELECT CAST(regexp_count(text, '\\\\b(the|of|and|to|in)\\\\b') AS BIGINT) AS s_en, CAST(regexp_count(text, '\\\\b(der|die|das|und|ist)\\\\b') AS BIGINT) AS s_de, CAST(regexp_count(text, '\\\\b(el|la|los|que|a)\\\\b') AS BIGINT) AS s_es, CAST(regexp_count(text, '\\\\b(le|les|et|des|du)\\\\b') AS BIGINT) AS s_fr FROM documents) t GROUP BY 1 ORDER BY 1",
+    "q32_fingerprint_md5" ->
+      "SELECT doc_id, md5(lower(regexp_replace(text, '\\\\s+', ' '))) AS fp FROM documents ORDER BY doc_id",
+    "q33_jaccard_pairs" ->
+      "WITH w AS (SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS word FROM documents WHERE doc_id < 40), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
+    "q36_cosine_topk" ->
+      "WITH f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM embeddings LATERAL VIEW posexplode(embedding) t AS i, v), d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot, SUM(q.v * q.v) AS qq, SUM(c.v * c.v) AS cc FROM f q JOIN f c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id GROUP BY 1, 2), r AS (SELECT qid, cid, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d), rk AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM r) SELECT qid, cid, sim, rnk FROM rk WHERE rnk <= 5 ORDER BY qid, rnk",
+    "q37_neardup_embedding" ->
+      "WITH f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM embeddings LATERAL VIEW posexplode(embedding) t AS i, v WHERE vec_id < 300), d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, SUM(a.v * b.v) AS dot, SUM(a.v * a.v) AS qq, SUM(b.v * b.v) AS cc FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2) SELECT id1, id2, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d ORDER BY sim DESC, id1, id2 LIMIT 20",
+    "q38_multimodal_bytes" ->
+      "SELECT doc_id, CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes FROM documents WHERE doc_id < 100 ORDER BY doc_id",
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
