@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators (SURVEY §2.3.9) — the watermark/window/
+  * session/stateful surface the north star requires on top of the
+  * reference's plain poll-insert loop (AvroConsumer.java:116-138 has no
+  * event-time semantics at all; every windowing op here is new capability).
+  *
+  * All operators take and return streaming DataFrames so they compose with
+  * the pipeline layer (ConfluentAvro.decode upstream, the txn sink
+  * downstream). Each is a thin declarative wrapper over Structured
+  * Streaming built-ins — state lives in the checkpointed state store, which
+  * scales horizontally with shuffle partitions (state is hash-partitioned
+  * by group key; at 100 TB the same code runs with RocksDB state store
+  * enabled via conf, no code change).
+  */
+object StreamOps {
+
+  /** Tumbling event-time window aggregation with late-data drop.
+    * @param tsCol      TimestampType column (epoch-nanos longs from the test
+    *                   data convert via `nanosToTimestamp`)
+    * @param watermark  e.g. "10 minutes" — rows later than max(ts)-watermark
+    *                   are dropped, bounding state (SURVEY §2.3.9 late data)
+    */
+  def tumblingAgg(df: DataFrame, tsCol: String, watermark: String, width: String,
+                  keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Sliding (overlapping) windows: width + slide. */
+  def slidingAgg(df: DataFrame, tsCol: String, watermark: String, width: String,
+                 slide: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width, slide) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Session windows — gap-based grouping, closes when no event for `gap`. */
+  def sessionAgg(df: DataFrame, tsCol: String, watermark: String, gap: String,
+                 keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Streaming exact dedup: first-writer-wins on `keys`, state expired past
+    * the watermark (dedup extension, SURVEY §2.3.9 stateful ops). */
+  def dedup(df: DataFrame, tsCol: String, watermark: String, keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicates(keys :+ tsCol)
+
+  /** Dedup where two rows with the same keys but different timestamps are
+    * still dupes (id-based): dropDuplicatesWithinWatermark keeps state only
+    * for the watermark horizon — the 100 TB-safe variant. */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, watermark: String,
+                           keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Per-key running aggregate via explicit state — the Spark-native shape
+    * of the reference's in-memory offset map (AvroConsumer.java:168: state
+    * keyed by partition, advanced per record, externalized periodically).
+    * Emits (key, runningCount, runningSum) every update. */
+  def runningPerKey(ds: Dataset[KeyedEvent]): Dataset[KeyRunning] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[KeyRunning, KeyRunning](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, events: Iterator[KeyedEvent], state: GroupState[KeyRunning]) =>
+          val prev = state.getOption.getOrElse(KeyRunning(key, 0L, 0.0))
+          var cnt = prev.count
+          var sum = prev.sum
+          events.foreach { e => cnt += 1; sum += e.value }
+          val next = KeyRunning(key, cnt, sum)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Epoch-nanos bigint (the test data's `events.ts` under nanosAsLong,
+    * FIXTURES.md §B) -> TimestampType for event-time ops. Nanos truncate to
+    * micros — Spark timestamps are micro-precision. */
+  def nanosToTimestamp(c: Column): Column = timestamp_micros((c / 1000L).cast("long"))
+}
+
+/** Input shape for runningPerKey — (key, event-time, value). */
+case class KeyedEvent(key: String, ts: java.sql.Timestamp, value: Double)
+
+/** Running state/output of runningPerKey. */
+case class KeyRunning(key: String, count: Long, sum: Double)

@@ -1,0 +1,162 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{RecordGenerator, TransactionalJdbcSink}
+import graft.schema.SchemaBridge
+import graft.streaming.{KeyedEvent, StreamOps, StreamingPipeline}
+
+/** Streaming-layer tests (SURVEY §2.3.9, §5.2): watermarked windows with
+  * late-data drop, session windows, stream dedup, explicit keyed state, and
+  * the end-to-end exactly-once restart drill (README.md:242-276 as a test).
+  * No DuckDB oracle exists for streaming — golden assertions (SURVEY §7). */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  /** Run to a memory sink, processing each feed step as its own micro-batch
+    * (watermarks only advance at batch boundaries). */
+  private def runToMemory(df: DataFrame, name: String, mode: String = "append")
+      (feeds: (() => Unit)*): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try feeds.foreach { f => f(); q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+  }
+
+  // ------------------------------------------------- event-time windows
+
+  test("tumbling window aggregates by event time and drops late rows") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamOps.tumblingAgg(
+      in.toDF().toDF("ts", "k", "v"), "ts", watermark = "5 minutes", width = "10 minutes",
+      keys = Seq(col("k")), aggs = Seq(count("*").as("n"), round(sum("v"), 2).as("sv")))
+
+    val out = runToMemory(agg, "tumbling")(
+      () => in.addData((ts(1), "a", 1.0), (ts(4), "a", 2.0), (ts(11), "b", 3.0)),
+      // advance watermark far past the first window so it finalizes...
+      () => in.addData((ts(40), "a", 9.0)),
+      // ...then a VERY late row for the closed 10:00 window: must be dropped
+      () => in.addData((ts(2), "a", 100.0)))
+    val rows = out.select(col("window.start"), col("k"), col("n"), col("sv"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows.contains((ts(0), "a", 2L, 3.0)))   // late row NOT counted
+    assert(rows.contains((ts(10), "b", 1L, 3.0)))
+    assert(!rows.exists { case (_, k, _, sv) => k == "a" && sv == 103.0 })
+  }
+
+  test("session window groups by gap, closes after inactivity") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamOps.sessionAgg(
+      in.toDF().toDF("ts", "k", "v"), "ts", watermark = "5 minutes", gap = "5 minutes",
+      keys = Seq(col("k")), aggs = Seq(count("*").as("n")))
+
+    val out = runToMemory(agg, "sessions")(
+      // k=a: events at 10:01, 10:03 (one session), then 10:20 (new session)
+      () => in.addData((ts(1), "a", 1.0), (ts(3), "a", 1.0), (ts(20), "a", 1.0)),
+      () => in.addData((ts(50), "z", 0.0))) // push watermark so sessions finalize
+    val sessions = out.filter(col("k") === "a")
+      .select(col("session_window.start"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(sessions == Set((ts(1), 2L), (ts(20), 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark removes id-dupes across timestamps") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val dd = StreamOps.dedupWithinWatermark(
+      in.toDF().toDF("ts", "id", "v"), "ts", watermark = "10 minutes", keys = Seq("id"))
+
+    val out = runToMemory(dd, "dedup")(
+      () => in.addData((ts(1), "x", 1.0), (ts(2), "x", 2.0), (ts(3), "y", 3.0)),
+      () => in.addData((ts(4), "x", 4.0)))
+    val ids = out.select("id", "v").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(ids.sorted == Seq(("x", 1.0), ("y", 3.0))) // first-writer-wins
+  }
+
+  test("runningPerKey keeps per-key state across micro-batches") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[KeyedEvent]
+    val run = StreamOps.runningPerKey(in.toDS())
+
+    val q = run.toDF().writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    try {
+      in.addData(KeyedEvent("a", ts(1), 1.0), KeyedEvent("a", ts(2), 2.0))
+      q.processAllAvailable()
+      in.addData(KeyedEvent("a", ts(3), 4.0), KeyedEvent("b", ts(3), 10.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // last update per key wins: a has seen 3 events (sum 7), b one (sum 10)
+    val last = spark.table("running").groupBy("key")
+      .agg(max("count").as("c"), max("sum").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(last == Set(("a", 3L, 7.0), ("b", 1L, 10.0)))
+  }
+
+  // -------------------------------- end-to-end exactly-once restart drill
+
+  test("file stream -> txn sink: restart from checkpoint lands every row exactly once") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftstream")
+    val srcDir = s"$tmp/src"; val ckpt = s"$tmp/ckpt"
+    val url = s"jdbc:derby:$tmp/db;create=true"
+
+    val ss = SchemaBridge.parseSimple(
+      """[{"name":"sds","fields":{"key_field":"string","ts_field":"long","dbl_field":"double"}}]""").head
+    // 4 source files => 4 micro-batches at maxFilesPerTrigger=1 (rate cap R11)
+    (0 until 4).foreach { i =>
+      RecordGenerator.generate(spark, ss, 250, seed = i)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val schema = spark.read.parquet(srcDir).schema
+    val sink = new TransactionalJdbcSink(url, "sds", "stream-q")
+    sink.ensureTables(schema)
+
+    // run 1: process only some batches, then stop mid-stream ("kill")
+    val src1 = StreamingPipeline.fileSource(spark, srcDir, schema, maxFilesPerTrigger = 1)
+    val q1 = src1.writeStream
+      .foreachBatch((b: DataFrame, id: Long) => sink.writeBatch(b, id))
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (sink.dataCount() < 250 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    } finally q1.stop()
+    val afterKill = sink.dataCount()
+    assert(afterKill >= 250, s"expected at least one batch landed, got $afterKill")
+
+    // run 2: restart from the same checkpoint -> resumes, replays nothing
+    val q2 = StreamingPipeline.toJdbc(
+      StreamingPipeline.fileSource(spark, srcDir, schema, maxFilesPerTrigger = 1),
+      sink, ckpt, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    assert(sink.dataCount() == 1000, s"exactly-once violated: ${sink.dataCount()}")
+  }
+}
