@@ -60,6 +60,13 @@ object SparkEntry {
     "q38_multimodal_bytes" -> (Multimodal.q38MultimodalBytes _),
     "q39_lsh_buckets"      -> (Similarity.q39LshCosineBuckets _),
     "q40_winnow_fingerprint" -> (TextAnalysis.q40WinnowFingerprint _),
+    "q41_asof_join"        -> (Relational.q41AsofJoin _),
+    "q42_percentiles"      -> (Relational.q42Percentiles _),
+    "q43_pivot"            -> (Relational.q43Pivot _),
+    "q44_explode_tokens"   -> (Relational.q44ExplodeTokens _),
+    "q45_window_analytics" -> (Relational.q45WindowAnalytics _),
+    "q46_string_more"      -> (Relational.q46StringMore _),
+    "q47_date_trunc"       -> (Relational.q47DateTrunc _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -144,5 +151,19 @@ object SparkEntry {
       "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents WHERE doc_id < 100 ORDER BY doc_id",
     // q39_lsh_buckets, q40_winnow_fingerprint: engine-internal hash families
     // (random-hyperplane LSH, winnowing) — rows-only checks.
+    "q41_asof_join" ->
+      "WITH u AS (SELECT user_id, epoch_ns(ts) AS ts, 1 AS is_click FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, epoch_ns(ts) AS ts, 0 AS is_click FROM events WHERE event_type = 'purchase') SELECT user_id, ts, last_purchase_ts FROM (SELECT user_id, ts, is_click, MAX(CASE WHEN is_click = 0 THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, is_click ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts FROM u) w WHERE is_click = 1 ORDER BY user_id, ts",
+    "q42_percentiles" ->
+      "SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.25), 2) AS p25, ROUND(quantile_cont(l_quantity, 0.5), 2) AS p50, ROUND(quantile_cont(l_quantity, 0.75), 2) AS p75, ROUND(quantile_cont(l_quantity, 0.99), 2) AS p99 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q43_pivot" ->
+      "SELECT lang, CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS src0, CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS src1, CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS src2 FROM documents GROUP BY lang ORDER BY lang",
+    "q44_explode_tokens" ->
+      "SELECT doc_id, word, COUNT(*) AS n FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents WHERE doc_id < 10) t GROUP BY doc_id, word ORDER BY doc_id, word",
+    "q45_window_analytics" ->
+      "SELECT o_orderkey, CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS nt, CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dr, FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS fv FROM orders ORDER BY o_orderkey",
+    "q46_string_more" ->
+      "SELECT p_partkey, LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS pk8, REPLACE(p_type, ' ', '_') AS ty, SPLIT_PART(p_name, ' ', 1) AS w1, REGEXP_EXTRACT(p_name, '([aeiou]+)', 1) AS vow FROM part ORDER BY p_partkey",
+    "q47_date_trunc" ->
+      "SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS m, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
   )
 }

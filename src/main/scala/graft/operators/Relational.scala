@@ -275,4 +275,92 @@ object Relational {
       .groupBy("lang")
       .agg(count(lit(1)).as("n"), sum("n_chars").as("c"))
       .orderBy("lang")
+
+  /** Q41 — AS-OF join (SURVEY §2.3.3 "as-of / interval"): for each click
+    * event, the most recent purchase timestamp by the same user at or
+    * before it. Implemented union+window, NOT a theta join: tag both sides,
+    * sort within user by (ts, side) with purchases first on ties, and carry
+    * the running max purchase-ts forward. ONE shuffle on user_id and linear
+    * work per partition — the 100 TB scale path; a BNLJ or a per-left-row
+    * subquery would be quadratic. */
+  def q41AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val u = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("is_click"))
+      .unionByName(e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0).as("is_click")))
+    val w = Window.partitionBy("user_id").orderBy("ts", "is_click")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("last_purchase_ts", max(when(col("is_click") === 0, col("ts"))).over(w))
+      .filter(col("is_click") === 1)
+      .select("user_id", "ts", "last_purchase_ts")
+      .orderBy("user_id", "ts")
+  }
+
+  /** Q42 — exact interpolated percentiles (≡ DuckDB quantile_cont). Exact
+    * keeps the oracle hash-comparable; the scale path swaps in
+    * approx_percentile (t-digest sketch, single-pass mergeable) which is
+    * deliberately NOT in the oracle set (sketch results differ by engine). */
+  def q42Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 2).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 2).as("p75"),
+        round(expr("percentile(l_quantity, 0.99)"), 2).as("p99"))
+      .orderBy("l_returnflag")
+
+  /** Q43 — pivot (wide aggregation). Explicit value list: no extra pass to
+    * discover pivot values, and a stable output schema at any SF. */
+  def q43Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .pivot("source", Seq("src0", "src1", "src2"))
+      .count()
+      .na.fill(0L)
+      .orderBy("lang")
+
+  /** Q44 — generator/UDTF surface (SURVEY §2.3.10): explode tokenized text
+    * into per-document word frequencies. */
+  def q44ExplodeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("doc_id", "word")
+
+  /** Q45 — analytic window functions: NTILE, DENSE_RANK, FIRST_VALUE over
+    * one shared window spec (single sort per partition). */
+  def q45WindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("nt"),
+        dense_rank().over(w).cast("long").as("dr"),
+        first(col("o_orderkey")).over(w).as("fv"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Q46 — extended string functions: LPAD, REPLACE, SPLIT_PART,
+    * REGEXP_EXTRACT (same names + semantics in DuckDB). */
+  def q46StringMore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("pk8"),
+        translate(col("p_type"), " ", "_").as("ty"),
+        expr("split_part(p_name, ' ', 1)").as("w1"),
+        regexp_extract(col("p_name"), "([aeiou]+)", 1).as("vow"))
+      .orderBy("p_partkey")
+
+  /** Q47 — date_trunc to month buckets; output as a yyyy-MM string so the
+    * hash compare is timestamp-encoding-agnostic. */
+  def q47DateTrunc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("m"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("m")
 }

@@ -98,7 +98,13 @@ object TextAnalysis {
     * (engine-internal; no cross-engine oracle — FIXTURES §C quarantines
     * hash functions), so Q40 gets the rows-only check.
     *
-    * Single pass, no shuffle until the final per-doc count: scales linearly. */
+    * Single pass, no shuffle until the final per-doc count: scales linearly.
+    *
+    * The gram array is materialized in its own projection: referencing a
+    * transform-built array from inside another transform lambda makes
+    * CollapseProject inline it, recomputing the whole O(n) gram array per
+    * window position — O(n²)/document (measured 16 s vs 2 s at sf0.1). Two
+    * projections with a multiply-referenced expensive alias stay separate. */
   def winnowFingerprints(d: DataFrame, k: Int = 4, window: Int = 4): DataFrame = {
     val words = split(trim(col("text")), "\\s+")
     // k-gram rolling hashes by index: h_i = xxhash64(words[i..i+k-1])
@@ -106,10 +112,12 @@ object TextAnalysis {
       sequence(lit(0), greatest(size(words) - k, lit(0))),
       i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(k)))))
     // winnow: minimum hash of each `window`-sized sliding window, dedup'd
+    val g = col("grams")
     val mins = array_distinct(transform(
-      sequence(lit(0), greatest(size(grams) - window, lit(0))),
-      i => array_min(slice(grams, i + 1, lit(window)))))
+      sequence(lit(0), greatest(size(g) - window, lit(0))),
+      i => array_min(slice(g, i + 1, lit(window)))))
     d.filter(size(words) >= k + window)
+      .select(col("doc_id"), grams.as("grams"))
       .select(col("doc_id"), mins.as("fingerprints"))
   }
 

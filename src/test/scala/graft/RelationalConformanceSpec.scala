@@ -47,6 +47,16 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "WITH f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM embeddings LATERAL VIEW posexplode(embedding) t AS i, v WHERE vec_id < 300), d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, SUM(a.v * b.v) AS dot, SUM(a.v * a.v) AS qq, SUM(b.v * b.v) AS cc FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2) SELECT id1, id2, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d ORDER BY sim DESC, id1, id2 LIMIT 20",
     "q38_multimodal_bytes" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes FROM documents WHERE doc_id < 100 ORDER BY doc_id",
+    "q41_asof_join" -> // ts is already bigint epoch-nanos in Spark (no epoch_ns)
+      "WITH u AS (SELECT user_id, ts, 1 AS is_click FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, ts, 0 AS is_click FROM events WHERE event_type = 'purchase') SELECT user_id, ts, last_purchase_ts FROM (SELECT user_id, ts, is_click, MAX(CASE WHEN is_click = 0 THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, is_click ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts FROM u) w WHERE is_click = 1 ORDER BY user_id, ts",
+    "q42_percentiles" -> // quantile_cont -> percentile (both exact interpolated)
+      "SELECT l_returnflag, ROUND(percentile(l_quantity, 0.25), 2) AS p25, ROUND(percentile(l_quantity, 0.5), 2) AS p50, ROUND(percentile(l_quantity, 0.75), 2) AS p75, ROUND(percentile(l_quantity, 0.99), 2) AS p99 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q44_explode_tokens" -> // unnest/string_split_regex -> explode/split
+      "SELECT doc_id, word, COUNT(*) AS n FROM (SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS word FROM documents WHERE doc_id < 10) t GROUP BY doc_id, word ORDER BY doc_id, word",
+    "q46_string_more" -> // VARCHAR -> STRING cast spelling
+      "SELECT p_partkey, LPAD(CAST(p_partkey AS STRING), 8, '0') AS pk8, REPLACE(p_type, ' ', '_') AS ty, SPLIT_PART(p_name, ' ', 1) AS w1, REGEXP_EXTRACT(p_name, '([aeiou]+)', 1) AS vow FROM part ORDER BY p_partkey",
+    "q47_date_trunc" -> // strftime -> date_format
+      "SELECT date_format(date_trunc('month', o_orderdate), 'yyyy-MM') AS m, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
   )
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
