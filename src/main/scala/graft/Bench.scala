@@ -37,7 +37,29 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val pipelineRps = benchPipeline(spark)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pipeline_rows_per_sec":$pipelineRps%.0f,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Pipeline throughput (BASELINE.md planned metric): generate → Confluent-
+    * framed Avro encode (key-hash partitioned) → decode, rows/s. The
+    * reference's configured ceiling is ~100 rec/s/partition × 9 partitions
+    * (BASELINE.md "implied ceiling"); this measures the same loop as Spark
+    * stages. Sink excluded: Derby isn't the reference's MySQL, and disk JDBC
+    * would measure the wrong engine. */
+  private def benchPipeline(spark: SparkSession, n: Long = 1000000L): Double = {
+    import graft.pipeline.{ConfluentAvro, RecordGenerator, SchemaRegistry}
+    import graft.schema.SchemaBridge
+    val ss = SchemaBridge.parseSimple(
+      """[{"name":"bench_ds","fields":{"key_field":"string","ts_field":"long",
+        |"str_field":"string","dbl_field":"double"}}]""".stripMargin).head
+    val avro = SchemaBridge.toAvro(ss)
+    val id = SchemaRegistry.register("bench_ds-value", avro)
+    val src = RecordGenerator.generate(spark, ss, n, seed = 42)
+    val t0 = System.nanoTime()
+    ConfluentAvro.decode(ConfluentAvro.encode(src, avro, id, numPartitions = 9), "value", avro)
+      .write.format("noop").mode("overwrite").save()
+    n / ((System.nanoTime() - t0) / 1e9)
   }
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits (the build brief's ".explain and iterate" loop,
+  * frozen as regression tests): correctness tests prove the small-SF answer;
+  * these prove the SHAPE that survives a 100× scale-up — filters reach the
+  * parquet scan, projections prune columns, small dims broadcast, and
+  * shuffle counts don't silently grow. */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+  val sfDir = "/root/testdata/sf0.001"
+  var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Count shuffles in the pre-AQE physical plan (AQE hides exchanges
+    * behind runtime stages; the static plan is the honest shuffle count). */
+  private def countShuffles(df: DataFrame): Int = {
+    var n = 0
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case _: ShuffleExchangeExec => n += 1
+        case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+        case _ => ()
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    n
+  }
+
+  test("q01: filter + projection are pushed into the parquet scan") {
+    val plan = planString(graft.operators.Relational.q01ScanFilterSort(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("q03: nation dim joins as broadcast, not shuffle") {
+    val plan = planString(graft.operators.Relational.q03JoinMultiway(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("q08: aggregation is partial+final hash agg (map-side combine)") {
+    val plan = planString(graft.operators.Relational.q08AggTpchQ1(spark, sfDir))
+    assert(plan.contains("HashAggregate"), plan)
+    // partial agg before the exchange: HashAggregate appears below AND above it
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("q16: top-k rewrites to TakeOrderedAndProject, not a global sort") {
+    val plan = planString(graft.operators.Relational.q16TopK(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not rewritten:\n$plan")
+  }
+
+  test("q05/q06: EXISTS / NOT EXISTS lower to semi/anti joins") {
+    assert(planString(graft.operators.Relational.q05JoinSemi(spark, sfDir))
+      .contains("LeftSemi"), "no semi join")
+    assert(planString(graft.operators.Relational.q06JoinAnti(spark, sfDir))
+      .contains("LeftAnti"), "no anti join")
+  }
+
+  test("q41 as-of join: exactly one shuffle (union+window), no join at all") {
+    val df = graft.operators.Relational.q41AsofJoin(spark, sfDir)
+    val plan = planString(df)
+    assert(!plan.contains("Join"), s"as-of should be join-free:\n$plan")
+    // one exchange for the window partitioning + one for the final orderBy
+    assert(countShuffles(df) <= 2, s"shuffle count grew: ${countShuffles(df)}\n$plan")
+  }
+
+  test("q34 minhash: shingles never shuffle (partial agg before exchange)") {
+    val df = graft.operators.Dedup.q34MinhashBands(spark, sfDir)
+    val plan = planString(df)
+    val firstExchange = plan.indexOf("Exchange")
+    val firstAgg = plan.lastIndexOf("HashAggregate")
+    // deepest HashAggregate (partial, over exploded shingles) sits below the
+    // first Exchange in the tree printout
+    assert(firstAgg > firstExchange, s"no map-side combine before shuffle:\n$plan")
+  }
+
+  test("q36 cosine top-k: embeddings scan prunes to id+vector columns") {
+    val plan = planString(graft.operators.Similarity.q36CosineTopK(spark, sfDir))
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      s"embedding scan reads extra columns:\n$plan")
+  }
+}
