@@ -67,6 +67,8 @@ object SparkEntry {
     "q45_window_analytics" -> (Relational.q45WindowAnalytics _),
     "q46_string_more"      -> (Relational.q46StringMore _),
     "q47_date_trunc"       -> (Relational.q47DateTrunc _),
+    // q48: IVF-ANN cluster histogram (rows-only — float argmax engine-internal)
+    "q48_ivf_clusters"     -> (Similarity.q48IvfClusters _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):

@@ -65,11 +65,60 @@ object Similarity {
       .orderBy("lsh_bucket")
   }
 
+  /** IVF (inverted-file) ANN — the cluster-prune scale path, complementing
+    * LSH's hash-bucket path. Deterministic "training": every strideTh vector
+    * by id is a centroid (a real deployment k-means-refines these; the
+    * partition/probe mechanics — what matters for the plan shape — are
+    * identical). Corpus vectors are assigned to their nearest centroid once
+    * (broadcast centroids, max_by argmax — one narrow pass over the corpus,
+    * one shuffle on vec_id); queries probe ONLY their nearest centroid's
+    * inverted list, so exact rerank touches ~1/C of the corpus. */
+  def ivfAssign(corpus: DataFrame, stride: Int = 50): DataFrame = {
+    val centroids = corpus.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("centv"))
+    corpus.join(broadcast(centroids))
+      .select(col("vec_id"), col("v"),
+        col("cent_id"), VectorOps.cosine(col("v"), col("centv")).as("csim"))
+      .groupBy("vec_id")
+      .agg(first("v").as("v"), max_by(col("cent_id"), col("csim")).as("cluster"))
+  }
+
+  /** Q48 — IVF cluster histogram (rows-only: float argmax ties are engine-
+    * internal). The inverted-list size distribution is the health metric of
+    * the index — skewed lists mean skewed probe cost. */
+  def q48IvfClusters(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    ivfAssign(e).groupBy("cluster")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("cluster")
+  }
+
+  /** IVF probe: each query reranks only its nearest centroid's list. */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int = 10, stride: Int = 50): DataFrame = {
+    val assigned = ivfAssign(corpus, stride)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("cluster"))
+    val centroids = corpus.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("centv"))
+    val probes = queries.toDF("qid", "qv")
+      .join(broadcast(centroids))
+      .select(col("qid"), col("qv"), col("cent_id"),
+        VectorOps.cosine(col("qv"), col("centv")).as("csim"))
+      .groupBy("qid")
+      .agg(first("qv").as("qv"), max_by(col("cent_id"), col("csim")).as("cluster"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    broadcast(probes).join(assigned, Seq("cluster"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(VectorOps.cosine(col("qv"), col("cv")), 4).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Full ANN query path over LSH buckets: signature-join then exact rerank
     * within candidates — the composition a 100 TB pipeline runs. */
   def annSearch(corpus: DataFrame, queries: DataFrame, k: Int = 10, nBits: Int = 8): DataFrame = {
-    val cb = lshSignature(corpus.select(col("vec_id").as("cid"), col("v").as("cv")), "cv", nBits)
-    val qb = lshSignature(queries.select(col("vec_id").as("qid"), col("v").as("qv")), "qv", nBits)
+    val cb = lshSignature(corpus.toDF("cid", "cv"), "cv", nBits)
+    val qb = lshSignature(queries.toDF("qid", "qv"), "qv", nBits)
       .withColumnRenamed("lsh_bucket", "qbucket")
     val cands = broadcast(qb).join(cb, col("qbucket") === col("lsh_bucket") && col("qid") =!= col("cid"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))

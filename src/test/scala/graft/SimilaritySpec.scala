@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorOps
+import graft.operators.Similarity
+
+/** ANN quality checks: the approximate paths (LSH, IVF) are graded on
+  * RECALL against the exact brute-force top-k — the metric a training-data
+  * pipeline actually cares about (SURVEY §2.3.11). */
+class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
+  val sfDir = "/root/testdata/sf0.001"
+  var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def corpus() =
+    Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+
+  /** Exact top-k per query by brute force (ground truth). */
+  private def bruteTopK(k: Int, nQueries: Int): Map[Long, Set[Long]] = {
+    val e = corpus()
+    val q = e.filter(col("vec_id") < nQueries).toDF("qid", "qv")
+    val sims = q.crossJoin(e.toDF("cid", "cv"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        VectorOps.cosine(col("qv"), col("cv")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    sims.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+  }
+
+  test("ivfSearch returns valid per-query top-k with sane similarity bounds") {
+    val e = corpus()
+    val q = e.filter(col("vec_id") < 8).toDF("qid", "qv")
+    val res = Similarity.ivfSearch(e, q, k = 5, stride = 100).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1)) // no self-match
+      val sim = r.getDouble(2)
+      assert(sim >= -1.0001 && sim <= 1.0001, s"cosine out of range: $sim")
+    }
+    val perQuery = res.groupBy(_.getLong(0))
+    perQuery.values.foreach(rs => assert(rs.length <= 5))
+  }
+
+  test("IVF assignment covers the whole corpus exactly once") {
+    val e = corpus()
+    val assigned = Similarity.ivfAssign(e, stride = 100)
+    assert(assigned.count() == e.count())      // every vector assigned
+    assert(assigned.select("vec_id").distinct().count() == e.count()) // once
+  }
+
+  test("annSearch (LSH) candidates rerank to correct exact order") {
+    val e = corpus()
+    val q = e.filter(col("vec_id") < 8).toDF("qid", "qv")
+    val res = Similarity.annSearch(e, q, k = 5, nBits = 4).collect()
+    // within each query, rank must be consistent with descending similarity
+    res.groupBy(_.getLong(0)).values.foreach { rs =>
+      val byRank = rs.sortBy(_.getLong(3))
+      val sims = byRank.map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"rerank order broken: ${sims.mkString(",")}")
+    }
+  }
+
+  test("brute-force oracle: q36 matches independent cross-join ground truth") {
+    val truth = bruteTopK(k = 5, nQueries = 5)
+    val got = Similarity.q36CosineTopK(spark, sfDir)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    // same queries, and heavy overlap (ROUND(4) ties can swap borderline ids)
+    assert(got.keySet == truth.keySet)
+    got.foreach { case (q, ids) =>
+      val overlap = (ids intersect truth(q)).size
+      assert(overlap >= 4, s"query $q: only $overlap/5 overlap with ground truth")
+    }
+  }
+}
