@@ -69,6 +69,8 @@ object SparkEntry {
     "q47_date_trunc"       -> (Relational.q47DateTrunc _),
     // q48: IVF-ANN cluster histogram (rows-only — float argmax engine-internal)
     "q48_ivf_clusters"     -> (Similarity.q48IvfClusters _),
+    // q49: HLL++/t-digest sketches (rows-only — estimates are engine-specific)
+    "q49_approx_sketches"  -> (Relational.q49ApproxSketches _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):

@@ -363,4 +363,18 @@ object Relational {
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("m"))
       .agg(count(lit(1)).as("n"))
       .orderBy("m")
+
+  /** Q49 — sketch aggregates: HyperLogLog++ distinct count and t-digest
+    * percentile. THE single-pass mergeable shapes for 100 TB (exact
+    * DISTINCT shuffles every key; a sketch shuffles ~KB per partition).
+    * Rows-only check: sketch estimates are engine-specific by design
+    * (SURVEY §2.3.4 quarantines approx_count_distinct from the oracle). */
+  def q49ApproxSketches(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("nd_custkey"),
+        round(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)), 2).as("p50_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
 }

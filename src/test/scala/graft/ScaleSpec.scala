@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Scale
+
+/** Scale-utility tests: salted join row-parity + spread, bucketed join
+  * zero-exchange plan shape. */
+class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
+  val sfDir = "/root/testdata/sf0.001"
+  var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graftwh").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def countShuffles(plan: SparkPlan): Int = {
+    var n = 0
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case _: ShuffleExchangeExec => n += 1
+        case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+        case _ => ()
+      }
+      p.children.foreach(walk)
+    }
+    walk(plan)
+    n
+  }
+
+  test("saltedJoin: identical rows to the plain join, spread across salts") {
+    val o = Tables(spark, sfDir, "orders")
+    val c = Tables(spark, sfDir, "customer").select("c_custkey", "c_name")
+    val plain = o.join(c, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name")
+    val saltedInput = o.withColumnRenamed("o_custkey", "c_custkey")
+    val salted = Scale.saltedJoin(saltedInput, c, "c_custkey", salt = 8)
+      .select("o_orderkey", "c_name")
+    val a = plain.collect().map(_.toString).sorted
+    val b = salted.collect().map(_.toString).sorted
+    assert(a.length == b.length && a.sameElements(b), s"${a.length} vs ${b.length}")
+  }
+
+  test("saltedJoin spreads a pathologically hot key over the salt space") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType), StructField("x", LongType)))
+    // 10k rows, ALL the same key — the worst case a groupBy shuffle can see
+    val hot = spark.createDataFrame(
+      spark.sparkContext.parallelize((1L to 10000L).map(i => Row(1L, i)), 4), schema)
+    val dim = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 99L)), 1), schema).toDF("k", "label")
+    val salted = hot.withColumn(
+      "_salt", pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()), lit(8)))
+    val saltCount = salted.groupBy("_salt").count().collect()
+    assert(saltCount.length == 8, s"only ${saltCount.length}/8 salts used")
+    assert(saltCount.map(_.getLong(1)).max < 10000, "salting did not split the hot key")
+    // and the join result is still exactly one label per hot row
+    assert(Scale.saltedJoin(hot, dim, "k", 8).count() == 10000)
+  }
+
+  test("hotKeys finds the skewed key") {
+    val e = Tables(spark, sfDir, "events")
+    val hot = Scale.hotKeys(e, "event_type", minCount = 1)
+    assert(hot.count() > 0)
+    val total = hot.agg(sum("n")).collect()(0).getLong(0)
+    assert(total == e.count()) // histogram is complete at threshold 1
+  }
+
+  test("bucketed join plans with zero shuffle exchanges") {
+    val s = spark
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      Scale.writeBucketed(
+        Tables(s, sfDir, "orders"), "b_orders", "o_custkey", buckets = 4)
+      Scale.writeBucketed(
+        Tables(s, sfDir, "customer").withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer", "o_custkey", buckets = 4)
+      val j = Scale.bucketedJoin(s, "b_orders", "b_customer", "o_custkey")
+      val shuffles = countShuffles(j.queryExecution.executedPlan)
+      assert(shuffles == 0,
+        s"bucketed join still shuffles ($shuffles):\n${j.queryExecution.executedPlan}")
+      assert(j.count() > 0)
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
