@@ -79,6 +79,18 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join (SURVEY §2.3.3 "as-of / interval
+    * (streaming)"): equi-key plus a time-range condition, both sides
+    * watermarked so Spark can bound the buffered state (without watermarks a
+    * stream-stream join's state grows forever — the 100 TB failure mode).
+    * @param cond time-range predicate, e.g.
+    *   col("r_ts").between(col("l_ts"), col("l_ts") + expr("interval 5 minutes")) */
+  def intervalJoin(left: DataFrame, leftTs: String, leftWm: String,
+                   right: DataFrame, rightTs: String, rightWm: String,
+                   joinCond: Column): DataFrame =
+    left.withWatermark(leftTs, leftWm)
+      .join(right.withWatermark(rightTs, rightWm), joinCond)
+
   /** Epoch-nanos bigint (the test data's `events.ts` under nanosAsLong,
     * FIXTURES.md §B) -> TimestampType for event-time ops. Nanos truncate to
     * micros — Spark timestamps are micro-precision. */

@@ -119,6 +119,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last == Set(("a", 3L, 7.0), ("b", 1L, 10.0)))
   }
 
+  test("stream-stream interval join matches within the window only") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val clicks = MemoryStream[(Timestamp, String)]
+    val buys = MemoryStream[(Timestamp, String)]
+    val joined = graft.streaming.StreamOps.intervalJoin(
+      clicks.toDF().toDF("cts", "cuid"), "cts", "10 minutes",
+      buys.toDF().toDF("bts", "buid"), "bts", "10 minutes",
+      col("cuid") === col("buid") &&
+        col("bts").between(col("cts"), col("cts") + expr("interval 5 minutes")))
+      .select("cuid", "cts", "bts")
+
+    val out = runToMemory(joined, "ivjoin")(
+      () => {
+        clicks.addData((ts(1), "u1"), (ts(10), "u2"))
+        // u1 buys 3 min after click (in window); u2 buys 20 min after (out)
+        buys.addData((ts(4), "u1"), (ts(30), "u2"))
+      },
+      () => { clicks.addData((ts(55), "zz")); buys.addData((ts(55), "zz2")) })
+    val rows = out.collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(rows == Set(("u1", ts(1), ts(4)))) // only the in-window pair
+  }
+
   // -------------------------------- end-to-end exactly-once restart drill
 
   test("file stream -> txn sink: restart from checkpoint lands every row exactly once") {
