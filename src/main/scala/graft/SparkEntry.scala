@@ -71,6 +71,8 @@ object SparkEntry {
     "q48_ivf_clusters"     -> (Similarity.q48IvfClusters _),
     // q49: HLL++/t-digest sketches (rows-only — estimates are engine-specific)
     "q49_approx_sketches"  -> (Relational.q49ApproxSketches _),
+    // q50: LSH→exact-Jaccard near-dup pipeline (rows-only — hash-family internal)
+    "q50_neardup_confirmed" -> (Dedup.q50NeardupConfirmed _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):

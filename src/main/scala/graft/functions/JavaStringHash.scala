@@ -48,4 +48,10 @@ object JavaStringHash {
   /** Same arithmetic on the driver side, for parity tests. */
   def referencePartitionFor(key: String, numPartitions: Int): Int =
     math.abs(key.hashCode % numPartitions)
+
+  /** Register `java_string_hash` for SQL callers:
+    * `SELECT java_string_hash(c_name) FROM customer`. */
+  def registerSql(s: org.apache.spark.sql.SparkSession): Unit =
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "java_string_hash", exprs => JavaStringHash(exprs.head), "scala_udf")
 }

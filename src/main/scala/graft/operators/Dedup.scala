@@ -109,6 +109,39 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** The full near-dup pipeline: LSH candidate generation → exact Jaccard
+    * verification on the candidates ONLY → threshold filter. This is the
+    * composition a 100 TB dedup run executes: the quadratic verify kernel
+    * (Q33) touches |candidates| pairs, not |corpus|² — LSH makes the exact
+    * step affordable. Returns (id1, id2, jaccard) for confirmed pairs. */
+  def confirmedNearDups(d: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val cands = minhashCandidatePairs(d)
+    val words = wordSets(d).distinct()
+    val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(words.toDF("doc_id", "word").as("wa"), col("id1") === col("wa.doc_id"))
+      .join(words.toDF("doc_id2", "word2").as("wb"),
+        col("id2") === col("wb.doc_id2") && col("word") === col("word2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_id", "sza"), col("id1") === col("doc_id")).drop("doc_id")
+      .join(sizes.toDF("doc_id", "szb"), col("id2") === col("doc_id")).drop("doc_id")
+      .select(col("id1"), col("id2"),
+        round(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Q50 — confirmed near-dup summary: LSH→verify pipeline health metrics
+    * (rows-only: candidate set depends on the engine-internal hash family). */
+  def q50NeardupConfirmed(s: SparkSession, dir: String): DataFrame = {
+    val pairs = confirmedNearDups(docs(s, dir).filter(col("doc_id") < 2000), threshold = 0.0)
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(round(avg("jaccard"), 4), lit(0.0)).as("avg_jaccard"),
+      coalesce(round(max("jaccard"), 4), lit(0.0)).as("max_jaccard"))
+  }
+
   /** Candidate near-dup pairs: join within LSH buckets only — the scale path
     * (bucket sizes are small, so the join is near-linear, vs O(n²) brute
     * force). Pairs deduplicated across bands. */

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Semantic checks for the near-dup pipeline on constructed documents where
+  * ground truth is known by construction (the test data's word salad has no
+  * guaranteed near-dups, so conformance rows-only checks can't see recall). */
+class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+  var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // 80 distinct words: realistic shingle diversity (a repeated short phrase
+  // has ~9 distinct shingles, which makes LSH collision marginal by design)
+  private val base = (0 until 80).map(i => s"word$i").mkString(" ")
+
+  private def docsDf(rows: Seq[(Long, String)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, t) => Row(i, t) }, 2),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  test("confirmedNearDups finds planted near-duplicates and skips unrelated docs") {
+    val d = docsDf(Seq(
+      1L -> base,
+      2L -> (base + " tailword"),                      // near-dup of 1 (1-word edit)
+      3L -> (80 until 160).map(i => s"other$i").mkString(" "), // unrelated
+      4L -> base))                                     // exact dup of 1
+    val pairs = Dedup.confirmedNearDups(d, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 1L)), s"missed near-dup: $pairs")
+    assert(pairs.exists(p => Set(p._1, p._2) == Set(1L, 4L)), s"missed exact dup: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false positive on 3: $pairs")
+  }
+
+  test("dropExactDuplicates keeps one row per content") {
+    val d = docsDf(Seq(1L -> base, 2L -> base, 3L -> "unique"))
+    val kept = Dedup.dropExactDuplicates(d)
+    assert(kept.count() == 2)
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    val d = docsDf(Seq(1L -> base, 2L -> (base + " tail"),
+      3L -> (200 until 280).map(i => s"zzz$i").mkString(" ")))
+    val h = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(2L)) <= 8, s"near-dups too far: ${hamming(h(1L), h(2L))}")
+    assert(hamming(h(1L), h(3L)) > 8, s"unrelated too close: ${hamming(h(1L), h(3L))}")
+  }
+}
