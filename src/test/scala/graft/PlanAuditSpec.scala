@@ -95,6 +95,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(firstAgg > firstExchange, s"no map-side combine before shuffle:\n$plan")
   }
 
+  test("q08: hot path runs inside WholeStageCodegen") {
+    val df = graft.operators.Relational.q08AggTpchQ1(spark, sfDir)
+    df.collect() // AQE finalizes (and codegen-annotates) the plan on execution
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan printout;
+    // filter, partial agg and final agg must all carry one
+    assert(plan.contains("*(1) HashAggregate") && plan.contains("*(1) Filter"),
+      s"scan->agg stage fell out of codegen:\n$plan")
+    assert("\\*\\(2\\) HashAggregate".r.findFirstIn(plan).isDefined,
+      s"final agg fell out of codegen:\n$plan")
+  }
+
   test("q36 cosine top-k: embeddings scan prunes to id+vector columns") {
     val plan = planString(graft.operators.Similarity.q36CosineTopK(spark, sfDir))
     assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),

@@ -63,6 +63,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rows.exists { case (_, k, _, sv) => k == "a" && sv == 103.0 })
   }
 
+  test("sliding window assigns events to every overlapping window") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamOps.slidingAgg(
+      in.toDF().toDF("ts", "k", "v"), "ts", watermark = "5 minutes",
+      width = "10 minutes", slide = "5 minutes",
+      keys = Seq(col("k")), aggs = Seq(count("*").as("n")))
+
+    val out = runToMemory(agg, "sliding")(
+      () => in.addData((ts(7), "a", 1.0)),   // belongs to [10:00,10:10) and [10:05,10:15)
+      () => in.addData((ts(40), "z", 0.0)))  // advance watermark, finalize
+    val wins = out.filter(col("k") === "a")
+      .select(col("window.start")).collect().map(_.getTimestamp(0)).toSet
+    assert(wins == Set(ts(0), ts(5)), s"wrong window assignment: $wins")
+  }
+
   test("session window groups by gap, closes after inactivity") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
