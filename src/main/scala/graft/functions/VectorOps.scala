@@ -3,14 +3,16 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over ArrayType(DoubleType) columns, built from codegen'd
-  * higher-order functions (zip_with / aggregate / transform) — no UDFs, so
-  * the whole pipeline stays inside whole-stage codegen.
+/** Vector math over ArrayType(DoubleType) columns.
   *
-  * `aggregate` folds left-to-right in array index order, so sums are
-  * deterministic per row regardless of partitioning — required for the
-  * DuckDB hash-compare (only the final ROUND absorbs cross-engine
-  * accumulation-order noise).
+  * The hot kernel (cosine) is a native codegen Expression
+  * ([[CosineSimilarity]]); the building blocks kept here use higher-order
+  * functions (interpreted lambda per element — fine off the hot path, and
+  * UDF-free so plans stay analyzable).
+  *
+  * All folds run in array index order, so sums are deterministic per row
+  * regardless of partitioning — required for the DuckDB hash-compare (only
+  * the final ROUND absorbs cross-engine accumulation-order noise).
   */
 object VectorOps {
   /** Elementwise dot product. Inputs must already be array<double>. */
@@ -21,8 +23,16 @@ object VectorOps {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — native fused-loop expression (one traversal,
+    * whole-stage-codegen'd). Same index-order accumulation as the HOF
+    * composition `dot(a,b)/(norm(a)*norm(b))`, bit-for-bit. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(CosineSimilarity(
+      org.apache.spark.sql.GraftColumnBridge.expression(a),
+      org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
+  /** HOF composition of cosine (reference semantics for parity tests). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Cast an array<float> embedding to array<double> so all products are
     * computed in double precision (matches the oracle's CAST AS DOUBLE). */

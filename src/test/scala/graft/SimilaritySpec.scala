@@ -41,6 +41,27 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
   }
 
+  test("native CosineSimilarity ≡ HOF composition, interpreted and codegen") {
+    val e = corpus().limit(200)
+    val pairs = e.toDF("ida", "a").crossJoin(e.toDF("idb", "b")).limit(500)
+      .select(col("ida"), col("idb"),
+        VectorOps.cosine(col("a"), col("b")).as("fast"),
+        VectorOps.cosineHof(col("a"), col("b")).as("hof"))
+    pairs.collect().foreach { r =>
+      val (f, h) = (r.getDouble(2), r.getDouble(3))
+      assert(f == h, s"native $f != hof $h for (${r.getLong(0)},${r.getLong(1)})")
+    }
+    // interpreted path (eval, no codegen context)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val at = ArrayType(DoubleType, containsNull = false)
+    val la = Literal.create(ArrayData.toArrayData(Array(1.0, 2.0, 2.0)), at)
+    val lb = Literal.create(ArrayData.toArrayData(Array(2.0, 1.0, 2.0)), at)
+    val got = graft.functions.CosineSimilarity(la, lb).eval(null).asInstanceOf[Double]
+    assert(math.abs(got - 8.0 / 9.0) < 1e-12) // (2+2+4)/(3*3)
+  }
+
   test("ivfSearch returns valid per-query top-k with sane similarity bounds") {
     val e = corpus()
     val q = e.filter(col("vec_id") < 8).toDF("qid", "qv")
