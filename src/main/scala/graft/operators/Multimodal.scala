@@ -39,6 +39,42 @@ object Multimodal {
     d.withColumn("features", array(feats: _*))
   }
 
+  /** Batched decode over partitions — the Scala analog of the mapInPandas
+    * batch-decode shape: rows stream per partition, the (stub) codec is
+    * initialized ONCE per partition (real codecs are expensive to init),
+    * and each row's payload decodes to a fixed-dim feature vector. The
+    * payload never leaves its executor; only (id, features) flow on.
+    *
+    * The codec here is a deterministic stub (byte-sum rolling hash per
+    * dim-stripe) standing in for an image/audio decoder — the container
+    * ships no media libs (build brief: stub the decode, keep the plumbing
+    * real). Swap `decodeOne` for a JNI/lib call; nothing else changes. */
+  def decodeBatched(d: DataFrame, idCol: String = "doc_id",
+                    payloadCol: String = "payload", dim: Int = 8): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val idIdx = d.schema.fieldIndex(idCol)
+    val pIdx = d.schema.fieldIndex(payloadCol)
+    val outSchema = StructType(Seq(
+      d.schema(idCol),
+      StructField("features", ArrayType(DoubleType, containsNull = false))))
+    d.mapPartitions { rows =>
+      // per-partition "codec" init happens here (once), not per row
+      val codec = new Object { // stub: a real decoder handle would live here
+        def decodeOne(bytes: Array[Byte]): Array[Double] = {
+          val acc = new Array[Double](dim)
+          var i = 0
+          while (i < bytes.length) { acc(i % dim) += (bytes(i) & 0xff) / 255.0; i += 1 }
+          acc
+        }
+      }
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](pIdx)
+        Row(row.get(idIdx), codec.decodeOne(bytes))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame sampling: n evenly-spaced fixed-size byte slices of the payload
     * (the video-frame-sample access pattern; binary substring is codegen'd
     * and never copies the full payload off-executor). */
