@@ -73,6 +73,8 @@ object SparkEntry {
     "q49_approx_sketches"  -> (Relational.q49ApproxSketches _),
     // q50: LSH→exact-Jaccard near-dup pipeline (rows-only — hash-family internal)
     "q50_neardup_confirmed" -> (Dedup.q50NeardupConfirmed _),
+    "q51_intersect_all"    -> (Relational.q51IntersectAll _),
+    "q52_except_all"       -> (Relational.q52ExceptAll _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -171,5 +173,9 @@ object SparkEntry {
       "SELECT p_partkey, LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS pk8, REPLACE(p_type, ' ', '_') AS ty, SPLIT_PART(p_name, ' ', 1) AS w1, REGEXP_EXTRACT(p_name, '([aeiou]+)', 1) AS vow FROM part ORDER BY p_partkey",
     "q47_date_trunc" ->
       "SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS m, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
+    "q51_intersect_all" ->
+      "SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey AS k FROM supplier ORDER BY k",
+    "q52_except_all" ->
+      "SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey AS k FROM supplier ORDER BY k",
   )
 }

@@ -364,6 +364,19 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy("m")
 
+  /** Q51 — INTERSECT ALL (multiset: keeps duplicate multiplicity, unlike
+    * Q17's set INTERSECT). */
+  def q51IntersectAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      .intersectAll(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  /** Q52 — EXCEPT ALL (multiset difference). */
+  def q52ExceptAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      .exceptAll(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
   /** Q49 — sketch aggregates: HyperLogLog++ distinct count and t-digest
     * percentile. THE single-pass mergeable shapes for 100 TB (exact
     * DISTINCT shuffles every key; a sketch shuffles ~KB per partition).

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scalar-function extension surface without test-data columns (SURVEY
+  * §2.3.8): map functions over constructed maps, from_json over the events
+  * props column. */
+class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  val sfDir = "/root/testdata/sf0.001"
+  var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("map functions: map_keys / map_values / element_at") {
+    val d = Tables(spark, sfDir, "nation")
+      .select(map(lit("name"), col("n_name"), lit("key"), col("n_nationkey").cast("string")).as("m"))
+    val r = d.select(
+      map_keys(col("m")).as("ks"),
+      map_values(col("m")).as("vs"),
+      element_at(col("m"), "name").as("nm"))
+      .collect()
+    r.foreach { row =>
+      assert(row.getSeq[String](0) == Seq("name", "key"))
+      assert(row.getString(2) == row.getSeq[String](1).head)
+    }
+  }
+
+  test("from_json parses events.props into typed struct") {
+    val e = Tables(spark, sfDir, "events")
+      .select(col("props"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("j"))
+      .filter(col("j.k").isNotNull)
+    val rows = e.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // parsed value must equal the raw string's get_json_object read
+      val raw = r.getString(0)
+      val k = r.getStruct(1).getInt(0)
+      assert(raw.contains(k.toString), s"parsed $k not in $raw")
+    }
+  }
+
+  test("explode/posexplode generators over embeddings") {
+    val e = Tables(spark, sfDir, "embeddings").limit(5)
+    val pe = e.select(col("vec_id"), posexplode(col("embedding")))
+    assert(pe.columns.toSeq == Seq("vec_id", "pos", "col"))
+    assert(pe.count() == 5 * 64) // 64-dim vectors explode fully
+  }
+}
