@@ -26,7 +26,7 @@ object Bench {
     // for classloading/codegen infrastructure.
     Tables.names.foreach(n => Tables(spark, sfDir, n).count())
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def onePass() = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -34,11 +34,18 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // pass 1 pays per-plan codegen/classload; pass 2 is steady-state — the
+    // number that corresponds to sustained throughput on a long-lived cluster
+    val cold = onePass()
+    val warm = onePass().toMap
+    val qs = cold.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qsWarm = warm.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = cold.map(_._2).sum
+    val totalWarm = warm.values.sum
     val pipelineRps = benchPipeline(spark)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"pipeline_rows_per_sec":$pipelineRps%.0f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"total_warm":$totalWarm%.3f,"queries_warm":$qsWarm,"pipeline_rows_per_sec":$pipelineRps%.0f,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -83,12 +83,22 @@ object Similarity {
       .agg(first("v").as("v"), max_by(col("cent_id"), col("csim")).as("cluster"))
   }
 
+  /** Stride giving ~√n centroids — the IVF balance point: assign cost
+    * n·√n and probe cost √n both stay sublinear-per-row as the corpus
+    * grows. A FIXED stride would mean centroids ∝ n and O(n²/stride)
+    * assignment — exactly the kind of hidden quadratic a 100×
+    * scale-up exposes. Costs one cheap count() of the id column. */
+  def sqrtStride(corpus: DataFrame): Int = {
+    val n = corpus.count()
+    math.max(2, math.round(math.sqrt(n.toDouble)).toInt)
+  }
+
   /** Q48 — IVF cluster histogram (rows-only: float argmax ties are engine-
     * internal). The inverted-list size distribution is the health metric of
     * the index — skewed lists mean skewed probe cost. */
   def q48IvfClusters(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
-    ivfAssign(e).groupBy("cluster")
+    ivfAssign(e, sqrtStride(e)).groupBy("cluster")
       .agg(count(lit(1)).as("n"))
       .orderBy("cluster")
   }
