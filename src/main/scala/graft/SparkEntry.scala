@@ -75,6 +75,7 @@ object SparkEntry {
     "q50_neardup_confirmed" -> (Dedup.q50NeardupConfirmed _),
     "q51_intersect_all"    -> (Relational.q51IntersectAll _),
     "q52_except_all"       -> (Relational.q52ExceptAll _),
+    "q53_char_ngram_jaccard" -> (Dedup.q53CharNgramJaccard _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -177,5 +178,7 @@ object SparkEntry {
       "SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey AS k FROM supplier ORDER BY k",
     "q52_except_all" ->
       "SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey AS k FROM supplier ORDER BY k",
+    "q53_char_ngram_jaccard" ->
+      "WITH w AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS word FROM documents, range(1, length(text) - 1) t(i) WHERE doc_id < 20), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
   )
 }

@@ -44,12 +44,11 @@ object Dedup {
     d.select(col("doc_id"),
         explode(array_distinct(split(trim(col("text")), "\\s+"))).as("word"))
 
-  /** Q33 — exact word-set Jaccard for all pairs in a bounded subset
-    * (doc_id < 40): the verification kernel that LSH candidates feed at
-    * scale. inter/union are exact integer ratios → identical doubles in
-    * both engines. */
-  def q33JaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = wordSets(docs(s, dir).filter(col("doc_id") < 40)).cache()
+  /** All-pairs exact Jaccard from a distinct (doc_id, word) token table —
+    * the verification kernel LSH candidates feed at scale. inter/union are
+    * exact integer ratios → identical doubles in both engines. */
+  private def jaccardFromTokens(tokens: DataFrame): DataFrame = {
+    val d = tokens.cache()
     val sizes = d.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = d.as("a")
       .join(d.as("b"),
@@ -64,6 +63,26 @@ object Dedup {
           (col("sa.sz") + col("sb.sz") - col("inter")), 4).as("jaccard"))
       .orderBy("id1", "id2")
   }
+
+  /** Q33 — word-set Jaccard for all pairs in a bounded subset (doc_id < 40). */
+  def q33JaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardFromTokens(wordSets(docs(s, dir).filter(col("doc_id") < 40)))
+
+  /** Distinct character n-gram set per doc: (doc_id, word=gram). The text
+    * column is carried into the projection BEFORE the position explode so
+    * substring reads a bound attribute (same CollapseProject discipline as
+    * minhashSignatures — no re-derivation per position). */
+  private def charNgrams(d: DataFrame, n: Int = 3): DataFrame =
+    d.select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (n - 1))).as("i"))
+      .select(col("doc_id"), expr(s"substring(text, i, $n)").as("word"))
+      .distinct()
+
+  /** Q34b/Q53 — character 3-gram Jaccard (the classic near-dup feature set,
+    * robust to word-boundary noise) over a bounded subset; full oracle —
+    * substr-by-position is portable SQL. */
+  def q53CharNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardFromTokens(charNgrams(docs(s, dir).filter(col("doc_id") < 20)))
 
   // --------------------------------------------------------- MinHash+LSH
 
