@@ -49,6 +49,16 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("JSON scan (R1): schema'd spark.read.json round-trips a table sample") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftjson")
+    val src = Tables(spark, sfDir, "nation")
+    src.coalesce(1).write.mode("overwrite").json(s"$tmp/nation_json")
+    val back = spark.read.schema(src.schema).json(s"$tmp/nation_json")
+    assert(back.count() == src.count())
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+  }
+
   test("explode/posexplode generators over embeddings") {
     val e = Tables(spark, sfDir, "embeddings").limit(5)
     val pe = e.select(col("vec_id"), posexplode(col("embedding")))

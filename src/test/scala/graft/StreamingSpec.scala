@@ -161,6 +161,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Set(("u1", ts(1), ts(4)))) // only the in-window pair
   }
 
+  test("events.parquet file-streams through a tumbling window (real test data)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = Tables(spark, sfDir, "events")
+    // file stream sources watch a DIRECTORY; stage the single-file table
+    val dir = java.nio.file.Files.createTempDirectory("graftevents")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = StreamingPipeline.fileSource(
+      spark, dir.toString, batch.schema, maxFilesPerTrigger = 1)
+      .withColumn("tst", StreamOps.nanosToTimestamp(col("ts")))
+    val agg = StreamOps.tumblingAgg(
+      stream, "tst", watermark = "1 hour", width = "1 hour",
+      keys = Seq(col("event_type")), aggs = Seq(count("*").as("n")))
+    val q = agg.writeStream.format("memory").queryName("ev_stream")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // streaming windowed counts must reconcile with the batch groupBy total
+    val streamed = spark.table("ev_stream").agg(sum("n")).collect()(0).getLong(0)
+    assert(streamed == batch.count(), s"streamed $streamed != batch ${batch.count()}")
+  }
+
   // -------------------------------- end-to-end exactly-once restart drill
 
   test("file stream -> txn sink: restart from checkpoint lands every row exactly once") {
