@@ -76,6 +76,8 @@ object SparkEntry {
     "q51_intersect_all"    -> (Relational.q51IntersectAll _),
     "q52_except_all"       -> (Relational.q52ExceptAll _),
     "q53_char_ngram_jaccard" -> (Dedup.q53CharNgramJaccard _),
+    "q54_tpch_q3"          -> (Relational.q54TpchQ3 _),
+    "q55_tpch_q10"         -> (Relational.q55TpchQ10 _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -180,5 +182,9 @@ object SparkEntry {
       "SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey AS k FROM supplier ORDER BY k",
     "q53_char_ngram_jaccard" ->
       "WITH w AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS word FROM documents, range(1, length(text) - 1) t(i) WHERE doc_id < 20), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
+    "q54_tpch_q3" ->
+      "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00' GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    "q55_tpch_q10" ->
+      "SELECT c_custkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, COUNT(*) AS n FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE l_returnflag = 'R' GROUP BY c_custkey ORDER BY revenue DESC, c_custkey LIMIT 20",
   )
 }

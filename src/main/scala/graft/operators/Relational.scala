@@ -364,6 +364,37 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy("m")
 
+  /** Q54 — TPC-H Q3 shape: date-bracketed 3-way join, grouped revenue,
+    * top-10. Both filters sit directly on their scans (pushed to parquet);
+    * the ORDER BY+LIMIT plans as TakeOrderedAndProject after the agg. */
+  def q54TpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp_ntz(lit("1996-01-01 00:00:00"))
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    t(s, dir, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        year(col("o_orderdate")).cast("long").as("y"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q55 — TPC-H Q10 shape: returned-item revenue per customer, top-20. */
+  def q55TpchQ10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("c_custkey")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
   /** Q51 — INTERSECT ALL (multiset: keeps duplicate multiplicity, unlike
     * Q17's set INTERSECT). */
   def q51IntersectAll(s: SparkSession, dir: String): DataFrame =

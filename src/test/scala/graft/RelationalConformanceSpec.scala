@@ -57,6 +57,8 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT p_partkey, LPAD(CAST(p_partkey AS STRING), 8, '0') AS pk8, REPLACE(p_type, ' ', '_') AS ty, SPLIT_PART(p_name, ' ', 1) AS w1, REGEXP_EXTRACT(p_name, '([aeiou]+)', 1) AS vow FROM part ORDER BY p_partkey",
     "q47_date_trunc" -> // strftime -> date_format
       "SELECT date_format(date_trunc('month', o_orderdate), 'yyyy-MM') AS m, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
+    "q54_tpch_q3" -> // TIMESTAMP literal vs timestamp_ntz column
+      "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE o_orderdate < TIMESTAMP_NTZ '1996-01-01 00:00:00' AND l_shipdate > TIMESTAMP_NTZ '1996-01-01 00:00:00' GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10",
     "q53_char_ngram_jaccard" -> // range() lateral -> explode(sequence)
       "WITH w AS (SELECT doc_id, substring(text, i, 3) AS word FROM (SELECT doc_id, text, explode(sequence(1, length(text) - 2)) AS i FROM documents WHERE doc_id < 20)), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
   )
