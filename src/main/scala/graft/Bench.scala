@@ -10,6 +10,9 @@ import org.apache.spark.sql.SparkSession
   * and skip column materialization, under-reporting honest cost). */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // f-interpolators are locale-sensitive: a comma-decimal locale would
+    // emit invalid JSON and break the driver's parse of the metrics line
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

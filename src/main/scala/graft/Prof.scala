@@ -5,6 +5,7 @@ package graft
   * the formatted plan — the iterate-on-.explain loop from the build brief. */
 object Prof {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 3

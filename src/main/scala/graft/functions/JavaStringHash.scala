@@ -50,8 +50,13 @@ object JavaStringHash {
     math.abs(key.hashCode % numPartitions)
 
   /** Register `java_string_hash` for SQL callers:
-    * `SELECT java_string_hash(c_name) FROM customer`. */
+    * `SELECT java_string_hash(c_name) FROM customer`. Non-string arguments
+    * are cast to string — same coercion the Column API applies (a raw
+    * non-string child would fail codegen/eval at runtime). */
   def registerSql(s: org.apache.spark.sql.SparkSession): Unit =
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "java_string_hash", exprs => JavaStringHash(exprs.head), "scala_udf")
+      "java_string_hash",
+      exprs => JavaStringHash(
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs.head, org.apache.spark.sql.types.StringType)),
+      "scala_udf")
 }

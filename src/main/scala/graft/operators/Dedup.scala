@@ -48,7 +48,10 @@ object Dedup {
     * the verification kernel LSH candidates feed at scale. inter/union are
     * exact integer ratios → identical doubles in both engines. */
   private def jaccardFromTokens(tokens: DataFrame): DataFrame = {
-    val d = tokens.cache()
+    // no .cache(): a pinned exploded-token set would leak executor storage
+    // for the session lifetime (Bench runs each query twice per process);
+    // the token scan is cheap relative to the pair join it feeds
+    val d = tokens
     val sizes = d.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = d.as("a")
       .join(d.as("b"),
@@ -73,7 +76,10 @@ object Dedup {
     * substring reads a bound attribute (same CollapseProject discipline as
     * minhashSignatures — no re-derivation per position). */
   private def charNgrams(d: DataFrame, n: Int = 3): DataFrame =
-    d.select(col("doc_id"), col("text"),
+    d.filter(length(col("text")) >= n) // sequence(1, len-(n-1)) must ascend:
+      // Spark sequence DESCENDS when start > stop, minting bogus grams for
+      // short texts where the DuckDB oracle's end-exclusive range() is empty
+      .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - (n - 1))).as("i"))
       .select(col("doc_id"), expr(s"substring(text, i, $n)").as("word"))
       .distinct()
@@ -142,7 +148,12 @@ object Dedup {
       .join(words.toDF("doc_id2", "word2").as("wb"),
         col("id2") === col("wb.doc_id2") && col("word") === col("word2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-    inter
+    // LEFT join back onto the candidate set: a hash-collision pair with ZERO
+    // shared words must surface as jaccard 0, not vanish — q50's health
+    // metrics exist to expose exactly that LSH false-positive rate.
+    cands
+      .join(inter, Seq("id1", "id2"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .join(sizes.toDF("doc_id", "sza"), col("id1") === col("doc_id")).drop("doc_id")
       .join(sizes.toDF("doc_id", "szb"), col("id2") === col("doc_id")).drop("doc_id")
       .select(col("id1"), col("id2"),

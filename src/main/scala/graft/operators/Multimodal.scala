@@ -59,18 +59,18 @@ object Multimodal {
       d.schema(idCol),
       StructField("features", ArrayType(DoubleType, containsNull = false))))
     d.mapPartitions { rows =>
-      // per-partition "codec" init happens here (once), not per row
-      val codec = new Object { // stub: a real decoder handle would live here
-        def decodeOne(bytes: Array[Byte]): Array[Double] = {
-          val acc = new Array[Double](dim)
-          var i = 0
-          while (i < bytes.length) { acc(i % dim) += (bytes(i) & 0xff) / 255.0; i += 1 }
-          acc
-        }
+      // per-partition "codec" init happens here (once), not per row; a
+      // plain def (not a structural type, whose calls go through
+      // reflection) keeps the per-row call a direct invocation
+      def decodeOne(bytes: Array[Byte]): Array[Double] = {
+        val acc = new Array[Double](dim)
+        var i = 0
+        while (i < bytes.length) { acc(i % dim) += (bytes(i) & 0xff) / 255.0; i += 1 }
+        acc
       }
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](pIdx)
-        Row(row.get(idIdx), codec.decodeOne(bytes))
+        Row(row.get(idIdx), decodeOne(bytes))
       }
     }(Encoders.row(outSchema))
   }

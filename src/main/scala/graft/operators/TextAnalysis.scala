@@ -116,7 +116,8 @@ object TextAnalysis {
     val mins = array_distinct(transform(
       sequence(lit(0), greatest(size(g) - window, lit(0))),
       i => array_min(slice(g, i + 1, lit(window)))))
-    d.filter(size(words) >= k + window)
+    // k+window-1 words = k+window-1-(k-1) = window grams = one full window
+    d.filter(size(words) >= k + window - 1)
       .select(col("doc_id"), grams.as("grams"))
       .select(col("doc_id"), mins.as("fingerprints"))
   }

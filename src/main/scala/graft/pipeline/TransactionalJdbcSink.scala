@@ -45,10 +45,13 @@ class TransactionalJdbcSink(
     case other       => throw new IllegalArgumentException(s"unsupported sink type $other")
   }
 
+  // table-already-exists SQLStates: Derby X0Y32, MySQL 42S01, Postgres 42P07
+  private val ExistsStates = Set("X0Y32", "42S01", "42P07")
+
   private def execIgnoreExists(conn: Connection, ddl: String): Unit = {
     val st = conn.createStatement()
     try st.execute(ddl)
-    catch { case e: SQLException if e.getSQLState == "X0Y32" => () } // Derby: exists
+    catch { case e: SQLException if ExistsStates.contains(e.getSQLState) => () }
     finally st.close()
   }
 
@@ -77,16 +80,30 @@ class TransactionalJdbcSink(
     s"""INSERT INTO "$dataTable" ($cols) VALUES ($qs)"""
   }
 
-  /** Per-type bind, mirroring MySQLProcessData.setParameter (:132-156). */
-  private def bind(ps: PreparedStatement, i: Int, v: Any, dt: DataType): Unit = dt match {
-    case IntegerType => ps.setInt(i, v.asInstanceOf[Int])
-    case LongType    => ps.setLong(i, v.asInstanceOf[Long])
-    case DoubleType  => ps.setDouble(i, v.asInstanceOf[Double])
-    case FloatType   => ps.setFloat(i, v.asInstanceOf[Float])
-    case BooleanType => ps.setBoolean(i, v.asInstanceOf[Boolean])
-    case StringType  => ps.setString(i, v.asInstanceOf[String])
-    case other       => ps.setObject(i, v)
+  private def sqlType(dt: DataType): Int = dt match {
+    case IntegerType => java.sql.Types.INTEGER
+    case LongType    => java.sql.Types.BIGINT
+    case DoubleType  => java.sql.Types.DOUBLE
+    case FloatType   => java.sql.Types.REAL
+    case BooleanType => java.sql.Types.BOOLEAN
+    case StringType  => java.sql.Types.VARCHAR
+    case _           => java.sql.Types.OTHER
   }
+
+  /** Per-type bind, mirroring MySQLProcessData.setParameter (:132-156).
+    * Nulls bind as SQL NULL — `null.asInstanceOf[Int]` silently unboxes to
+    * 0 in Scala, which would corrupt nullable numeric columns. */
+  private def bind(ps: PreparedStatement, i: Int, v: Any, dt: DataType): Unit =
+    if (v == null) ps.setNull(i, sqlType(dt))
+    else dt match {
+      case IntegerType => ps.setInt(i, v.asInstanceOf[Int])
+      case LongType    => ps.setLong(i, v.asInstanceOf[Long])
+      case DoubleType  => ps.setDouble(i, v.asInstanceOf[Double])
+      case FloatType   => ps.setFloat(i, v.asInstanceOf[Float])
+      case BooleanType => ps.setBoolean(i, v.asInstanceOf[Boolean])
+      case StringType  => ps.setString(i, v.asInstanceOf[String])
+      case other       => ps.setObject(i, v)
+    }
 
   private def ledgerHas(conn: Connection, batchId: Long, pid: Int): Boolean = {
     val ps = conn.prepareStatement(

@@ -93,8 +93,11 @@ object StreamOps {
 
   /** Epoch-nanos bigint (the test data's `events.ts` under nanosAsLong,
     * FIXTURES.md §B) -> TimestampType for event-time ops. Nanos truncate to
-    * micros — Spark timestamps are micro-precision. */
-  def nanosToTimestamp(c: Column): Column = timestamp_micros((c / 1000L).cast("long"))
+    * micros — Spark timestamps are micro-precision. Division goes through
+    * decimal, NOT Column `/` (double): above 2^53 ns a double quotient can
+    * be off by 1 µs, putting boundary events in the wrong window. */
+  def nanosToTimestamp(c: Column): Column =
+    timestamp_micros((c.cast("decimal(38,0)") / lit(1000)).cast("long"))
 }
 
 /** Input shape for runningPerKey — (key, event-time, value). */
