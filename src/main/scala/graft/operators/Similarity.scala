@@ -103,18 +103,25 @@ object Similarity {
       .orderBy("cluster")
   }
 
-  /** IVF probe: each query reranks only its nearest centroid's list. */
-  def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int = 10, stride: Int = 50): DataFrame = {
+  /** IVF probe: each query reranks only its `nprobe` nearest centroids'
+    * inverted lists. nprobe is the recall/cost dial — clusters are
+    * disjoint, so probing P of C clusters scans ~P/C of the corpus and
+    * multi-probe recovers the neighbors that straddle a cluster boundary
+    * (the classic single-probe failure mode). */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int = 10, stride: Int = 50,
+                nprobe: Int = 2): DataFrame = {
     val assigned = ivfAssign(corpus, stride)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("cluster"))
     val centroids = corpus.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("centv"))
+    val wp = Window.partitionBy("qid").orderBy(col("csim").desc, col("cluster"))
     val probes = queries.toDF("qid", "qv")
       .join(broadcast(centroids))
-      .select(col("qid"), col("qv"), col("cent_id"),
+      .select(col("qid"), col("qv"), col("cent_id").as("cluster"),
         VectorOps.cosine(col("qv"), col("centv")).as("csim"))
-      .groupBy("qid")
-      .agg(first("qv").as("qv"), max_by(col("cent_id"), col("csim")).as("cluster"))
+      .withColumn("prnk", row_number().over(wp))
+      .filter(col("prnk") <= nprobe)
+      .select("qid", "qv", "cluster")
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     broadcast(probes).join(assigned, Seq("cluster"))
       .filter(col("qid") =!= col("cid"))

@@ -76,6 +76,21 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     perQuery.values.foreach(rs => assert(rs.length <= 5))
   }
 
+  test("ivfSearch probing ALL clusters recovers the exact top-k; recall grows with nprobe") {
+    val e = corpus()
+    val q = e.filter(col("vec_id") < 5).toDF("qid", "qv")
+    val truth = bruteTopK(k = 5, nQueries = 5)
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.ivfSearch(e, q, k = 5, stride = 100, nprobe = nprobe)
+        .collect().groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+      truth.map { case (id, ids) => (got.getOrElse(id, Set.empty) & ids).size.toDouble / ids.size }
+        .sum / truth.size
+    }
+    val rAll = recall(nprobe = 1000) // > numCentroids => exhaustive
+    assert(rAll >= 0.8, s"exhaustive probe recall $rAll (ROUND(4) ties only)")
+    assert(recall(4) >= recall(1), "recall not monotone in nprobe")
+  }
+
   test("IVF assignment covers the whole corpus exactly once") {
     val e = corpus()
     val assigned = Similarity.ivfAssign(e, stride = 100)
