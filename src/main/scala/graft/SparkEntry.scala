@@ -78,6 +78,7 @@ object SparkEntry {
     "q53_char_ngram_jaccard" -> (Dedup.q53CharNgramJaccard _),
     "q54_tpch_q3"          -> (Relational.q54TpchQ3 _),
     "q55_tpch_q10"         -> (Relational.q55TpchQ10 _),
+    "q56_window_dist"      -> (Relational.q56WindowDist _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -186,5 +187,7 @@ object SparkEntry {
       "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00' GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10",
     "q55_tpch_q10" ->
       "SELECT c_custkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, COUNT(*) AS n FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE l_returnflag = 'R' GROUP BY c_custkey ORDER BY revenue DESC, c_custkey LIMIT 20",
+    "q56_window_dist" ->
+      "SELECT o_orderkey, ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 4) AS pr, ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 4) AS cd FROM orders ORDER BY o_orderkey",
   )
 }

@@ -395,6 +395,19 @@ object Relational {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
+  /** Q56 — distribution window functions: PERCENT_RANK / CUME_DIST (tie-
+    * stable: peers share a value, so ROUND(4) output is deterministic
+    * without a full tie-break in the window order). */
+  def q56WindowDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        round(percent_rank().over(w), 4).as("pr"),
+        round(cume_dist().over(w), 4).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
   /** Q51 — INTERSECT ALL (multiset: keeps duplicate multiplicity, unlike
     * Q17's set INTERSECT). */
   def q51IntersectAll(s: SparkSession, dir: String): DataFrame =

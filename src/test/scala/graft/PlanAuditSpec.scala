@@ -107,6 +107,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"final agg fell out of codegen:\n$plan")
   }
 
+  test("q54: agg + ORDER BY LIMIT plans as TakeOrderedAndProject, both filters pushed") {
+    val plan = planString(graft.operators.Relational.q54TpchQ3(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not rewritten:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
+      s"orders date filter not pushed:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"lineitem date filter not pushed:\n$plan")
+  }
+
   test("q36 cosine top-k: embeddings scan prunes to id+vector columns") {
     val plan = planString(graft.operators.Similarity.q36CosineTopK(spark, sfDir))
     assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
