@@ -95,10 +95,43 @@ object ConfluentAvro {
     }(Encoders.row(outSchema))
   }
 
+  /** Decode with registry-resolved WRITER schemas (the reference's actual
+    * consumer behavior: KafkaAvroDeserializer fetches the schema by the
+    * frame's embedded id, AvroConsumer.java:67-69) reconciled to a fixed
+    * READER schema via Avro schema resolution — so a stream carrying
+    * multiple schema versions (field added with default, field dropped)
+    * decodes to one uniform output schema. The registry snapshot is taken
+    * at PLAN time and shipped in the closure: executors on a real cluster
+    * have no driver registry state. */
+  def decodeAuto(df: DataFrame, valueCol: String, readerSchema: Schema): DataFrame = {
+    val st = SchemaBridge.avroToStruct(readerSchema)
+    val readerJson = readerSchema.toString
+    val writers: Map[Int, String] = SchemaRegistry.snapshot()
+    val idx = df.schema.fieldIndex(valueCol)
+    df.mapPartitions { rows =>
+      val reader = new Schema.Parser().parse(readerJson)
+      val parsed = scala.collection.mutable.Map[Int, GenericDatumReader[GenericRecord]]()
+      def readerFor(id: Int): GenericDatumReader[GenericRecord] =
+        parsed.getOrElseUpdate(id, {
+          val writerJson = writers.getOrElse(id,
+            throw new IllegalStateException(s"schema id $id not in registry snapshot"))
+          new GenericDatumReader[GenericRecord](
+            new Schema.Parser().parse(writerJson), reader)
+        })
+      var decoder: org.apache.avro.io.BinaryDecoder = null
+      rows.map { row =>
+        val (id, body) = unframe(row.getAs[Array[Byte]](idx))
+        decoder = DecoderFactory.get().binaryDecoder(body, decoder)
+        recordToRow(readerFor(id).read(null, decoder), st)
+      }
+    }(Encoders.row(st))
+  }
+
   /** Decode Confluent-framed Avro binaries back to typed columns. The
     * expected schema id is validated per record — the single-schema
     * stand-in for a registry lookup (SURVEY §4.3.1; live-registry multi-
-    * version resolution would swap `require` for a registry.byId call). */
+    * version resolution swaps `require` for the id-keyed lookup that
+    * [[decodeAuto]] implements). */
   def decode(df: DataFrame, valueCol: String, avroSchema: Schema,
              expectedSchemaId: Option[Int] = None): DataFrame = {
     val st = SchemaBridge.avroToStruct(avroSchema)

@@ -28,4 +28,12 @@ object SchemaRegistry {
 
   def schemaById(id: Int): Option[Schema] = byId.get(id)
   def latestIdFor(subject: String): Option[Int] = bySubject.get(subject)
+
+  /** Serializable snapshot (id -> schema JSON) for shipping to executors:
+    * this object is per-JVM, so on a real cluster executors start with an
+    * EMPTY registry — plan-time snapshots travel with the closure instead
+    * of assuming shared driver state (local-mode would hide that bug). */
+  def snapshot(): Map[Int, String] = byId.readOnlySnapshot().toMap.map {
+    case (id, s) => id -> s.toString
+  }
 }
