@@ -31,11 +31,21 @@ object Dedup {
         count(lit(1)).as("n_total"))
       .orderBy("source")
 
-  /** Library form: keep one row per exact-content key. */
-  def dropExactDuplicates(d: DataFrame, textCol: String = "text"): DataFrame =
-    d.withColumn("__fp", md5(col(textCol)))
-      .dropDuplicates("__fp")
-      .drop("__fp")
+  /** Library form: keep one row per exact-content key (lowest doc_id wins —
+    * deterministic, unlike dropDuplicates' partition-order "first").
+    *
+    * Shuffle discipline for 100 TB: dropDuplicates("__fp") would shuffle
+    * ENTIRE rows (the document text) to group by fingerprint. Here only
+    * (16-byte md5, id) pairs shuffle to elect keepers; the full rows then
+    * arrive via a semi-join on id — broadcast when the keeper set is small
+    * enough, never carrying text through an exchange twice. */
+  def dropExactDuplicates(d: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val keepers = d.select(md5(col(textCol)).as("__fp"), col(idCol))
+      .groupBy("__fp").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    d.join(keepers, Seq(idCol), "left_semi")
+  }
 
   // ------------------------------------------------------- n-gram Jaccard
 
@@ -174,9 +184,22 @@ object Dedup {
 
   /** Candidate near-dup pairs: join within LSH buckets only — the scale path
     * (bucket sizes are small, so the join is near-linear, vs O(n²) brute
-    * force). Pairs deduplicated across bands. */
-  def minhashCandidatePairs(d: DataFrame): DataFrame = {
-    val bands = lshBands(minhashSignatures(d))
+    * force). Pairs deduplicated across bands.
+    *
+    * maxBucketSize caps the quadratic blowup a mega-duplicate cluster
+    * causes (one piece of boilerplate duplicated 1M× = one bucket = 10¹²
+    * pairs): buckets over the cap are dropped from PAIR GENERATION — their
+    * members are by construction exact/near-exact dup clusters that the
+    * cheaper exact-dedup pass (md5 / dropExactDuplicates) already collapses,
+    * so skipping their pairwise expansion loses nothing at scale. */
+  def minhashCandidatePairs(d: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
+    val allBands = lshBands(minhashSignatures(d))
+    val small = allBands.join(
+      allBands.groupBy("band", "sig").agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBucketSize)
+        .select("band", "sig"),
+      Seq("band", "sig"), "left_semi")
+    val bands = small
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&

@@ -43,10 +43,21 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false positive on 3: $pairs")
   }
 
-  test("dropExactDuplicates keeps one row per content") {
-    val d = docsDf(Seq(1L -> base, 2L -> base, 3L -> "unique"))
+  test("dropExactDuplicates keeps the LOWEST id per content") {
+    val d = docsDf(Seq(5L -> base, 2L -> base, 3L -> "unique words entirely"))
     val kept = Dedup.dropExactDuplicates(d)
-    assert(kept.count() == 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L)) // deterministic keeper, not partition-order
+  }
+
+  test("minhashCandidatePairs caps mega-bucket pair blowup") {
+    // 30 identical docs = one LSH bucket of 30 => 435 pairs uncapped
+    val clones = (1L to 30L).map(_ -> base)
+    val d = docsDf(clones :+ (100L -> (200 until 280).map(i => s"uniq$i").mkString(" ")))
+    val uncapped = Dedup.minhashCandidatePairs(d, maxBucketSize = 1000).count()
+    val capped = Dedup.minhashCandidatePairs(d, maxBucketSize = 10).count()
+    assert(uncapped == 435L, s"expected full pair set, got $uncapped")
+    assert(capped == 0L, s"mega-bucket not dropped, got $capped pairs")
   }
 
   test("simhash of near-identical docs differs in few bits") {
