@@ -62,20 +62,35 @@ object StreamOps {
   /** Per-key running aggregate via explicit state — the Spark-native shape
     * of the reference's in-memory offset map (AvroConsumer.java:168: state
     * keyed by partition, advanced per record, externalized periodically).
-    * Emits (key, runningCount, runningSum) every update. */
-  def runningPerKey(ds: Dataset[KeyedEvent]): Dataset[KeyRunning] = {
+    * Emits (key, runningCount, runningSum) every update.
+    *
+    * @param idleTimeout e.g. Some("1 hour"): state for keys idle that long
+    *   is dropped. At 100 TB the key space is unbounded — without a TTL the
+    *   state store grows forever; with it, state size tracks the ACTIVE key
+    *   set. None keeps reference semantics (offsets never expire). */
+  def runningPerKey(ds: Dataset[KeyedEvent],
+                    idleTimeout: Option[String] = None): Dataset[KeyRunning] = {
     import ds.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[KeyRunning, KeyRunning](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutConf) {
         (key: String, events: Iterator[KeyedEvent], state: GroupState[KeyRunning]) =>
-          val prev = state.getOption.getOrElse(KeyRunning(key, 0L, 0.0))
-          var cnt = prev.count
-          var sum = prev.sum
-          events.foreach { e => cnt += 1; sum += e.value }
-          val next = KeyRunning(key, cnt, sum)
-          state.update(next)
-          Iterator.single(next)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(KeyRunning(key, 0L, 0.0))
+            var cnt = prev.count
+            var sum = prev.sum
+            events.foreach { e => cnt += 1; sum += e.value }
+            val next = KeyRunning(key, cnt, sum)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator.single(next)
+          }
       }
   }
 
