@@ -41,10 +41,14 @@ object Dedup {
     * enough, never carrying text through an exchange twice. */
   def dropExactDuplicates(d: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame = {
-    val keepers = d.select(md5(col(textCol)).as("__fp"), col(idCol))
+    val withFp = d.withColumn("__fp", md5(col(textCol)))
+    // keeper = (fingerprint, min id): matching on BOTH keeps exactly one row
+    // per content even when one id carries several contents. Precondition:
+    // idCol is unique per row (the tables' primary-key contract) — two fully
+    // identical (id, text) rows would both match their keeper pair.
+    val keepers = withFp.select(col("__fp"), col(idCol))
       .groupBy("__fp").agg(min(col(idCol)).as(idCol))
-      .select(idCol)
-    d.join(keepers, Seq(idCol), "left_semi")
+    withFp.join(keepers, Seq("__fp", idCol), "left_semi").drop("__fp")
   }
 
   // ------------------------------------------------------- n-gram Jaccard
@@ -193,13 +197,15 @@ object Dedup {
     * cheaper exact-dedup pass (md5 / dropExactDuplicates) already collapses,
     * so skipping their pairwise expansion loses nothing at scale. */
   def minhashCandidatePairs(d: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
-    val allBands = lshBands(minhashSignatures(d))
-    val small = allBands.join(
-      allBands.groupBy("band", "sig").agg(count(lit(1)).as("__bn"))
-        .filter(col("__bn") <= maxBucketSize)
-        .select("band", "sig"),
-      Seq("band", "sig"), "left_semi")
-    val bands = small
+    // bucket-size gate as a WINDOW count, not a groupBy+self-semi-join: the
+    // signature pipeline upstream is the expensive part and sits under both
+    // sides of the pair join already; a semi-join formulation would embed it
+    // two MORE times
+    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+    val bands = lshBands(minhashSignatures(d))
+      .withColumn("__bn", count(lit(1)).over(bucketW))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
