@@ -122,7 +122,7 @@ object SparkEntry {
     "q17_intersect" ->
       "SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k",
     "q18_except" ->
-      "SELECT n_nationkey FROM nation EXCEPT SELECT s_nationkey FROM supplier ORDER BY n_nationkey",
+      "SELECT n_regionkey AS k FROM nation EXCEPT SELECT r_regionkey AS k FROM region WHERE r_name LIKE 'A%' ORDER BY k",
     "q19_string_funcs" ->
       "SELECT p_partkey, UPPER(SUBSTR(p_name, 1, 5)) AS u, CAST(LENGTH(p_name) AS BIGINT) AS l, CONCAT(p_brand, '#', p_type) AS b FROM part WHERE p_name LIKE '%ol%' ORDER BY p_partkey",
     "q20_date_funcs" ->

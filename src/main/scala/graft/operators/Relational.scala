@@ -188,12 +188,17 @@ object Relational {
       .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
       .orderBy("k")
 
-  /** Q18 — EXCEPT (set semantics): nations with no supplier (suppliers only
-    * cover a subset of nations in the test data; customers cover all 25). */
+  /** Q18 — EXCEPT (set semantics): region keys whose region name doesn't
+    * start with 'A'. Built on the fixed-size region/nation tables so the
+    * result is NON-EMPTY at every scale factor — the previous shape
+    * (nations minus supplier nations) went empty once suppliers covered all
+    * 25 nations (true from sf0.01 up), making the conformance row
+    * meaningless. */
   def q18Except(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "nation").select("n_nationkey")
-      .except(t(s, dir, "supplier").select(col("s_nationkey").as("n_nationkey")))
-      .orderBy("n_nationkey")
+    t(s, dir, "nation").select(col("n_regionkey").as("k"))
+      .except(t(s, dir, "region").filter(col("r_name").like("A%"))
+        .select(col("r_regionkey").as("k")))
+      .orderBy("k")
 
   /** Q19 — string functions (dialect-common core). LENGTH cast to long for
     * DuckDB BIGINT parity. */

@@ -10,7 +10,8 @@ import org.scalatest.BeforeAndAfterAll
   * gate; the DuckDB side reuses the same SQL (or a dialect twin, overridden
   * below where the dialects split — FIXTURES.md §C). */
 class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
-  val sfDir = "/root/testdata/sf0.001"
+  // override with -Dgraft.sfdir=/root/testdata/sf0.01 for gate-scale runs
+  val sfDir: String = sys.props.getOrElse("graft.sfdir", "/root/testdata/sf0.001")
   var spark: SparkSession = _
 
   override def beforeAll(): Unit = {
