@@ -50,6 +50,16 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(2L, 3L)) // deterministic keeper, not partition-order
   }
 
+  test("dropExactDuplicates: one row per content even when an id carries two contents") {
+    // (1,"A"), (2,"B"), (2,"A"): keeper for A is id 1, keeper for B is id 2 —
+    // the (fp, id) pair join must NOT resurrect (2,"A") just because id 2
+    // keeps content B
+    val d = docsDf(Seq(1L -> base, 2L -> "other content entirely", 2L -> base))
+    val kept = Dedup.dropExactDuplicates(d)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept == Set((1L, base), (2L, "other content entirely")), s"got $kept")
+  }
+
   test("minhashCandidatePairs caps mega-bucket pair blowup") {
     // 30 identical docs = one LSH bucket of 30 => 435 pairs uncapped
     val clones = (1L to 30L).map(_ -> base)
