@@ -79,6 +79,8 @@ object SparkEntry {
     "q54_tpch_q3"          -> (Relational.q54TpchQ3 _),
     "q55_tpch_q10"         -> (Relational.q55TpchQ10 _),
     "q56_window_dist"      -> (Relational.q56WindowDist _),
+    "q57_correlated_subquery" -> (Relational.q57CorrelatedSubquery _),
+    "q58_scalar_subquery"  -> (Relational.q58ScalarSubquery _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -189,5 +191,9 @@ object SparkEntry {
       "SELECT c_custkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, COUNT(*) AS n FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE l_returnflag = 'R' GROUP BY c_custkey ORDER BY revenue DESC, c_custkey LIMIT 20",
     "q56_window_dist" ->
       "SELECT o_orderkey, ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 4) AS pr, ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 4) AS cd FROM orders ORDER BY o_orderkey",
+    "q57_correlated_subquery" ->
+      "SELECT c_custkey, (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n FROM customer c ORDER BY c_custkey",
+    "q58_scalar_subquery" ->
+      "SELECT o_orderkey, ROUND(o_totalprice, 2) AS p FROM orders WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders) ORDER BY o_orderkey",
   )
 }

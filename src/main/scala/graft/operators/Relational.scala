@@ -400,6 +400,28 @@ object Relational {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
+  /** Q57 — correlated scalar subquery, via the engine's SQL entry point
+    * (the DataFrame API can't spell a correlated subquery; `spark.sql` is
+    * part of the declared surface). Catalyst decorrelates it to an
+    * aggregate + left outer join (RewriteCorrelatedScalarSubquery,
+    * SURVEY §4.2) — no per-row re-execution. */
+  def q57CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""SELECT c_custkey,
+            |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n
+            |FROM customer c ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Q58 — uncorrelated scalar subquery in a predicate: planned once as a
+    * subquery broadcast value, then a plain pushed filter. */
+  def q58ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""SELECT o_orderkey, ROUND(o_totalprice, 2) AS p
+            |FROM orders
+            |WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+            |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Q56 — distribution window functions: PERCENT_RANK / CUME_DIST (tie-
     * stable: peers share a value, so ROUND(4) output is deterministic
     * without a full tie-break in the window order). */
