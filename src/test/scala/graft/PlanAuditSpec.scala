@@ -116,6 +116,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"lineitem date filter not pushed:\n$plan")
   }
 
+  test("q57: correlated scalar subquery decorrelates to an aggregate + outer join") {
+    val df = graft.operators.Relational.q57CorrelatedSubquery(spark, sfDir)
+    val plan = planString(df)
+    assert(plan.contains("LeftOuter"), s"subquery not decorrelated to a join:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no pre-join aggregate:\n$plan")
+  }
+
   test("q36 cosine top-k: embeddings scan prunes to id+vector columns") {
     val plan = planString(graft.operators.Similarity.q36CosineTopK(spark, sfDir))
     assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
