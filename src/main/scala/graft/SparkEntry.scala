@@ -194,6 +194,6 @@ object SparkEntry {
     "q57_correlated_subquery" ->
       "SELECT c_custkey, (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n FROM customer c ORDER BY c_custkey",
     "q58_scalar_subquery" ->
-      "SELECT o_orderkey, ROUND(o_totalprice, 2) AS p FROM orders WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders) ORDER BY o_orderkey",
+      "SELECT o_orderkey, ROUND(o_totalprice, 2) AS p FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) ORDER BY o_orderkey",
   )
 }

@@ -418,7 +418,7 @@ object Relational {
     graft.Tables.registerAll(s, dir)
     s.sql("""SELECT o_orderkey, ROUND(o_totalprice, 2) AS p
             |FROM orders
-            |WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+            |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
             |ORDER BY o_orderkey""".stripMargin)
   }
 
