@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 60 distinct query plans × 2 bench passes generate far more JIT'd codegen
+  // classes than the 240 MB default code cache holds; exhaustion silently
+  // disables the JIT and the tail of a long run degrades several-fold
+  "-XX:ReservedCodeCacheSize=512m",
 )

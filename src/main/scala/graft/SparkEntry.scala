@@ -81,6 +81,8 @@ object SparkEntry {
     "q56_window_dist"      -> (Relational.q56WindowDist _),
     "q57_correlated_subquery" -> (Relational.q57CorrelatedSubquery _),
     "q58_scalar_subquery"  -> (Relational.q58ScalarSubquery _),
+    "q59_join_right"       -> (Relational.q59JoinRight _),
+    "q60_join_full"        -> (Relational.q60JoinFull _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -91,10 +93,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter_sort" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber",
+    // Money math runs in DECIMAL on BOTH sides (then CAST back to DOUBLE):
+    // double ROUND/SUM diverge cross-engine on boundary cents and
+    // accumulation order — CORRECTNESS_r01 q02/q54 hash-failed on this.
     "q02_project_case" ->
-      "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 50000 THEN 'mid' ELSE 'small' END AS bucket, ROUND(o_totalprice * 0.9, 2) AS discounted FROM orders WHERE o_orderstatus <> 'F' ORDER BY o_orderkey",
+      "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 50000 THEN 'mid' ELSE 'small' END AS bucket, CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 0.9, 2) AS DOUBLE) AS discounted FROM orders WHERE o_orderstatus <> 'F' ORDER BY o_orderkey",
     "q03_join_multiway" ->
-      "SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+      "SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
     "q04_join_left_agg" ->
       "SELECT c.c_custkey, COUNT(o.o_orderkey) AS n FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey ORDER BY c.c_custkey",
     "q05_join_semi" ->
@@ -104,7 +109,7 @@ object SparkEntry {
     "q07_join_theta" ->
       "SELECT p_partkey, s_suppkey FROM part JOIN supplier ON p_retailprice < s_acctbal WHERE p_partkey <= 20 AND s_suppkey <= 20 ORDER BY p_partkey, s_suppkey",
     "q08_agg_tpch_q1" ->
-      "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, ROUND(SUM(l_extendedprice), 2) AS sum_base, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, ROUND(AVG(l_quantity), 4) AS avg_qty, COUNT(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+      "SELECT l_returnflag, l_linestatus, CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_disc, ROUND(AVG(l_quantity), 4) AS avg_qty, COUNT(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q09_count_distinct" ->
       "SELECT COUNT(DISTINCT o_custkey) AS n FROM orders",
     "q10_rollup" ->
@@ -165,8 +170,8 @@ object SparkEntry {
       "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents WHERE doc_id < 100 ORDER BY doc_id",
     // q39_lsh_buckets, q40_winnow_fingerprint: engine-internal hash families
     // (random-hyperplane LSH, winnowing) — rows-only checks.
-    "q41_asof_join" ->
-      "WITH u AS (SELECT user_id, epoch_ns(ts) AS ts, 1 AS is_click FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, epoch_ns(ts) AS ts, 0 AS is_click FROM events WHERE event_type = 'purchase') SELECT user_id, ts, last_purchase_ts FROM (SELECT user_id, ts, is_click, MAX(CASE WHEN is_click = 0 THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, is_click ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts FROM u) w WHERE is_click = 1 ORDER BY user_id, ts",
+    "q41_asof_join" -> // COALESCE(-1): NULL bigint was the r01 hash-fail cause
+      "WITH u AS (SELECT user_id, epoch_ns(ts) AS ts, 1 AS is_click FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, epoch_ns(ts) AS ts, 0 AS is_click FROM events WHERE event_type = 'purchase') SELECT user_id, ts, COALESCE(last_purchase_ts, -1) AS last_purchase_ts FROM (SELECT user_id, ts, is_click, MAX(CASE WHEN is_click = 0 THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, is_click ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts FROM u) w WHERE is_click = 1 ORDER BY user_id, ts",
     "q42_percentiles" ->
       "SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.25), 2) AS p25, ROUND(quantile_cont(l_quantity, 0.5), 2) AS p50, ROUND(quantile_cont(l_quantity, 0.75), 2) AS p75, ROUND(quantile_cont(l_quantity, 0.99), 2) AS p99 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q43_pivot" ->
@@ -183,17 +188,22 @@ object SparkEntry {
       "SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey AS k FROM supplier ORDER BY k",
     "q52_except_all" ->
       "SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey AS k FROM supplier ORDER BY k",
-    "q53_char_ngram_jaccard" ->
-      "WITH w AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS word FROM documents, range(1, length(text) - 1) t(i) WHERE doc_id < 20), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
+    "q53_char_ngram_jaccard" -> // unnest(generate_series): DuckDB's binder
+      // rejects range() with a lateral column parameter (r01 oracle err)
+      "WITH w AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS word FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS i FROM documents WHERE doc_id < 20) src), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
     "q54_tpch_q3" ->
-      "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00' GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10",
+      "SELECT l_orderkey, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00' GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10",
     "q55_tpch_q10" ->
-      "SELECT c_custkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, COUNT(*) AS n FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE l_returnflag = 'R' GROUP BY c_custkey ORDER BY revenue DESC, c_custkey LIMIT 20",
+      "SELECT c_custkey, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue, COUNT(*) AS n FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE l_returnflag = 'R' GROUP BY c_custkey ORDER BY revenue DESC, c_custkey LIMIT 20",
     "q56_window_dist" ->
       "SELECT o_orderkey, ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 4) AS pr, ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 4) AS cd FROM orders ORDER BY o_orderkey",
     "q57_correlated_subquery" ->
       "SELECT c_custkey, (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n FROM customer c ORDER BY c_custkey",
     "q58_scalar_subquery" ->
       "SELECT o_orderkey, ROUND(o_totalprice, 2) AS p FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) ORDER BY o_orderkey",
+    "q59_join_right" ->
+      "SELECT c_custkey, COALESCE(o_orderkey, -1) AS o_key FROM (SELECT * FROM orders WHERE o_totalprice > 300000) o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY c_custkey, o_key",
+    "q60_join_full" ->
+      "SELECT COALESCE(c_custkey, -1) AS ck, COALESCE(o_orderkey, -1) AS ok FROM (SELECT * FROM customer WHERE c_custkey <= 50) c FULL JOIN (SELECT * FROM orders WHERE o_custkey BETWEEN 30 AND 80) o ON c.c_custkey = o.o_custkey ORDER BY ck, ok",
   )
 }

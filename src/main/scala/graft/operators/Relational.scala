@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -23,6 +23,25 @@ import graft.Tables
 object Relational {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** Money columns arrive as 2-dp-valued doubles. Any arithmetic that feeds
+    * ROUND must run in DECIMAL: double money math diverges between engines on
+    * boundary cents (Spark rounds the exact binary value HALF_UP via
+    * BigDecimal, DuckDB through C-library semantics) and double SUMs depend
+    * on accumulation order. double→DECIMAL(12,2) is itself safe here because
+    * the source values are exact 2-dp (both engines recover the same decimal
+    * via shortest-repr/scaled rounding); all downstream decimal arithmetic is
+    * then exact and order-independent, and the final cast back to double is
+    * the deterministic nearest-double. CORRECTNESS_r01: q02/q54 hash-failed
+    * on exactly this; q03/q55/q08 passed by luck of coarse grouping. */
+  private def money(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** SUM(extprice * (1 - discount)) — the TPC-H revenue kernel — in exact
+    * decimal, rounded to cents, emitted as double (matches the oracle's
+    * CAST(ROUND(SUM(CAST ..), 2) AS DOUBLE)). */
+  private def revenueDec(ext: Column, disc: Column): Column =
+    round(sum(money(ext) * (lit(1).cast("decimal(3,2)") - money(disc))), 2)
+      .cast("double")
+
   /** Q1 — scan + project + filter + sort. Filter and 3-column projection are
     * pushed into the parquet scan (PushedFilters / ReadSchema). */
   def q01ScanFilterSort(s: SparkSession, dir: String): DataFrame =
@@ -31,7 +50,9 @@ object Relational {
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .orderBy("l_orderkey", "l_linenumber")
 
-  /** Q2 — expression evaluation: CASE, arithmetic, ROUND. */
+  /** Q2 — expression evaluation: CASE, arithmetic, ROUND. The discount is
+    * computed in decimal (see [[money]]) so boundary cents round identically
+    * in both engines. */
   def q02ProjectCase(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .filter(col("o_orderstatus") =!= "F")
@@ -40,7 +61,8 @@ object Relational {
         when(col("o_totalprice") > 200000, "big")
           .when(col("o_totalprice") > 50000, "mid")
           .otherwise("small").as("bucket"),
-        round(col("o_totalprice") * 0.9, 2).as("discounted"))
+        round(money(col("o_totalprice")) * lit(new java.math.BigDecimal("0.9")), 2)
+          .cast("double").as("discounted"))
       .orderBy("o_orderkey")
 
   /** Q3 — multi-way join (TPC-H Q5 shape): customer ⋈ orders ⋈ lineitem ⋈
@@ -55,7 +77,7 @@ object Relational {
       .join(l, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(revenueDec(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy("n_name")
   }
 
@@ -106,9 +128,9 @@ object Relational {
       .filter(col("l_shipdate") <= to_timestamp_ntz(lit("1998-09-02 00:00:00")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        round(sum(money(col("l_quantity"))), 2).cast("double").as("sum_qty"),
+        round(sum(money(col("l_extendedprice"))), 2).cast("double").as("sum_base"),
+        revenueDec(col("l_extendedprice"), col("l_discount")).as("sum_disc"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -296,7 +318,12 @@ object Relational {
         .select(col("user_id"), col("ts"), lit(0).as("is_click")))
     val w = Window.partitionBy("user_id").orderBy("ts", "is_click")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("last_purchase_ts", max(when(col("is_click") === 0, col("ts"))).over(w))
+    // COALESCE(-1): clicks before any purchase are genuinely NULL here, and
+    // a NULL bigint data column was the one place the cross-engine compare
+    // path diverged (CORRECTNESS_r01 q41 hash-fail); -1 is out-of-band for
+    // epoch-nanos so no information is lost.
+    u.withColumn("last_purchase_ts",
+        coalesce(max(when(col("is_click") === 0, col("ts"))).over(w), lit(-1L)))
       .filter(col("is_click") === 1)
       .select("user_id", "ts", "last_purchase_ts")
       .orderBy("user_id", "ts")
@@ -380,7 +407,7 @@ object Relational {
       .join(o, col("c_custkey") === col("o_custkey"))
       .join(l, col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(revenueDec(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .select(col("l_orderkey"), col("revenue"),
         year(col("o_orderdate")).cast("long").as("y"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -395,7 +422,7 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("c_custkey")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        revenueDec(col("l_extendedprice"), col("l_discount")).as("revenue"),
         count(lit(1)).as("n"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
@@ -422,16 +449,45 @@ object Relational {
             |ORDER BY o_orderkey""".stripMargin)
   }
 
-  /** Q56 — distribution window functions: PERCENT_RANK / CUME_DIST (tie-
-    * stable: peers share a value, so ROUND(4) output is deterministic
-    * without a full tie-break in the window order). */
+  /** Q56 — distribution functions PERCENT_RANK / CUME_DIST, computed by
+    * distributed ranking rather than a monolithic window.
+    *
+    * A naive `Window.partitionBy(o_orderpriority)` caps parallelism at the
+    * key cardinality (5): each priority = ONE task's sort, so a 100× scale-up
+    * pushes ~20% of the table through a single task (the round-1 verdict's
+    * scale-killer). Instead: bucket rows by coarse value range, build a tiny
+    * per-(priority, bucket) histogram, turn it into broadcastable prefix
+    * offsets, then rank WITHIN (priority, bucket) — the windows now have
+    * 5 × |buckets| partitions and each task sorts only its bucket. Ties can't
+    * straddle buckets (bucket is a function of the value), so
+    *   global min-rank   = offset + local rank,
+    *   rows ≤ value      = offset + local running count (peers included),
+    * and PERCENT_RANK = (rank-1)/(n-1), CUME_DIST = (rows≤)/n exactly as the
+    * SQL definitions — integer ratios, so cross-engine-stable doubles. */
   def q56WindowDist(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
-    t(s, dir, "orders")
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+        col("o_totalprice").as("v"))
+      .withColumn("b", floor(col("v") / 50000.0).cast("long"))
+    val hist = o.groupBy("prio", "b").agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy("prio").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // offsets/totals are |priorities|×|buckets| rows — broadcast, never shuffled
+    val off = hist.withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
+      .select("prio", "b", "off")
+    val totals = hist.groupBy("prio").agg(sum("c").as("n"))
+    val wLoc = Window.partitionBy("prio", "b").orderBy("v")
+    o.join(broadcast(off), Seq("prio", "b"))
+      .join(broadcast(totals), Seq("prio"))
+      .withColumn("rk", col("off") + rank().over(wLoc))
+      // default frame with ORDER BY = RANGE UNBOUNDED PRECEDING..CURRENT ROW,
+      // i.e. count of rows ≤ v within the bucket, peers included
+      .withColumn("le", col("off") + count(lit(1)).over(wLoc))
       .select(
         col("o_orderkey"),
-        round(percent_rank().over(w), 4).as("pr"),
-        round(cume_dist().over(w), 4).as("cd"))
+        when(col("n") === 1, 0.0)
+          .otherwise(round((col("rk") - 1).cast("double") / (col("n") - 1), 4)).as("pr"),
+        round(col("le").cast("double") / col("n"), 4).as("cd"))
       .orderBy("o_orderkey")
   }
 
@@ -447,6 +503,30 @@ object Relational {
     t(s, dir, "customer").select(col("c_nationkey").as("k"))
       .exceptAll(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
       .orderBy("k")
+
+  /** Q59 — RIGHT OUTER join (SURVEY §2.3.3): every customer, paired with
+    * each of their 300k+ orders, or a single (-1) row when they have none —
+    * the null-padded side is the semantics under test (round-1 verdict:
+    * ungraded = unproven). NULL keys are coalesced out-of-band (-1) so the
+    * cross-engine compare never sees a NULL bigint (q41's failure mode). */
+  def q59JoinRight(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "right")
+      .select(col("c_custkey"), coalesce(col("o_orderkey"), lit(-1L)).as("o_key"))
+      .orderBy("c_custkey", "o_key")
+
+  /** Q60 — FULL OUTER join: both null-padded sides kept and non-empty by
+    * construction (customers ≤50 vs orders of customers 30–80 → unmatched
+    * rows on each side at every SF). */
+  def q60JoinFull(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_custkey") <= 50)
+      .join(
+        t(s, dir, "orders").filter(col("o_custkey").between(30, 80)),
+        col("c_custkey") === col("o_custkey"), "full")
+      .select(
+        coalesce(col("c_custkey"), lit(-1L)).as("ck"),
+        coalesce(col("o_orderkey"), lit(-1L)).as("ok"))
+      .orderBy("ck", "ok")
 
   /** Q49 — sketch aggregates: HyperLogLog++ distinct count and t-digest
     * percentile. THE single-pass mergeable shapes for 100 TB (exact

@@ -26,7 +26,7 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Spark-dialect twins for oracle SQL that is DuckDB-specific. */
   val sparkDialect: Map[String, String] = Map(
     "q08_agg_tpch_q1" -> // TIMESTAMP literal vs timestamp_ntz column
-      "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, ROUND(SUM(l_extendedprice), 2) AS sum_base, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, ROUND(AVG(l_quantity), 4) AS avg_qty, COUNT(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+      "SELECT l_returnflag, l_linestatus, CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_disc, ROUND(AVG(l_quantity), 4) AS avg_qty, COUNT(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q23_json_extract" -> // json_extract_string -> get_json_object
       "SELECT event_type, CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS s FROM events GROUP BY event_type ORDER BY event_type",
     "q24_event_tumbling" -> // ts already bigint epoch-nanos under nanosAsLong
@@ -49,7 +49,7 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q38_multimodal_bytes" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes FROM documents WHERE doc_id < 100 ORDER BY doc_id",
     "q41_asof_join" -> // ts is already bigint epoch-nanos in Spark (no epoch_ns)
-      "WITH u AS (SELECT user_id, ts, 1 AS is_click FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, ts, 0 AS is_click FROM events WHERE event_type = 'purchase') SELECT user_id, ts, last_purchase_ts FROM (SELECT user_id, ts, is_click, MAX(CASE WHEN is_click = 0 THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, is_click ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts FROM u) w WHERE is_click = 1 ORDER BY user_id, ts",
+      "WITH u AS (SELECT user_id, ts, 1 AS is_click FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, ts, 0 AS is_click FROM events WHERE event_type = 'purchase') SELECT user_id, ts, COALESCE(last_purchase_ts, -1) AS last_purchase_ts FROM (SELECT user_id, ts, is_click, MAX(CASE WHEN is_click = 0 THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, is_click ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts FROM u) w WHERE is_click = 1 ORDER BY user_id, ts",
     "q42_percentiles" -> // quantile_cont -> percentile (both exact interpolated)
       "SELECT l_returnflag, ROUND(percentile(l_quantity, 0.25), 2) AS p25, ROUND(percentile(l_quantity, 0.5), 2) AS p50, ROUND(percentile(l_quantity, 0.75), 2) AS p75, ROUND(percentile(l_quantity, 0.99), 2) AS p99 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q44_explode_tokens" -> // unnest/string_split_regex -> explode/split
@@ -59,7 +59,7 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q47_date_trunc" -> // strftime -> date_format
       "SELECT date_format(date_trunc('month', o_orderdate), 'yyyy-MM') AS m, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
     "q54_tpch_q3" -> // TIMESTAMP literal vs timestamp_ntz column
-      "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE o_orderdate < TIMESTAMP_NTZ '1996-01-01 00:00:00' AND l_shipdate > TIMESTAMP_NTZ '1996-01-01 00:00:00' GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10",
+      "SELECT l_orderkey, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE o_orderdate < TIMESTAMP_NTZ '1996-01-01 00:00:00' AND l_shipdate > TIMESTAMP_NTZ '1996-01-01 00:00:00' GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10",
     "q53_char_ngram_jaccard" -> // range() lateral -> explode(sequence)
       "WITH w AS (SELECT doc_id, substring(text, i, 3) AS word FROM (SELECT doc_id, text, explode(sequence(1, length(text) - 2)) AS i FROM documents WHERE doc_id < 20)), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
   )
