@@ -154,8 +154,13 @@ object Dedup {
     * (Q33) touches |candidates| pairs, not |corpus|² — LSH makes the exact
     * step affordable. Returns (id1, id2, jaccard) for confirmed pairs. */
   def confirmedNearDups(d: DataFrame, threshold: Double = 0.6): DataFrame = {
+    // cands feeds two consumers (intersection join + final left join) and
+    // words three (both join sides + sizes): persist each so the LSH pipeline
+    // and the token explode run once per execution, not per consumer
     val cands = minhashCandidatePairs(d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val words = wordSets(d).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(words.toDF("doc_id", "word").as("wa"), col("id1") === col("wa.doc_id"))
@@ -202,10 +207,19 @@ object Dedup {
     // sides of the pair join already; a semi-join formulation would embed it
     // two MORE times
     val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+    // persist the band table before the self-join: without it the whole
+    // shingle→minhash→band pipeline is embedded under BOTH join sides and
+    // re-derives signatures from raw text twice (round-1 verdict: 2× the
+    // dominant cost of q50/q34). The table is (doc_id, band, sig) — KBs per
+    // million docs, trivially cacheable; at 100 TB you'd checkpoint it to
+    // durable storage instead. ContextCleaner auto-unpersists once the
+    // DataFrame is unreachable, so repeated bench invocations don't pin
+    // executor storage.
     val bands = lshBands(minhashSignatures(d))
       .withColumn("__bn", count(lit(1)).over(bucketW))
       .filter(col("__bn") <= maxBucketSize)
       .drop("__bn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&

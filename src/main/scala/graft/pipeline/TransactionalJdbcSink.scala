@@ -4,6 +4,7 @@ import java.sql.{Connection, DriverManager, PreparedStatement, SQLException}
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.{col, hash}
 import org.apache.spark.sql.types._
 
 /** Transactional exactly-once JDBC sink — the Spark-native re-expression of
@@ -12,11 +13,21 @@ import org.apache.spark.sql.types._
   * (AvroConsumer.java:157-194) with the offset ledger in a `kafka_offsets`
   * table (DataPipeline.java:150-159; upsert MySQLProcessData.java:65-92).
   *
-  * Lifted from per-record to per-(micro-batch, partition):
+  * Lifted from per-record to per-(micro-batch, slot):
   *   - ledger key (query_id, batch_id, partition_id) ≙ (group, topic,
-  *     partition)+offset — one txn inserts a partition's rows + its ledger
+  *     partition)+offset — one txn inserts a slot's rows + its ledger
   *     row atomically;
-  *   - replay of a batch/partition (Spark task retry, stream restart from
+  *   - slot identity is bound to the DATA, not to runtime partition ids:
+  *     the batch is repartitioned on a hash of the full row into a FIXED
+  *     `numSlots` before writing, so a row's slot is a pure function of its
+  *     content — exactly the stability the reference gets from (topic,
+  *     partition, offset). Keying on the raw TaskContext partition id would
+  *     break replay whenever the replayed batch partitions differently (AQE
+  *     re-plan, changed spark.sql.shuffle.partitions, different file
+  *     splits): a skipped pid could then hold different rows (silent loss)
+  *     while reshuffled rows re-insert under new pids (duplicates). The
+  *     ledger records numSlots and refuses a replay under a different count;
+  *   - replay of a batch/slot (Spark task retry, stream restart from
   *     checkpoint) finds the ledger row and SKIPS — idempotent, zero dupes;
   *   - Structured Streaming's checkpoint supplies the seek/replay half the
   *     reference does with consumer.seek (AvroConsumer.java:83-93).
@@ -30,7 +41,8 @@ class TransactionalJdbcSink(
     url: String,
     dataTable: String,
     queryId: String,
-    ledgerTable: String = "batch_ledger") extends Serializable {
+    ledgerTable: String = "batch_ledger",
+    numSlots: Int = 32) extends Serializable {
 
   // ---- DDL ----
 
@@ -66,6 +78,7 @@ class TransactionalJdbcSink(
            |  batch_id BIGINT NOT NULL,
            |  partition_id INT NOT NULL,
            |  row_count BIGINT,
+           |  n_slots INT,
            |  PRIMARY KEY (query_id, batch_id, partition_id))""".stripMargin)
     } finally conn.close()
   }
@@ -105,13 +118,14 @@ class TransactionalJdbcSink(
       case other       => ps.setObject(i, v)
     }
 
-  private def ledgerHas(conn: Connection, batchId: Long, pid: Int): Boolean = {
+  /** Some(recorded n_slots) if this (batch, slot) is already committed. */
+  private def ledgerSlots(conn: Connection, batchId: Long, pid: Int): Option[Int] = {
     val ps = conn.prepareStatement(
-      s"""SELECT 1 FROM "$ledgerTable" WHERE query_id=? AND batch_id=? AND partition_id=?""")
+      s"""SELECT n_slots FROM "$ledgerTable" WHERE query_id=? AND batch_id=? AND partition_id=?""")
     try {
       ps.setString(1, queryId); ps.setLong(2, batchId); ps.setInt(3, pid)
       val rs = ps.executeQuery()
-      try rs.next() finally rs.close()
+      try { if (rs.next()) Some(rs.getInt(1)) else None } finally rs.close()
     } finally ps.close()
   }
 
@@ -123,9 +137,19 @@ class TransactionalJdbcSink(
     val conn = DriverManager.getConnection(url)
     try {
       conn.setAutoCommit(false) // AvroConsumer.java:161
-      if (ledgerHas(conn, batchId, pid)) { // already committed: replay no-op
-        conn.rollback() // end the SELECT's txn so close() is legal
-        return
+      ledgerSlots(conn, batchId, pid) match {
+        case Some(recorded) if recorded != numSlots =>
+          // slot layout changed between original write and replay — skipping
+          // would silently drop/duplicate rows; refuse loudly instead
+          conn.rollback()
+          throw new IllegalStateException(
+            s"ledger for ($queryId, batch $batchId) was written with " +
+              s"numSlots=$recorded but this sink uses numSlots=$numSlots; " +
+              "replay with the original slot count")
+        case Some(_) => // already committed: replay no-op
+          conn.rollback() // end the SELECT's txn so close() is legal
+          return
+        case None => ()
       }
       val ps = conn.prepareStatement(insertSql(schema))
       var n = 0L
@@ -141,9 +165,10 @@ class TransactionalJdbcSink(
         ps.executeBatch()
       } finally ps.close()
       val lp = conn.prepareStatement(
-        s"""INSERT INTO "$ledgerTable" (query_id, batch_id, partition_id, row_count) VALUES (?,?,?,?)""")
+        s"""INSERT INTO "$ledgerTable" (query_id, batch_id, partition_id, row_count, n_slots) VALUES (?,?,?,?,?)""")
       try {
-        lp.setString(1, queryId); lp.setLong(2, batchId); lp.setInt(3, pid); lp.setLong(4, n)
+        lp.setString(1, queryId); lp.setLong(2, batchId); lp.setInt(3, pid)
+        lp.setLong(4, n); lp.setInt(5, numSlots)
         lp.executeUpdate()
       } finally lp.close()
       conn.commit() // AvroConsumer.java:174
@@ -155,10 +180,16 @@ class TransactionalJdbcSink(
   }
 
   /** Batch entry point; also the foreachBatch hook for streaming:
-    * `stream.writeStream.foreachBatch(sink.writeBatch _)`. */
+    * `stream.writeStream.foreachBatch(sink.writeBatch _)`.
+    *
+    * The repartition makes slot membership content-determined: Murmur3 of
+    * the whole row, modulo a fixed numSlots (explicit numPartitions — AQE
+    * never coalesces a user-specified count). Replayed rows land in the
+    * same slot regardless of how the upstream plan partitioned them. */
   def writeBatch(df: DataFrame, batchId: Long): Unit = {
     val schema = df.schema
-    df.foreachPartition { (rows: Iterator[Row]) =>
+    val slotted = df.repartition(numSlots, hash(df.columns.map(col): _*))
+    slotted.foreachPartition { (rows: Iterator[Row]) =>
       writePartition(rows, schema, batchId, TaskContext.getPartitionId())
     }
   }

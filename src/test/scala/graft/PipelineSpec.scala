@@ -219,15 +219,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ss = SchemaBridge.parseSimple(simpleJson).head
     val df = RecordGenerator.generate(spark, ss, 1000, seed = 3).repartition(4)
 
-    val sink = new TransactionalJdbcSink(url, "ds1", "query-A")
+    val sink = new TransactionalJdbcSink(url, "ds1", "query-A", numSlots = 4)
     sink.ensureTables(df.schema)
 
     sink.writeBatch(df, batchId = 0)
     assert(sink.dataCount() == 1000)
-    assert(sink.ledgerCount() == 4) // one ledger row per partition
+    assert(sink.ledgerCount() == 4) // one ledger row per content-hash slot
 
     // replay the SAME batch (crash-recovery path): must be a no-op
     sink.writeBatch(df, batchId = 0)
+    assert(sink.dataCount() == 1000)
+
+    // replay the same DATA partitioned differently upstream (AQE re-plan,
+    // changed shuffle partitions after a restart): slot membership is a
+    // content hash, so this must still be a no-op — keying on the runtime
+    // partition id here would silently drop or duplicate rows
+    sink.writeBatch(df.repartition(7), batchId = 0)
+    assert(sink.dataCount() == 1000)
+
+    // a replay under a DIFFERENT slot count can't be matched to the ledger:
+    // the sink must refuse loudly, not guess
+    val skewed = new TransactionalJdbcSink(url, "ds1", "query-A", numSlots = 8)
+    intercept[org.apache.spark.SparkException] { skewed.writeBatch(df, batchId = 0) }
     assert(sink.dataCount() == 1000)
 
     // next batch appends

@@ -123,6 +123,32 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("HashAggregate"), s"no pre-join aggregate:\n$plan")
   }
 
+  test("q56: distribution funcs avoid the low-cardinality window scale-killer") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.operators.Relational.q56WindowDist(spark, sfDir)
+    var wins = List.empty[WindowExec]
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case w: WindowExec => wins ::= w
+        case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+        case _ => ()
+      }
+      p.children.foreach(walk); p.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(wins.nonEmpty, "expected ranking windows in q56 plan")
+    // full-data windows must partition by (priority, bucket) — a window whose
+    // partition key is the raw 5-value priority column serializes ~20% of the
+    // table through one task. A single-column partition spec is only legal
+    // over the pre-aggregated histogram (subtree contains the aggregate).
+    wins.filter(_.partitionSpec.length < 2).foreach { w =>
+      assert(w.toString.contains("HashAggregate"),
+        s"single-key window over raw rows (parallelism = key cardinality):\n$w")
+    }
+    assert(wins.exists(_.partitionSpec.length >= 2),
+      "no bucketed (priority, bucket) ranking window found")
+  }
+
   test("q36 cosine top-k: embeddings scan prunes to id+vector columns") {
     val plan = planString(graft.operators.Similarity.q36CosineTopK(spark, sfDir))
     assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),

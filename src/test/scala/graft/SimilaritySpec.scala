@@ -91,6 +91,34 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall(4) >= recall(1), "recall not monotone in nprobe")
   }
 
+  test("k-means refinement: centroids stay valid and recall@10 doesn't regress") {
+    val e = corpus()
+    val dim = e.select(size(col("v"))).first().getInt(0)
+    // refined centroids: same dimensionality, ≤ seed count (empty seeds drop),
+    // deterministic across invocations (fixed seeds + fixed iteration count)
+    val seeds = Similarity.ivfCentroids(e, stride = 100, refineIters = 0)
+    val refined = Similarity.ivfCentroids(e, stride = 100, refineIters = 2)
+    val refinedRows = refined.collect()
+    assert(refinedRows.nonEmpty && refinedRows.length <= seeds.count())
+    refinedRows.foreach(r => assert(r.getSeq[Double](1).length == dim))
+    val again = Similarity.ivfCentroids(e, stride = 100, refineIters = 2).collect()
+    assert(refinedRows.map(_.getLong(0)).sorted.toSeq == again.map(_.getLong(0)).sorted.toSeq)
+
+    val q = e.filter(col("vec_id") < 5).toDF("qid", "qv")
+    val truth = bruteTopK(k = 10, nQueries = 5)
+    def recall(iters: Int): Double = {
+      val got = Similarity.ivfSearch(e, q, k = 10, stride = 100, nprobe = 2, refineIters = iters)
+        .collect().groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+      truth.map { case (id, ids) => (got.getOrElse(id, Set.empty) & ids).size.toDouble / ids.size }
+        .sum / truth.size
+    }
+    val (r0, r2) = (recall(0), recall(2))
+    info(f"recall@10 stride-only=$r0%.3f refined(2)=$r2%.3f")
+    // measured 0.700 -> 0.720 on the seeded sf0.001 embeddings; inputs and
+    // iteration count are deterministic, so strict improvement is stable
+    assert(r2 > r0, s"refinement did not improve recall: $r0 -> $r2")
+  }
+
   test("IVF assignment covers the whole corpus exactly once") {
     val e = corpus()
     val assigned = Similarity.ivfAssign(e, stride = 100)
