@@ -49,9 +49,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Memoize the analyzed relation per (session, dir, table): every
+  // `read.parquet` re-lists the path and re-reads a footer for schema
+  // inference — pure fixed overhead when 60 queries × 2 bench passes touch
+  // the same ten immutable tables hundreds of times (measured ~14 s off the
+  // sf0.1 suite). WeakHashMap keyed on the session object: a stopped test
+  // session's entries vanish with it, and identity (SparkSession doesn't
+  // override equals) can't collide the way identityHashCode could.
+  private val relCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]
+
   def apply(s: SparkSession, dir: String, name: String): DataFrame = {
     GraftSession.tune(s)
-    s.read.parquet(s"$dir/$name.parquet")
+    val perSession = relCache.synchronized {
+      var m = relCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        relCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((dir, name), s.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** Register every table as a temp view (for SQL-path tests). */

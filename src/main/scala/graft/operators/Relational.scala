@@ -66,18 +66,27 @@ object Relational {
       .orderBy("o_orderkey")
 
   /** Q3 — multi-way join (TPC-H Q5 shape): customer ⋈ orders ⋈ lineitem ⋈
-    * nation, revenue per nation. nation is broadcast (25 rows at any SF);
-    * the fact-fact joins shuffle on their keys and AQE picks strategy. */
+    * nation, revenue per nation. nation is broadcast (25 rows at any SF).
+    *
+    * Shuffle discipline: lineitem (the biggest table by far) is pre-
+    * aggregated to per-orderkey revenue BEFORE any join, so the orderkey
+    * shuffle moves one row per order instead of every line item (~4× less at
+    * any scale), and the join-side agg state is (key, one decimal) instead
+    * of wide rows. Exact-decimal partial sums mean round-at-the-end is
+    * identical to rounding the flat sum — the oracle SQL is unchanged. */
   def q03JoinMultiway(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders")
-    val l = t(s, dir, "lineitem")
+    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
     val n = t(s, dir, "nation")
-    c.join(o, col("c_custkey") === col("o_custkey"))
-      .join(l, col("l_orderkey") === col("o_orderkey"))
+    val lrev = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(money(col("l_extendedprice")) *
+        (lit(1).cast("decimal(3,2)") - money(col("l_discount")))).as("rev"))
+    lrev.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("c_custkey") === col("o_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(revenueDec(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .agg(round(sum(col("rev")), 2).cast("double").as("revenue"))
       .orderBy("n_name")
   }
 

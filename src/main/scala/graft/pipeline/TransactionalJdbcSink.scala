@@ -179,6 +179,34 @@ class TransactionalJdbcSink(
     } finally conn.close()
   }
 
+  /** Refuse a replay whose slot count differs from the ledger's BEFORE any
+    * task runs: under a changed numSlots, slot ids absent from the ledger
+    * would commit their (re-sliced, overlapping) rows and the job would only
+    * fail afterwards on the ledgered ids — leaked duplicates. The
+    * per-partition check alone can't prevent that; this driver-side gate
+    * can. */
+  private def requireConsistentSlots(batchId: Long): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val ps = conn.prepareStatement(
+        s"""SELECT MIN(n_slots) FROM "$ledgerTable" WHERE query_id=? AND batch_id=?""")
+      try {
+        ps.setString(1, queryId); ps.setLong(2, batchId)
+        val rs = ps.executeQuery()
+        try {
+          if (rs.next()) {
+            val recorded = rs.getInt(1)
+            if (!rs.wasNull() && recorded != numSlots)
+              throw new IllegalStateException(
+                s"ledger for ($queryId, batch $batchId) was written with " +
+                  s"numSlots=$recorded but this sink uses numSlots=$numSlots; " +
+                  "replay with the original slot count")
+          }
+        } finally rs.close()
+      } finally ps.close()
+    } finally conn.close()
+  }
+
   /** Batch entry point; also the foreachBatch hook for streaming:
     * `stream.writeStream.foreachBatch(sink.writeBatch _)`.
     *
@@ -187,6 +215,7 @@ class TransactionalJdbcSink(
     * never coalesces a user-specified count). Replayed rows land in the
     * same slot regardless of how the upstream plan partitioned them. */
   def writeBatch(df: DataFrame, batchId: Long): Unit = {
+    requireConsistentSlots(batchId)
     val schema = df.schema
     val slotted = df.repartition(numSlots, hash(df.columns.map(col): _*))
     slotted.foreachPartition { (rows: Iterator[Row]) =>

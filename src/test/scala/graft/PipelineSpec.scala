@@ -238,9 +238,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sink.dataCount() == 1000)
 
     // a replay under a DIFFERENT slot count can't be matched to the ledger:
-    // the sink must refuse loudly, not guess
+    // the sink must refuse loudly BEFORE any task writes (un-ledgered slot
+    // ids would otherwise commit overlapping rows and only then abort)
     val skewed = new TransactionalJdbcSink(url, "ds1", "query-A", numSlots = 8)
-    intercept[org.apache.spark.SparkException] { skewed.writeBatch(df, batchId = 0) }
+    intercept[IllegalStateException] { skewed.writeBatch(df, batchId = 0) }
     assert(sink.dataCount() == 1000)
 
     // next batch appends
