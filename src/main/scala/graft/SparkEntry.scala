@@ -83,6 +83,10 @@ object SparkEntry {
     "q58_scalar_subquery"  -> (Relational.q58ScalarSubquery _),
     "q59_join_right"       -> (Relational.q59JoinRight _),
     "q60_join_full"        -> (Relational.q60JoinFull _),
+    "q61_string_agg"       -> (Relational.q61StringAgg _),
+    "q62_mode"             -> (Relational.q62Mode _),
+    "q63_stats_exact"      -> (Relational.q63StatsExact _),
+    "q64_filter_agg"       -> (Relational.q64FilterAgg _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -205,5 +209,13 @@ object SparkEntry {
       "SELECT c_custkey, COALESCE(o_orderkey, -1) AS o_key FROM (SELECT * FROM orders WHERE o_totalprice > 300000) o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY c_custkey, o_key",
     "q60_join_full" ->
       "SELECT COALESCE(c_custkey, -1) AS ck, COALESCE(o_orderkey, -1) AS ok FROM (SELECT * FROM customer WHERE c_custkey <= 50) c FULL JOIN (SELECT * FROM orders WHERE o_custkey BETWEEN 30 AND 80) o ON c.c_custkey = o.o_custkey ORDER BY ck, ok",
+    "q61_string_agg" ->
+      "WITH d AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders), s AS (SELECT o_orderstatus, string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios FROM d GROUP BY o_orderstatus), c AS (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus) SELECT s.o_orderstatus, prios, n FROM s JOIN c USING (o_orderstatus) ORDER BY o_orderstatus",
+    "q62_mode" ->
+      "WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM orders GROUP BY 1, 2), r AS (SELECT o_orderstatus, o_orderpriority, cnt, ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY cnt DESC, o_orderpriority) AS rk FROM c) SELECT o_orderstatus, o_orderpriority AS mode_prio, cnt FROM r WHERE rk = 1 ORDER BY o_orderstatus",
+    "q63_stats_exact" -> // exact integer sums -> deterministic doubles (see q63 scaladoc)
+      "WITH a AS (SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx, CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx, CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sy, CAST(SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS syy, CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sxy FROM lineitem GROUP BY l_returnflag) SELECT l_returnflag, n, ROUND(CAST(sx AS DOUBLE) / n, 4) AS mean_qty, ROUND(SQRT(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)), 4) AS stddev_qty, ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 4) AS corr_ql FROM a ORDER BY l_returnflag",
+    "q64_filter_agg" ->
+      "SELECT o_orderpriority, COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, COALESCE(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE), 0.0) AS rev_f FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
   )
 }

@@ -537,6 +537,82 @@ object Relational {
         coalesce(col("o_orderkey"), lit(-1L)).as("ok"))
       .orderBy("ck", "ok")
 
+  /** Q61 — ordered string aggregation (LISTAGG/STRING_AGG surface): the
+    * distinct priorities per order status, comma-joined in sorted order.
+    * collect_set's arrival order is nondeterministic — array_sort makes the
+    * output exact, so the row hash-matches DuckDB's string_agg(... ORDER BY)
+    * byte-for-byte. */
+  def q61StringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("o_orderpriority")))).as("prios"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** Q62 — MODE (most frequent value) with a lexicographic tie-break:
+    * built-in mode() breaks ties nondeterministically, so it can never
+    * hash-match an oracle; count + rank is exact. The ranking window
+    * partitions by the 3-value status key but runs over the AGGREGATED
+    * (status, priority) table — 15 rows — so the low-cardinality-window
+    * scale trap (q56) doesn't apply. */
+  def q62Mode(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_prio"), col("cnt"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Q63 — statistical aggregates (mean / sample stddev / correlation) from
+    * EXACT integer sums. Built-in stddev/corr use Welford-style streaming
+    * updates whose float error depends on accumulation order — unhashable
+    * cross-engine. Over integer-valued columns the textbook formulas need
+    * only Σx, Σx², Σxy (exact bigints, any order), and the final double
+    * division/sqrt is then fully determined: both engines compute the same
+    * double, so ROUND(4) matches. Overflow headroom: n·Σx² fits bigint up to
+    * ~sf100 with qty ≤ 50; beyond that, lift the sums to DECIMAL(38,0). */
+  def q63StatsExact(s: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast("long")
+    val ln = col("l_linenumber").cast("long")
+    val dbl = (c: Column) => c.cast("double")
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).as("sx"), sum(q * q).as("sxx"),
+        sum(ln).as("sy"), sum(ln * ln).as("syy"),
+        sum(q * ln).as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        round(dbl(col("sx")) / col("n"), 4).as("mean_qty"),
+        round(sqrt(dbl(col("n") * col("sxx") - col("sx") * col("sx")) /
+          dbl(col("n") * (col("n") - 1))), 4).as("stddev_qty"),
+        round(dbl(col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(dbl(col("n") * col("sxx") - col("sx") * col("sx"))) *
+            sqrt(dbl(col("n") * col("syy") - col("sy") * col("sy")))), 4).as("corr_ql"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q64 — conditional aggregation (FILTER-clause surface): per-priority
+    * counts and decimal-exact revenue restricted to a predicate, in one
+    * pass over the table instead of one pass per predicate. */
+  def q64FilterAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        coalesce(
+          round(sum(when(col("o_orderstatus") === "F", money(col("o_totalprice")))), 2)
+            .cast("double"),
+          lit(0.0)).as("rev_f"))
+      .orderBy("o_orderpriority")
+
   /** Q49 — sketch aggregates: HyperLogLog++ distinct count and t-digest
     * percentile. THE single-pass mergeable shapes for 100 TB (exact
     * DISTINCT shuffles every key; a sketch shuffles ~KB per partition).

@@ -60,6 +60,8 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT date_format(date_trunc('month', o_orderdate), 'yyyy-MM') AS m, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
     "q54_tpch_q3" -> // TIMESTAMP literal vs timestamp_ntz column
       "SELECT l_orderkey, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE o_orderdate < TIMESTAMP_NTZ '1996-01-01 00:00:00' AND l_shipdate > TIMESTAMP_NTZ '1996-01-01 00:00:00' GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    "q61_string_agg" -> // string_agg(ORDER BY) -> concat_ws/sort_array/collect_list
+      "WITH d AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders), s AS (SELECT o_orderstatus, concat_ws(',', sort_array(collect_list(o_orderpriority))) AS prios FROM d GROUP BY o_orderstatus), c AS (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus) SELECT s.o_orderstatus, prios, n FROM s JOIN c USING (o_orderstatus) ORDER BY o_orderstatus",
     "q53_char_ngram_jaccard" -> // range() lateral -> explode(sequence)
       "WITH w AS (SELECT doc_id, substring(text, i, 3) AS word FROM (SELECT doc_id, text, explode(sequence(1, length(text) - 2)) AS i FROM documents WHERE doc_id < 20)), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
   )
