@@ -87,6 +87,9 @@ object SparkEntry {
     "q62_mode"             -> (Relational.q62Mode _),
     "q63_stats_exact"      -> (Relational.q63StatsExact _),
     "q64_filter_agg"       -> (Relational.q64FilterAgg _),
+    "q65_train_val_split"  -> (TextAnalysis.q65TrainValSplit _),
+    "q66_chunk"            -> (TextAnalysis.q66Chunk _),
+    "q67_pii_redact"       -> (TextAnalysis.q67PiiRedact _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -217,5 +220,11 @@ object SparkEntry {
       "WITH a AS (SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx, CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx, CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sy, CAST(SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS syy, CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sxy FROM lineitem GROUP BY l_returnflag) SELECT l_returnflag, n, ROUND(CAST(sx AS DOUBLE) / n, 4) AS mean_qty, ROUND(SQRT(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)), 4) AS stddev_qty, ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 4) AS corr_ql FROM a ORDER BY l_returnflag",
     "q64_filter_agg" ->
       "SELECT o_orderpriority, COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, COALESCE(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE), 0.0) AS rev_f FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "q65_train_val_split" -> // md5 hex is identical in both engines
+      "SELECT source, CASE WHEN substr(md5(text), 1, 1) <= '9' THEN 'train' WHEN substr(md5(text), 1, 1) <= 'c' THEN 'val' ELSE 'test' END AS split, COUNT(*) AS n FROM documents GROUP BY 1, 2 ORDER BY source, split",
+    "q66_chunk" ->
+      "SELECT doc_id, CAST((i - 1) // 80 AS BIGINT) AS chunk_id, CAST(length(substr(text, CAST(i AS INT), 100)) AS BIGINT) AS chunk_len, md5(substr(text, CAST(i AS INT), 100)) AS chunk_md5 FROM (SELECT doc_id, text, unnest(generate_series(1, length(text), 80)) AS i FROM documents WHERE doc_id < 30) t ORDER BY doc_id, chunk_id",
+    "q67_pii_redact" ->
+      "WITH dirty AS (SELECT lang, concat(text, ' contact user', doc_id, '@example.com or call 55512340', doc_id) AS d FROM documents), r AS (SELECT lang, regexp_replace(regexp_replace(d, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'), '[0-9]{7,}', '<NUM>', 'g') AS clean, len(regexp_extract_all(d, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+')) AS n_email FROM dirty) SELECT lang, COUNT(*) AS n, CAST(SUM(n_email) AS BIGINT) AS emails_masked, CAST(SUM(len(regexp_extract_all(clean, '<EMAIL>'))) AS BIGINT) AS email_tags, CAST(SUM(len(regexp_extract_all(clean, '<NUM>'))) AS BIGINT) AS num_tags FROM r GROUP BY lang ORDER BY lang",
   )
 }

@@ -127,4 +127,83 @@ object TextAnalysis {
     winnowFingerprints(docs(s, dir).filter(col("doc_id") < 100))
       .select(col("doc_id"), size(col("fingerprints")).cast("long").as("n_fp"))
       .orderBy("doc_id")
+
+  /** Content-hash train/val/test split: bucket by the first hex digit of
+    * md5(text) — 10/16 train, 3/16 val, 3/16 test. The property a training
+    * pipeline needs is REPRODUCIBILITY independent of row order, partition
+    * layout, engine, or rerun — a content hash gives exactly that (and
+    * assigns exact duplicates to the same split, so no train/test leakage
+    * between copies). md5 hex is identical in Spark and DuckDB, so the
+    * assignment is portable. Pure per-row projection: no shuffle, linear at
+    * any scale. */
+  def splitBucket(text: Column): Column = {
+    val h = substring(md5(text), 1, 1)
+    when(h <= "9", "train").when(h <= "c", "val").otherwise("test")
+  }
+
+  /** Q65 — split sizes per source (the sanity check run before training). */
+  def q65TrainValSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("source"), splitBucket(col("text")).as("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("source", "split")
+
+  /** Fixed-size overlapping character chunks (context-window packing's
+    * simpler sibling): window `size` chars, stride `stride` (< size ⇒
+    * overlap so no span is cut at a boundary unseen). One explode per doc —
+    * ~len/stride rows — then pure projections; linear, shuffle-free.
+    * The chunk text is carried as md5 in Q66's output so the conformance
+    * row stays narrow while still proving byte-exact chunk content. */
+  def chunk(d: DataFrame, size: Int = 100, stride: Int = 80): DataFrame =
+    d.select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")), lit(stride))).as("i"))
+      .select(
+        col("doc_id"),
+        ((col("i") - 1) / stride).cast("long").as("chunk_id"),
+        substringAt(col("text"), col("i"), size).as("chunk"))
+
+  // substring with a column start position (functions.substring takes Int
+  // literals only; the SQL form binds columns)
+  private def substringAt(text: Column, start: Column, len: Int): Column =
+    call_function("substring", text, start, lit(len))
+
+  /** Q66 — chunk inventory over a bounded subset: id, position, length and
+    * content hash of every chunk. */
+  def q66Chunk(s: SparkSession, dir: String): DataFrame =
+    chunk(docs(s, dir).filter(col("doc_id") < 30))
+      .select(col("doc_id"), col("chunk_id"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** PII redaction: mask email addresses and long digit runs (id/phone
+    * shapes) with fixed placeholders. RE2-compatible character-class
+    * patterns only, so Spark (Java regex) and DuckDB (RE2) substitute
+    * byte-identically. Per-row projection — linear at any scale. */
+  val EmailRegex = "[A-Za-z0-9_.]+@[A-Za-z0-9.]+"
+  val DigitRunRegex = "[0-9]{7,}"
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRegex, "<EMAIL>"),
+      DigitRunRegex, "<NUM>")
+
+  /** Q67 — inject synthetic PII (the word-salad corpus has none), redact,
+    * and account for every masked span per language. Injection makes the
+    * oracle row prove actual substitutions rather than vacuously passing on
+    * clean text. */
+  def q67PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val dirty = docs(s, dir).withColumn("dirty",
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or call 55512340"), col("doc_id")))
+    dirty
+      .select(col("lang"),
+        redactPii(col("dirty")).as("clean"),
+        regexp_count(col("dirty"), lit(EmailRegex)).cast("long").as("n_email"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_email")).as("emails_masked"),
+        sum(regexp_count(col("clean"), lit("<EMAIL>")).cast("long")).as("email_tags"),
+        sum(regexp_count(col("clean"), lit("<NUM>")).cast("long")).as("num_tags"))
+      .orderBy("lang")
+  }
 }
