@@ -106,6 +106,16 @@ object StreamOps {
     left.withWatermark(leftTs, leftWm)
       .join(right.withWatermark(rightTs, rightWm), joinCond)
 
+  /** Stream-static enrichment join: a streaming fact joined to a batch
+    * dimension table. No watermark needed — the static side is not stateful;
+    * Spark re-plans the static relation per micro-batch, so a broadcast hint
+    * keeps every batch a map-side join (no shuffle of the stream). This is
+    * the streaming twin of the batch dimension joins (q03): at 100 TB/day
+    * the stream side never repartitions, only the dim ships. */
+  def enrich(stream: DataFrame, dim: DataFrame, joinCond: Column,
+             joinType: String = "inner"): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), joinCond, joinType)
+
   /** Epoch-nanos bigint (the test data's `events.ts` under nanosAsLong,
     * FIXTURES.md §B) -> TimestampType for event-time ops. Nanos truncate to
     * micros — Spark timestamps are micro-precision. Division goes through

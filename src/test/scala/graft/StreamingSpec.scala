@@ -137,6 +137,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last == Set(("a", 3L, 7.0), ("b", 1L, 10.0)))
   }
 
+  test("stream-static enrichment join broadcasts the dim, keeps left rows") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val dim = Seq((0, "ASIA"), (1, "EMEA")).toDF("rk", "region")
+    val in = MemoryStream[(String, Int)]
+    val enriched = StreamOps.enrich(
+      in.toDF().toDF("user", "rk2"), dim, col("rk2") === col("rk"), "left")
+    val out = runToMemory(enriched, "enriched")(
+      () => in.addData(("u1", 0), ("u2", 1), ("u3", 7))) // 7: no dim match
+    val rows = out.select("user", "region").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(rows == Set(("u1", Some("ASIA")), ("u2", Some("EMEA")), ("u3", None)))
+  }
+
   test("stream-stream interval join matches within the window only") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
