@@ -53,23 +53,20 @@ object Tables {
   // `read.parquet` re-lists the path and re-reads a footer for schema
   // inference — pure fixed overhead when 60 queries × 2 bench passes touch
   // the same ten immutable tables hundreds of times (measured ~14 s off the
-  // sf0.1 suite). WeakHashMap keyed on the session object: a stopped test
-  // session's entries vanish with it, and identity (SparkSession doesn't
-  // override equals) can't collide the way identityHashCode could.
+  // sf0.1 suite). NOT a WeakHashMap: a DataFrame strongly references its
+  // SparkSession, so session-keyed weak entries could never be collected
+  // (the value→key caveat in the WeakHashMap javadoc). Instead entries of
+  // STOPPED sessions are purged on access — test suites that stop/rebuild
+  // sessions reclaim their plans on the next lookup.
   private val relCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]
+    scala.collection.concurrent.TrieMap
+      .empty[SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]
 
   def apply(s: SparkSession, dir: String, name: String): DataFrame = {
     GraftSession.tune(s)
-    val perSession = relCache.synchronized {
-      var m = relCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-        relCache.put(s, m)
-      }
-      m
-    }
+    relCache.keySet.foreach(k => if (k.sparkContext.isStopped) relCache.remove(k))
+    val perSession = relCache.getOrElseUpdate(s,
+      scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
     perSession.getOrElseUpdate((dir, name), s.read.parquet(s"$dir/$name.parquet"))
   }
 

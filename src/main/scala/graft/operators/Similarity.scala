@@ -85,8 +85,11 @@ object Similarity {
   /** IVF centroid table: stride-sampled seeds, optionally refined by
     * `refineIters` Lloyd (k-means) iterations — assign every vector to its
     * nearest centroid by cosine, recompute centroids as element-wise means.
-    * Deterministic by construction: seeds are fixed by id stride, the
-    * iteration count is fixed, no RNG anywhere. Each iteration costs one
+    * No RNG anywhere: seeds are fixed by id stride and the iteration count
+    * is fixed (results are stable up to float-sum ordering — the per-
+    * dimension means merge partial double sums in shuffle order, so
+    * last-ULP wobble near an assignment tie is possible). Each iteration
+    * costs one
     * broadcast-assign pass (n × √n cosines) plus one (cluster, dim)-grouped
     * mean — linear in the corpus, never quadratic. A seed whose cluster
     * empties simply drops out (it was redundant). Refinement moves centroids

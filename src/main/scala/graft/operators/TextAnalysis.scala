@@ -155,7 +155,11 @@ object TextAnalysis {
     * The chunk text is carried as md5 in Q66's output so the conformance
     * row stays narrow while still proving byte-exact chunk content. */
   def chunk(d: DataFrame, size: Int = 100, stride: Int = 80): DataFrame =
-    d.select(col("doc_id"), col("text"),
+    // empty docs produce no chunks — and Spark's sequence(1, 0, stride)
+    // THROWS (Illegal sequence boundaries) where DuckDB's generate_series
+    // returns empty, so the filter is also what keeps the engines aligned
+    d.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")), lit(stride))).as("i"))
       .select(
         col("doc_id"),
@@ -191,8 +195,11 @@ object TextAnalysis {
     * oracle row prove actual substitutions rather than vacuously passing on
     * clean text. */
   def q67PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    // coalesce: Spark concat null-propagates where DuckDB concat skips NULL
+    // arguments — a NULL text row would silently drop from the Spark sums
+    // while the oracle still counts its injected email
     val dirty = docs(s, dir).withColumn("dirty",
-      concat(col("text"), lit(" contact user"), col("doc_id"),
+      concat(coalesce(col("text"), lit("")), lit(" contact user"), col("doc_id"),
         lit("@example.com or call 55512340"), col("doc_id")))
     dirty
       .select(col("lang"),

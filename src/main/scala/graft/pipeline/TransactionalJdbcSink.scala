@@ -80,6 +80,18 @@ class TransactionalJdbcSink(
            |  row_count BIGINT,
            |  n_slots INT,
            |  PRIMARY KEY (query_id, batch_id, partition_id))""".stripMargin)
+      // migrate a ledger created before the n_slots column existed —
+      // CREATE above is a no-op on an existing table, and every read/write
+      // here names n_slots explicitly, so a legacy table would brick the
+      // sink without this
+      val probe = conn.createStatement()
+      try probe.executeQuery(s"""SELECT n_slots FROM "$ledgerTable" WHERE 1=0""").close()
+      catch {
+        case _: SQLException =>
+          val alter = conn.createStatement()
+          try alter.execute(s"""ALTER TABLE "$ledgerTable" ADD COLUMN n_slots INT""")
+          finally alter.close()
+      } finally probe.close()
     } finally conn.close()
   }
 
@@ -219,7 +231,10 @@ class TransactionalJdbcSink(
     val schema = df.schema
     val slotted = df.repartition(numSlots, hash(df.columns.map(col): _*))
     slotted.foreachPartition { (rows: Iterator[Row]) =>
-      writePartition(rows, schema, batchId, TaskContext.getPartitionId())
+      // skip empty slots entirely: small micro-batches would otherwise pay
+      // numSlots connections + txns + ledger rows per batch. Safe for
+      // replay — an empty slot re-derives as empty and inserts nothing.
+      if (rows.hasNext) writePartition(rows, schema, batchId, TaskContext.getPartitionId())
     }
   }
 

@@ -249,6 +249,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sink.dataCount() == 2000)
     assert(sink.ledgerCount() == 8)
 
+    // legacy-ledger migration: a ledger created before the n_slots column
+    // existed must be ALTERed by ensureTables, not brick every write
+    val migDir = java.nio.file.Files.createTempDirectory("graftderbymig")
+    val migUrl = s"jdbc:derby:$migDir/db;create=true"
+    val mconn = java.sql.DriverManager.getConnection(migUrl)
+    try mconn.createStatement().execute(
+      """CREATE TABLE "batch_ledger" (query_id VARCHAR(100) NOT NULL,
+        |batch_id BIGINT NOT NULL, partition_id INT NOT NULL, row_count BIGINT,
+        |PRIMARY KEY (query_id, batch_id, partition_id))""".stripMargin)
+    finally mconn.close()
+    val mig = new TransactionalJdbcSink(migUrl, "mig", "mig-q", numSlots = 2)
+    mig.ensureTables(df.schema)
+    mig.writeBatch(df, batchId = 0)
+    assert(mig.dataCount() == 1000)
+    assert(mig.ledgerCount() == 2)
+
     // JDBC SCAN (SURVEY §2.3.1 R12 read direction): Spark reads the landed
     // table back and the round-trip preserves every row.
     val back = spark.read.format("jdbc")
