@@ -206,8 +206,8 @@ object SparkEntry {
       "SELECT o_orderkey, ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 4) AS pr, ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 4) AS cd FROM orders ORDER BY o_orderkey",
     "q57_correlated_subquery" ->
       "SELECT c_custkey, (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n FROM customer c ORDER BY c_custkey",
-    "q58_scalar_subquery" ->
-      "SELECT o_orderkey, ROUND(o_totalprice, 2) AS p FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) ORDER BY o_orderkey",
+    "q58_scalar_subquery" -> // price*n > sum ≡ price > avg, but exact in decimal
+      "SELECT o_orderkey, ROUND(o_totalprice, 2) AS p FROM orders WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT COUNT(*) FROM orders) > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders) ORDER BY o_orderkey",
     "q59_join_right" ->
       "SELECT c_custkey, COALESCE(o_orderkey, -1) AS o_key FROM (SELECT * FROM orders WHERE o_totalprice > 300000) o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY c_custkey, o_key",
     "q60_join_full" ->

@@ -448,13 +448,18 @@ object Relational {
             |FROM customer c ORDER BY c_custkey""".stripMargin)
   }
 
-  /** Q58 — uncorrelated scalar subquery in a predicate: planned once as a
-    * subquery broadcast value, then a plain pushed filter. */
+  /** Q58 — uncorrelated scalar subqueries in a predicate: planned once as
+    * subquery broadcast values, then a plain pushed filter. The "above
+    * average" predicate is spelled price·n > Σprice in exact decimal —
+    * algebraically identical to price > AVG(price), but a double AVG's
+    * value depends on accumulation order, so a row sitting within an ULP of
+    * the mean could flip between engines; the decimal comparison can't. */
   def q58ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerAll(s, dir)
     s.sql("""SELECT o_orderkey, ROUND(o_totalprice, 2) AS p
             |FROM orders
-            |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+            |WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT COUNT(*) FROM orders)
+            |      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders)
             |ORDER BY o_orderkey""".stripMargin)
   }
 
