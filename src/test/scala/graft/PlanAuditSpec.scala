@@ -149,6 +149,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no bucketed (priority, bucket) ranking window found")
   }
 
+  test("q66 chunking: doc_id filter pushed to scan, only id+text read") {
+    val plan = planString(graft.operators.TextAnalysis.q66Chunk(spark, sfDir))
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(doc_id,30\\)".r.findFirstIn(plan).isDefined,
+      s"doc_id filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"chunking reads extra columns:\n$plan")
+  }
+
+  test("q65 split: pure projection + one aggregation shuffle, no joins") {
+    val df = graft.operators.TextAnalysis.q65TrainValSplit(spark, sfDir)
+    val plan = planString(df)
+    assert(!plan.contains("Join"), s"split should be join-free:\n$plan")
+    // one exchange for the groupBy, one for the final orderBy
+    assert(countShuffles(df) <= 2, s"shuffle count grew: ${countShuffles(df)}\n$plan")
+  }
+
   test("q36 cosine top-k: embeddings scan prunes to id+vector columns") {
     val plan = planString(graft.operators.Similarity.q36CosineTopK(spark, sfDir))
     assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
