@@ -151,4 +151,42 @@ object ConfluentAvro {
       }
     }(Encoders.row(st))
   }
+
+  /** PERMISSIVE decode (the Spark `_corrupt_record` pattern applied to the
+    * framed-Avro source): a malformed frame — wrong magic byte, truncated
+    * header, wrong schema id, or an Avro body that doesn't parse — becomes
+    * a row of NULL fields with the failure reason in `_corrupt`, instead of
+    * killing the job. At 100 TB one poisoned record MUST NOT fail a
+    * multi-hour pipeline run; callers route `_corrupt IS NOT NULL` rows to
+    * a dead-letter sink and keep going. [[decode]] stays the strict
+    * (fail-fast, reference-faithful) variant. */
+  def decodePermissive(df: DataFrame, valueCol: String, avroSchema: Schema,
+                       expectedSchemaId: Option[Int] = None,
+                       corruptCol: String = "_corrupt"): DataFrame = {
+    val base = SchemaBridge.avroToStruct(avroSchema)
+    val st = StructType(base.fields.map(_.copy(nullable = true)) :+
+      StructField(corruptCol, StringType, nullable = true))
+    val schemaJson = avroSchema.toString
+    val idx = df.schema.fieldIndex(valueCol)
+    val n = base.length
+    df.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      rows.map { row =>
+        try {
+          val (id, body) = unframe(row.getAs[Array[Byte]](idx))
+          expectedSchemaId.foreach(e => require(id == e, s"schema id $id != expected $e"))
+          // fresh decoder/record per row: a half-consumed reuse buffer from
+          // a corrupt predecessor must not bleed into the next record
+          val decoder = DecoderFactory.get().binaryDecoder(body, null)
+          val rec = reader.read(null, decoder)
+          Row.fromSeq(recordToRow(rec, base).toSeq :+ null)
+        } catch {
+          case e: Exception =>
+            Row.fromSeq(Seq.fill[Any](n)(null) :+
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    }(Encoders.row(st))
+  }
 }

@@ -175,6 +175,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(norm(dec) == norm(src))
   }
 
+  test("decodePermissive dead-letters malformed frames instead of failing the job") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val ss = SchemaBridge.parseSimple(simpleJson).head
+    val avro = SchemaBridge.toAvro(ss)
+    val id = SchemaRegistry.register("dlq-value", avro)
+    val good = ConfluentAvro.encode(
+      RecordGenerator.generate(spark, ss, 5, seed = 21), avro, id, numPartitions = 2)
+      .select("value").collect().map(_.getAs[Array[Byte]](0))
+
+    val badMagic = good.head.clone(); badMagic(0) = 0x7f // wrong magic byte
+    val truncated = good.head.take(3)                    // shorter than header
+    val badBody = ConfluentAvro.frame(id, Array[Byte](1, 2)) // unparseable Avro
+    val frames = (good.toSeq :+ badMagic :+ truncated :+ badBody).map(Row(_))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(frames, 2),
+      StructType(Seq(StructField("value", BinaryType))))
+
+    val out = ConfluentAvro.decodePermissive(df, "value", avro, Some(id)).collect()
+    assert(out.length == 8)
+    val (bad, ok) = out.partition(r => r.getString(r.length - 1) != null)
+    assert(ok.length == 5 && bad.length == 3)
+    ok.foreach(r => assert(!r.isNullAt(0))) // decoded fields populated
+    bad.foreach { r =>
+      (0 until r.length - 1).foreach(i => assert(r.isNullAt(i))) // all-null payload
+      assert(r.getString(r.length - 1).nonEmpty)                 // reason recorded
+    }
+    // strict decode on the same input DOES fail — permissive is opt-in
+    intercept[org.apache.spark.SparkException] {
+      ConfluentAvro.decode(df, "value", avro, Some(id)).collect()
+    }
+  }
+
   test("decodeAuto resolves mixed schema versions via registry snapshot") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
