@@ -90,6 +90,7 @@ object SparkEntry {
     "q65_train_val_split"  -> (TextAnalysis.q65TrainValSplit _),
     "q66_chunk"            -> (TextAnalysis.q66Chunk _),
     "q67_pii_redact"       -> (TextAnalysis.q67PiiRedact _),
+    "q68_sessionize"       -> (Relational.q68Sessionize _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -226,5 +227,7 @@ object SparkEntry {
       "SELECT doc_id, CAST((i - 1) // 80 AS BIGINT) AS chunk_id, CAST(length(substr(text, CAST(i AS INT), 100)) AS BIGINT) AS chunk_len, md5(substr(text, CAST(i AS INT), 100)) AS chunk_md5 FROM (SELECT doc_id, text, unnest(generate_series(1, length(text), 80)) AS i FROM documents WHERE doc_id < 30) t ORDER BY doc_id, chunk_id",
     "q67_pii_redact" ->
       "WITH dirty AS (SELECT lang, concat(text, ' contact user', doc_id, '@example.com or call 55512340', doc_id) AS d FROM documents), r AS (SELECT lang, regexp_replace(regexp_replace(d, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'), '[0-9]{7,}', '<NUM>', 'g') AS clean, len(regexp_extract_all(d, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+')) AS n_email FROM dirty) SELECT lang, COUNT(*) AS n, CAST(SUM(n_email) AS BIGINT) AS emails_masked, CAST(SUM(len(regexp_extract_all(clean, '<EMAIL>'))) AS BIGINT) AS email_tags, CAST(SUM(len(regexp_extract_all(clean, '<NUM>'))) AS BIGINT) AS num_tags FROM r GROUP BY lang ORDER BY lang",
+    "q68_sessionize" ->
+      "WITH e AS (SELECT user_id, epoch_ns(ts) AS ts FROM events), m AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000000 THEN 1 ELSE 0 END AS brk FROM e), s AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m), g AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY 1, 2) SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events, CAST(MAX(n) AS BIGINT) AS max_session FROM g GROUP BY user_id ORDER BY user_id",
   )
 }

@@ -338,6 +338,33 @@ object Relational {
       .orderBy("user_id", "ts")
   }
 
+  /** Q68 — batch sessionization (the batch twin of the streaming session
+    * window, StreamOps.sessionAgg): events split into sessions on a 30-min
+    * inactivity gap per user, then per-user session stats. The classic
+    * lag→break-flag→running-sum assignment: one shuffle on user_id, linear
+    * per partition, full parallelism (user_id is high-cardinality — the
+    * safe kind of window key). All outputs are integer counts, so the
+    * oracle hash is exact; ties (equal ts) don't disturb it — whichever
+    * tied row carries the break flag, the session partition of the sorted
+    * multiset is the same. */
+  def q68Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val gap = 1800000000000L // 30 min in epoch-nanos
+    val wo = Window.partitionBy("user_id").orderBy("ts")
+    val wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = t(s, dir, "events")
+      .select(col("user_id"), col("ts"))
+      .withColumn("brk",
+        when(lag(col("ts"), 1).over(wo).isNull ||
+          col("ts") - lag(col("ts"), 1).over(wo) > gap, 1L).otherwise(0L))
+      .withColumn("sid", sum("brk").over(wrun))
+    flagged.groupBy("user_id", "sid").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n").as("n_events"),
+        max("n").as("max_session"))
+      .orderBy("user_id")
+  }
+
   /** Q42 — exact interpolated percentiles (≡ DuckDB quantile_cont). Exact
     * keeps the oracle hash-comparable; the scale path swaps in
     * approx_percentile (t-digest sketch, single-pass mergeable) which is

@@ -66,6 +66,8 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT doc_id, CAST((i - 1) div 80 AS BIGINT) AS chunk_id, CAST(length(substring(text, i, 100)) AS BIGINT) AS chunk_len, md5(substring(text, i, 100)) AS chunk_md5 FROM (SELECT doc_id, text, explode(sequence(1, length(text), 80)) AS i FROM documents WHERE doc_id < 30) t ORDER BY doc_id, chunk_id",
     "q67_pii_redact" -> // regexp_count / no 'g' flag in Spark regexp_replace
       "WITH dirty AS (SELECT lang, concat(coalesce(text, ''), ' contact user', doc_id, '@example.com or call 55512340', doc_id) AS d FROM documents), r AS (SELECT lang, regexp_replace(regexp_replace(d, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+', '<EMAIL>'), '[0-9]{7,}', '<NUM>') AS clean, CAST(regexp_count(d, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+') AS BIGINT) AS n_email FROM dirty) SELECT lang, COUNT(*) AS n, SUM(n_email) AS emails_masked, SUM(CAST(regexp_count(clean, '<EMAIL>') AS BIGINT)) AS email_tags, SUM(CAST(regexp_count(clean, '<NUM>') AS BIGINT)) AS num_tags FROM r GROUP BY lang ORDER BY lang",
+    "q68_sessionize" -> // ts already bigint epoch-nanos in Spark (no epoch_ns)
+      "WITH e AS (SELECT user_id, ts FROM events), m AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000000 THEN 1 ELSE 0 END AS brk FROM e), s AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m), g AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY 1, 2) SELECT user_id, COUNT(*) AS n_sessions, SUM(n) AS n_events, MAX(n) AS max_session FROM g GROUP BY user_id ORDER BY user_id",
     "q53_char_ngram_jaccard" -> // range() lateral -> explode(sequence)
       "WITH w AS (SELECT doc_id, substring(text, i, 3) AS word FROM (SELECT doc_id, text, explode(sequence(1, length(text) - 2)) AS i FROM documents WHERE doc_id < 20)), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
   )
