@@ -91,6 +91,10 @@ object SparkEntry {
     "q66_chunk"            -> (TextAnalysis.q66Chunk _),
     "q67_pii_redact"       -> (TextAnalysis.q67PiiRedact _),
     "q68_sessionize"       -> (Relational.q68Sessionize _),
+    "q69_union"            -> (Relational.q69Union _),
+    "q70_having"           -> (Relational.q70Having _),
+    "q71_cross"            -> (Relational.q71Cross _),
+    "q72_limit_offset"     -> (Relational.q72LimitOffset _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -229,5 +233,13 @@ object SparkEntry {
       "WITH dirty AS (SELECT lang, concat(text, ' contact user', doc_id, '@example.com or call 55512340', doc_id) AS d FROM documents), r AS (SELECT lang, regexp_replace(regexp_replace(d, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'), '[0-9]{7,}', '<NUM>', 'g') AS clean, len(regexp_extract_all(d, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+')) AS n_email FROM dirty) SELECT lang, COUNT(*) AS n, CAST(SUM(n_email) AS BIGINT) AS emails_masked, CAST(SUM(len(regexp_extract_all(clean, '<EMAIL>'))) AS BIGINT) AS email_tags, CAST(SUM(len(regexp_extract_all(clean, '<NUM>'))) AS BIGINT) AS num_tags FROM r GROUP BY lang ORDER BY lang",
     "q68_sessionize" ->
       "WITH e AS (SELECT user_id, epoch_ns(ts) AS ts FROM events), m AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000000 THEN 1 ELSE 0 END AS brk FROM e), s AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m), g AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY 1, 2) SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events, CAST(MAX(n) AS BIGINT) AS max_session FROM g GROUP BY user_id ORDER BY user_id",
+    "q69_union" ->
+      "SELECT (SELECT COUNT(*) FROM (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey AS k FROM supplier) u) AS n_union, (SELECT COUNT(*) FROM (SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey AS k FROM supplier) ua) AS n_union_all",
+    "q70_having" ->
+      "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 10 ORDER BY o_custkey",
+    "q71_cross" ->
+      "SELECT r1.r_regionkey AS a, r2.r_regionkey AS b FROM region r1 CROSS JOIN region r2 ORDER BY a, b",
+    "q72_limit_offset" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5",
   )
 }

@@ -645,6 +645,44 @@ object Relational {
           lit(0.0)).as("rev_f"))
       .orderBy("o_orderpriority")
 
+  /** Q69 — UNION vs UNION ALL in one row: Dataset.union IS multiset
+    * UNION ALL (SQL UNION distinct = union().distinct()) — a classic
+    * semantics trap this row pins down cross-engine. */
+  def q69Union(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+    val p = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+    val u = c.unionByName(p)
+    u.distinct().agg(count(lit(1)).as("n_union"))
+      .crossJoin(u.agg(count(lit(1)).as("n_union_all")))
+  }
+
+  /** Q70 — HAVING (post-aggregation filter): customers with ≥10 orders.
+    * In the DataFrame algebra it's just filter-above-agg; Catalyst keeps the
+    * filter after the final aggregate, not on the scan. */
+  def q70Having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 10)
+      .orderBy("o_custkey")
+
+  /** Q71 — explicit CROSS JOIN over the fixed-size region table (25 rows at
+    * any SF — deliberately bounded; an unbounded cross join is the one plan
+    * shape that can never scale). */
+  def q71Cross(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").select(col("r_regionkey").as("a"))
+      .crossJoin(t(s, dir, "region").select(col("r_regionkey").as("b")))
+      .orderBy("a", "b")
+
+  /** Q72 — LIMIT with OFFSET (pagination): rows 6–15 of the price-ordered
+    * orders. Deterministic because the sort is total (tie-broken by key). */
+  def q72LimitOffset(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(5)
+      .limit(10)
+
   /** Q49 — sketch aggregates: HyperLogLog++ distinct count and t-digest
     * percentile. THE single-pass mergeable shapes for 100 TB (exact
     * DISTINCT shuffles every key; a sketch shuffles ~KB per partition).
