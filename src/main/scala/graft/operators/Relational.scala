@@ -666,9 +666,9 @@ object Relational {
       .filter(col("n") >= 10)
       .orderBy("o_custkey")
 
-  /** Q71 — explicit CROSS JOIN over the fixed-size region table (25 rows at
-    * any SF — deliberately bounded; an unbounded cross join is the one plan
-    * shape that can never scale). */
+  /** Q71 — explicit CROSS JOIN over the fixed-size region table (5 rows at
+    * any SF → 25-row product — deliberately bounded; an unbounded cross
+    * join is the one plan shape that can never scale). */
   def q71Cross(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "region").select(col("r_regionkey").as("a"))
       .crossJoin(t(s, dir, "region").select(col("r_regionkey").as("b")))

@@ -164,6 +164,8 @@ object ConfluentAvro {
                        expectedSchemaId: Option[Int] = None,
                        corruptCol: String = "_corrupt"): DataFrame = {
     val base = SchemaBridge.avroToStruct(avroSchema)
+    require(!base.fieldNames.contains(corruptCol),
+      s"decoded schema already has a '$corruptCol' column — pass a different corruptCol")
     val st = StructType(base.fields.map(_.copy(nullable = true)) :+
       StructField(corruptCol, StringType, nullable = true))
     val schemaJson = avroSchema.toString
@@ -172,15 +174,16 @@ object ConfluentAvro {
     df.mapPartitions { rows =>
       val schema = new Schema.Parser().parse(schemaJson)
       val reader = new GenericDatumReader[GenericRecord](schema)
+      // decoder reuse is safe across corrupt rows: binaryDecoder(body, reuse)
+      // fully re-binds the buffer. The RECORD is not reused — a corrupt row's
+      // partially-populated fields must not leak into the next decode.
+      var decoder: org.apache.avro.io.BinaryDecoder = null
       rows.map { row =>
         try {
           val (id, body) = unframe(row.getAs[Array[Byte]](idx))
           expectedSchemaId.foreach(e => require(id == e, s"schema id $id != expected $e"))
-          // fresh decoder/record per row: a half-consumed reuse buffer from
-          // a corrupt predecessor must not bleed into the next record
-          val decoder = DecoderFactory.get().binaryDecoder(body, null)
-          val rec = reader.read(null, decoder)
-          Row.fromSeq(recordToRow(rec, base).toSeq :+ null)
+          decoder = DecoderFactory.get().binaryDecoder(body, decoder)
+          Row.fromSeq(recordToRow(reader.read(null, decoder), base).toSeq :+ null)
         } catch {
           case e: Exception =>
             Row.fromSeq(Seq.fill[Any](n)(null) :+
