@@ -136,6 +136,11 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  // (A shuffle-free per-row HOF fold variant was measured against this
+  // explode+partial-agg shape: identical signatures, but no warm-time win —
+  // HOFs don't whole-stage-codegen, and the shuffle here already moves only
+  // the (doc_id, 16 longs) partial aggregates. The codegen'd shape stays.)
+
   /** Band signatures: hash each BandRows-run of the signature. Docs agreeing
     * on any band land in the same LSH bucket. */
   def lshBands(sigs: DataFrame): DataFrame = {
