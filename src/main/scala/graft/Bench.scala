@@ -58,6 +58,10 @@ object Bench {
     val failures = (cold ++ warm).filterNot(_._3).map(_._1).distinct.sorted
     val total = cold.filter(_._3).map(_._2).sum
     val totalWarm = warm.filter(_._3).map(_._2).sum
+    // per-query min over the two passes: a host-contention burst hits one
+    // pass of a query, rarely both — this is the contention-robust total
+    val totalBest = cold.filter(_._3)
+      .map { case (k, v, _) => math.min(v, warmByName(k)._2) }.sum
     val pipelineRps = benchPipeline(spark)
 
     def secOrFail(t: Double, ok: Boolean): String = if (ok) f"$t%.2f" else "-1"
@@ -73,7 +77,7 @@ object Bench {
     try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"queries":$detail,"failures":$failJson,"sf":"$sfDir"}""")
     finally pw.close()
 
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"total_warm":$totalWarm%.2f,"n_queries":${cold.size},"failures":$failJson,"pipeline_rows_per_sec":$pipelineRps%.0f,"sf":"$sfDir","detail":"$detailPath"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"pipeline_rows_per_sec":$pipelineRps%.0f,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 
