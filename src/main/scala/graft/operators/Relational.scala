@@ -513,13 +513,16 @@ object Relational {
     val hist = o.groupBy("prio", "b").agg(count(lit(1)).as("c"))
     val wOff = Window.partitionBy("prio").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // offsets/totals are |priorities|×|buckets| rows — broadcast, never shuffled
-    val off = hist.withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
-      .select("prio", "b", "off")
-    val totals = hist.groupBy("prio").agg(sum("c").as("n"))
+    val wAll = Window.partitionBy("prio")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // offsets AND per-priority totals from ONE pass over the tiny histogram
+    // (|priorities|×|buckets| rows — broadcast, never shuffled); a separate
+    // totals aggregation would re-scan and re-aggregate the whole table
+    val meta = hist.select(col("prio"), col("b"),
+      coalesce(sum("c").over(wOff), lit(0L)).as("off"),
+      sum("c").over(wAll).as("n"))
     val wLoc = Window.partitionBy("prio", "b").orderBy("v")
-    o.join(broadcast(off), Seq("prio", "b"))
-      .join(broadcast(totals), Seq("prio"))
+    o.join(broadcast(meta), Seq("prio", "b"))
       .withColumn("rk", col("off") + rank().over(wLoc))
       // default frame with ORDER BY = RANGE UNBOUNDED PRECEDING..CURRENT ROW,
       // i.e. count of rows ≤ v within the bucket, peers included
