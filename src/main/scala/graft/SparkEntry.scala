@@ -95,6 +95,12 @@ object SparkEntry {
     "q70_having"           -> (Relational.q70Having _),
     "q71_cross"            -> (Relational.q71Cross _),
     "q72_limit_offset"     -> (Relational.q72LimitOffset _),
+    "q73_sample_stratified" -> (TextAnalysis.q73SampleStratified _),
+    "q74_top_bigrams"      -> (TextAnalysis.q74TopBigrams _),
+    "q75_repetition"       -> (TextAnalysis.q75Repetition _),
+    "q76_decontaminate"    -> (Dedup.q76Decontaminate _),
+    "q77_embedding_norms"  -> (Similarity.q77EmbeddingNorms _),
+    "q78_url_domains"      -> (TextAnalysis.q78UrlDomains _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -241,5 +247,17 @@ object SparkEntry {
       "SELECT r1.r_regionkey AS a, r2.r_regionkey AS b FROM region r1 CROSS JOIN region r2 ORDER BY a, b",
     "q72_limit_offset" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5",
+    "q73_sample_stratified" -> // md5-seeded keep-decision, portable like q65
+      "SELECT lang, source, COUNT(*) AS n FROM documents WHERE substr(md5(concat('s42|', text)), 1, 1) < (CASE WHEN lang = 'en' THEN '8' WHEN lang = 'de' THEN '4' ELSE '2' END) GROUP BY lang, source ORDER BY lang, source",
+    "q74_top_bigrams" ->
+      "WITH w AS (SELECT string_split_regex(trim(text), '\\s+') AS words FROM documents), e AS (SELECT words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT) + 1] AS bigram FROM (SELECT words, unnest(generate_series(1, len(words) - 1)) AS i FROM w WHERE len(words) >= 2) t) SELECT bigram, COUNT(*) AS n FROM e GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20",
+    "q75_repetition" ->
+      "SELECT lang, ROUND(AVG(rep), 4) AS rep_ratio, ROUND(MAX(rep), 4) AS max_rep, COUNT(*) AS n FROM (SELECT lang, CAST(len(words) - len(list_distinct(words)) AS DOUBLE) / len(words) AS rep FROM (SELECT lang, string_split_regex(trim(text), '\\s+') AS words FROM documents) w) t GROUP BY lang ORDER BY lang",
+    "q76_decontaminate" -> // canary injection keeps the row non-vacuous at every scale
+      "WITH base AS (SELECT doc_id, lang, concat(coalesce(text, ''), CASE WHEN doc_id % 7 = 0 OR doc_id % 100 = 0 THEN ' zq wv jk pq xy' ELSE '' END) AS text FROM documents), w AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS words FROM base), shg AS (SELECT doc_id, lang, array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh FROM (SELECT doc_id, lang, words, unnest(generate_series(1, len(words) - 4)) AS i FROM w WHERE len(words) >= 5) t), b AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 100 = 0), c AS (SELECT DISTINCT s.doc_id, s.lang FROM shg s JOIN b ON s.sh = b.sh WHERE s.doc_id % 100 <> 0) SELECT lang, COUNT(*) AS n_contaminated FROM c GROUP BY lang ORDER BY lang",
+    "q77_embedding_norms" ->
+      "SELECT label, ROUND(AVG(nrm), 4) AS avg_norm, ROUND(MIN(nrm), 4) AS min_norm, ROUND(MAX(nrm), 4) AS max_norm, COUNT(*) AS n FROM (SELECT label, SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM embeddings) t GROUP BY label ORDER BY label",
+    "q78_url_domains" ->
+      "SELECT domain, COUNT(*) AS n FROM (SELECT regexp_extract(concat(coalesce(text, ''), ' see https://w', doc_id % 20, '.example.org/p/', doc_id), 'https://([a-z0-9.]+)/', 1) AS domain FROM documents) t GROUP BY domain ORDER BY domain",
   )
 }

@@ -267,6 +267,50 @@ object Dedup {
   def q35Simhash(s: SparkSession, dir: String): DataFrame =
     simhash(docs(s, dir).filter(col("doc_id") < 100)).orderBy("doc_id")
 
+  // ------------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: ids of corpus documents sharing at least one
+    * word k-shingle with a benchmark/eval set — the screen every training
+    * pipeline runs so eval data never leaks into training data.
+    *
+    * Shape at 100 TB: benchmark shingle sets are small (eval suites are
+    * thousands of docs), so the distinct benchmark-shingle side broadcasts
+    * and the corpus side streams through a broadcast semi-join — the corpus
+    * never shuffles, and only contaminated (doc_id) survive to the tiny
+    * distinct. Exploded shingles stay columnar inside the scan stage. */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, k: Int = 5): DataFrame = {
+    def sh(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= k)
+      .select(col("doc_id"), explode(shingles(col("words"), k)).as("sh"))
+    sh(corpus)
+      .join(sh(benchmark).select("sh").distinct(), Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
+  /** Canary "eval sentence" for Q76 — 5 words so it is exactly one
+    * k=5 shingle. */
+  val Canary = "zq wv jk pq xy"
+
+  /** Q76 — contaminated-doc counts per language, with benchmark = every
+    * 100th doc_id (a stand-in eval slice). The word-salad corpus has no
+    * organic cross-doc 5-gram overlap at every scale, so contamination is
+    * injected deterministically (Q67's PII-injection trick): the canary
+    * sentence is appended to every benchmark doc and to every 7th corpus
+    * doc — those docs must come back contaminated, proving the shingle
+    * match end-to-end rather than vacuously returning empty. */
+  def q76Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("lang"),
+      concat(coalesce(col("text"), lit("")),
+        when(col("doc_id") % 7 === 0 || col("doc_id") % 100 === 0,
+          lit(" " + Canary)).otherwise(lit(""))).as("text"))
+    val rest = base.filter(col("doc_id") % 100 =!= 0)
+    val contam = contaminatedIds(rest, base.filter(col("doc_id") % 100 === 0))
+    rest.join(contam, Seq("doc_id"), "left_semi")
+      .groupBy("lang").agg(count(lit(1)).as("n_contaminated"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------ embedding cosine dedup
 
   /** Q37 — embedding-cosine near-dup mining: top-20 most similar pairs in a

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -36,6 +36,29 @@ object Similarity {
       .filter(col("rnk") <= k)
       .orderBy("qid", "rnk")
   }
+
+  /** L2 norm via a per-row HOF fold — no explode, no shuffle; the whole
+    * computation stays inside one codegen'd projection, so it is linear in
+    * rows at any scale. Fold order is left-to-right in both Spark and
+    * DuckDB, so per-row values agree exactly. */
+  def l2Norm(vec: Column): Column =
+    sqrt(aggregate(vec, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Q77 — embedding L2-norm audit per label: the sanity pass run before
+    * cosine/IP indexing (un-normalized vectors silently break IP-based ANN).
+    * MIN/MAX compare identical per-row doubles (exact cross-engine); AVG is
+    * rounded like every cross-engine mean here. */
+  def q77EmbeddingNorms(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("label"), l2Norm(col("embedding")).as("nrm"))
+      .groupBy("label")
+      .agg(
+        round(avg("nrm"), 4).as("avg_norm"),
+        round(min("nrm"), 4).as("min_norm"),
+        round(max("nrm"), 4).as("max_norm"),
+        count(lit(1)).as("n"))
+      .orderBy("label")
 
   /** Random-hyperplane LSH signature: bit b = sign(v · h_b) where h_b is a
     * deterministic pseudo-random hyperplane derived from xxhash64(b, i) —

@@ -180,6 +180,88 @@ object TextAnalysis {
         md5(col("chunk")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Seeded stratified sampling by content hash: keep a document when the
+    * first hex digit of md5(seed || text) falls under the stratum's
+    * threshold ('8' ⇒ 8/16 = 50%, '4' ⇒ 25%, '2' ⇒ 12.5%). Like
+    * [[splitBucket]], the keep-decision is a pure function of (seed,
+    * content) — reproducible across engines, reruns, partitionings, and
+    * cluster sizes, which `rand()`-based sampling is not. Per-row
+    * projection + filter: no shuffle, linear at 100 TB. */
+  def sampleHex(text: Column, seed: String): Column =
+    substring(md5(concat(lit(seed + "|"), text)), 1, 1)
+
+  /** Q73 — per-stratum sample sizes under per-language rates
+    * (en 50%, de 25%, rest 12.5%), the downsampling step that rebalances a
+    * crawl before training. */
+  def q73SampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val threshold = when(col("lang") === "en", lit("8"))
+      .when(col("lang") === "de", lit("4"))
+      .otherwise(lit("2"))
+    docs(s, dir)
+      .filter(sampleHex(col("text"), "s42") < threshold)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "source")
+  }
+
+  /** Adjacent word pairs from a materialized words array (the array must be
+    * its own projection — the CollapseProject O(n²) trap, see
+    * [[winnowFingerprints]]). */
+  def bigrams(words: Column): Column =
+    transform(
+      sequence(lit(1), size(words) - 1),
+      i => concat(element_at(words, i), lit(" "), element_at(words, i + 1)))
+
+  /** Q74 — corpus-wide top-20 bigrams by frequency (the vocabulary /
+    * boilerplate-detection scan). Explode → partial-agg count → top-k:
+    * only (bigram, partial count) pairs shuffle and the final ORDER BY
+    * LIMIT plans as TakeOrderedAndProject, so the full corpus never sorts. */
+  def q74TopBigrams(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(explode(bigrams(col("words"))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  /** Duplicate-word fraction of a words array — the cheap Gopher-style
+    * repetition signal (repeated tokens ⇒ boilerplate/spam). */
+  def repetitionRatio(words: Column): Column =
+    (size(words) - size(array_distinct(words))).cast("double") / size(words)
+
+  /** Q75 — repetition-ratio profile per language. Per-row expression +
+    * one small aggregation: linear, shuffle is (lang, partials) only. */
+  def q75Repetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("lang"), repetitionRatio(col("words")).as("rep"))
+      .groupBy("lang")
+      .agg(
+        round(avg("rep"), 4).as("rep_ratio"),
+        round(max("rep"), 4).as("max_rep"),
+        count(lit(1)).as("n"))
+      .orderBy("lang")
+
+  /** URL shape for [[q78UrlDomains]]'s injected URLs and extraction. */
+  val DomainRegex = "https://([a-z0-9.]+)/"
+
+  /** Q78 — domain histogram (the per-domain accounting every web-crawl
+    * pipeline runs). The word-salad corpus has no URLs, so inject a
+    * deterministic one per doc (like Q67's PII injection) and extract the
+    * host back out with a portable regex. Per-row projection + small agg. */
+  def q78UrlDomains(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(concat(
+        coalesce(col("text"), lit("")),
+        lit(" see https://w"), col("doc_id") % 20,
+        lit(".example.org/p/"), col("doc_id")).as("dirty"))
+      .select(regexp_extract(col("dirty"), DomainRegex, 1).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("domain")
+
   /** PII redaction: mask email addresses and long digit runs (id/phone
     * shapes) with fixed placeholders. RE2-compatible character-class
     * patterns only, so Spark (Java regex) and DuckDB (RE2) substitute

@@ -70,6 +70,19 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped == 0L, s"mega-bucket not dropped, got $capped pairs")
   }
 
+  test("contaminatedIds flags exactly the docs sharing a benchmark shingle") {
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = docsDf(Seq(
+      1L -> base,                                     // clean
+      2L -> (base + " alpha beta gamma delta epsilon"), // contains an eval 5-gram
+      3L -> "beta gamma delta nothing shared here at all", // 4-gram only — clean
+      4L -> evalDoc))                                 // verbatim eval doc
+    val bench = docsDf(Seq(100L -> evalDoc))
+    val ids = Dedup.contaminatedIds(corpus, bench)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L, 4L), s"got $ids")
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     val d = docsDf(Seq(1L -> base, 2L -> (base + " tail"),
       3L -> (200 until 280).map(i => s"zzz$i").mkString(" ")))

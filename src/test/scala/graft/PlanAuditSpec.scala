@@ -165,6 +165,32 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(countShuffles(df) <= 2, s"shuffle count grew: ${countShuffles(df)}\n$plan")
   }
 
+  test("q74 top bigrams: partial agg before the shuffle, top-k not a global sort") {
+    val df = graft.operators.TextAnalysis.q74TopBigrams(spark, sfDir)
+    val plan = planString(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not rewritten:\n$plan")
+    // exploded bigrams must combine map-side: deepest HashAggregate (partial,
+    // over the explode) sits below the first Exchange in the tree printout
+    assert(plan.lastIndexOf("HashAggregate") > plan.indexOf("Exchange"),
+      s"bigrams shuffle unaggregated:\n$plan")
+  }
+
+  test("q76 decontamination: benchmark shingles broadcast into a semi-join") {
+    val plan = planString(graft.operators.Dedup.q76Decontaminate(spark, sfDir))
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+    assert(plan.contains("Broadcast"),
+      s"benchmark side should broadcast (corpus must never shuffle):\n$plan")
+  }
+
+  test("q77 embedding norms: HOF fold keeps the plan explode- and join-free") {
+    val df = graft.operators.Similarity.q77EmbeddingNorms(spark, sfDir)
+    val plan = planString(df)
+    assert(!plan.contains("Generate"), s"norms should not explode the vectors:\n$plan")
+    assert(!plan.contains("Join"), s"norms should be join-free:\n$plan")
+    // one exchange for the groupBy, one for the final orderBy
+    assert(countShuffles(df) <= 2, s"shuffle count grew: ${countShuffles(df)}\n$plan")
+  }
+
   test("q36 cosine top-k: embeddings scan prunes to id+vector columns") {
     val plan = planString(graft.operators.Similarity.q36CosineTopK(spark, sfDir))
     assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),

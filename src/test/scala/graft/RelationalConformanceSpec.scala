@@ -68,6 +68,14 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "WITH dirty AS (SELECT lang, concat(coalesce(text, ''), ' contact user', doc_id, '@example.com or call 55512340', doc_id) AS d FROM documents), r AS (SELECT lang, regexp_replace(regexp_replace(d, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+', '<EMAIL>'), '[0-9]{7,}', '<NUM>') AS clean, CAST(regexp_count(d, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+') AS BIGINT) AS n_email FROM dirty) SELECT lang, COUNT(*) AS n, SUM(n_email) AS emails_masked, SUM(CAST(regexp_count(clean, '<EMAIL>') AS BIGINT)) AS email_tags, SUM(CAST(regexp_count(clean, '<NUM>') AS BIGINT)) AS num_tags FROM r GROUP BY lang ORDER BY lang",
     "q68_sessionize" -> // ts already bigint epoch-nanos in Spark (no epoch_ns)
       "WITH e AS (SELECT user_id, ts FROM events), m AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000000 THEN 1 ELSE 0 END AS brk FROM e), s AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m), g AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY 1, 2) SELECT user_id, COUNT(*) AS n_sessions, SUM(n) AS n_events, MAX(n) AS max_session FROM g GROUP BY user_id ORDER BY user_id",
+    "q74_top_bigrams" -> // string_split_regex/list index -> split/element_at
+      "WITH w AS (SELECT split(trim(text), '\\\\s+') AS words FROM documents), e AS (SELECT concat(element_at(words, CAST(i AS INT)), ' ', element_at(words, CAST(i AS INT) + 1)) AS bigram FROM (SELECT words, explode(sequence(1, size(words) - 1)) AS i FROM w WHERE size(words) >= 2) t) SELECT bigram, COUNT(*) AS n FROM e GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20",
+    "q75_repetition" -> // list_distinct/len -> array_distinct/size
+      "SELECT lang, ROUND(AVG(rep), 4) AS rep_ratio, ROUND(MAX(rep), 4) AS max_rep, COUNT(*) AS n FROM (SELECT lang, CAST(size(words) - size(array_distinct(words)) AS DOUBLE) / size(words) AS rep FROM (SELECT lang, split(trim(text), '\\\\s+') AS words FROM documents) w) t GROUP BY lang ORDER BY lang",
+    "q76_decontaminate" -> // list_slice/array_to_string -> slice/concat_ws
+      "WITH base AS (SELECT doc_id, lang, concat(coalesce(text, ''), CASE WHEN doc_id % 7 = 0 OR doc_id % 100 = 0 THEN ' zq wv jk pq xy' ELSE '' END) AS text FROM documents), w AS (SELECT doc_id, lang, split(trim(text), '\\\\s+') AS words FROM base), shg AS (SELECT doc_id, lang, concat_ws(' ', slice(words, CAST(i AS INT), 5)) AS sh FROM (SELECT doc_id, lang, words, explode(sequence(1, size(words) - 4)) AS i FROM w WHERE size(words) >= 5) t), b AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 100 = 0), c AS (SELECT DISTINCT s.doc_id, s.lang FROM shg s JOIN b ON s.sh = b.sh WHERE s.doc_id % 100 <> 0) SELECT lang, COUNT(*) AS n_contaminated FROM c GROUP BY lang ORDER BY lang",
+    "q77_embedding_norms" -> // list_sum/list_transform -> aggregate HOF
+      "SELECT label, ROUND(AVG(nrm), 4) AS avg_norm, ROUND(MIN(nrm), 4) AS min_norm, ROUND(MAX(nrm), 4) AS max_norm, COUNT(*) AS n FROM (SELECT label, SQRT(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm FROM embeddings) t GROUP BY label ORDER BY label",
     "q53_char_ngram_jaccard" -> // range() lateral -> explode(sequence)
       "WITH w AS (SELECT doc_id, substring(text, i, 3) AS word FROM (SELECT doc_id, text, explode(sequence(1, length(text) - 2)) AS i FROM documents WHERE doc_id < 20)), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
   )

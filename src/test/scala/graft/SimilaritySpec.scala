@@ -41,6 +41,20 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
   }
 
+  test("l2Norm matches a driver-side computation exactly") {
+    val rows = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.l2Norm(col("embedding")).as("nrm"))
+      .limit(50).collect()
+    rows.foreach { r =>
+      val vec = r.getSeq[Float](1)
+      val expected = math.sqrt(
+        vec.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      assert(r.getDouble(2) == expected,
+        s"vec ${r.getLong(0)}: got ${r.getDouble(2)}, expected $expected")
+    }
+  }
+
   test("native CosineSimilarity ≡ HOF composition, interpreted and codegen") {
     val e = corpus().limit(200)
     val pairs = e.toDF("ida", "a").crossJoin(e.toDF("idb", "b")).limit(500)
