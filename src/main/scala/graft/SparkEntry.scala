@@ -101,6 +101,8 @@ object SparkEntry {
     "q76_decontaminate"    -> (Dedup.q76Decontaminate _),
     "q77_embedding_norms"  -> (Similarity.q77EmbeddingNorms _),
     "q78_url_domains"      -> (TextAnalysis.q78UrlDomains _),
+    "q79_dup_clusters"     -> (Dedup.q79DupClusters _),
+    "q80_pack_bins"        -> (TextAnalysis.q80PackBins _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -259,5 +261,11 @@ object SparkEntry {
       "SELECT label, ROUND(AVG(nrm), 4) AS avg_norm, ROUND(MIN(nrm), 4) AS min_norm, ROUND(MAX(nrm), 4) AS max_norm, COUNT(*) AS n FROM (SELECT label, SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM embeddings) t GROUP BY label ORDER BY label",
     "q78_url_domains" ->
       "SELECT domain, COUNT(*) AS n FROM (SELECT regexp_extract(concat(coalesce(text, ''), ' see https://w', doc_id % 20, '.example.org/p/', doc_id), 'https://([a-z0-9.]+)/', 1) AS domain FROM documents) t GROUP BY domain ORDER BY domain",
+    "q79_dup_clusters" -> // closed form of CC over shared-fingerprint edges:
+      // the engine side runs generic iterative min-label propagation; this
+      // window is the ground truth it must converge to
+      "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster FROM documents WHERE text IS NOT NULL ORDER BY doc_id",
+    "q80_pack_bins" ->
+      "WITH t AS (SELECT source, doc_id % 8 AS shard, doc_id, len(string_split_regex(trim(text), '\\s+')) AS tokens FROM documents), p AS (SELECT source, shard, tokens, SUM(tokens) OVER (PARTITION BY source, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS prefix FROM t), b AS (SELECT source, shard, tokens, (prefix // 2048) AS bin FROM p) SELECT source, shard, CAST(MAX(bin) + 1 AS BIGINT) AS n_bins, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM b GROUP BY source, shard ORDER BY source, shard",
   )
 }

@@ -311,6 +311,64 @@ object Dedup {
       .orderBy("lang")
   }
 
+  // --------------------------------------------------------- dup clustering
+
+  /** Connected components by iterative min-label propagation: every node
+    * repeatedly takes the minimum label among itself and its neighbors until
+    * a fixpoint. The step is one join + one partial-aggregated groupBy —
+    * pure Spark shuffle machinery, O(E) per round, rounds = graph diameter.
+    * Near-dup graphs are forests of tiny cliques (diameter ≤ a few), so this
+    * converges in 2–3 rounds at any corpus size; for adversarial long-chain
+    * graphs the same join primitive composes into large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce"), which squares
+    * the convergence. `localCheckpoint` truncates lineage each round —
+    * without it the plan doubles per iteration and the driver, not the
+    * data, becomes the bottleneck. The per-round `count()` is the
+    * convergence test (the one legitimate driver-side action in an
+    * iterative fixpoint). */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym.join(labels.select(col("id").as("nbr"), col("lbl")),
+          col("dst") === col("nbr"))
+        .groupBy("src").agg(min("lbl").as("nbr_lbl"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(labels("lbl"), coalesce(col("nbr_lbl"), labels("lbl"))).as("new_lbl"),
+          labels("lbl").as("old_lbl"))
+        .localCheckpoint()
+      changed = next.filter(col("new_lbl") =!= col("old_lbl")).count()
+      labels = next.select(col("id"), col("new_lbl").as("lbl"))
+      iter += 1
+    }
+    labels
+  }
+
+  /** Q79 — near-dup cluster assignment: the step AFTER pair mining, where
+    * pairwise duplicates become groups and one keeper survives per group.
+    * Edges here are exact-dup pairs (shared md5 fingerprint), which gives
+    * the oracle a closed form — cluster = MIN(doc_id) over the fingerprint
+    * group — so the conformance row proves the generic iterative operator
+    * actually reaches the right fixpoint. NULL-text docs are excluded:
+    * the fp-equality join isolates them while a window oracle would group
+    * them, and a NULL fingerprint is not a dup claim. */
+  def q79DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val pairs = d.toDF("id1", "fp1")
+      .join(d.toDF("id2", "fp2"), col("fp1") === col("fp2") && col("id1") < col("id2"))
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    connectedComponents(d.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------ embedding cosine dedup
 
   /** Q37 — embedding-cosine near-dup mining: top-20 most similar pairs in a

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession, Column}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -261,6 +262,38 @@ object TextAnalysis {
       .groupBy("domain")
       .agg(count(lit(1)).as("n"))
       .orderBy("domain")
+
+  /** Context-window packing: assign documents to fixed token-budget training
+    * bins by exclusive prefix-sum of token counts — bin = ⌊prefix/budget⌋, so
+    * a document may straddle a boundary (concatenate-then-slice packing).
+    * Packing is inherently sequential per stream, so the stream is the window
+    * partition key — and to keep parallelism independent of source
+    * cardinality at 100 TB, each source is pre-split into deterministic
+    * doc_id-derived shards (the q56 low-cardinality-window lesson: never
+    * window-partition by a handful of values). budget = 2^11: dividing an
+    * exact ⩽2^53 integer by a power of two is exact in doubles, so the
+    * bin id is portable across engines. */
+  val BinBudget = 2048
+
+  def packBins(d: DataFrame, nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.select(col("source"), (col("doc_id") % nShards).as("shard"),
+        col("doc_id"), wsTokens(col("text")).as("tokens"))
+      .withColumn("prefix", sum("tokens").over(w) - col("tokens"))
+      .withColumn("bin", (col("prefix") / BinBudget).cast("long"))
+  }
+
+  /** Q80 — packing summary per (source, shard): bin count, docs, tokens.
+    * n_bins pins every prefix sum (one wrong cumsum shifts the last bin). */
+  def q80PackBins(s: SparkSession, dir: String): DataFrame =
+    packBins(docs(s, dir))
+      .groupBy("source", "shard")
+      .agg(
+        (max("bin") + 1).cast("long").as("n_bins"),
+        count(lit(1)).as("n_docs"),
+        sum("tokens").as("total_tokens"))
+      .orderBy("source", "shard")
 
   /** PII redaction: mask email addresses and long digit runs (id/phone
     * shapes) with fixed placeholders. RE2-compatible character-class

@@ -76,6 +76,8 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "WITH base AS (SELECT doc_id, lang, concat(coalesce(text, ''), CASE WHEN doc_id % 7 = 0 OR doc_id % 100 = 0 THEN ' zq wv jk pq xy' ELSE '' END) AS text FROM documents), w AS (SELECT doc_id, lang, split(trim(text), '\\\\s+') AS words FROM base), shg AS (SELECT doc_id, lang, concat_ws(' ', slice(words, CAST(i AS INT), 5)) AS sh FROM (SELECT doc_id, lang, words, explode(sequence(1, size(words) - 4)) AS i FROM w WHERE size(words) >= 5) t), b AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 100 = 0), c AS (SELECT DISTINCT s.doc_id, s.lang FROM shg s JOIN b ON s.sh = b.sh WHERE s.doc_id % 100 <> 0) SELECT lang, COUNT(*) AS n_contaminated FROM c GROUP BY lang ORDER BY lang",
     "q77_embedding_norms" -> // list_sum/list_transform -> aggregate HOF
       "SELECT label, ROUND(AVG(nrm), 4) AS avg_norm, ROUND(MIN(nrm), 4) AS min_norm, ROUND(MAX(nrm), 4) AS max_norm, COUNT(*) AS n FROM (SELECT label, SQRT(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm FROM embeddings) t GROUP BY label ORDER BY label",
+    "q80_pack_bins" -> // string_split_regex/len/'//' -> split/size/div
+      "WITH t AS (SELECT source, doc_id % 8 AS shard, doc_id, CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS tokens FROM documents), p AS (SELECT source, shard, tokens, SUM(tokens) OVER (PARTITION BY source, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS prefix FROM t), b AS (SELECT source, shard, tokens, (prefix div 2048) AS bin FROM p) SELECT source, shard, CAST(MAX(bin) + 1 AS BIGINT) AS n_bins, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM b GROUP BY source, shard ORDER BY source, shard",
     "q53_char_ngram_jaccard" -> // range() lateral -> explode(sequence)
       "WITH w AS (SELECT doc_id, substring(text, i, 3) AS word FROM (SELECT doc_id, text, explode(sequence(1, length(text) - 2)) AS i FROM documents WHERE doc_id < 20)), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
   )
