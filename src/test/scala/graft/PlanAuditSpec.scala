@@ -191,6 +191,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(countShuffles(df) <= 2, s"shuffle count grew: ${countShuffles(df)}\n$plan")
   }
 
+  test("q80 packing: window partitions by (source, shard), never source alone") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.operators.TextAnalysis.q80PackBins(spark, sfDir)
+    var wins = List.empty[WindowExec]
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case w: WindowExec => wins ::= w
+        case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+        case _ => ()
+      }
+      p.children.foreach(walk); p.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(wins.nonEmpty, "expected a cumsum window in q80 plan")
+    wins.foreach(w => assert(w.partitionSpec.length >= 2,
+      s"packing window parallelism = source cardinality:\n$w"))
+  }
+
   test("q36 cosine top-k: embeddings scan prunes to id+vector columns") {
     val plan = planString(graft.operators.Similarity.q36CosineTopK(spark, sfDir))
     assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
