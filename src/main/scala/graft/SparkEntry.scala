@@ -250,7 +250,7 @@ object SparkEntry {
     "q72_limit_offset" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5",
     "q73_sample_stratified" -> // md5-seeded keep-decision, portable like q65
-      "SELECT lang, source, COUNT(*) AS n FROM documents WHERE substr(md5(concat('s42|', text)), 1, 1) < (CASE WHEN lang = 'en' THEN '8' WHEN lang = 'de' THEN '4' ELSE '2' END) GROUP BY lang, source ORDER BY lang, source",
+      "SELECT lang, source, COUNT(*) AS n FROM documents WHERE substr(md5(concat('s42|', coalesce(text, ''))), 1, 1) < (CASE WHEN lang = 'en' THEN '8' WHEN lang = 'de' THEN '4' ELSE '2' END) GROUP BY lang, source ORDER BY lang, source",
     "q74_top_bigrams" ->
       "WITH w AS (SELECT string_split_regex(trim(text), '\\s+') AS words FROM documents), e AS (SELECT words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT) + 1] AS bigram FROM (SELECT words, unnest(generate_series(1, len(words) - 1)) AS i FROM w WHERE len(words) >= 2) t) SELECT bigram, COUNT(*) AS n FROM e GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20",
     "q75_repetition" ->

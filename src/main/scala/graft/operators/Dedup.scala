@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession, Column}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.VectorOps
 
@@ -352,19 +353,23 @@ object Dedup {
 
   /** Q79 — near-dup cluster assignment: the step AFTER pair mining, where
     * pairwise duplicates become groups and one keeper survives per group.
-    * Edges here are exact-dup pairs (shared md5 fingerprint), which gives
-    * the oracle a closed form — cluster = MIN(doc_id) over the fingerprint
-    * group — so the conformance row proves the generic iterative operator
-    * actually reaches the right fixpoint. NULL-text docs are excluded:
-    * the fp-equality join isolates them while a window oracle would group
-    * them, and a NULL fingerprint is not a dup claim. */
+    * Edges here are exact-dup CHAINS (consecutive ids within a shared-md5
+    * group, via lag over the fp window) — linear in group size where the
+    * all-pairs construction is O(g²) per group and detonates on a giant
+    * identical-text cluster; chains also force real multi-hop propagation
+    * (diameter = group size − 1) instead of handing the operator 1-hop
+    * cliques. The oracle has a closed form — cluster = MIN(doc_id) over the
+    * fingerprint group — so the conformance row proves the generic
+    * iterative operator actually reaches the right fixpoint. NULL-text
+    * docs are excluded: a NULL fingerprint is not a dup claim. */
   def q79DupClusters(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), md5(col("text")).as("fp"))
-    val pairs = d.toDF("id1", "fp1")
-      .join(d.toDF("id2", "fp2"), col("fp1") === col("fp2") && col("id1") < col("id2"))
-      .select(col("id1").as("src"), col("id2").as("dst"))
-    connectedComponents(d.select(col("doc_id").as("id")), pairs)
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    val chains = d.withColumn("prev", lag("doc_id", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("src"), col("doc_id").as("dst"))
+    connectedComponents(d.select(col("doc_id").as("id")), chains)
       .select(col("id").as("doc_id"), col("lbl").as("cluster"))
       .orderBy("doc_id")
   }

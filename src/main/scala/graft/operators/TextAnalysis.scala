@@ -189,7 +189,9 @@ object TextAnalysis {
     * cluster sizes, which `rand()`-based sampling is not. Per-row
     * projection + filter: no shuffle, linear at 100 TB. */
   def sampleHex(text: Column, seed: String): Column =
-    substring(md5(concat(lit(seed + "|"), text)), 1, 1)
+    // coalesce: Spark concat NULL-propagates where DuckDB concat skips NULL
+    // args — without it a NULL text samples differently per engine
+    substring(md5(concat(lit(seed + "|"), coalesce(text, lit("")))), 1, 1)
 
   /** Q73 — per-stratum sample sizes under per-language rates
     * (en 50%, de 25%, rest 12.5%), the downsampling step that rebalances a
