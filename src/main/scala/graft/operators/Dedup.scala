@@ -111,12 +111,14 @@ object Dedup {
   val BandRows = 4       // rows per band → 4 bands
   val ShingleWords = 3
 
-  /** Word k-shingles from an already-materialized words ARRAY column.
+  /** Word k-shingles from an already-materialized words ARRAY column
+    * (space-joined k-grams; k=2 gives bigrams — TextAnalysis reuses it so
+    * there is exactly one n-gram builder).
     * Taking the array (not the raw text) matters: a split() expression
     * referenced from inside the transform lambda gets inlined by
     * CollapseProject and re-splits the whole document per shingle position —
     * O(n²)/document (same trap as TextAnalysis.winnowFingerprints). */
-  private def shingles(words: Column, k: Int = ShingleWords): Column =
+  def shingles(words: Column, k: Int = ShingleWords): Column =
     transform(
       sequence(lit(0), size(words) - k),
       i => concat_ws(" ", slice(words, i + 1, lit(k))))
@@ -279,14 +281,18 @@ object Dedup {
     * and the corpus side streams through a broadcast semi-join — the corpus
     * never shuffles, and only contaminated (doc_id) survive to the tiny
     * distinct. Exploded shingles stay columnar inside the scan stage. */
-  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, k: Int = 5): DataFrame = {
-    def sh(d: DataFrame): DataFrame = d
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+  /** `carry` columns ride along with doc_id through the shingle pass so the
+    * caller never has to re-scan the corpus just to recover them. */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, k: Int = 5,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keyCols = "doc_id" +: carry
+    def sh(d: DataFrame, keep: Seq[String]): DataFrame = d
+      .select(keep.map(col) :+ split(trim(col("text")), "\\s+").as("words"): _*)
       .filter(size(col("words")) >= k)
-      .select(col("doc_id"), explode(shingles(col("words"), k)).as("sh"))
-    sh(corpus)
-      .join(sh(benchmark).select("sh").distinct(), Seq("sh"), "left_semi")
-      .select("doc_id").distinct()
+      .select(keep.map(col) :+ explode(shingles(col("words"), k)).as("sh"): _*)
+    sh(corpus, keyCols)
+      .join(sh(benchmark, Seq("doc_id")).select("sh").distinct(), Seq("sh"), "left_semi")
+      .select(keyCols.map(col): _*).distinct()
   }
 
   /** Canary "eval sentence" for Q76 — 5 words so it is exactly one
@@ -306,48 +312,70 @@ object Dedup {
         when(col("doc_id") % 7 === 0 || col("doc_id") % 100 === 0,
           lit(" " + Canary)).otherwise(lit(""))).as("text"))
     val rest = base.filter(col("doc_id") % 100 =!= 0)
-    val contam = contaminatedIds(rest, base.filter(col("doc_id") % 100 === 0))
-    rest.join(contam, Seq("doc_id"), "left_semi")
+    // lang rides through the shingle pass (carry) — a join-back to recover
+    // it would re-scan the whole corpus a second time
+    contaminatedIds(rest, base.filter(col("doc_id") % 100 === 0), carry = Seq("lang"))
       .groupBy("lang").agg(count(lit(1)).as("n_contaminated"))
       .orderBy("lang")
   }
 
   // --------------------------------------------------------- dup clustering
 
-  /** Connected components by iterative min-label propagation: every node
-    * repeatedly takes the minimum label among itself and its neighbors until
-    * a fixpoint. The step is one join + one partial-aggregated groupBy —
-    * pure Spark shuffle machinery, O(E) per round, rounds = graph diameter.
-    * Near-dup graphs are forests of tiny cliques (diameter ≤ a few), so this
-    * converges in 2–3 rounds at any corpus size; for adversarial long-chain
-    * graphs the same join primitive composes into large-star/small-star
-    * (Kiveris et al., "Connected Components in MapReduce"), which squares
-    * the convergence. `localCheckpoint` truncates lineage each round —
-    * without it the plan doubles per iteration and the driver, not the
-    * data, becomes the bottleneck. The per-round `count()` is the
-    * convergence test (the one legitimate driver-side action in an
-    * iterative fixpoint). */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
+  /** Connected components by min-label propagation with pointer jumping:
+    * each round every node takes the minimum of its own label, its
+    * neighbors' labels, AND the label of its label (path halving) — so a
+    * diameter-d chain converges in O(log d) rounds, not O(d). The round is
+    * two joins + one partial-aggregated groupBy — pure Spark shuffle
+    * machinery, O(E + V) per round.
+    *
+    * Lineage is truncated each round by pinning the label RDD and
+    * rebuilding the DataFrame over it (without this the plan doubles per
+    * iteration and the driver, not the data, becomes the bottleneck); the
+    * previous round's RDD is unpersisted as soon as the next is
+    * materialized, so storage holds at most two label generations plus the
+    * edge set (the final generation stays pinned for the caller). The
+    * per-round `count()` is the convergence test — the one legitimate
+    * driver-side action in an iterative fixpoint. Non-convergence within
+    * `maxIter` throws rather than silently returning wrong labels. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = nodes.sparkSession
+    def pin(df: DataFrame) = {
+      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    val (sym, symRdd) = pin(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+      .distinct())
+    var (labels, labelsRdd) = pin(nodes.select(col("id"), col("id").as("lbl")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val nbrMin = sym.join(labels.select(col("id").as("nbr"), col("lbl")),
           col("dst") === col("nbr"))
         .groupBy("src").agg(min("lbl").as("nbr_lbl"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val cand = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
-          least(labels("lbl"), coalesce(col("nbr_lbl"), labels("lbl"))).as("new_lbl"),
+          least(labels("lbl"), coalesce(col("nbr_lbl"), labels("lbl"))).as("cand"),
           labels("lbl").as("old_lbl"))
-        .localCheckpoint()
+      // pointer jump: follow cand to ITS current label — labels always hold
+      // ids of same-component nodes, so the jump stays in-component while
+      // halving the distance to the component minimum
+      val jumped = cand.join(
+          labels.select(col("id").as("jid"), col("lbl").as("jlbl")),
+          col("cand") === col("jid"), "left")
+        .select(col("id"),
+          least(col("cand"), coalesce(col("jlbl"), col("cand"))).as("new_lbl"),
+          col("old_lbl"))
+      val (next, nextRdd) = pin(jumped)
       changed = next.filter(col("new_lbl") =!= col("old_lbl")).count()
+      labelsRdd.unpersist(false)
       labels = next.select(col("id"), col("new_lbl").as("lbl"))
+      labelsRdd = nextRdd
       iter += 1
     }
+    symRdd.unpersist(false)
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
 

@@ -40,10 +40,12 @@ object Similarity {
   /** L2 norm via a per-row HOF fold — no explode, no shuffle; the whole
     * computation stays inside one codegen'd projection, so it is linear in
     * rows at any scale. Fold order is left-to-right in both Spark and
-    * DuckDB, so per-row values agree exactly. */
+    * DuckDB, so per-row values agree exactly. An empty vector yields NULL
+    * (not 0.0) to match DuckDB's list_sum([]) in the Q77 oracle. */
   def l2Norm(vec: Column): Column =
-    sqrt(aggregate(vec, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(size(vec) === 0, lit(null).cast("double"))
+      .otherwise(sqrt(aggregate(vec, lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))))
 
   /** Q77 — embedding L2-norm audit per label: the sanity pass run before
     * cosine/IP indexing (un-normalized vectors silently break IP-based ANN).

@@ -207,13 +207,10 @@ object TextAnalysis {
       .orderBy("lang", "source")
   }
 
-  /** Adjacent word pairs from a materialized words array (the array must be
-    * its own projection — the CollapseProject O(n²) trap, see
-    * [[winnowFingerprints]]). */
-  def bigrams(words: Column): Column =
-    transform(
-      sequence(lit(1), size(words) - 1),
-      i => concat(element_at(words, i), lit(" "), element_at(words, i + 1)))
+  /** Adjacent word pairs from a materialized words array — [[Dedup.shingles]]
+    * at k=2, so the codebase has a single n-gram builder (and a single place
+    * documenting its CollapseProject O(n²) trap). */
+  def bigrams(words: Column): Column = Dedup.shingles(words, 2)
 
   /** Q74 — corpus-wide top-20 bigrams by frequency (the vocabulary /
     * boilerplate-detection scan). Explode → partial-agg count → top-k:

@@ -83,22 +83,24 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == Set(2L, 4L), s"got $ids")
   }
 
-  test("connectedComponents: chain, cycle, and isolated node all converge to min label") {
-    val ids = (1L to 9L)
+  test("connectedComponents: chain, cycle, isolated node, and a 25-hop chain converge") {
+    val longChain = (30L to 54L) // diameter 24 > plain-propagation budget:
+    // proves the pointer-jumping O(log d) rounds, and the convergence
+    // require() would throw if the fixpoint were not reached
+    val ids = (1L to 9L) ++ longChain
     val nodes = spark.createDataFrame(
       spark.sparkContext.parallelize(ids.map(Row(_)), 2),
       StructType(Seq(StructField("id", LongType))))
-    // chain 5-4-3-2-1 (diameter 4, forces multiple rounds), cycle 6-7-8-6,
-    // node 9 isolated
+    // chain 5-4-3-2-1 (multi-round), cycle 6-7-8-6, node 9 isolated
     val edgeRows = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L),
-      (6L, 7L), (7L, 8L), (8L, 6L))
+      (6L, 7L), (7L, 8L), (8L, 6L)) ++ longChain.init.map(i => (i, i + 1))
     val edges = spark.createDataFrame(
       spark.sparkContext.parallelize(edgeRows.map { case (a, b) => Row(a, b) }, 2),
       StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
     val got = Dedup.connectedComponents(nodes, edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 9L)
+      6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 9L) ++ longChain.map(_ -> 30L)
     assert(got == expected, s"got $got")
   }
 

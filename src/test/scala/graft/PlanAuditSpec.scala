@@ -171,6 +171,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not rewritten:\n$plan")
     // exploded bigrams must combine map-side: deepest HashAggregate (partial,
     // over the explode) sits below the first Exchange in the tree printout
+    assert(plan.contains("Exchange"), s"expected an aggregation exchange:\n$plan")
     assert(plan.lastIndexOf("HashAggregate") > plan.indexOf("Exchange"),
       s"bigrams shuffle unaggregated:\n$plan")
   }
