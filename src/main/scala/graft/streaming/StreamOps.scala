@@ -59,6 +59,18 @@ object StreamOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming CONTENT dedup: the ingest-time twin of the batch exact-dedup
+    * path (Dedup.dropExactDuplicates) — first occurrence of each content
+    * fingerprint passes, later copies are dropped, state bounded by the
+    * watermark horizon. The state key is the 128-bit md5, not the document
+    * text, so the store holds (16 bytes + key overhead) per distinct doc in
+    * the horizon — never the corpus. */
+  def dedupByContent(df: DataFrame, tsCol: String, watermark: String,
+                     textCol: String = "text"): DataFrame =
+    df.withColumn("content_fp", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("content_fp"))
+
   /** Per-key running aggregate via explicit state — the Spark-native shape
     * of the reference's in-memory offset map (AvroConsumer.java:168: state
     * keyed by partition, advanced per record, externalized periodically).

@@ -115,6 +115,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.sorted == Seq(("x", 1.0), ("y", 3.0))) // first-writer-wins
   }
 
+  test("dedupByContent drops later copies of identical text, keeps distinct text") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val dd = StreamOps.dedupByContent(
+      in.toDF().toDF("ts", "doc_id", "text"), "ts", watermark = "10 minutes")
+
+    val out = runToMemory(dd, "content_dedup")(
+      () => in.addData((ts(1), 1L, "same words here"), (ts(2), 2L, "same words here"),
+        (ts(3), 3L, "different entirely")),
+      () => in.addData((ts(4), 4L, "same words here")))
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept == Seq(1L, 3L), s"got $kept") // first copy of each content only
+  }
+
   test("runningPerKey keeps per-key state across micro-batches") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
