@@ -103,6 +103,7 @@ object SparkEntry {
     "q78_url_domains"      -> (TextAnalysis.q78UrlDomains _),
     "q79_dup_clusters"     -> (Dedup.q79DupClusters _),
     "q80_pack_bins"        -> (TextAnalysis.q80PackBins _),
+    "q81_shuffle_order"    -> (TextAnalysis.q81ShuffleOrder _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -267,5 +268,8 @@ object SparkEntry {
       "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster FROM documents WHERE text IS NOT NULL ORDER BY doc_id",
     "q80_pack_bins" ->
       "WITH t AS (SELECT source, doc_id % 8 AS shard, doc_id, len(string_split_regex(trim(text), '\\s+')) AS tokens FROM documents), p AS (SELECT source, shard, tokens, SUM(tokens) OVER (PARTITION BY source, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS prefix FROM t), b AS (SELECT source, shard, tokens, (prefix // 2048) AS bin FROM p) SELECT source, shard, CAST(MAX(bin) + 1 AS BIGINT) AS n_bins, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM b GROUP BY source, shard ORDER BY source, shard",
+    "q81_shuffle_order" -> // monolithic ROW_NUMBER: the ground truth the
+      // engine's bucketed decomposition must reproduce exactly
+      "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(concat('e1|', CAST(doc_id AS VARCHAR))), doc_id) AS BIGINT) AS pos FROM documents ORDER BY doc_id",
   )
 }

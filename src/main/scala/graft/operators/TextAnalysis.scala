@@ -262,6 +262,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy("domain")
 
+  /** Deterministic global shuffle: a reproducible training order, pos =
+    * global ROW_NUMBER by (md5(seed || id), id). A naive global window is a
+    * single-task sort — the q56 scale-killer — so the order is computed in
+    * two scale-safe steps exploiting the prefix property of the sort key:
+    * bucket = first `hexDigits` of the key (buckets partition the global
+    * order into contiguous runs), rank within bucket by window, then add
+    * the total count of lower buckets (a ≤16^hexDigits-row offset table,
+    * broadcast). Parallelism = bucket count, independent of data size;
+    * result identical to the monolithic window at any scale. */
+  def deterministicShuffle(d: DataFrame, idCol: String, seed: String,
+      hexDigits: Int = 2): DataFrame = {
+    val keyed = d.select(col(idCol),
+      md5(concat(lit(seed + "|"), col(idCol).cast("string"))).as("k"))
+      .withColumn("bucket", substring(col("k"), 1, hexDigits))
+    val ranked = keyed.withColumn("r",
+      row_number().over(Window.partitionBy("bucket").orderBy("k", idCol)))
+    // the offset table is tiny and fixed-size: a single-partition window
+    // over ≤16^hexDigits rows is free at any corpus size
+    val offsets = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum("n").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    ranked.join(broadcast(offsets.select("bucket", "off")), Seq("bucket"))
+      .select(col(idCol), (col("off") + col("r")).cast("long").as("pos"))
+  }
+
+  /** Q81 — shuffled training positions for every document (seed "e1" ≙ the
+    * epoch). The oracle is the monolithic global ROW_NUMBER — proving the
+    * bucketed decomposition reproduces it exactly. */
+  def q81ShuffleOrder(s: SparkSession, dir: String): DataFrame =
+    deterministicShuffle(docs(s, dir), "doc_id", "e1")
+      .orderBy("doc_id")
+
   /** Context-window packing: assign documents to fixed token-budget training
     * bins by exclusive prefix-sum of token counts — bin = ⌊prefix/budget⌋, so
     * a document may straddle a boundary (concatenate-then-slice packing).

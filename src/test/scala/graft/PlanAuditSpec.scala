@@ -210,6 +210,30 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"packing window parallelism = source cardinality:\n$w"))
   }
 
+  test("q81 shuffle order: data-sized window partitions by bucket, not a global sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.operators.TextAnalysis.q81ShuffleOrder(spark, sfDir)
+    var wins = List.empty[WindowExec]
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case w: WindowExec => wins ::= w
+        case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+        case _ => ()
+      }
+      p.children.foreach(walk); p.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(wins.nonEmpty, "expected windows in q81 plan")
+    // the unpartitioned window is legal ONLY over the fixed-size bucket-count
+    // aggregate (its subtree contains the groupBy); the per-row ranking
+    // window must partition by bucket
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.toString.contains("HashAggregate"),
+        s"global window over raw rows (single-task sort):\n$w")
+    }
+    assert(wins.exists(_.partitionSpec.nonEmpty), "no bucketed ranking window found")
+  }
+
   test("q36 cosine top-k: embeddings scan prunes to id+vector columns") {
     val plan = planString(graft.operators.Similarity.q36CosineTopK(spark, sfDir))
     assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
