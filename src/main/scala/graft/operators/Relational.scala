@@ -421,6 +421,35 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy("doc_id", "word")
 
+  /** Q82 — scalar conditional/arithmetic surface: GREATEST, LEAST, NULLIF,
+    * MOD, POWER — the portable subset (no transcendentals: libm vs
+    * java.lang.Math diverge in the last ulp cross-engine; POWER(2, int) is
+    * exact in both). NULLIF's NULL is COALESCE'd away: a nullable bigint
+    * data column was the r01 q41 hash-fail mode. */
+  def q82ScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        greatest(col("l_quantity").cast("long"), lit(10L)).as("g"),
+        least(col("l_quantity").cast("long"), col("l_linenumber").cast("long")).as("l"),
+        coalesce(call_function("nullif", col("l_linenumber").cast("long"), lit(3L)),
+          lit(-1L)).as("nz"),
+        pmod(col("l_orderkey"), lit(7)).cast("long").as("m"),
+        pow(lit(2), col("l_linenumber")).cast("long").as("p2"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q83 — positional generator (posexplode): token positions, the ordered
+    * variant of Q44's explode (chunk/window ops need the position, not just
+    * the token). */
+  def q83PosexplodeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("i", "word")))
+      .select(col("doc_id"), col("i").cast("long").as("i"), col("word"))
+      .orderBy("doc_id", "i")
+
   /** Q45 — analytic window functions: NTILE, DENSE_RANK, FIRST_VALUE over
     * one shared window spec (single sort per partition). */
   def q45WindowAnalytics(s: SparkSession, dir: String): DataFrame = {

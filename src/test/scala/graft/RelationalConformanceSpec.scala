@@ -80,6 +80,8 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "WITH t AS (SELECT source, doc_id % 8 AS shard, doc_id, CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS tokens FROM documents), p AS (SELECT source, shard, tokens, SUM(tokens) OVER (PARTITION BY source, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS prefix FROM t), b AS (SELECT source, shard, tokens, (prefix div 2048) AS bin FROM p) SELECT source, shard, CAST(MAX(bin) + 1 AS BIGINT) AS n_bins, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM b GROUP BY source, shard ORDER BY source, shard",
     "q81_shuffle_order" -> // VARCHAR -> STRING cast spelling
       "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(concat('e1|', CAST(doc_id AS STRING))), doc_id) AS BIGINT) AS pos FROM documents ORDER BY doc_id",
+    "q83_posexplode" -> // generate_subscripts/unnest -> LATERAL VIEW posexplode
+      "SELECT doc_id, CAST(i AS BIGINT) AS i, word FROM documents LATERAL VIEW posexplode(split(trim(text), '\\\\s+')) t AS i, word WHERE doc_id < 5 ORDER BY doc_id, i",
     "q53_char_ngram_jaccard" -> // range() lateral -> explode(sequence)
       "WITH w AS (SELECT doc_id, substring(text, i, 3) AS word FROM (SELECT doc_id, text, explode(sequence(1, length(text) - 2)) AS i FROM documents WHERE doc_id < 20)), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
   )
