@@ -273,8 +273,10 @@ object SparkEntry {
     "q81_shuffle_order" -> // monolithic ROW_NUMBER: the ground truth the
       // engine's bucketed decomposition must reproduce exactly
       "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(concat('e1|', CAST(doc_id AS VARCHAR))), doc_id) AS BIGINT) AS pos FROM documents ORDER BY doc_id",
-    "q82_scalar_funcs" -> // portable scalar subset; POWER(2, int) exact both engines
-      "SELECT l_orderkey, l_linenumber, GREATEST(CAST(l_quantity AS BIGINT), 10) AS g, LEAST(CAST(l_quantity AS BIGINT), CAST(l_linenumber AS BIGINT)) AS l, COALESCE(NULLIF(CAST(l_linenumber AS BIGINT), 3), -1) AS nz, CAST(l_orderkey % 7 AS BIGINT) AS m, CAST(POWER(2, l_linenumber) AS BIGINT) AS p2 FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber",
+    "q82_scalar_funcs" -> // portable scalar subset; POWER(2, int) exact both
+      // engines; FLOOR before BIGINT cast (bare double→int CAST truncates in
+      // Spark but rounds in DuckDB)
+      "SELECT l_orderkey, l_linenumber, GREATEST(CAST(FLOOR(l_quantity) AS BIGINT), 10) AS g, LEAST(CAST(FLOOR(l_quantity) AS BIGINT), CAST(l_linenumber AS BIGINT)) AS l, COALESCE(NULLIF(CAST(l_linenumber AS BIGINT), 3), -1) AS nz, CAST(l_orderkey % 7 AS BIGINT) AS m, CAST(POWER(2, l_linenumber) AS BIGINT) AS p2 FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber",
     "q83_posexplode" -> // generate_subscripts is 1-based, posexplode 0-based
       "SELECT doc_id, CAST(generate_subscripts(words, 1) - 1 AS BIGINT) AS i, unnest(words) AS word FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents WHERE doc_id < 5) t ORDER BY doc_id, i",
   )

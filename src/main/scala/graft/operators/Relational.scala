@@ -424,15 +424,17 @@ object Relational {
   /** Q82 — scalar conditional/arithmetic surface: GREATEST, LEAST, NULLIF,
     * MOD, POWER — the portable subset (no transcendentals: libm vs
     * java.lang.Math diverge in the last ulp cross-engine; POWER(2, int) is
-    * exact in both). NULLIF's NULL is COALESCE'd away: a nullable bigint
-    * data column was the r01 q41 hash-fail mode. */
+    * exact in both). double→BIGINT goes through FLOOR first: a bare CAST
+    * truncates in Spark but rounds in DuckDB — divergent on any fractional
+    * value — while FLOOR is identical in both. NULLIF's NULL is COALESCE'd
+    * away: a nullable bigint data column was the r01 q41 hash-fail mode. */
   def q82ScalarFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .filter(col("l_orderkey") < 100)
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        greatest(col("l_quantity").cast("long"), lit(10L)).as("g"),
-        least(col("l_quantity").cast("long"), col("l_linenumber").cast("long")).as("l"),
+        greatest(floor(col("l_quantity")).cast("long"), lit(10L)).as("g"),
+        least(floor(col("l_quantity")).cast("long"), col("l_linenumber").cast("long")).as("l"),
         coalesce(call_function("nullif", col("l_linenumber").cast("long"), lit(3L)),
           lit(-1L)).as("nz"),
         pmod(col("l_orderkey"), lit(7)).cast("long").as("m"),

@@ -270,10 +270,16 @@ object TextAnalysis {
     * order into contiguous runs), rank within bucket by window, then add
     * the total count of lower buckets (a ≤16^hexDigits-row offset table,
     * broadcast). Parallelism = bucket count, independent of data size;
-    * result identical to the monolithic window at any scale. */
+    * result identical to the monolithic window at any scale.
+    *
+    * Rows with NULL id are excluded (a NULL sort key has no portable global
+    * position). The offset branch re-scans ONLY the id column and combines
+    * map-side to ≤16^hexDigits partial rows with no data shuffle — cheaper
+    * at scale than materializing the ranked table or re-sorting a reused
+    * exchange just to count per bucket. */
   def deterministicShuffle(d: DataFrame, idCol: String, seed: String,
       hexDigits: Int = 2): DataFrame = {
-    val keyed = d.select(col(idCol),
+    val keyed = d.filter(col(idCol).isNotNull).select(col(idCol),
       md5(concat(lit(seed + "|"), col(idCol).cast("string"))).as("k"))
       .withColumn("bucket", substring(col("k"), 1, hexDigits))
     val ranked = keyed.withColumn("r",

@@ -62,14 +62,21 @@ object StreamOps {
   /** Streaming CONTENT dedup: the ingest-time twin of the batch exact-dedup
     * path (Dedup.dropExactDuplicates) — first occurrence of each content
     * fingerprint passes, later copies are dropped, state bounded by the
-    * watermark horizon. The state key is the 128-bit md5, not the document
-    * text, so the store holds (16 bytes + key overhead) per distinct doc in
-    * the horizon — never the corpus. */
+    * watermark horizon. The state key is the 16-byte binary md5 (unhex'd),
+    * not the document text, so the store holds 16 bytes + key overhead per
+    * distinct doc in the horizon — never the corpus. NULL-text rows pass
+    * through un-deduped (a NULL fingerprint is not a dup claim — the same
+    * contract as the batch q79 oracle), and the output schema equals the
+    * input schema (the fingerprint column is internal). */
   def dedupByContent(df: DataFrame, tsCol: String, watermark: String,
-                     textCol: String = "text"): DataFrame =
-    df.withColumn("content_fp", md5(col(textCol)))
+                     textCol: String = "text"): DataFrame = {
+    val withFp = df.withColumn("__fp", unhex(md5(col(textCol))))
+    withFp.filter(col("__fp").isNotNull)
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark(Seq("content_fp"))
+      .dropDuplicatesWithinWatermark(Seq("__fp"))
+      .drop("__fp")
+      .unionByName(withFp.filter(col("__fp").isNull).drop("__fp"))
+  }
 
   /** Per-key running aggregate via explicit state — the Spark-native shape
     * of the reference's in-memory offset map (AvroConsumer.java:168: state

@@ -125,10 +125,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val out = runToMemory(dd, "content_dedup")(
       () => in.addData((ts(1), 1L, "same words here"), (ts(2), 2L, "same words here"),
-        (ts(3), 3L, "different entirely")),
-      () => in.addData((ts(4), 4L, "same words here")))
+        (ts(3), 3L, "different entirely"), (ts(3), 5L, null)),
+      () => in.addData((ts(4), 4L, "same words here"), (ts(4), 6L, null)))
+    assert(out.columns.toSeq == Seq("ts", "doc_id", "text"), "schema must equal input")
     val kept = out.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
-    assert(kept == Seq(1L, 3L), s"got $kept") // first copy of each content only
+    // first copy of each content; BOTH null-text rows pass through un-deduped
+    assert(kept == Seq(1L, 3L, 5L, 6L), s"got $kept")
   }
 
   test("runningPerKey keeps per-key state across micro-batches") {
