@@ -20,6 +20,25 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("integer-cents encoding is exact for every 2-dp money double (property)") {
+    // the money-aggregate refactor rests on: round(x*100) recovers the true
+    // cents for ANY 2-dp value stored as a double — including ones where
+    // x*100 lands just below/above the integer in binary
+    val centsGen = org.scalacheck.Gen.chooseNum(0L, 999999999L) // up to $10M
+    val samples = (1 to 500).flatMap(i =>
+      centsGen.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong))) ++
+      Seq(0L, 1L, 99L, 100L, 101L, 4999L, 5001L, 999999999L)
+    val sp = spark
+    import sp.implicits._
+    val d = samples.map(c => (c, c / 100.0)).toDF("true_cents", "x")
+    val bad = d.select(col("true_cents"),
+        round(col("x") * 100).cast("long").as("enc"))
+      .filter(col("enc") =!= col("true_cents"))
+      .count()
+    assert(bad == 0L, s"$bad values round-tripped wrong through cents encoding")
+  }
+
   test("map functions: map_keys / map_values / element_at") {
     val d = Tables(spark, sfDir, "nation")
       .select(map(lit("name"), col("n_name"), lit("key"), col("n_nationkey").cast("string")).as("m"))
