@@ -2,21 +2,35 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — driver contract: print ONE JSON line
-  * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
+/** Benchmark main — driver contract: print ONE machine-parseable JSON line.
   *
-  * The line is kept SHORT (totals + per-query cold seconds at 2 dp): round 1's
-  * 3 KB line with both passes inline overflowed the driver's tail capture and
-  * the round's bench couldn't be machine-parsed (BENCH_r01 parsed:null). Full
-  * cold+warm per-query detail goes to bench_detail.json instead.
+  * The stdout line carries TOTALS ONLY (metric/value, cold/warm/best totals,
+  * failure list, pipeline rows/s, detail-file pointer) — ~250 bytes at any
+  * query count. Rounds 1 and 2 both shipped per-query data inline and both
+  * overflowed the driver's 2,000-char tail capture (BENCH_r01/r02
+  * parsed:null); per-query numbers live ONLY in bench_detail.json now.
   *
-  * A query that throws is reported as -1 in the queries map and listed under
-  * "failures" — a failure must be visible in the JSON, not a plausible-looking
-  * wall-clock number with a buried stderr note.
+  * Headline metric = total_best (per-query min over the two passes): a
+  * host-contention burst hits one pass of a query, rarely both, so this is
+  * the number that reflects plan cost rather than machine weather (r02
+  * verdict #4).
+  *
+  * Pipeline throughput is measured BEFORE the query passes (clean-engine
+  * number, comparable across rounds) and again AFTER (if the after-number
+  * collapses, some query leaked executor state into the long-lived session —
+  * exactly the r02 persist-leak signature).
+  *
+  * A query that throws is reported in "failures" — a failure must be visible
+  * in the JSON, not a plausible-looking wall-clock number with a buried
+  * stderr note.
   *
   * Each query is materialized through the noop sink (full plan execution
   * including sorts — a bare .count() would let Catalyst eliminate ORDER BY
-  * and skip column materialization, under-reporting honest cost). */
+  * and skip column materialization, under-reporting honest cost). After each
+  * query, persisted blocks are swept (GraftSession.releasePersisted, outside
+  * the timed section): operators like the LSH pipeline persist intermediates
+  * under their lazy plans, and leaving them pinned bled storage pressure
+  * into every query that ran after q50/q79 in the r02 bench. */
 object Bench {
   def main(args: Array[String]): Unit = {
     // f-interpolators are locale-sensitive: a comma-decimal locale would
@@ -38,6 +52,9 @@ object Bench {
     // for classloading/codegen infrastructure.
     Tables.names.foreach(n => Tables(spark, sfDir, n).count())
 
+    // Clean-engine pipeline number, measured before any query can leak state
+    val pipelineRps = benchPipeline(spark)
+
     // (name, seconds, ok) — failed queries carry their elapsed-until-throw
     // but are marked and excluded from totals
     def onePass(): Seq[(String, Double, Boolean)] =
@@ -48,7 +65,9 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        val sec = (System.nanoTime() - t0) / 1e9
+        GraftSession.releasePersisted(spark) // outside the timed section
+        (name, sec, ok)
       }
     // pass 1 pays per-plan codegen/classload; pass 2 is steady-state — the
     // number that corresponds to sustained throughput on a long-lived cluster
@@ -58,26 +77,26 @@ object Bench {
     val failures = (cold ++ warm).filterNot(_._3).map(_._1).distinct.sorted
     val total = cold.filter(_._3).map(_._2).sum
     val totalWarm = warm.filter(_._3).map(_._2).sum
-    // per-query min over the two passes: a host-contention burst hits one
-    // pass of a query, rarely both — this is the contention-robust total
     val totalBest = cold.filter(_._3)
       .map { case (k, v, _) => math.min(v, warmByName(k)._2) }.sum
-    val pipelineRps = benchPipeline(spark)
+
+    // Post-suite pipeline re-measurement: equal to the pre-number when the
+    // suite left the session clean; collapsed in r02 (persist leak).
+    val pipelineRpsAfter = benchPipeline(spark)
 
     def secOrFail(t: Double, ok: Boolean): String = if (ok) f"$t%.2f" else "-1"
-    val qs = cold.map { case (k, v, ok) => "\"" + k + "\":" + secOrFail(v, ok) }
-      .mkString("{", ",", "}")
     val detail = cold.map { case (k, cv, cok) =>
       val (_, wv, wok) = warmByName(k)
-      "\"" + k + f"""\":{"cold":${secOrFail(cv, cok)},"warm":${secOrFail(wv, wok)}}"""
+      val best = secOrFail(math.min(cv, wv), cok && wok)
+      "\"" + k + f"""\":{"cold":${secOrFail(cv, cok)},"warm":${secOrFail(wv, wok)},"best":$best}"""
     }.mkString("{", ",", "}")
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailPath = "bench_detail.json"
     val pw = new java.io.PrintWriter(detailPath)
-    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"queries":$detail,"failures":$failJson,"sf":"$sfDir"}""")
+    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"queries":$detail,"failures":$failJson,"sf":"$sfDir"}""")
     finally pw.close()
 
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"pipeline_rows_per_sec":$pipelineRps%.0f,"sf":"$sfDir","detail":"$detailPath"}""")
+    println(f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"pipeline_rows_per_sec":$pipelineRps%.0f,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 

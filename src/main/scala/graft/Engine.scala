@@ -40,6 +40,21 @@ object GraftSession {
     s.conf.set("spark.sql.session.timeZone", "UTC")
     s
   }
+
+  /** Deterministically release every persisted block in the session.
+    *
+    * Operators that persist intermediates (Dedup's LSH band/candidate/token
+    * tables, connectedComponents' label generations) hand back lazy plans
+    * that reference pinned storage; a harness that runs MANY plans through
+    * one long-lived session (Bench, Verify) must call this after
+    * materializing each result so one query's working set never bleeds into
+    * the next query's measurement. Relying on ContextCleaner GC is not
+    * deterministic — blocks stay pinned until a driver GC happens to run
+    * (r02 bench: a contiguous run of slowed queries right after q50/q79 in
+    * both passes). blocking=true so the release completes before the next
+    * query is timed. */
+  def releasePersisted(s: SparkSession): Unit =
+    s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
 }
 
 /** Loader for the driver-generated test tables (TESTDATA.md). One parquet

@@ -193,8 +193,12 @@ object SparkEntry {
       "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents WHERE doc_id < 100 ORDER BY doc_id",
     // q39_lsh_buckets, q40_winnow_fingerprint: engine-internal hash families
     // (random-hyperplane LSH, winnowing) — rows-only checks.
-    "q41_asof_join" -> // COALESCE(-1): NULL bigint was the r01 hash-fail cause
-      "WITH u AS (SELECT user_id, epoch_ns(ts) AS ts, 1 AS is_click FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, epoch_ns(ts) AS ts, 0 AS is_click FROM events WHERE event_type = 'purchase') SELECT user_id, ts, COALESCE(last_purchase_ts, -1) AS last_purchase_ts FROM (SELECT user_id, ts, is_click, MAX(CASE WHEN is_click = 0 THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, is_click ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts FROM u) w WHERE is_click = 1 ORDER BY user_id, ts",
+    "q41_asof_join" -> // microsecond resolution both sides: DuckDB reads the
+      // nanos parquet column as a µs TIMESTAMP (epoch_ns % 1000 = 0 on every
+      // row — verified), so epoch_us is its native exact value; Spark
+      // truncates its nanos to match (ts div 1000). COALESCE(-1): NULL bigint
+      // data columns hash-diverge cross-engine (r01).
+      "WITH u AS (SELECT user_id, epoch_us(ts) AS ts, 1 AS is_click FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, epoch_us(ts) AS ts, 0 AS is_click FROM events WHERE event_type = 'purchase') SELECT user_id, ts, COALESCE(last_purchase_ts, -1) AS last_purchase_ts FROM (SELECT user_id, ts, is_click, MAX(CASE WHEN is_click = 0 THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, is_click ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts FROM u) w WHERE is_click = 1 ORDER BY user_id, ts",
     "q42_percentiles" ->
       "SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.25), 2) AS p25, ROUND(quantile_cont(l_quantity, 0.5), 2) AS p50, ROUND(quantile_cont(l_quantity, 0.75), 2) AS p75, ROUND(quantile_cont(l_quantity, 0.99), 2) AS p99 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q43_pivot" ->
@@ -272,7 +276,10 @@ object SparkEntry {
       "WITH t AS (SELECT source, doc_id % 8 AS shard, doc_id, len(string_split_regex(trim(text), '\\s+')) AS tokens FROM documents), p AS (SELECT source, shard, tokens, SUM(tokens) OVER (PARTITION BY source, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS prefix FROM t), b AS (SELECT source, shard, tokens, (prefix // 2048) AS bin FROM p) SELECT source, shard, CAST(MAX(bin) + 1 AS BIGINT) AS n_bins, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM b GROUP BY source, shard ORDER BY source, shard",
     "q81_shuffle_order" -> // monolithic ROW_NUMBER: the ground truth the
       // engine's bucketed decomposition must reproduce exactly
-      "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(concat('e1|', CAST(doc_id AS VARCHAR))), doc_id) AS BIGINT) AS pos FROM documents ORDER BY doc_id",
+      // WHERE doc_id IS NOT NULL: the engine's deterministicShuffle declares
+      // a null-id exclusion contract — encode it on the oracle side too
+      // rather than relying on the fixture never producing NULL doc_ids
+      "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(concat('e1|', CAST(doc_id AS VARCHAR))), doc_id) AS BIGINT) AS pos FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id",
     "q82_scalar_funcs" -> // portable scalar subset; POWER(2, int) exact both
       // engines; FLOOR before BIGINT cast (bare double→int CAST truncates in
       // Spark but rounds in DuckDB)

@@ -24,6 +24,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators that persist intermediates (LSH, connected components)
+      // must not pin storage across the remaining 80+ queries
+      GraftSession.releasePersisted(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

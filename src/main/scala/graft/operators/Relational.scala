@@ -340,23 +340,30 @@ object Relational {
     * sort within user by (ts, side) with purchases first on ties, and carry
     * the running max purchase-ts forward. ONE shuffle on user_id and linear
     * work per partition — the 100 TB scale path; a BNLJ or a per-left-row
-    * subquery would be quadratic. */
+    * subquery would be quadratic.
+    *
+    * Resolution contract: events.ts is parquet TIMESTAMP(NANOS), which Spark
+    * reads as bigint epoch-nanos (nanosAsLong) but DuckDB — the correctness
+    * oracle — surfaces as a microsecond-precision TIMESTAMP (verified:
+    * epoch_ns(ts) % 1000 = 0 on every row; it cannot see nanos at all). The
+    * as-of semantics are therefore defined at MICROSECOND resolution on both
+    * sides: truncate first, so window ordering, purchase-first tie-breaks and
+    * emitted values are all micro-exact and engine-independent. (Ordering by
+    * full nanos here would diverge whenever a click and purchase share a
+    * microsecond but not a nanosecond.) COALESCE(-1): clicks before any
+    * purchase are genuinely NULL; -1 is out-of-band for epoch-micros. */
   def q41AsofJoin(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
+    val e = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
     val u = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), lit(1).as("is_click"))
+      .select(col("user_id"), col("ts_us"), lit(1).as("is_click"))
       .unionByName(e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), lit(0).as("is_click")))
-    val w = Window.partitionBy("user_id").orderBy("ts", "is_click")
+        .select(col("user_id"), col("ts_us"), lit(0).as("is_click")))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "is_click")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // COALESCE(-1): clicks before any purchase are genuinely NULL here, and
-    // a NULL bigint data column was the one place the cross-engine compare
-    // path diverged (CORRECTNESS_r01 q41 hash-fail); -1 is out-of-band for
-    // epoch-nanos so no information is lost.
     u.withColumn("last_purchase_ts",
-        coalesce(max(when(col("is_click") === 0, col("ts"))).over(w), lit(-1L)))
+        coalesce(max(when(col("is_click") === 0, col("ts_us"))).over(w), lit(-1L)))
       .filter(col("is_click") === 1)
-      .select("user_id", "ts", "last_purchase_ts")
+      .select(col("user_id"), col("ts_us").as("ts"), col("last_purchase_ts"))
       .orderBy("user_id", "ts")
   }
 

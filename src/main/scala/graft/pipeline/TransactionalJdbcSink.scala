@@ -130,14 +130,28 @@ class TransactionalJdbcSink(
       case other       => ps.setObject(i, v)
     }
 
-  /** Some(recorded n_slots) if this (batch, slot) is already committed. */
+  /** Some(recorded n_slots) if this (batch, slot) is already committed.
+    * A committed row with NULL n_slots (written before the n_slots
+    * migration) throws with its real cause — `rs.getInt` alone would
+    * surface NULL as 0 and the error would misreport "numSlots=0". */
   private def ledgerSlots(conn: Connection, batchId: Long, pid: Int): Option[Int] = {
     val ps = conn.prepareStatement(
       s"""SELECT n_slots FROM "$ledgerTable" WHERE query_id=? AND batch_id=? AND partition_id=?""")
     try {
       ps.setString(1, queryId); ps.setLong(2, batchId); ps.setInt(3, pid)
       val rs = ps.executeQuery()
-      try { if (rs.next()) Some(rs.getInt(1)) else None } finally rs.close()
+      try {
+        if (!rs.next()) None
+        else {
+          val recorded = rs.getInt(1)
+          if (rs.wasNull())
+            throw new IllegalStateException(
+              s"ledger row for ($queryId, batch $batchId, slot $pid) predates " +
+                "the n_slots migration (NULL n_slots); its slot layout is " +
+                "unknowable — re-ledger the batch before replaying")
+          Some(recorded)
+        }
+      } finally rs.close()
     } finally ps.close()
   }
 
@@ -200,20 +214,24 @@ class TransactionalJdbcSink(
   private def requireConsistentSlots(batchId: Long): Unit = {
     val conn = DriverManager.getConnection(url)
     try {
+      // NULL n_slots counts as a mismatch, not a pass: a pre-migration
+      // ledger row means the batch's original slot layout is unknowable, so
+      // letting the job start would commit overlapping rows on the
+      // un-ledgered slot ids before any per-slot check could fire — the
+      // exact partial-commit duplicate leak this gate exists to prevent.
       val ps = conn.prepareStatement(
-        s"""SELECT MIN(n_slots) FROM "$ledgerTable" WHERE query_id=? AND batch_id=?""")
+        s"""SELECT COUNT(*) FROM "$ledgerTable"
+           | WHERE query_id=? AND batch_id=? AND (n_slots IS NULL OR n_slots <> ?)""".stripMargin)
       try {
-        ps.setString(1, queryId); ps.setLong(2, batchId)
+        ps.setString(1, queryId); ps.setLong(2, batchId); ps.setInt(3, numSlots)
         val rs = ps.executeQuery()
         try {
-          if (rs.next()) {
-            val recorded = rs.getInt(1)
-            if (!rs.wasNull() && recorded != numSlots)
-              throw new IllegalStateException(
-                s"ledger for ($queryId, batch $batchId) was written with " +
-                  s"numSlots=$recorded but this sink uses numSlots=$numSlots; " +
-                  "replay with the original slot count")
-          }
+          rs.next()
+          if (rs.getLong(1) > 0L)
+            throw new IllegalStateException(
+              s"ledger for ($queryId, batch $batchId) has rows written with a " +
+                s"different or pre-migration (NULL) slot count; this sink uses " +
+                s"numSlots=$numSlots — replay with the original slot count")
         } finally rs.close()
       } finally ps.close()
     } finally conn.close()

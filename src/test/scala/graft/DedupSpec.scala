@@ -104,6 +104,24 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected, s"got $got")
   }
 
+  test("connectedComponents: a seeded lbl column is honored and verified to the fixpoint") {
+    // chain 1-2-3-4-5 seeded with in-component upper bounds (q79's pattern:
+    // seeds = a closed-form labeling the operator must PRESERVE, converging
+    // in one verification round); node 5 gets a non-final seed (4) to prove
+    // seeds are a starting point, not a blind passthrough
+    val ids = 1L to 5L
+    val nodes = spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(i => Row(i, if (i == 5L) 4L else 1L)), 2),
+      StructType(Seq(StructField("id", LongType), StructField("lbl", LongType))))
+    val edges = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).map {
+        case (a, b) => Row(a, b) }, 2),
+      StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
+    val got = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ids.map(_ -> 1L).toMap, s"got $got")
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     val d = docsDf(Seq(1L -> base, 2L -> (base + " tail"),
       3L -> (200 until 280).map(i => s"zzz$i").mkString(" ")))

@@ -70,6 +70,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not rewritten:\n$plan")
   }
 
+  test("exact-dedup fingerprint keys are 16-byte BINARY, not 32-char hex") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.BinaryType
+    val docs = Tables(spark, sfDir, "documents")
+    // the shuffle key the keeper-election groupBy carries at 100 TB: half
+    // the bytes of md5's hex string form
+    assert(docs.select(graft.operators.Dedup.contentFp(col("text")).as("fp"))
+      .schema("fp").dataType == BinaryType, "contentFp must be binary")
+    val plan = planString(graft.operators.Dedup.dropExactDuplicates(docs))
+    assert(plan.contains("unhex"), s"dedup key not binary (no unhex in plan):\n$plan")
+  }
+
   test("q05/q06: EXISTS / NOT EXISTS lower to semi/anti joins") {
     assert(planString(graft.operators.Relational.q05JoinSemi(spark, sfDir))
       .contains("LeftSemi"), "no semi join")

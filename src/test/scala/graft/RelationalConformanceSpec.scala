@@ -48,8 +48,9 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "WITH f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM embeddings LATERAL VIEW posexplode(embedding) t AS i, v WHERE vec_id < 300), d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, SUM(a.v * b.v) AS dot, SUM(a.v * a.v) AS qq, SUM(b.v * b.v) AS cc FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2) SELECT id1, id2, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d ORDER BY sim DESC, id1, id2 LIMIT 20",
     "q38_multimodal_bytes" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes FROM documents WHERE doc_id < 100 ORDER BY doc_id",
-    "q41_asof_join" -> // ts is already bigint epoch-nanos in Spark (no epoch_ns)
-      "WITH u AS (SELECT user_id, ts, 1 AS is_click FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, ts, 0 AS is_click FROM events WHERE event_type = 'purchase') SELECT user_id, ts, COALESCE(last_purchase_ts, -1) AS last_purchase_ts FROM (SELECT user_id, ts, is_click, MAX(CASE WHEN is_click = 0 THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, is_click ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts FROM u) w WHERE is_click = 1 ORDER BY user_id, ts",
+    "q41_asof_join" -> // ts is bigint epoch-nanos in Spark; div 1000 ≡ the
+      // oracle's epoch_us (micro resolution contract, see q41AsofJoin doc)
+      "WITH u AS (SELECT user_id, ts div 1000 AS ts, 1 AS is_click FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, ts div 1000 AS ts, 0 AS is_click FROM events WHERE event_type = 'purchase') SELECT user_id, ts, COALESCE(last_purchase_ts, -1) AS last_purchase_ts FROM (SELECT user_id, ts, is_click, MAX(CASE WHEN is_click = 0 THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, is_click ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts FROM u) w WHERE is_click = 1 ORDER BY user_id, ts",
     "q42_percentiles" -> // quantile_cont -> percentile (both exact interpolated)
       "SELECT l_returnflag, ROUND(percentile(l_quantity, 0.25), 2) AS p25, ROUND(percentile(l_quantity, 0.5), 2) AS p50, ROUND(percentile(l_quantity, 0.75), 2) AS p75, ROUND(percentile(l_quantity, 0.99), 2) AS p99 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q44_explode_tokens" -> // unnest/string_split_regex -> explode/split
@@ -79,7 +80,7 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q80_pack_bins" -> // string_split_regex/len/'//' -> split/size/div
       "WITH t AS (SELECT source, doc_id % 8 AS shard, doc_id, CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS tokens FROM documents), p AS (SELECT source, shard, tokens, SUM(tokens) OVER (PARTITION BY source, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS prefix FROM t), b AS (SELECT source, shard, tokens, (prefix div 2048) AS bin FROM p) SELECT source, shard, CAST(MAX(bin) + 1 AS BIGINT) AS n_bins, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM b GROUP BY source, shard ORDER BY source, shard",
     "q81_shuffle_order" -> // VARCHAR -> STRING cast spelling
-      "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(concat('e1|', CAST(doc_id AS STRING))), doc_id) AS BIGINT) AS pos FROM documents ORDER BY doc_id",
+      "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(concat('e1|', CAST(doc_id AS STRING))), doc_id) AS BIGINT) AS pos FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id",
     "q83_posexplode" -> // generate_subscripts/unnest -> LATERAL VIEW posexplode
       "SELECT doc_id, CAST(i AS BIGINT) AS i, word FROM documents LATERAL VIEW posexplode(split(trim(text), '\\\\s+')) t AS i, word WHERE doc_id < 5 ORDER BY doc_id, i",
     "q53_char_ngram_jaccard" -> // range() lateral -> explode(sequence)
