@@ -106,6 +106,8 @@ object SparkEntry {
     "q81_shuffle_order"    -> (TextAnalysis.q81ShuffleOrder _),
     "q82_scalar_funcs"     -> (Relational.q82ScalarFuncs _),
     "q83_posexplode"       -> (Relational.q83PosexplodeTokens _),
+    "q84_length_buckets"   -> (TextAnalysis.q84LengthBuckets _),
+    "q85_quality_gate"     -> (TextAnalysis.q85QualityGate _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -286,5 +288,12 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, GREATEST(CAST(FLOOR(l_quantity) AS BIGINT), 10) AS g, LEAST(CAST(FLOOR(l_quantity) AS BIGINT), CAST(l_linenumber AS BIGINT)) AS l, COALESCE(NULLIF(CAST(l_linenumber AS BIGINT), 3), -1) AS nz, CAST(l_orderkey % 7 AS BIGINT) AS m, CAST(POWER(2, l_linenumber) AS BIGINT) AS p2 FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber",
     "q83_posexplode" -> // generate_subscripts is 1-based, posexplode 0-based
       "SELECT doc_id, CAST(generate_subscripts(words, 1) - 1 AS BIGINT) AS i, unnest(words) AS word FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents WHERE doc_id < 5) t ORDER BY doc_id, i",
+    "q84_length_buckets" -> // integer CASE ladder (no float log bucketing);
+      // avg from the exact integer sum, not engine AVG
+      "WITH t AS (SELECT lang, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tokens FROM documents WHERE text IS NOT NULL), b AS (SELECT lang, tokens, CASE WHEN tokens < 16 THEN 'a_lt16' WHEN tokens < 32 THEN 'b_16_31' WHEN tokens < 64 THEN 'c_32_63' WHEN tokens < 128 THEN 'd_64_127' ELSE 'e_128_plus' END AS bucket FROM t) SELECT lang, bucket, COUNT(*) AS n, CAST(SUM(tokens) AS BIGINT) AS total_tokens, ROUND(CAST(SUM(tokens) AS DOUBLE) / COUNT(*), 2) AS avg_tokens FROM b GROUP BY lang, bucket ORDER BY lang, bucket",
+    "q85_quality_gate" -> // discrete order statistic via integer 4*cum >= n:
+      // both sides spell out the same algorithm — no engine quantile
+      // function whose interpolation could differ in the last ulp
+      "WITH s AS (SELECT lang, CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / LENGTH(text) AS score FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0), g AS (SELECT lang, score, COUNT(*) AS cnt FROM s GROUP BY 1, 2), c AS (SELECT lang, score, SUM(cnt) OVER (PARTITION BY lang ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g), t AS (SELECT lang, COUNT(*) AS n FROM s GROUP BY lang), thr AS (SELECT c.lang, MIN(score) AS thr FROM c JOIN t ON c.lang = t.lang WHERE cum * 4 >= n GROUP BY c.lang) SELECT s.lang, COUNT(*) AS n_kept, ROUND(AVG(score), 4) AS avg_kept_score, ROUND(MIN(score), 4) AS min_kept_score FROM s JOIN thr ON s.lang = thr.lang WHERE score >= thr GROUP BY s.lang ORDER BY s.lang",
   )
 }

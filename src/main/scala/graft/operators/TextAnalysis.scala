@@ -366,4 +366,66 @@ object TextAnalysis {
         sum(regexp_count(col("clean"), lit("<NUM>")).cast("long")).as("num_tags"))
       .orderBy("lang")
   }
+
+  /** Q84 — sequence-length curriculum buckets: the histogram every training
+    * pipeline builds before length-grouped batching / curriculum ordering.
+    * Bucketing is a CASE ladder on integer token thresholds (not
+    * FLOOR(LOG2(...)): float log bucketing can flip a boundary row between
+    * engines; integer comparisons cannot), and the bucket labels carry an
+    * ordering prefix so ORDER BY bucket is total. avg is emitted as the
+    * exact integer sum divided once (not engine AVG) so the double is
+    * constructed identically on both sides. Pure projection + partial agg —
+    * only (lang, bucket) partials shuffle; linear at 100 TB. */
+  def q84LengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val tk = col("tokens")
+    val bucket = when(tk < 16, "a_lt16").when(tk < 32, "b_16_31")
+      .when(tk < 64, "c_32_63").when(tk < 128, "d_64_127")
+      .otherwise("e_128_plus")
+    docs(s, dir).filter(col("text").isNotNull)
+      .select(col("lang"), wsTokens(col("text")).as("tokens"))
+      .select(col("lang"), tk, bucket.as("bucket"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n"), sum(tk).as("total_tokens"))
+      .select(col("lang"), col("bucket"), col("n"), col("total_tokens"),
+        round(col("total_tokens").cast("double") / col("n"), 2).as("avg_tokens"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** Q85 — per-language quality-quantile gate: drop the bottom quartile of
+    * documents by alphabetic-ratio score, EXACTLY. The threshold is the
+    * discrete order statistic "smallest score with 4·cum_count ≥ n_lang" —
+    * integer arithmetic, so no engine quantile-interpolation semantics
+    * (percentile vs quantile_cont differ in the last ulp and a boundary row
+    * would flip) and no float ceil.
+    *
+    * Scale shape: scores are AGGREGATED first (groupBy(lang, score)), so
+    * the per-lang cumulative window runs over distinct score values, not
+    * documents — the q62 discipline: a low-cardinality window key is only
+    * safe above an aggregate. The threshold table (one row per lang)
+    * broadcasts back; the corpus itself never shuffles for the gate. At
+    * 100 TB the same plan holds; the sketch path swaps the exact threshold
+    * for approx_percentile. NULL/empty text is excluded up front — a NULL
+    * score is not a quality claim. */
+  def q85QualityGate(s: SparkSession, dir: String): DataFrame = {
+    val score = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+      .cast("double") / length(col("text"))
+    val scored = docs(s, dir)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("lang"), score.as("score"))
+    val wcum = Window.partitionBy("lang").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+    val thresholds = scored.groupBy("lang", "score").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wcum))
+      .join(broadcast(totals), Seq("lang"))
+      .filter(col("cum") * 4 >= col("n"))
+      .groupBy("lang").agg(min("score").as("thr"))
+    scored.join(broadcast(thresholds), Seq("lang"))
+      .filter(col("score") >= col("thr"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        round(avg("score"), 4).as("avg_kept_score"),
+        round(min("score"), 4).as("min_kept_score"))
+      .orderBy("lang")
+  }
 }

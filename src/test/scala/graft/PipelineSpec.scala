@@ -298,6 +298,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mig.dataCount() == 1000)
     assert(mig.ledgerCount() == 2)
 
+    // a batch with a surviving PRE-migration ledger row (NULL n_slots) must
+    // refuse up front: its original slot layout is unknowable, and letting
+    // the job start would commit overlapping rows on un-ledgered slot ids
+    // before any per-slot check fired — the partial-commit duplicate leak
+    val nconn = java.sql.DriverManager.getConnection(migUrl)
+    try nconn.createStatement().execute(
+      """INSERT INTO "batch_ledger" (query_id, batch_id, partition_id, row_count)
+        | VALUES ('mig-q', 5, 0, 10)""".stripMargin)
+    finally nconn.close()
+    intercept[IllegalStateException] { mig.writeBatch(df, batchId = 5) }
+    assert(mig.dataCount() == 1000) // nothing leaked before the refusal
+
     // JDBC SCAN (SURVEY §2.3.1 R12 read direction): Spark reads the landed
     // table back and the round-trip preserves every row.
     val back = spark.read.format("jdbc")
