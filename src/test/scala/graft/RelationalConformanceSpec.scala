@@ -83,6 +83,10 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(concat('e1|', CAST(doc_id AS STRING))), doc_id) AS BIGINT) AS pos FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id",
     "q83_posexplode" -> // generate_subscripts/unnest -> LATERAL VIEW posexplode
       "SELECT doc_id, CAST(i AS BIGINT) AS i, word FROM documents LATERAL VIEW posexplode(split(trim(text), '\\\\s+')) t AS i, word WHERE doc_id < 5 ORDER BY doc_id, i",
+    "q84_length_buckets" -> // string_split_regex/len -> split/size
+      "WITH t AS (SELECT lang, CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS tokens FROM documents WHERE text IS NOT NULL), b AS (SELECT lang, tokens, CASE WHEN tokens < 16 THEN 'a_lt16' WHEN tokens < 32 THEN 'b_16_31' WHEN tokens < 64 THEN 'c_32_63' WHEN tokens < 128 THEN 'd_64_127' ELSE 'e_128_plus' END AS bucket FROM t) SELECT lang, bucket, COUNT(*) AS n, CAST(SUM(tokens) AS BIGINT) AS total_tokens, ROUND(CAST(SUM(tokens) AS DOUBLE) / COUNT(*), 2) AS avg_tokens FROM b GROUP BY lang, bucket ORDER BY lang, bucket",
+    "q85_quality_gate" -> // no 'g' flag in Spark regexp_replace (global is default)
+      "WITH s AS (SELECT lang, CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '')) AS DOUBLE) / LENGTH(text) AS score FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0), g AS (SELECT lang, score, COUNT(*) AS cnt FROM s GROUP BY 1, 2), c AS (SELECT lang, score, SUM(cnt) OVER (PARTITION BY lang ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g), t AS (SELECT lang, COUNT(*) AS n FROM s GROUP BY lang), thr AS (SELECT c.lang, MIN(score) AS thr FROM c JOIN t ON c.lang = t.lang WHERE cum * 4 >= n GROUP BY c.lang) SELECT s.lang, COUNT(*) AS n_kept, ROUND(AVG(score), 4) AS avg_kept_score, ROUND(MIN(score), 4) AS min_kept_score FROM s JOIN thr ON s.lang = thr.lang WHERE score >= thr GROUP BY s.lang ORDER BY s.lang",
     "q53_char_ngram_jaccard" -> // range() lateral -> explode(sequence)
       "WITH w AS (SELECT doc_id, substring(text, i, 3) AS word FROM (SELECT doc_id, text, explode(sequence(1, length(text) - 2)) AS i FROM documents WHERE doc_id < 20)), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
   )
