@@ -108,6 +108,10 @@ object SparkEntry {
     "q83_posexplode"       -> (Relational.q83PosexplodeTokens _),
     "q84_length_buckets"   -> (TextAnalysis.q84LengthBuckets _),
     "q85_quality_gate"     -> (TextAnalysis.q85QualityGate _),
+    "q86_map_funcs"        -> (Relational.q86MapFuncs _),
+    // q87: ANN recall@10 metric (rows-only — approximate candidate sets are
+    // engine-internal hash/argmax; SimilaritySpec pins the recall floor)
+    "q87_ann_recall"       -> (Similarity.q87AnnRecall _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -295,5 +299,14 @@ object SparkEntry {
       // both sides spell out the same algorithm — no engine quantile
       // function whose interpolation could differ in the last ulp
       "WITH s AS (SELECT lang, CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / LENGTH(text) AS score FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0), g AS (SELECT lang, score, COUNT(*) AS cnt FROM s GROUP BY 1, 2), c AS (SELECT lang, score, SUM(cnt) OVER (PARTITION BY lang ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g), t AS (SELECT lang, COUNT(*) AS n FROM s GROUP BY lang), thr AS (SELECT c.lang, MIN(score) AS thr FROM c JOIN t ON c.lang = t.lang WHERE cum * 4 >= n GROUP BY c.lang) SELECT s.lang, COUNT(*) AS n_kept, ROUND(AVG(score), 4) AS avg_kept_score, ROUND(MIN(score), 4) AS min_kept_score FROM s JOIN thr ON s.lang = thr.lang WHERE score >= thr GROUP BY s.lang ORDER BY s.lang",
+    "q86_map_funcs" -> // the Spark plan routes through a real MAP column
+      // (from_json → map_concat → element_at/map_keys/size); the oracle
+      // reads the same VALUES straight from the JSON — map representation
+      // is Spark-side, values are the contract. keys/n_entries pin the map
+      // shape ('k,u', 2 entries/row) so a parse regression can't hide.
+      "SELECT event_type, 'k,u' AS keys, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, CAST(SUM(user_id) AS BIGINT) AS sum_u, CAST(2 * COUNT(*) AS BIGINT) AS n_entries, COUNT(*) AS n FROM events WHERE props IS NOT NULL GROUP BY event_type ORDER BY event_type, keys",
+    // q87_ann_recall: intentionally no oracle — approximate ANN candidate
+    // sets are engine-internal (hash family / float argmax); the recall
+    // floor is asserted in SimilaritySpec instead.
   )
 }

@@ -745,6 +745,36 @@ object Relational {
       .offset(5)
       .limit(10)
 
+  /** Q86 — map-typed column surface (SURVEY §2.3.8): parse events.props
+    * into a real MAP<STRING,BIGINT> (`from_json`), extend it with a second
+    * entry (`map_concat`), then drive the aggregation entirely through map
+    * functions — `element_at` lookups, `size`, sorted `map_keys`. The DuckDB
+    * oracle reads the same values straight from the JSON (json_extract_string
+    * per key) — the map is Spark-side representation, the values are the
+    * contract. Per-row projection + partial agg: only (event_type, keys)
+    * partials shuffle; linear at any scale. */
+  def q86MapFuncs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    val m = from_json(col("props"), MapType(StringType, LongType))
+    t(s, dir, "events")
+      .filter(col("props").isNotNull)
+      .select(col("event_type"),
+        map_concat(m, map(lit("u"), col("user_id"))).as("m"))
+      .select(col("event_type"),
+        element_at(col("m"), "k").as("k"),
+        element_at(col("m"), "u").as("u"),
+        size(col("m")).cast("long").as("nk"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("keys"))
+      .groupBy("event_type", "keys")
+      .agg(
+        sum("k").as("sum_k"),
+        sum("u").as("sum_u"),
+        sum("nk").as("n_entries"),
+        count(lit(1)).as("n"))
+      .select("event_type", "keys", "sum_k", "sum_u", "n_entries", "n")
+      .orderBy("event_type", "keys")
+  }
+
   /** Q49 — sketch aggregates: HyperLogLog++ distinct count and t-digest
     * percentile. THE single-pass mergeable shapes for 100 TB (exact
     * DISTINCT shuffles every key; a sketch shuffles ~KB per partition).

@@ -285,10 +285,18 @@ object TextAnalysis {
     val ranked = keyed.withColumn("r",
       row_number().over(Window.partitionBy("bucket").orderBy("k", idCol)))
     // the offset table is tiny and fixed-size: a single-partition window
-    // over ≤16^hexDigits rows is free at any corpus size
+    // over ≤16^hexDigits rows is free at any corpus size. The partition key
+    // declares that single partition EXPLICITLY: substring(bucket, 1, 0) is
+    // the constant "" for every row but NON-foldable (references the
+    // column), so the optimizer can't strip it the way it strips a literal
+    // key — the physical WindowExec keeps a real partitionSpec and no
+    // longer emits its "No Partition Defined" scale warning for a window
+    // that is exempt by construction (r03 verdict, cosmetic finding 3;
+    // PlanAuditSpec pins the exemption).
     val offsets = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
       .withColumn("off", coalesce(
-        sum("n").over(Window.orderBy("bucket")
+        sum("n").over(Window.partitionBy(substring(col("bucket"), 1, 0))
+          .orderBy("bucket")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     ranked.join(broadcast(offsets.select("bucket", "off")), Seq("bucket"))
       .select(col(idCol), (col("off") + col("r")).cast("long").as("pos"))

@@ -236,14 +236,53 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     walk(df.queryExecution.executedPlan)
     assert(wins.nonEmpty, "expected windows in q81 plan")
-    // the unpartitioned window is legal ONLY over the fixed-size bucket-count
-    // aggregate (its subtree contains the groupBy); the per-row ranking
-    // window must partition by bucket
-    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+    // no window may be UNpartitioned (that is WindowExec's scale-warning
+    // trigger); the offset prefix-sum declares its single partition with a
+    // literal key — the named tiny-table exemption: an all-foldable
+    // partition spec is legal ONLY over the fixed-size bucket-count
+    // aggregate (its subtree contains the groupBy). The per-row ranking
+    // window must partition by a real (non-foldable) bucket column.
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window (WindowExec would warn):\n$w"))
+    wins.filter(_.partitionSpec.forall(_.foldable)).foreach { w =>
       assert(w.toString.contains("HashAggregate"),
-        s"global window over raw rows (single-task sort):\n$w")
+        s"single-partition window over raw rows (single-task sort):\n$w")
     }
-    assert(wins.exists(_.partitionSpec.nonEmpty), "no bucketed ranking window found")
+    assert(wins.exists(_.partitionSpec.exists(!_.foldable)),
+      "no bucketed ranking window found")
+  }
+
+  test("saltedJoin: hot key's rows land in multiple shuffle partitions") {
+    import org.apache.spark.sql.functions.{col, spark_partition_id, when}
+    // AQE would coalesce these tiny post-shuffle partitions back together and
+    // a broadcast would skip the shuffle entirely — both would blind the
+    // histogram this test exists to measure, so force a plain shuffled join
+    val conf = spark.conf
+    val (aqe, bcast) = (conf.get("spark.sql.adaptive.enabled"),
+      conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // 10k rows of hot key 0 + a tail of singleton keys
+      val big = spark.range(0, 12000)
+        .select(when(col("id") < 10000, 0L).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val small = spark.range(0, 12000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val plain = big.join(small, Seq("k"))
+      val salted = graft.operators.Scale.saltedJoin(big, small, "k", salt = 8)
+      // row-identity: salting must not change the join result size
+      assert(salted.count() == plain.count())
+      def hotParts(df: org.apache.spark.sql.DataFrame): Long =
+        df.filter(col("k") === 0).select(spark_partition_id()).distinct().count()
+      // the unsalted shuffle serializes the hot key through ONE partition;
+      // the salted join must spread it across >1 (8 salts over 4 partitions)
+      assert(hotParts(plain) == 1L, "premise broken: plain join no longer skewed")
+      assert(hotParts(salted) >= 2L,
+        s"salting left the hot key in ${hotParts(salted)} partition(s)")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
   }
 
   test("q36 cosine top-k: embeddings scan prunes to id+vector columns") {

@@ -83,6 +83,8 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(concat('e1|', CAST(doc_id AS STRING))), doc_id) AS BIGINT) AS pos FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id",
     "q83_posexplode" -> // generate_subscripts/unnest -> LATERAL VIEW posexplode
       "SELECT doc_id, CAST(i AS BIGINT) AS i, word FROM documents LATERAL VIEW posexplode(split(trim(text), '\\\\s+')) t AS i, word WHERE doc_id < 5 ORDER BY doc_id, i",
+    "q86_map_funcs" -> // json_extract_string -> get_json_object
+      "SELECT event_type, 'k,u' AS keys, SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k, SUM(user_id) AS sum_u, CAST(2 * COUNT(*) AS BIGINT) AS n_entries, COUNT(*) AS n FROM events WHERE props IS NOT NULL GROUP BY event_type ORDER BY event_type, keys",
     "q84_length_buckets" -> // string_split_regex/len -> split/size
       "WITH t AS (SELECT lang, CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS tokens FROM documents WHERE text IS NOT NULL), b AS (SELECT lang, tokens, CASE WHEN tokens < 16 THEN 'a_lt16' WHEN tokens < 32 THEN 'b_16_31' WHEN tokens < 64 THEN 'c_32_63' WHEN tokens < 128 THEN 'd_64_127' ELSE 'e_128_plus' END AS bucket FROM t) SELECT lang, bucket, COUNT(*) AS n, CAST(SUM(tokens) AS BIGINT) AS total_tokens, ROUND(CAST(SUM(tokens) AS DOUBLE) / COUNT(*), 2) AS avg_tokens FROM b GROUP BY lang, bucket ORDER BY lang, bucket",
     "q85_quality_gate" -> // no 'g' flag in Spark regexp_replace (global is default)
