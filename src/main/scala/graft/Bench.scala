@@ -54,6 +54,11 @@ object Bench {
 
     // Clean-engine pipeline number, measured before any query can leak state
     val pipelineRps = benchPipeline(spark)
+    // Version-mixed lane: half the stream on schema v1, half on v2 —
+    // registry-resolved decodeAuto must not regress vs the single-version
+    // decode path (the per-id reader is memoized per partition, so the mix
+    // costs one extra Schema.parse per (partition, id), not per row)
+    val pipelineRpsMixed = benchPipelineMixedVersions(spark)
 
     // (name, seconds, ok) — failed queries carry their elapsed-until-throw
     // but are marked and excluded from totals
@@ -93,10 +98,10 @@ object Bench {
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailPath = "bench_detail.json"
     val pw = new java.io.PrintWriter(detailPath)
-    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"queries":$detail,"failures":$failJson,"sf":"$sfDir"}""")
+    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"queries":$detail,"failures":$failJson,"sf":"$sfDir"}""")
     finally pw.close()
 
-    println(f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"pipeline_rows_per_sec":$pipelineRps%.0f,"sf":"$sfDir","detail":"$detailPath"}""")
+    println(f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 
@@ -117,6 +122,37 @@ object Bench {
     val src = RecordGenerator.generate(spark, ss, n, seed = 42)
     val t0 = System.nanoTime()
     ConfluentAvro.decode(ConfluentAvro.encode(src, avro, id, numPartitions = 9), "value", avro)
+      .write.format("noop").mode("overwrite").save()
+    n / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Version-mixed decode lane: half the frames written under schema v1,
+    * half under v2 (field added with a default), one registry-resolved
+    * decodeAuto to the v2 reader — the stream shape a long-lived topic has
+    * after a producer upgrade. Timed section covers encode+decode like
+    * [[benchPipeline]], so the two rows/s figures are directly comparable. */
+  private def benchPipelineMixedVersions(spark: SparkSession, n: Long = 1000000L): Double = {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.{ConfluentAvro, SchemaRegistry}
+    val v1 = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"bench_mixed","fields":[
+        |{"name":"key_field","type":"string"},{"name":"ts_field","type":"long"}]}""".stripMargin)
+    val v2 = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"bench_mixed","fields":[
+        |{"name":"key_field","type":"string"},{"name":"ts_field","type":"long"},
+        |{"name":"tag","type":"string","default":"?"}]}""".stripMargin)
+    val id1 = SchemaRegistry.register("bench_mixed-value", v1)
+    val id2 = SchemaRegistry.register("bench_mixed-value", v2)
+    val df1 = spark.range(n / 2)
+      .select(concat(lit("k"), col("id")).as("key_field"), col("id").as("ts_field"))
+    val df2 = spark.range(n / 2)
+      .select(concat(lit("k"), col("id")).as("key_field"), col("id").as("ts_field"),
+        lit("x").as("tag"))
+    val t0 = System.nanoTime()
+    ConfluentAvro.decodeAuto(
+      ConfluentAvro.encode(df1, v1, id1, numPartitions = 9)
+        .unionByName(ConfluentAvro.encode(df2, v2, id2, numPartitions = 9)),
+      "value", v2)
       .write.format("noop").mode("overwrite").save()
     n / ((System.nanoTime() - t0) / 1e9)
   }

@@ -208,6 +208,75 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decodePermissive property: survives random truncation/bit-flip/garbage frames") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val ss = SchemaBridge.parseSimple(simpleJson).head
+    val avro = SchemaBridge.toAvro(ss)
+    val id = SchemaRegistry.register("fuzz-value", avro)
+    val good = ConfluentAvro.encode(
+      RecordGenerator.generate(spark, ss, 50, seed = 31), avro, id, numPartitions = 2)
+      .select("value").collect().map(_.getAs[Array[Byte]](0))
+    val rnd = new scala.util.Random(4242) // fixed seed — reproducible cases
+
+    def run(frames: Seq[Array[Byte]]): Array[Row] = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(frames.map(Row(_)), 4),
+        StructType(Seq(StructField("value", BinaryType))))
+      val out = ConfluentAvro.decodePermissive(df, "value", avro, Some(id)).collect()
+      assert(out.length == frames.length, "permissive decode dropped rows")
+      out
+    }
+    def corruptOf(r: Row) = Option(r.getString(r.length - 1))
+
+    // (a) STRICT prefixes: every original byte was needed (the encoder emits
+    // exact-length bodies), so any truncation must dead-letter, whether it
+    // cuts the 5-byte header or the Avro body
+    val truncated = Seq.fill(200) {
+      val f = good(rnd.nextInt(good.length)); f.take(rnd.nextInt(f.length))
+    }
+    run(truncated).foreach(r => assert(corruptOf(r).isDefined,
+      "a strict prefix decoded cleanly — the decoder read past the buffer"))
+
+    // (b) single bit-flips in the HEADER: magic or schema id must mismatch
+    val headerFlips = Seq.fill(100) {
+      val f = good(rnd.nextInt(good.length)).clone()
+      val pos = rnd.nextInt(ConfluentAvro.HeaderLen)
+      f(pos) = (f(pos) ^ (1 << rnd.nextInt(8))).toByte; f
+    }
+    run(headerFlips).foreach(r => assert(corruptOf(r).isDefined,
+      "a corrupted header passed the frame check"))
+
+    // (c) single bit-flips in the BODY: Avro has no checksum, so a flip may
+    // still parse (to different values) — the property is per-row isolation:
+    // no crash, and a row is EITHER fully decoded OR fully dead-lettered
+    val bodyFlips = Seq.fill(200) {
+      val f = good(rnd.nextInt(good.length)).clone()
+      val pos = ConfluentAvro.HeaderLen + rnd.nextInt(f.length - ConfluentAvro.HeaderLen)
+      f(pos) = (f(pos) ^ (1 << rnd.nextInt(8))).toByte; f
+    }
+    run(bodyFlips).foreach { r =>
+      if (corruptOf(r).isEmpty)
+        assert(!r.isNullAt(0) && !r.isNullAt(1), "half-decoded row leaked through")
+      else (0 until r.length - 1).foreach(i =>
+        assert(r.isNullAt(i), "dead-lettered row kept partial fields"))
+    }
+
+    // (d) random garbage (first byte forced non-magic so none can be valid)
+    val garbage = Seq.fill(100) {
+      val b = new Array[Byte](rnd.nextInt(40)); rnd.nextBytes(b)
+      if (b.nonEmpty) b(0) = (rnd.nextInt(255) + 1).toByte
+      b
+    }
+    run(garbage).foreach(r => assert(corruptOf(r).isDefined, "garbage decoded cleanly"))
+
+    // (e) corrupt rows interleaved with good ones: isolation means every
+    // good frame still decodes — one poisoned record never taints neighbors
+    val mixed = rnd.shuffle(good.toSeq ++ truncated.take(50) ++ garbage.take(50))
+    val okRows = run(mixed).count(r => corruptOf(r).isEmpty)
+    assert(okRows == good.length, s"good-frame count drifted: $okRows != ${good.length}")
+  }
+
   test("decodeAuto resolves mixed schema versions via registry snapshot") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
