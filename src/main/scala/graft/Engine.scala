@@ -20,6 +20,7 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      .withExtensions(new GraftExtensions) // graft_cosine/java_string_hash SQL fns + HOF-cosine fusion rule
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
