@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, RangeJoin, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -112,6 +112,7 @@ object SparkEntry {
     // q87: ANN recall@10 metric (rows-only — approximate candidate sets are
     // engine-internal hash/argmax; SimilaritySpec pins the recall floor)
     "q87_ann_recall"       -> (Similarity.q87AnnRecall _),
+    "q88_range_join_binned" -> (RangeJoin.q88RangeJoinBinned _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -308,5 +309,14 @@ object SparkEntry {
     // q87_ann_recall: intentionally no oracle — approximate ANN candidate
     // sets are engine-internal (hash family / float argmax); the recall
     // floor is asserted in SimilaritySpec instead.
+    "q88_range_join_binned" -> // busy-hour islands range-joined back to
+      // events. The oracle states the range join DIRECTLY (ts >= start AND
+      // ts < end); the engine side decomposes it into a binned equi-join
+      // (RangeJoin.binnedPointInterval) — same rows, hash-joinable plan.
+      // Exact integer arithmetic throughout (10·c·n_hours > 11·total, no
+      // division); hour boundaries are multiples of 1000 ns so DuckDB's
+      // µs-truncated read of events.ts never moves a row across a
+      // boundary; value sums run in DECIMAL on both sides.
+      "WITH hrs AS (SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS hb, COUNT(*) AS c FROM events GROUP BY 1), st AS (SELECT SUM(c) AS total, COUNT(*) AS n_hours FROM hrs), busy AS (SELECT hb FROM hrs, st WHERE 10 * c * n_hours > 11 * total), isl AS (SELECT MIN(hb) AS start_ns, MAX(hb) + 3600000000000 AS end_ns, COUNT(*) AS island_hours FROM (SELECT hb, hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM busy) g GROUP BY grp) SELECT i.start_ns AS island_start, CAST(i.island_hours AS BIGINT) AS island_hours, COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users, CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value FROM events e JOIN isl i ON epoch_ns(e.ts) >= i.start_ns AND epoch_ns(e.ts) < i.end_ns GROUP BY 1, 2 ORDER BY 1",
   )
 }

@@ -290,4 +290,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
       s"embedding scan reads extra columns:\n$plan")
   }
+
+  test("q88 range join: bins turn the interval predicate into a hash join") {
+    val plan = planString(graft.operators.RangeJoin.q88RangeJoinBinned(spark, sfDir))
+    // the whole point of the decomposition: a naive ts>=start AND ts<end
+    // join has no equi keys and would force a nested-loop join over the
+    // fact table. (The 1-row global-stats crossJoin upstream is a BNLJ by
+    // design — only the join carrying the range predicate is audited.)
+    val lines = plan.linesIterator.toSeq
+    assert(!lines.exists(l => l.contains("NestedLoopJoin") && l.contains("start_ns")),
+      s"range predicate fell back to a nested-loop join:\n$plan")
+    assert(lines.exists(l => l.contains("BroadcastHashJoin") && l.contains("__bin")
+        && l.contains("start_ns")),
+      s"expected a bin-keyed hash join with the range residual:\n$plan")
+    // the island window runs over the bounded hour table with the q81
+    // constant-partition idiom (explicit non-foldable partitionSpec), so
+    // WindowExec never takes its "No Partition Defined" warning path
+    assert(plan.contains("Window") && plan.contains("substring"),
+      s"island window lost its constant partitionSpec:\n$plan")
+  }
 }

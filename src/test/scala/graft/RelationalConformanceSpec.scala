@@ -48,6 +48,8 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "WITH f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM embeddings LATERAL VIEW posexplode(embedding) t AS i, v WHERE vec_id < 300), d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, SUM(a.v * b.v) AS dot, SUM(a.v * a.v) AS qq, SUM(b.v * b.v) AS cc FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2) SELECT id1, id2, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d ORDER BY sim DESC, id1, id2 LIMIT 20",
     "q38_multimodal_bytes" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes FROM documents WHERE doc_id < 100 ORDER BY doc_id",
+    "q88_range_join_binned" -> // epoch_ns(ts) -> raw ts (bigint under nanosAsLong)
+      "WITH hrs AS (SELECT ts - (ts % 3600000000000) AS hb, COUNT(*) AS c FROM events GROUP BY 1), st AS (SELECT SUM(c) AS total, COUNT(*) AS n_hours FROM hrs), busy AS (SELECT hb FROM hrs, st WHERE 10 * c * n_hours > 11 * total), isl AS (SELECT MIN(hb) AS start_ns, MAX(hb) + 3600000000000 AS end_ns, COUNT(*) AS island_hours FROM (SELECT hb, hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM busy) g GROUP BY grp) SELECT i.start_ns AS island_start, CAST(i.island_hours AS BIGINT) AS island_hours, COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users, CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value FROM events e JOIN isl i ON e.ts >= i.start_ns AND e.ts < i.end_ns GROUP BY 1, 2 ORDER BY 1",
     "q41_asof_join" -> // ts is bigint epoch-nanos in Spark; div 1000 ≡ the
       // oracle's epoch_us (micro resolution contract, see q41AsofJoin doc)
       "WITH u AS (SELECT user_id, ts div 1000 AS ts, 1 AS is_click FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, ts div 1000 AS ts, 0 AS is_click FROM events WHERE event_type = 'purchase') SELECT user_id, ts, COALESCE(last_purchase_ts, -1) AS last_purchase_ts FROM (SELECT user_id, ts, is_click, MAX(CASE WHEN is_click = 0 THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, is_click ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts FROM u) w WHERE is_click = 1 ORDER BY user_id, ts",
