@@ -113,6 +113,7 @@ object SparkEntry {
     // engine-internal hash/argmax; SimilaritySpec pins the recall floor)
     "q87_ann_recall"       -> (Similarity.q87AnnRecall _),
     "q88_range_join_binned" -> (RangeJoin.q88RangeJoinBinned _),
+    "q89_tfidf_top_terms"  -> ((s, dir) => TextAnalysis.q89TfIdfTopTerms(s, dir)),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -318,5 +319,10 @@ object SparkEntry {
       // µs-truncated read of events.ts never moves a row across a
       // boundary; value sums run in DECIMAL on both sides.
       "WITH hrs AS (SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS hb, COUNT(*) AS c FROM events GROUP BY 1), st AS (SELECT SUM(c) AS total, COUNT(*) AS n_hours FROM hrs), busy AS (SELECT hb FROM hrs, st WHERE 10 * c * n_hours > 11 * total), isl AS (SELECT MIN(hb) AS start_ns, MAX(hb) + 3600000000000 AS end_ns, COUNT(*) AS island_hours FROM (SELECT hb, hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM busy) g GROUP BY grp) SELECT i.start_ns AS island_start, CAST(i.island_hours AS BIGINT) AS island_hours, COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users, CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value FROM events e JOIN isl i ON epoch_ns(e.ts) >= i.start_ns AND epoch_ns(e.ts) < i.end_ns GROUP BY 1, 2 ORDER BY 1",
+    "q89_tfidf_top_terms" -> // IDF surrogate (N*1000 // df) is exact integer
+      // arithmetic: ln(N/df) would go through libm vs java.lang.Math and
+      // diverge in the last ulp (the transcendental rule). Ties broken by
+      // term — fully deterministic both sides.
+      "WITH d AS (SELECT doc_id, lang, lower(text) AS text FROM documents WHERE text IS NOT NULL), tok AS (SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM d), ft AS (SELECT doc_id, lang, term FROM tok WHERE length(term) >= 3), tf AS (SELECT lang, doc_id, term, COUNT(*) AS tf FROM ft GROUP BY 1, 2, 3), st AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), n AS (SELECT COUNT(*) AS n_docs FROM d), sc AS (SELECT lang, term, SUM(tf) AS ttf FROM tf GROUP BY 1, 2), w AS (SELECT sc.lang, sc.term, CAST(sc.ttf * ((n.n_docs * 1000) // st.df) AS BIGINT) AS score FROM sc JOIN st USING (term) CROSS JOIN n), r AS (SELECT lang, term, score, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rnk FROM w) SELECT lang, term, score, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10 ORDER BY lang, rnk",
   )
 }

@@ -436,4 +436,52 @@ object TextAnalysis {
         round(min("score"), 4).as("min_kept_score"))
       .orderBy("lang")
   }
+
+  /** Q89 — TF-IDF top terms per language: the standard corpus-vocabulary
+    * weighting every training-data curation pass runs (term importance for
+    * filtering, topic drift detection, per-source vocabulary audits).
+    *
+    * IDF surrogate: weight(term) = (N·1000) div df — an exact-integer,
+    * strictly-decreasing function of document frequency — instead of
+    * ln(N/df). Rationale: ln goes through libm and diverges from
+    * java.lang.Math in the last ulp (the transcendental rule, q21/q31
+    * lesson), and the hash gate needs bit-identical scores; a production
+    * deployment swaps the weight expression for log-idf in one line. The
+    * score is score(lang, term) = Σ_docs tf · weight = total_tf · weight.
+    *
+    * Scale shape: the per-lang ranking looks like the q56 low-cardinality
+    * window trap (|langs| ≈ 5 partitions over a vocabulary-sized input),
+    * but for rank-functions filtered to a limit Catalyst inserts
+    * WindowGroupLimit in Partial mode BELOW the exchange — every map
+    * partition pre-prunes to its local top-k per lang, so the shuffle
+    * carries ≤ k rows per (lang, map partition) and the final window sees
+    * a bounded input (PlanAuditSpec pins the Partial node). A hand-rolled
+    * bucketed pre-rank (the q56 shape, needed there because percent_rank
+    * reads its whole partition) would duplicate this with an extra
+    * shuffle. The term-stats join is term-keyed on both sides
+    * (co-partitioned shuffle); N arrives via a broadcast 1-row aggregate,
+    * never a driver action. */
+  def q89TfIdfTopTerms(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("lang"), col("doc_id"), lower(col("text")).as("text"))
+    val toks = d
+      .select(col("lang"), col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) >= 3)
+    // one row per (lang, doc, term): partial agg collapses repeats map-side
+    val tf = toks.groupBy("lang", "doc_id", "term").agg(count(lit(1)).as("tf"))
+    // a doc has exactly one lang, so tf rows are distinct per (doc, term)
+    val termDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.groupBy("lang", "term").agg(sum("tf").as("ttf"))
+      .join(termDf, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("lang"), col("term"),
+        (col("ttf") * expr("(n_docs * 1000) div df")).cast("long").as("score"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("score"), asc("term"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("lang", "rnk")
+  }
 }

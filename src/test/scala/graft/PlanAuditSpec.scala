@@ -309,4 +309,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("Window") && plan.contains("substring"),
       s"island window lost its constant partitionSpec:\n$plan")
   }
+
+  test("q89 tf-idf: per-lang top-k gets a map-side partial WindowGroupLimit") {
+    val plan = planString(graft.operators.TextAnalysis.q89TfIdfTopTerms(spark, sfDir))
+    // the per-lang window looks like the q56 low-cardinality trap, but for
+    // row_number()<=k Catalyst plans WindowGroupLimit Partial BELOW the
+    // exchange: each map partition pre-prunes to its local top-k per lang,
+    // so the 5-partition final window sees a bounded input. If this node
+    // disappears (filter shape change, rank fn swap), the query silently
+    // becomes a 5-way-parallel full-vocabulary sort — fail loudly instead.
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"map-side partial top-k pruning missing:\n$plan")
+  }
 }
