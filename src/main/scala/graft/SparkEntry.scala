@@ -114,6 +114,7 @@ object SparkEntry {
     "q87_ann_recall"       -> (Similarity.q87AnnRecall _),
     "q88_range_join_binned" -> (RangeJoin.q88RangeJoinBinned _),
     "q89_tfidf_top_terms"  -> ((s, dir) => TextAnalysis.q89TfIdfTopTerms(s, dir)),
+    "q90_quota_cap"        -> (TextAnalysis.q90QuotaCap _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -324,5 +325,8 @@ object SparkEntry {
       // diverge in the last ulp (the transcendental rule). Ties broken by
       // term — fully deterministic both sides.
       "WITH d AS (SELECT doc_id, lang, lower(text) AS text FROM documents WHERE text IS NOT NULL), tok AS (SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM d), ft AS (SELECT doc_id, lang, term FROM tok WHERE length(term) >= 3), tf AS (SELECT lang, doc_id, term, COUNT(*) AS tf FROM ft GROUP BY 1, 2, 3), st AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), n AS (SELECT COUNT(*) AS n_docs FROM d), sc AS (SELECT lang, term, SUM(tf) AS ttf FROM tf GROUP BY 1, 2), w AS (SELECT sc.lang, sc.term, CAST(sc.ttf * ((n.n_docs * 1000) // st.df) AS BIGINT) AS score FROM sc JOIN st USING (term) CROSS JOIN n), r AS (SELECT lang, term, score, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rnk FROM w) SELECT lang, term, score, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10 ORDER BY lang, rnk",
+    "q90_quota_cap" -> // md5-over-id ranking ≡ the Spark plan (the q81
+      // portable-hash pattern); kept_sum pins WHICH rows survived the cap
+      "WITH r AS (SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(concat('q90|', CAST(doc_id AS VARCHAR))), doc_id) AS rnk FROM documents WHERE doc_id IS NOT NULL) SELECT source, COUNT(*) AS n_total, CAST(SUM(CASE WHEN rnk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, CAST(SUM(CASE WHEN rnk <= 15 THEN doc_id END) AS BIGINT) AS kept_sum FROM r GROUP BY source ORDER BY source",
   )
 }

@@ -484,4 +484,40 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
       .orderBy("lang", "rnk")
   }
+
+  /** Cap a group's row count at `k`, selecting survivors in deterministic
+    * hash order — the source-balancing step that stops one crawl domain
+    * from dominating a training mix. The selection is a pure function of
+    * (seed, id): reproducible across engines, reruns, partitionings, and
+    * cluster sizes, unlike rand()-based downsampling, and unlike
+    * take-first-k it has no dependence on input order. NULL ids are
+    * excluded (same contract as [[deterministicShuffle]]).
+    *
+    * Scale shape: row_number + rank-filter gets Catalyst's
+    * WindowGroupLimit(Partial) below the exchange (see [[q89TfIdfTopTerms]])
+    * — each map partition pre-prunes to its local k per group, so the
+    * shuffle carries ≤ k·|maps| rows per group no matter how hot the
+    * group is. */
+  def quotaCap(d: DataFrame, groupCol: String, idCol: String,
+      seed: String, k: Int): DataFrame =
+    d.filter(col(idCol).isNotNull)
+      .withColumn("__qk", md5(concat(lit(seed + "|"), col(idCol).cast("string"))))
+      .withColumn("__rnk", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("__qk"), col(idCol))))
+      .filter(col("__rnk") <= k)
+      .drop("__qk", "__rnk")
+
+  /** Q90 — per-source quota audit: totals vs kept-under-cap (k=15, binding
+    * at every SF), plus the kept ids' sum so the oracle pins WHICH rows
+    * survived, not just how many. */
+  def q90QuotaCap(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id").isNotNull)
+    val totals = d.groupBy("source").agg(count(lit(1)).as("n_total"))
+    quotaCap(d, "source", "doc_id", "q90", 15)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").cast("long").as("kept_sum"))
+      .join(totals, Seq("source"))
+      .select("source", "n_total", "n_kept", "kept_sum")
+      .orderBy("source")
+  }
 }

@@ -321,4 +321,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
       s"map-side partial top-k pruning missing:\n$plan")
   }
+
+  test("q90 quota cap: map-side group-limit, and selection is input-order independent") {
+    import org.apache.spark.sql.functions.{col, rand}
+    val plan = planString(graft.operators.TextAnalysis.q90QuotaCap(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"quota cap lost its map-side pre-pruning:\n$plan")
+    // hash-order selection must be a pure function of (seed, id): the kept
+    // set may not change when the input arrives shuffled and repartitioned
+    val docs = Tables(spark, sfDir, "documents")
+    val scrambled = docs.orderBy(rand(7)).repartition(7)
+    val a = graft.operators.TextAnalysis
+      .quotaCap(docs, "source", "doc_id", "q90", 15)
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    val b = graft.operators.TextAnalysis
+      .quotaCap(scrambled, "source", "doc_id", "q90", 15)
+      .select("doc_id").orderBy("doc_id").collect().toSeq
+    assert(a == b, "kept set depends on input order/partitioning")
+    assert(a.size == 15 * 20, s"cap k=15 over 20 sources: ${a.size}")
+  }
 }

@@ -52,6 +52,8 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "WITH hrs AS (SELECT ts - (ts % 3600000000000) AS hb, COUNT(*) AS c FROM events GROUP BY 1), st AS (SELECT SUM(c) AS total, COUNT(*) AS n_hours FROM hrs), busy AS (SELECT hb FROM hrs, st WHERE 10 * c * n_hours > 11 * total), isl AS (SELECT MIN(hb) AS start_ns, MAX(hb) + 3600000000000 AS end_ns, COUNT(*) AS island_hours FROM (SELECT hb, hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM busy) g GROUP BY grp) SELECT i.start_ns AS island_start, CAST(i.island_hours AS BIGINT) AS island_hours, COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users, CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value FROM events e JOIN isl i ON e.ts >= i.start_ns AND e.ts < i.end_ns GROUP BY 1, 2 ORDER BY 1",
     "q89_tfidf_top_terms" -> // string_split_regex -> split, unnest -> explode, // -> div
       "WITH d AS (SELECT doc_id, lang, lower(text) AS text FROM documents WHERE text IS NOT NULL), tok AS (SELECT doc_id, lang, explode(split(trim(text), '\\\\s+')) AS term FROM d), ft AS (SELECT doc_id, lang, term FROM tok WHERE length(term) >= 3), tf AS (SELECT lang, doc_id, term, COUNT(*) AS tf FROM ft GROUP BY 1, 2, 3), st AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), n AS (SELECT COUNT(*) AS n_docs FROM d), sc AS (SELECT lang, term, SUM(tf) AS ttf FROM tf GROUP BY 1, 2), w AS (SELECT sc.lang, sc.term, CAST(sc.ttf * ((n.n_docs * 1000) div st.df) AS BIGINT) AS score FROM sc JOIN st USING (term) CROSS JOIN n), r AS (SELECT lang, term, score, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rnk FROM w) SELECT lang, term, score, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10 ORDER BY lang, rnk",
+    "q90_quota_cap" -> // VARCHAR -> STRING cast spelling
+      "WITH r AS (SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(concat('q90|', CAST(doc_id AS STRING))), doc_id) AS rnk FROM documents WHERE doc_id IS NOT NULL) SELECT source, COUNT(*) AS n_total, CAST(SUM(CASE WHEN rnk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, CAST(SUM(CASE WHEN rnk <= 15 THEN doc_id END) AS BIGINT) AS kept_sum FROM r GROUP BY source ORDER BY source",
     "q41_asof_join" -> // ts is bigint epoch-nanos in Spark; div 1000 ≡ the
       // oracle's epoch_us (micro resolution contract, see q41AsofJoin doc)
       "WITH u AS (SELECT user_id, ts div 1000 AS ts, 1 AS is_click FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, ts div 1000 AS ts, 0 AS is_click FROM events WHERE event_type = 'purchase') SELECT user_id, ts, COALESCE(last_purchase_ts, -1) AS last_purchase_ts FROM (SELECT user_id, ts, is_click, MAX(CASE WHEN is_click = 0 THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, is_click ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts FROM u) w WHERE is_click = 1 ORDER BY user_id, ts",

@@ -95,4 +95,40 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(j.count() > 0)
     } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("partitioned layout: directory pruning + sort-key pushdown + bounded file count") {
+    import graft.sources.ParquetLayout
+    val out = java.nio.file.Files.createTempDirectory("graftlayout").toString
+    val docs = Tables(spark, sfDir, "documents")
+    ParquetLayout.writePartitioned(docs, out, Seq("lang"), Seq("doc_id"))
+
+    // bounded files: repartition-by-partCols keeps each lang in one task —
+    // one file per directory, not one per (task × partition)
+    val langDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("lang="))
+    assert(langDirs.nonEmpty)
+    langDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files (small-file fan-out)")
+    }
+
+    val back = ParquetLayout.read(spark, out)
+    assert(back.count() == docs.count())
+
+    // partition pruning: the lang predicate lands in PartitionFilters (file
+    // skipping before I/O), NOT just PushedFilters (row-group skipping)
+    val pruned = back.filter(col("lang") === "en" && col("doc_id") < 100)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter not pruning partitions:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)"),
+      s"sort-key filter not pushed to row groups:\n$plan")
+    // pruning is observable, not just printed: only the en directory is read
+    val filesRead = pruned.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.totalNumberOfFiles }.sum
+    assert(filesRead == 1L, s"expected 1 file read after pruning, got $filesRead")
+    // and the rows match the unpartitioned truth
+    val expect = docs.filter(col("lang") === "en" && col("doc_id") < 100).count()
+    assert(pruned.count() == expect)
+  }
 }
