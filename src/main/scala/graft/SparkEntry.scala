@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, RangeJoin, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, RangeJoin, Relational, Scale, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -115,6 +115,12 @@ object SparkEntry {
     "q88_range_join_binned" -> (RangeJoin.q88RangeJoinBinned _),
     "q89_tfidf_top_terms"  -> ((s, dir) => TextAnalysis.q89TfIdfTopTerms(s, dir)),
     "q90_quota_cap"        -> (TextAnalysis.q90QuotaCap _),
+    "q91_bloom_semi_join"  -> (Scale.q91BloomSemiJoin _),
+    "q92_cdc_passages"     -> (Dedup.q92CdcPassageDedup _),
+    "q93_inverted_index"   -> ((s, dir) => TextAnalysis.q93InvertedIndex(s, dir)),
+    "q94_hopping_windows"  -> (Relational.q94HoppingWindows _),
+    "q95_mixture_resample" -> (TextAnalysis.q95MixtureResample _),
+    "q96_funnel"           -> (Relational.q96Funnel _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -328,5 +334,32 @@ object SparkEntry {
     "q90_quota_cap" -> // md5-over-id ranking ≡ the Spark plan (the q81
       // portable-hash pattern); kept_sum pins WHICH rows survived the cap
       "WITH r AS (SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(concat('q90|', CAST(doc_id AS VARCHAR))), doc_id) AS rnk FROM documents WHERE doc_id IS NOT NULL) SELECT source, COUNT(*) AS n_total, CAST(SUM(CASE WHEN rnk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, CAST(SUM(CASE WHEN rnk <= 15 THEN doc_id END) AS BIGINT) AS kept_sum FROM r GROUP BY source ORDER BY source",
+    "q91_bloom_semi_join" -> // the oracle states the plain IN-subquery; the
+      // engine's bloom pre-filter + semi-join must be result-invisible
+      "SELECT l_returnflag, COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS n_orders, CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 475000.0) GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q92_cdc_passages" -> // content-defined chunking: a word whose md5 hex
+      // starts 0/1 begins a new passage — position-independent boundaries,
+      // so the injected every-5th-doc boilerplate dedups across docs even
+      // though it lands at different word offsets (what fixed-stride q66
+      // cannot see). md5 is the portable boundary gate both engines share.
+      "WITH base AS (SELECT doc_id, concat(text, CASE WHEN doc_id % 5 = 0 THEN ' the quick brown fox jumps over the lazy dog' ELSE '' END) AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), w AS (SELECT doc_id, string_split_regex(trim(t), '\\s+') AS words FROM base), tok AS (SELECT doc_id, generate_subscripts(words, 1) AS i, unnest(words) AS word FROM w), m AS (SELECT doc_id, i, word, CASE WHEN substring(md5(word), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END AS b FROM tok), pw AS (SELECT doc_id, i, word, SUM(b) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid FROM m), pas AS (SELECT doc_id, pid, md5(string_agg(word, ' ' ORDER BY i)) AS pmd5 FROM pw GROUP BY doc_id, pid), g AS (SELECT pmd5, COUNT(*) AS copies, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS keeper FROM pas GROUP BY pmd5) SELECT COUNT(*) AS n_unique_passages, CAST(SUM(copies) AS BIGINT) AS n_passages, CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS cross_doc_groups, CAST(SUM(CASE WHEN n_docs >= 2 THEN copies END) AS BIGINT) AS cross_doc_copies, CAST(SUM(CASE WHEN n_docs >= 2 THEN keeper END) AS BIGINT) AS keeper_sum FROM g",
+    "q93_inverted_index" -> // posting list capped to 5 BEFORE collection on
+      // the engine side (WindowGroupLimit); the oracle spells the same
+      // first-5-by-doc_id contract with a rank filter
+      "WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents WHERE text IS NOT NULL), ft AS (SELECT doc_id, term FROM tok WHERE length(term) >= 3), td AS (SELECT term, doc_id, COUNT(*) AS tf_d FROM ft GROUP BY 1, 2), st AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf_d) AS BIGINT) AS tf FROM td GROUP BY term), r AS (SELECT term, doc_id, ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM td), p AS (SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS posting FROM r WHERE rn <= 5 GROUP BY term) SELECT st.term, df, tf, posting FROM st JOIN p ON st.term = p.term ORDER BY df DESC, st.term LIMIT 50",
+    "q94_hopping_windows" -> // 2h windows every 1h: each event explodes to
+      // its 2 covering windows (k=0,1) — the sliding-window decomposition.
+      // Hour-multiple starts keep the DuckDB µs read boundary-safe (q24).
+      "WITH e AS (SELECT epoch_ns(ts) AS tns, event_type, user_id, value FROM events), x AS (SELECT tns - (tns % 3600000000000) - k * 3600000000000 AS wstart, event_type, user_id, value FROM e, (SELECT unnest([0, 1]) AS k) ks) SELECT wstart, event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users, CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sv FROM x GROUP BY 1, 2 ORDER BY 1, 2",
+    "q95_mixture_resample" -> // sqrt-temperature quotas in exact integers:
+      // w=floor(sqrt(n)*1000) (IEEE sqrt is correctly rounded — identical
+      // doubles both engines), quota=(N/2)*w // sum(w); survivors by the
+      // q90 md5-rank contract
+      "WITH d AS (SELECT source, doc_id FROM documents WHERE doc_id IS NOT NULL), c AS (SELECT source, COUNT(*) AS n_total FROM d GROUP BY source), w AS (SELECT source, n_total, CAST(FLOOR(SQRT(CAST(n_total AS DOUBLE)) * 1000) AS BIGINT) AS w FROM c), t AS (SELECT SUM(w) AS sum_w, SUM(n_total) AS n_all FROM w), q AS (SELECT source, n_total, ((n_all // 2) * w) // sum_w AS quota FROM w, t), r AS (SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(concat('q95|', CAST(doc_id AS VARCHAR))), doc_id) AS rnk FROM d) SELECT q.source, q.n_total, CAST(q.quota AS BIGINT) AS quota, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS kept_sum FROM r JOIN q ON r.source = q.source WHERE rnk <= quota GROUP BY 1, 2, 3 ORDER BY q.source",
+    "q96_funnel" -> // strictly-ordered funnel: first view -> first click
+      // after it -> first purchase after that. Timestamps truncated to µs
+      // on both sides (epoch_us ≡ ts div 1000) — the q41 resolution
+      // contract for raw-epoch outputs
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events), v AS (SELECT user_id, MIN(t) AS vt FROM e WHERE event_type = 'view' GROUP BY user_id), c AS (SELECT e.user_id, MIN(t) AS ct FROM e JOIN v ON e.user_id = v.user_id WHERE event_type = 'click' AND t > vt GROUP BY e.user_id), p AS (SELECT e.user_id, MIN(t) AS pt FROM e JOIN c ON e.user_id = c.user_id WHERE event_type = 'purchase' AND t > ct GROUP BY e.user_id) SELECT v.user_id % 10 AS bucket, COUNT(*) AS n_view, COUNT(ct) AS n_click, COUNT(pt) AS n_purchase, CAST(SUM(ct - vt) AS BIGINT) AS total_lag_us FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id GROUP BY 1 ORDER BY 1",
   )
 }

@@ -462,4 +462,61 @@ object Dedup {
       .orderBy(col("sim").desc, col("id1"), col("id2"))
       .limit(20)
   }
+
+  // -------------------------------------- content-defined passage chunking
+
+  /** Content-defined chunking (CDC) over a document's word stream: a word
+    * whose md5 hex starts with '0' or '1' (p = 1/8, expected passage ≈ 8
+    * words) STARTS a new passage. Because the boundary decision depends
+    * only on the word itself — not its position — a sentence shared by two
+    * documents at DIFFERENT offsets chunks into identical passages in both,
+    * which is exactly what fixed-stride chunking (q66) cannot do. This is
+    * the standard trick behind boilerplate/passage-level dedup in crawl
+    * pipelines (rsync/LBFS-style content-defined boundaries, here with a
+    * portable md5 gate instead of a rolling hash so DuckDB can replay it).
+    *
+    * Scale shape: posexplode is map-side linear; the per-doc cumulative
+    * window partitions by doc_id (corpus-cardinality key — full
+    * parallelism); passage reassembly is one partial-aggregated groupBy on
+    * (doc_id, pid). Nothing global until the caller's passage-hash agg.
+    *
+    * Returns (doc_id, pid, passage). */
+  def cdcPassages(d: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = d.select(col(idCol),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("i", "word")))
+    val boundary = when(substring(md5(col("word")), 1, 1).isin("0", "1"), 1L).otherwise(0L)
+    val win = Window.partitionBy(idCol).orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("pid", sum(boundary).over(win))
+      .groupBy(col(idCol), col("pid"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("i"), col("word")))),
+          x => x.getField("word"))).as("passage"))
+  }
+
+  /** Q92 — passage-level dedup summary over CDC chunks, with an injected
+    * boilerplate canary ("the quick brown fox…" appended to every 5th doc;
+    * its words 'quick'/'lazy'/'dog' are boundary words, so every injected
+    * doc shares identical mid-boilerplate passages — the conformance row
+    * can't pass vacuously on all-unique passages). keeper_sum pins WHICH
+    * doc wins each duplicated group (min doc_id), not just how many. */
+  def q92CdcPassageDedup(s: SparkSession, dir: String): DataFrame = {
+    val boiler = " the quick brown fox jumps over the lazy dog"
+    val base = docs(s, dir)
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 5 === 0, boiler).otherwise("")).as("text"))
+    cdcPassages(base)
+      .groupBy(md5(col("passage")).as("pmd5"))
+      .agg(count(lit(1)).as("copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper"))
+      .agg(
+        count(lit(1)).as("n_unique_passages"),
+        sum("copies").cast("long").as("n_passages"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).cast("long").as("cross_doc_groups"),
+        sum(when(col("n_docs") >= 2, col("copies"))).cast("long").as("cross_doc_copies"),
+        sum(when(col("n_docs") >= 2, col("keeper"))).cast("long").as("keeper_sum"))
+  }
 }

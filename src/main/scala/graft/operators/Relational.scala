@@ -301,7 +301,7 @@ object Relational {
 
   /** Q24 — batch-equivalent tumbling window over the events stream table.
     * ts is bigint epoch-nanos (nanosAsLong); bucket = 1h in nanos. The
-    * streaming twin is graft.streaming.EventStreams.tumblingCounts. */
+    * streaming twin is graft.streaming.StreamOps.tumblingAgg. */
   def q24EventTumbling(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(
@@ -788,4 +788,64 @@ object Relational {
         round(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)), 2).as("p50_price"),
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
+
+  /** Q94 — batch hopping (sliding) windows: 2h windows advancing every 1h,
+    * so each event lands in exactly 2 windows. The decomposition is the
+    * standard one Structured Streaming itself plans for sliding windows:
+    * explode each row into its size/hop window copies, then tumbling-style
+    * group on the window start — replication factor size/hop, no
+    * self-join. ts stays bigint epoch-nanos (q24 contract); window starts
+    * are hour multiples so the DuckDB µs-read can't move a row across a
+    * boundary. The streaming twin is graft.streaming.StreamOps.slidingAgg. */
+  def q94HoppingWindows(s: SparkSession, dir: String): DataFrame = {
+    val hour = 3600000000000L
+    t(s, dir, "events")
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+      .withColumn("k", explode(array(lit(0L), lit(1L))))
+      .groupBy(
+        (col("ts") - (col("ts") % lit(hour)) - col("k") * lit(hour)).as("wstart"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value").cast("decimal(12,2)")), 2).cast("double").as("sv"))
+      .orderBy("wstart", "event_type")
+  }
+
+  /** Q96 — ordered conversion funnel over the events stream table:
+    * first view → first click AFTER that view → first purchase AFTER that
+    * click, per user; stage survivors bucketed by user_id % 10. The
+    * strictly-ordered semantics (a click before the first view does not
+    * count) is what distinguishes a funnel from three independent filters.
+    *
+    * Timestamps are truncated to MICROSECONDS on both sides (ts div 1000 ≡
+    * the oracle's epoch_us) — the q41 as-of contract: DuckDB reads the
+    * parquet column at timestamp precision, so comparing or summing raw
+    * nanos would diverge in the sub-µs digits.
+    *
+    * Scale shape: each stage aggregates a type-filtered slice (the filter
+    * reaches the scan; event_type could be a partition column at 100 TB)
+    * and joins on user_id — three hash-partitioned stage tables, each a
+    * fraction of the corpus, never a per-user sort of all events. */
+  def q96Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("t"), col("event_type"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t").as("vt"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("t") > col("vt"))
+      .groupBy("user_id").agg(min("t").as("ct"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("t") > col("ct"))
+      .groupBy("user_id").agg(min("t").as("pt"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_view"),
+        count(col("ct")).as("n_click"),
+        count(col("pt")).as("n_purchase"),
+        sum(col("ct") - col("vt")).cast("long").as("total_lag_us"))
+      .orderBy("bucket")
+  }
 }

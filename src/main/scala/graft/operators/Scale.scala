@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Scale utilities: the shuffle-engineering layer for 100 TB operation.
   *
@@ -53,4 +54,71 @@ object Scale {
     * ShuffleExchange on either side. */
   def bucketedJoin(s: SparkSession, left: String, right: String, key: String): DataFrame =
     s.table(left).join(s.table(right), Seq(key))
+
+  /** Bloom-pruned semi-join: the runtime-filter pattern for big-probe /
+    * medium-build joins where the build side is too large to broadcast as
+    * rows but its KEY SET fits in a bloom filter (megabytes for tens of
+    * millions of keys at 1% fpp).
+    *
+    *   1. build side: distributed `stat.bloomFilter` over xxhash64(key) —
+    *      the only thing collected to the driver is the compact sketch;
+    *   2. probe side: filter through the native codegen'd
+    *      [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    *      (the same expression Spark's own injected runtime filters use),
+    *      evaluated AT THE SCAN — before any exchange;
+    *   3. exact LEFT SEMI join confirms survivors (the bloom admits ~fpp
+    *      false positives; it is a shuffle-reducer, never the correctness
+    *      boundary).
+    *
+    * At 100 TB the win is step 2: a 1% - selective build side means ~99% of
+    * probe rows die in the scan stage and never enter the semi-join
+    * shuffle. Spark's AQE injects this automatically only under a narrow
+    * set of conditions (shuffle-stage reuse, creation-side thresholds);
+    * this operator states it explicitly so the plan is guaranteed.
+    *
+    * Hash contract: build inserts `putLong(xxhash64(key))`, probe tests
+    * `mightContainLong(xxhash64(key))` — the identical (seed-42) hash on
+    * both sides, and the identical serialized format (`BloomFilter
+    * .writeTo`/`readFrom`) the expression deserializes. */
+  def bloomPrunedSemiJoin(probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String,
+      expectedItems: Long = 1 << 20, fpp: Double = 0.01): DataFrame =
+    probe.filter(bloomMightContain(build, buildKey, probeKey, expectedItems, fpp))
+      .join(build.select(col(buildKey).as(probeKey)), Seq(probeKey), "left_semi")
+
+  /** The probe-side predicate of [[bloomPrunedSemiJoin]]: a codegen'd
+    * `might_contain(bloom, xxhash64(key))` over a bloom built (distributed)
+    * from the build side's key set. Exposed separately so the pruning
+    * effectiveness is testable on its own. */
+  def bloomMightContain(build: DataFrame, buildKey: String, probeKey: String,
+      expectedItems: Long = 1 << 20, fpp: Double = 0.01): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.sql.GraftColumnBridge
+    val bloom = build.select(xxhash64(col(buildKey)).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    // seed 42 = the xxhash64() function's seed, matching the insert side
+    GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, BinaryType),
+      XxHash64(Seq(GraftColumnBridge.expression(col(probeKey))), 42L)))
+  }
+
+  /** Q91 — lineitem rows belonging to the top-value orders (~5% of orders
+    * pass the price gate), via [[bloomPrunedSemiJoin]]. The oracle states
+    * the plain `IN` subquery; the bloom is invisible to the result —
+    * exactly the property the operator guarantees. */
+  def q91BloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val build = Tables(s, dir, "orders")
+      .filter(col("o_totalprice") > 475000.0)
+      .select("o_orderkey")
+    bloomPrunedSemiJoin(Tables(s, dir, "lineitem"), build, "l_orderkey", "o_orderkey")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        round(sum(col("l_quantity").cast("decimal(12,2)")), 2).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
 }

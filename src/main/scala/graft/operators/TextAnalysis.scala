@@ -520,4 +520,75 @@ object TextAnalysis {
       .select("source", "n_total", "n_kept", "kept_sum")
       .orderBy("source")
   }
+
+  /** Q93 — inverted-index construction: per term, document frequency,
+    * total term frequency, and the first-5 posting list (doc_ids
+    * ascending, comma-joined). The retrieval-side data structure of a
+    * dedup/search pipeline, built relationally.
+    *
+    * Scale shape: the posting list is capped BEFORE collection — (term,
+    * doc_id) rows are ranked per term and filtered to rnk ≤ 5, which
+    * Catalyst executes with WindowGroupLimit(Partial): each map partition
+    * pre-prunes to its local 5 per term, so a stopword appearing in every
+    * document ships ≤ 5·|maps| rows into the window shuffle, never its
+    * full posting list. collect_list only ever sees ≤ 5 rows per term —
+    * no unbounded per-group array materializes anywhere (the q89/q90
+    * discipline applied to index construction). */
+  def q93InvertedIndex(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val toks = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) >= 3)
+    // one row per (term, doc) with its in-doc count: df and tf both derive
+    val td = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf_d"))
+    val stats = td.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf_d").cast("long").as("tf"))
+    val top5 = td
+      .withColumn("rn", row_number().over(Window.partitionBy("term").orderBy("doc_id")))
+      .filter(col("rn") <= 5)
+      .groupBy("term")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(col("doc_id"))), x => x.cast("string"))).as("posting"))
+    stats.join(top5, Seq("term"))
+      .select("term", "df", "tf", "posting")
+      .orderBy(desc("df"), asc("term"))
+      .limit(k)
+  }
+
+  /** Q95 — sqrt-temperature mixture resampling: re-balance a multi-source
+    * corpus toward uniform by sampling source s with weight ∝ √n_s
+    * (T = 2 temperature sampling — the standard multilingual/multi-source
+    * training-mix step). Quotas are exact integers: w_s = ⌊√n_s·1000⌋
+    * (sqrt is IEEE correctly-rounded, so both engines floor the same
+    * double), quota_s = (N/2)·w_s ÷ Σw — no float ratio ever compared.
+    * Survivor selection reuses the deterministic md5-rank contract of
+    * [[quotaCap]]: a pure function of (seed, doc_id), reproducible across
+    * engines, reruns, and partitionings.
+    *
+    * Scale shape: counts/weights/quotas are a source-cardinality table
+    * (broadcast); ranking gets WindowGroupLimit pruning only when the
+    * limit is a literal, so the rank filter joins the broadcast quota
+    * table instead — rows shuffle once on source, the corpus never sorts
+    * globally. */
+  def q95MixtureResample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id").isNotNull)
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n_total"))
+    val weights = counts.withColumn("w",
+      floor(sqrt(col("n_total").cast("double")) * 1000).cast("long"))
+    val totals = weights.agg(sum("w").as("sum_w"), sum("n_total").as("n_all"))
+    val quotas = weights.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_total"),
+        expr("(n_all div 2) * w div sum_w").cast("long").as("quota"))
+    val ranked = d
+      .withColumn("__qk", md5(concat(lit("q95|"), col("doc_id").cast("string"))))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("source").orderBy(col("__qk"), col("doc_id"))))
+    ranked.join(broadcast(quotas), Seq("source"))
+      .filter(col("rnk") <= col("quota"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").cast("long").as("kept_sum"))
+      .join(quotas, Seq("source"))
+      .select("source", "n_total", "quota", "n_kept", "kept_sum")
+      .orderBy("source")
+  }
 }

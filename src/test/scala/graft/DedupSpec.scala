@@ -130,4 +130,24 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hamming(h(1L), h(2L)) <= 8, s"near-dups too far: ${hamming(h(1L), h(2L))}")
     assert(hamming(h(1L), h(3L)) > 8, s"unrelated too close: ${hamming(h(1L), h(3L))}")
   }
+
+  test("cdcPassages: boundaries are position-independent, passages lossless") {
+    // the shared sentence sits at DIFFERENT word offsets in the two docs;
+    // content-defined boundaries must still carve identical passages out of
+    // it ('quick'/'lazy'/'dog' are boundary words: md5 hex starts 0/1)
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val d = docsDf(Seq(
+      1L -> s"alpha beta $shared",
+      2L -> s"$shared gamma delta epsilon"))
+    val p = Dedup.cdcPassages(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = p.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    // lossless: passages re-concatenate to the original text, in pid order
+    assert(byDoc(1L).mkString(" ") == s"alpha beta $shared")
+    assert(byDoc(2L).mkString(" ") == s"$shared gamma delta epsilon")
+    // position-independent: the mid-sentence passages match across docs
+    val common = byDoc(1L).toSet intersect byDoc(2L).toSet
+    assert(common.contains("quick brown fox jumps over the"), s"common=$common")
+    assert(common.contains("lazy"), s"common=$common")
+  }
 }

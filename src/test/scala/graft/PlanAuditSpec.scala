@@ -340,4 +340,28 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b, "kept set depends on input order/partitioning")
     assert(a.size == 15 * 20, s"cap k=15 over 20 sources: ${a.size}")
   }
+
+  test("q93 inverted index: posting cap pre-prunes map-side; stopword lists stay bounded") {
+    val plan = planString(graft.operators.TextAnalysis.q93InvertedIndex(spark, sfDir))
+    // the rnk<=5 filter must plan WindowGroupLimit(Partial) below the term
+    // exchange — without it a corpus-wide stopword ships its ENTIRE posting
+    // list (every doc_id) through one window partition before the cap
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"posting-list cap lost its map-side pre-pruning:\n$plan")
+    // and no collect_list ever sees an uncapped group: the aggregate must
+    // be an ANCESTOR of the group-limit window (cap below = cap before
+    // collection; tree printing puts the parent first)
+    val planLower = plan.toLowerCase
+    assert(planLower.indexOf("collect_list") < planLower.indexOf("windowgrouplimit"),
+      s"collect_list runs before the cap:\n$plan")
+  }
+
+  test("q91 bloom semi-join: might_contain filter sits at the probe scan") {
+    val plan = planString(graft.operators.Scale.q91BloomSemiJoin(spark, sfDir))
+    // the bloom predicate must be a scan-stage filter (before the join
+    // exchange), not a post-join residual — that IS the operator's value
+    assert(plan.contains("might_contain"),
+      s"bloom predicate missing from the physical plan:\n$plan")
+    assert(plan.contains("LeftSemi"), s"no semi-join in plan:\n$plan")
+  }
 }

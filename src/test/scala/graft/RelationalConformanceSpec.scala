@@ -95,6 +95,18 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "WITH t AS (SELECT lang, CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS tokens FROM documents WHERE text IS NOT NULL), b AS (SELECT lang, tokens, CASE WHEN tokens < 16 THEN 'a_lt16' WHEN tokens < 32 THEN 'b_16_31' WHEN tokens < 64 THEN 'c_32_63' WHEN tokens < 128 THEN 'd_64_127' ELSE 'e_128_plus' END AS bucket FROM t) SELECT lang, bucket, COUNT(*) AS n, CAST(SUM(tokens) AS BIGINT) AS total_tokens, ROUND(CAST(SUM(tokens) AS DOUBLE) / COUNT(*), 2) AS avg_tokens FROM b GROUP BY lang, bucket ORDER BY lang, bucket",
     "q85_quality_gate" -> // no 'g' flag in Spark regexp_replace (global is default)
       "WITH s AS (SELECT lang, CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '')) AS DOUBLE) / LENGTH(text) AS score FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0), g AS (SELECT lang, score, COUNT(*) AS cnt FROM s GROUP BY 1, 2), c AS (SELECT lang, score, SUM(cnt) OVER (PARTITION BY lang ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g), t AS (SELECT lang, COUNT(*) AS n FROM s GROUP BY lang), thr AS (SELECT c.lang, MIN(score) AS thr FROM c JOIN t ON c.lang = t.lang WHERE cum * 4 >= n GROUP BY c.lang) SELECT s.lang, COUNT(*) AS n_kept, ROUND(AVG(score), 4) AS avg_kept_score, ROUND(MIN(score), 4) AS min_kept_score FROM s JOIN thr ON s.lang = thr.lang WHERE score >= thr GROUP BY s.lang ORDER BY s.lang",
+    "q92_cdc_passages" -> // string_split_regex -> split; generate_subscripts/
+      // unnest -> LATERAL VIEW posexplode (0- vs 1-based i: order-only, not
+      // output); string_agg(ORDER BY) -> concat_ws/transform/array_sort
+      "WITH base AS (SELECT doc_id, concat(text, CASE WHEN doc_id % 5 = 0 THEN ' the quick brown fox jumps over the lazy dog' ELSE '' END) AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), tok AS (SELECT doc_id, i, word FROM base LATERAL VIEW posexplode(split(trim(t), '\\\\s+')) x AS i, word), m AS (SELECT doc_id, i, word, CASE WHEN substring(md5(word), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END AS b FROM tok), pw AS (SELECT doc_id, i, word, SUM(b) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid FROM m), pas AS (SELECT doc_id, pid, md5(concat_ws(' ', transform(array_sort(collect_list(struct(i, word))), s -> s.word))) AS pmd5 FROM pw GROUP BY doc_id, pid), g AS (SELECT pmd5, COUNT(*) AS copies, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS keeper FROM pas GROUP BY pmd5) SELECT COUNT(*) AS n_unique_passages, CAST(SUM(copies) AS BIGINT) AS n_passages, CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS cross_doc_groups, CAST(SUM(CASE WHEN n_docs >= 2 THEN copies END) AS BIGINT) AS cross_doc_copies, CAST(SUM(CASE WHEN n_docs >= 2 THEN keeper END) AS BIGINT) AS keeper_sum FROM g",
+    "q93_inverted_index" -> // string_agg(ORDER BY) -> concat_ws over sorted list
+      "WITH tok AS (SELECT doc_id, explode(split(trim(lower(text)), '\\\\s+')) AS term FROM documents WHERE text IS NOT NULL), ft AS (SELECT doc_id, term FROM tok WHERE length(term) >= 3), td AS (SELECT term, doc_id, COUNT(*) AS tf_d FROM ft GROUP BY 1, 2), st AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf_d) AS BIGINT) AS tf FROM td GROUP BY term), r AS (SELECT term, doc_id, ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM td), p AS (SELECT term, concat_ws(',', transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING))) AS posting FROM r WHERE rn <= 5 GROUP BY term) SELECT st.term, df, tf, posting FROM st JOIN p ON st.term = p.term ORDER BY df DESC, st.term LIMIT 50",
+    "q94_hopping_windows" -> // epoch_ns -> raw bigint ts; unnest([0,1]) -> explode(array)
+      "WITH e AS (SELECT ts AS tns, event_type, user_id, value FROM events), x AS (SELECT tns - (tns % 3600000000000) - k * 3600000000000 AS wstart, event_type, user_id, value FROM e LATERAL VIEW explode(array(0L, 1L)) kk AS k) SELECT wstart, event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users, CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sv FROM x GROUP BY 1, 2 ORDER BY 1, 2",
+    "q95_mixture_resample" -> // '//' -> div, VARCHAR -> STRING
+      "WITH d AS (SELECT source, doc_id FROM documents WHERE doc_id IS NOT NULL), c AS (SELECT source, COUNT(*) AS n_total FROM d GROUP BY source), w AS (SELECT source, n_total, CAST(FLOOR(SQRT(CAST(n_total AS DOUBLE)) * 1000) AS BIGINT) AS w FROM c), t AS (SELECT SUM(w) AS sum_w, SUM(n_total) AS n_all FROM w), q AS (SELECT source, n_total, ((n_all div 2) * w) div sum_w AS quota FROM w, t), r AS (SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(concat('q95|', CAST(doc_id AS STRING))), doc_id) AS rnk FROM d) SELECT q.source, q.n_total, CAST(q.quota AS BIGINT) AS quota, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS kept_sum FROM r JOIN q ON r.source = q.source WHERE rnk <= quota GROUP BY 1, 2, 3 ORDER BY q.source",
+    "q96_funnel" -> // epoch_us(ts) -> ts div 1000 (µs truncation contract)
+      "WITH e AS (SELECT user_id, ts div 1000 AS t, event_type FROM events), v AS (SELECT user_id, MIN(t) AS vt FROM e WHERE event_type = 'view' GROUP BY user_id), c AS (SELECT e.user_id, MIN(t) AS ct FROM e JOIN v ON e.user_id = v.user_id WHERE event_type = 'click' AND t > vt GROUP BY e.user_id), p AS (SELECT e.user_id, MIN(t) AS pt FROM e JOIN c ON e.user_id = c.user_id WHERE event_type = 'purchase' AND t > ct GROUP BY e.user_id) SELECT v.user_id % 10 AS bucket, COUNT(*) AS n_view, COUNT(ct) AS n_click, COUNT(pt) AS n_purchase, CAST(SUM(ct - vt) AS BIGINT) AS total_lag_us FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id GROUP BY 1 ORDER BY 1",
     "q53_char_ngram_jaccard" -> // range() lateral -> explode(sequence)
       "WITH w AS (SELECT doc_id, substring(text, i, 3) AS word FROM (SELECT doc_id, text, explode(sequence(1, length(text) - 2)) AS i FROM documents WHERE doc_id < 20)), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
   )

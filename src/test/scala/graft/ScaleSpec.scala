@@ -131,4 +131,33 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expect = docs.filter(col("lang") === "en" && col("doc_id") < 100).count()
     assert(pruned.count() == expect)
   }
+
+  test("bloomPrunedSemiJoin: identical rows to the plain semi-join") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val build = Tables(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 300000.0).select("o_orderkey")
+    val got = Scale.bloomPrunedSemiJoin(li, build, "l_orderkey", "o_orderkey")
+    val exp = li.join(build.withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), "left_semi")
+    assert(got.count() == exp.count())
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+  }
+
+  test("bloom pre-filter prunes the probe before any join shuffle") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val build = Tables(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 450000.0).select("o_orderkey")
+    val total = li.count()
+    val trueMatches = li.join(build.withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), "left_semi").count()
+    val admitted = li
+      .filter(Scale.bloomMightContain(build, "o_orderkey", "l_orderkey"))
+      .count()
+    // sound: every true match passes the bloom (no false negatives)
+    assert(admitted >= trueMatches)
+    // effective: a ~2%-selective build side must kill most of the probe
+    // (admitted ≈ matches + fpp·rest; generous bound to stay flake-proof)
+    assert(admitted <= trueMatches + total / 10,
+      s"bloom admitted $admitted of $total (true matches: $trueMatches)")
+  }
 }
