@@ -121,6 +121,10 @@ object SparkEntry {
     "q94_hopping_windows"  -> (Relational.q94HoppingWindows _),
     "q95_mixture_resample" -> (TextAnalysis.q95MixtureResample _),
     "q96_funnel"           -> (Relational.q96Funnel _),
+    "q97_rolling_range"    -> (Relational.q97RollingRange _),
+    "q98_bigram_lm"        -> ((s, dir) => TextAnalysis.q98BigramLm(s, dir)),
+    "q99_winsorized"       -> (Relational.q99Winsorized _),
+    "q100_salted_join"     -> (Scale.q100SaltedJoin _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -361,5 +365,18 @@ object SparkEntry {
       // on both sides (epoch_us ≡ ts div 1000) — the q41 resolution
       // contract for raw-epoch outputs
       "WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events), v AS (SELECT user_id, MIN(t) AS vt FROM e WHERE event_type = 'view' GROUP BY user_id), c AS (SELECT e.user_id, MIN(t) AS ct FROM e JOIN v ON e.user_id = v.user_id WHERE event_type = 'click' AND t > vt GROUP BY e.user_id), p AS (SELECT e.user_id, MIN(t) AS pt FROM e JOIN c ON e.user_id = c.user_id WHERE event_type = 'purchase' AND t > ct GROUP BY e.user_id) SELECT v.user_id % 10 AS bucket, COUNT(*) AS n_view, COUNT(ct) AS n_click, COUNT(pt) AS n_purchase, CAST(SUM(ct - vt) AS BIGINT) AS total_lag_us FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id GROUP BY 1 ORDER BY 1",
+    "q97_rolling_range" -> // RANGE frame over µs-truncated event time (q41
+      // resolution contract); DECIMAL frame sums make MAX exact
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS t, CAST(value AS DECIMAL(12,2)) AS v FROM events), r AS (SELECT user_id, COUNT(*) OVER win AS n_1h, SUM(v) OVER win AS v_1h FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) SELECT user_id, MAX(n_1h) AS max_burst, CAST(MAX(v_1h) AS DOUBLE) AS max_value_1h FROM r GROUP BY user_id ORDER BY user_id",
+    "q98_bigram_lm" -> // conditional probability as exact ppm: n2*10^6 // n1
+      // (integer division — no float ratio in the hash gate)
+      "WITH w AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS words FROM documents WHERE text IS NOT NULL), e AS (SELECT words[i] AS w1, words[i + 1] AS w2 FROM (SELECT words, unnest(generate_series(1, len(words) - 1)) AS i FROM w WHERE len(words) >= 2) t), c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM e GROUP BY 1, 2), c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1) SELECT c2.w1, c2.w2, c2.n2, c1.n1, CAST(c2.n2 * 1000000 // c1.n1 AS BIGINT) AS p_ppm FROM c2 JOIN c1 USING (w1) ORDER BY c2.n2 DESC, c2.w1, c2.w2 LIMIT 30",
+    "q99_winsorized" -> // exact integer cents end-to-end; thresholds are the
+      // q85 discrete order statistics (20·cum >= n / >= 19n) — no engine
+      // quantile interpolation, no ROUND anywhere
+      "WITH li AS (SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem), t AS (SELECT l_returnflag, COUNT(*) AS n FROM li GROUP BY 1), g AS (SELECT l_returnflag, c, COUNT(*) AS cnt FROM li GROUP BY 1, 2), cu AS (SELECT l_returnflag, c, SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g), j AS (SELECT cu.l_returnflag, c, cum, n FROM cu JOIN t USING (l_returnflag)), lo AS (SELECT l_returnflag, MIN(c) AS p05_cents FROM j WHERE cum * 20 >= n GROUP BY 1), hi AS (SELECT l_returnflag, MIN(c) AS p95_cents FROM j WHERE cum * 20 >= n * 19 GROUP BY 1) SELECT li.l_returnflag, p05_cents, p95_cents, COUNT(*) AS n, CAST(SUM(GREATEST(p05_cents, LEAST(p95_cents, c))) AS BIGINT) AS winsorized_total_cents FROM li JOIN lo USING (l_returnflag) JOIN hi USING (l_returnflag) GROUP BY 1, 2, 3 ORDER BY li.l_returnflag",
+    "q100_salted_join" -> // salting spreads the hot key across partitions but
+      // may not change the join result: the plain-join oracle is the proof
+      "SELECT o_orderpriority, COUNT(*) AS n, CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_totalprice > 400000.0 GROUP BY o_orderpriority ORDER BY o_orderpriority",
   )
 }

@@ -848,4 +848,83 @@ object Relational {
         sum(col("ct") - col("vt")).cast("long").as("total_lag_us"))
       .orderBy("bucket")
   }
+
+  /** Q97 — event-time RANGE window frames: per-user trailing-1-hour rolling
+    * count and value sum, reduced to each user's burst maximum. ROWS frames
+    * (q15) step by row position; RANGE frames step by the ORDER BY value,
+    * so ties share a frame and gaps in time shrink it — the semantics burst
+    * detection actually needs. Timestamps are µs-truncated on both sides
+    * (q41 contract) and the frame sum runs in DECIMAL, so MAX over frames
+    * is exact on both engines.
+    *
+    * Scale shape: one shuffle on user_id (corpus-scale key in a real event
+    * stream), then a single sorted pass per partition — Spark's WindowExec
+    * evaluates the sliding RANGE frame incrementally, never materializing
+    * per-row frame copies. */
+  def q97RollingRange(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val w = Window.partitionBy("user_id").orderBy("t").rangeBetween(-hourUs, 0)
+    t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("t"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .select(col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("v")).over(w).as("v_1h"))
+      .groupBy("user_id")
+      .agg(max("n_1h").as("max_burst"),
+        max("v_1h").cast("double").as("max_value_1h"))
+      .orderBy("user_id")
+  }
+
+  /** Q99 — winsorized statistics: clip l_extendedprice to its exact per-flag
+    * [p05, p95] and report the clipped total. Thresholds are the q85
+    * discrete order statistics (smallest value with 20·cum ≥ n, resp.
+    * ≥ 19n) — integer arithmetic, no engine quantile interpolation — and
+    * money runs in exact integer cents end-to-end, so the whole result
+    * hash-matches without a single ROUND.
+    *
+    * Scale shape: cents are high-cardinality (≈ one distinct value per
+    * row), so the monolithic per-flag cumulative window the oracle states
+    * would serialize each flag through one task — the q56 trap. Instead
+    * the rank is SHARDED (the q81 decomposition): one repartition by
+    * (flag, price-shard of $1,000), a per-shard row_number, per-shard
+    * counts (Catalyst prunes the window from that branch and plans a
+    * partial agg — only ~|shards| rows shuffle), a tiny per-flag window
+    * for shard prefix offsets, and cum = prefix + rn. Per-row cum differs from the oracle's per-distinct-
+    * value cum only WITHIN a tie group, and a tie row passes `20·cum ≥ n`
+    * iff its group's last row does — so min(c) over passing rows is
+    * EXACTLY the oracle's threshold (conformance proves it). Both
+    * thresholds come from one conditional-min pass; the clip+total is a
+    * scan-side projection under broadcast thresholds — the fact table
+    * crosses the wire once. */
+  def q99Winsorized(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c"))
+      .withColumn("sh", expr("c div 100000"))
+    val r = li.repartition(col("l_returnflag"), col("sh"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("l_returnflag", "sh").orderBy("c")).cast("long"))
+    // same partitioning as the repartition → no exchange for this agg
+    val shCounts = r.groupBy("l_returnflag", "sh").agg(count(lit(1)).as("shCnt"))
+    val shPrefix = shCounts
+      .withColumn("shPrefix",
+        coalesce(sum("shCnt").over(Window.partitionBy("l_returnflag").orderBy("sh")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("l_returnflag"), col("sh"), col("shPrefix"))
+    val totals = shCounts.groupBy("l_returnflag").agg(sum("shCnt").as("n"))
+    val thresholds = r
+      .join(broadcast(shPrefix), Seq("l_returnflag", "sh"))
+      .join(broadcast(totals), Seq("l_returnflag"))
+      .withColumn("cum", col("rn") + col("shPrefix"))
+      .groupBy("l_returnflag")
+      .agg(
+        min(when(col("cum") * 20 >= col("n"), col("c"))).as("p05_cents"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("c"))).as("p95_cents"))
+    li.join(broadcast(thresholds), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p05_cents"), col("p95_cents"),
+        greatest(col("p05_cents"), least(col("p95_cents"), col("c"))).as("wc"))
+      .groupBy("l_returnflag", "p05_cents", "p95_cents")
+      .agg(count(lit(1)).as("n"), sum("wc").cast("long").as("winsorized_total_cents"))
+      .orderBy("l_returnflag")
+  }
 }

@@ -109,6 +109,25 @@ object Scale {
     * pass the price gate), via [[bloomPrunedSemiJoin]]. The oracle states
     * the plain `IN` subquery; the bloom is invisible to the result —
     * exactly the property the operator guarantees. */
+  /** Q100 — [[saltedJoin]] under the oracle gate: salting changes WHERE
+    * rows meet (the hot key spreads over `salt` partitions), never WHICH
+    * rows join — so the plain-join oracle must hash-match exactly. The
+    * row-identity property ScaleSpec asserts on a constructed hot key is
+    * here proven on real tables by the DuckDB compare. */
+  def q100SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+    // the operator contract: small side is REPLICATED salt× — so it must be
+    // dim-sized, not fact-sized (a ~4%-selective orders slice here)
+    val o = Tables(s, dir, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    saltedJoin(li, o, "l_orderkey", salt = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast("decimal(12,2)")), 2).cast("double").as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   def q91BloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
     val build = Tables(s, dir, "orders")
       .filter(col("o_totalprice") > 475000.0)

@@ -591,4 +591,31 @@ object TextAnalysis {
       .select("source", "n_total", "quota", "n_kept", "kept_sum")
       .orderBy("source")
   }
+
+  /** Q98 — bigram language-model counts: P(w2|w1) as exact parts-per-
+    * million (n2·10⁶ ÷ n1, integer division — the transcendental rule
+    * applied to probabilities: no float ratio enters the hash gate). The
+    * conditional table is the classic n-gram LM / next-token-statistics
+    * build over a corpus.
+    *
+    * Scale shape: bigram explode → partial-agg count (only (bigram,
+    * partial) pairs shuffle, q74); the n1 table derives from n2 by a
+    * second partial agg on w1, so the corpus is read once; top-30 plans as
+    * TakeOrderedAndProject. */
+  def q98BigramLm(s: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    val pairs = docs(s, dir).filter(col("text").isNotNull)
+      .select(split(trim(lower(col("text"))), "\\s+").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(explode(bigrams(col("words"))).as("bg"))
+      // words carry no spaces (split on \s+), so the shingle splits cleanly
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+    val n2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val n1 = n2.groupBy("w1").agg(sum("n2").cast("long").as("n1"))
+    n2.join(n1, Seq("w1"))
+      .select(col("w1"), col("w2"), col("n2"), col("n1"),
+        expr("n2 * 1000000 div n1").cast("long").as("p_ppm"))
+      .orderBy(desc("n2"), asc("w1"), asc("w2"))
+      .limit(k)
+  }
 }

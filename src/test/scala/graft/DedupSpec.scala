@@ -150,4 +150,19 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(common.contains("quick brown fox jumps over the"), s"common=$common")
     assert(common.contains("lazy"), s"common=$common")
   }
+
+  test("cdcPassages: lossless reconstruction on random word-salad corpora") {
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector.tabulate(50)(i => s"w$i")
+    val rows = (0L until 40L).map { i =>
+      i -> Seq.fill(1 + rnd.nextInt(60))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val byDoc = Dedup.cdcPassages(docsDf(rows)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    rows.foreach { case (id, text) =>
+      assert(byDoc(id).mkString(" ") == text, s"doc $id lost content")
+      assert(byDoc(id).forall(_.nonEmpty), s"doc $id has an empty passage")
+    }
+  }
 }

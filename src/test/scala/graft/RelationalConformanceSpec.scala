@@ -107,6 +107,10 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "WITH d AS (SELECT source, doc_id FROM documents WHERE doc_id IS NOT NULL), c AS (SELECT source, COUNT(*) AS n_total FROM d GROUP BY source), w AS (SELECT source, n_total, CAST(FLOOR(SQRT(CAST(n_total AS DOUBLE)) * 1000) AS BIGINT) AS w FROM c), t AS (SELECT SUM(w) AS sum_w, SUM(n_total) AS n_all FROM w), q AS (SELECT source, n_total, ((n_all div 2) * w) div sum_w AS quota FROM w, t), r AS (SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(concat('q95|', CAST(doc_id AS STRING))), doc_id) AS rnk FROM d) SELECT q.source, q.n_total, CAST(q.quota AS BIGINT) AS quota, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS kept_sum FROM r JOIN q ON r.source = q.source WHERE rnk <= quota GROUP BY 1, 2, 3 ORDER BY q.source",
     "q96_funnel" -> // epoch_us(ts) -> ts div 1000 (µs truncation contract)
       "WITH e AS (SELECT user_id, ts div 1000 AS t, event_type FROM events), v AS (SELECT user_id, MIN(t) AS vt FROM e WHERE event_type = 'view' GROUP BY user_id), c AS (SELECT e.user_id, MIN(t) AS ct FROM e JOIN v ON e.user_id = v.user_id WHERE event_type = 'click' AND t > vt GROUP BY e.user_id), p AS (SELECT e.user_id, MIN(t) AS pt FROM e JOIN c ON e.user_id = c.user_id WHERE event_type = 'purchase' AND t > ct GROUP BY e.user_id) SELECT v.user_id % 10 AS bucket, COUNT(*) AS n_view, COUNT(ct) AS n_click, COUNT(pt) AS n_purchase, CAST(SUM(ct - vt) AS BIGINT) AS total_lag_us FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id GROUP BY 1 ORDER BY 1",
+    "q97_rolling_range" -> // epoch_us(ts) -> ts div 1000
+      "WITH e AS (SELECT user_id, ts div 1000 AS t, CAST(value AS DECIMAL(12,2)) AS v FROM events), r AS (SELECT user_id, COUNT(*) OVER win AS n_1h, SUM(v) OVER win AS v_1h FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) SELECT user_id, MAX(n_1h) AS max_burst, CAST(MAX(v_1h) AS DOUBLE) AS max_value_1h FROM r GROUP BY user_id ORDER BY user_id",
+    "q98_bigram_lm" -> // string_split_regex/unnest/words[i]/'//' -> split/explode/element_at/div
+      "WITH w AS (SELECT split(trim(lower(text)), '\\\\s+') AS words FROM documents WHERE text IS NOT NULL), e AS (SELECT element_at(words, CAST(i AS INT)) AS w1, element_at(words, CAST(i AS INT) + 1) AS w2 FROM (SELECT words, explode(sequence(1, size(words) - 1)) AS i FROM w WHERE size(words) >= 2) t), c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM e GROUP BY 1, 2), c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1) SELECT c2.w1, c2.w2, c2.n2, c1.n1, CAST(c2.n2 * 1000000 div c1.n1 AS BIGINT) AS p_ppm FROM c2 JOIN c1 USING (w1) ORDER BY c2.n2 DESC, c2.w1, c2.w2 LIMIT 30",
     "q53_char_ngram_jaccard" -> // range() lateral -> explode(sequence)
       "WITH w AS (SELECT doc_id, substring(text, i, 3) AS word FROM (SELECT doc_id, text, explode(sequence(1, length(text) - 2)) AS i FROM documents WHERE doc_id < 20)), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
   )
