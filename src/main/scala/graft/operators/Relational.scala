@@ -826,7 +826,9 @@ object Relational {
     * Scale shape: each stage aggregates a type-filtered slice (the filter
     * reaches the scan; event_type could be a partition column at 100 TB)
     * and joins on user_id — three hash-partitioned stage tables, each a
-    * fraction of the corpus, never a per-user sort of all events. */
+    * fraction of the corpus, never a per-user sort of all events. The
+    * streaming twin is graft.streaming.StreamOps.funnelPerUser (same
+    * stage rules as per-user state). */
   def q96Funnel(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
       .select(col("user_id"), expr("ts div 1000").as("t"), col("event_type"))

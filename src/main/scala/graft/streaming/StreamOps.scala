@@ -113,6 +113,52 @@ object StreamOps {
       }
   }
 
+  /** Per-user streaming funnel state machine — the stateful twin of the
+    * batch q96 (operators.Relational.q96Funnel): first view → first click
+    * strictly after it → first purchase strictly after that. State is three
+    * epoch-micros longs per user (-1 = stage unreached), emitted on every
+    * update; the batch query computes the same stages with three
+    * aggregate+join passes.
+    *
+    * Events are applied in (ts, type) order WITHIN each micro-batch, so
+    * intra-batch disorder is harmless; an event arriving in a LATER batch
+    * with an earlier timestamp cannot retroactively lower a stage (the
+    * stage timestamps only ever fill forward) — the same trade every
+    * at-most-once-pass streaming funnel makes. Use an idle timeout in
+    * production: without one, one small fixed-size state row per user ever
+    * seen. */
+  def funnelPerUser(ds: Dataset[FunnelEvent],
+                    idleTimeout: Option[String] = None): Dataset[FunnelProgress] = {
+    import ds.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelProgress](
+        OutputMode.Update(), timeoutConf) {
+        (uid: Long, events: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelProgress(uid, -1L, -1L, -1L))
+            events.toSeq.sortBy(e => (e.tUs, e.etype)).foreach { e =>
+              e.etype match {
+                case "view" if st.vt < 0 => st = st.copy(vt = e.tUs)
+                case "click" if st.vt >= 0 && st.ct < 0 && e.tUs > st.vt =>
+                  st = st.copy(ct = e.tUs)
+                case "purchase" if st.ct >= 0 && st.pt < 0 && e.tUs > st.ct =>
+                  st = st.copy(pt = e.tUs)
+                case _ => // stage already reached, out of order, or other type
+              }
+            }
+            state.update(st)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator.single(st)
+          }
+      }
+  }
+
   /** Stream-stream interval join (SURVEY §2.3.3 "as-of / interval
     * (streaming)"): equi-key plus a time-range condition, both sides
     * watermarked so Spark can bound the buffered state (without watermarks a
@@ -146,6 +192,12 @@ object StreamOps {
 
 /** Input shape for runningPerKey — (key, event-time, value). */
 case class KeyedEvent(key: String, ts: java.sql.Timestamp, value: Double)
+
+/** Streaming funnel input: (user, epoch-micros, event type). */
+case class FunnelEvent(user_id: Long, tUs: Long, etype: String)
+
+/** Funnel stage timestamps in epoch-micros; -1 = stage unreached. */
+case class FunnelProgress(user_id: Long, vt: Long, ct: Long, pt: Long)
 
 /** Running state/output of runningPerKey. */
 case class KeyRunning(key: String, count: Long, sum: Double)

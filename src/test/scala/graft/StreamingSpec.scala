@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pipeline.{RecordGenerator, TransactionalJdbcSink}
 import graft.schema.SchemaBridge
-import graft.streaming.{KeyedEvent, StreamOps, StreamingPipeline}
+import graft.streaming.{FunnelEvent, KeyedEvent, StreamOps, StreamingPipeline}
 
 /** Streaming-layer tests (SURVEY §2.3.9, §5.2): watermarked windows with
   * late-data drop, session windows, stream dedup, explicit keyed state, and
@@ -153,6 +153,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(max("count").as("c"), max("sum").as("s"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(last == Set(("a", 3L, 7.0), ("b", 1L, 10.0)))
+  }
+
+  test("funnelPerUser: ordered stages advance, disorder and skips don't") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[FunnelEvent]
+    val q = StreamOps.funnelPerUser(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    try {
+      // u1 full funnel across TWO batches (state persists); u2's click
+      // precedes its view (must not count); u3 skips click (purchase must
+      // not count); u4's first click ties the view timestamp (strictly-
+      // after contract: dropped), second click counts
+      in.addData(
+        FunnelEvent(1L, 10L, "view"), FunnelEvent(1L, 20L, "click"),
+        FunnelEvent(2L, 5L, "click"), FunnelEvent(2L, 10L, "view"),
+        FunnelEvent(3L, 10L, "view"), FunnelEvent(3L, 15L, "purchase"),
+        FunnelEvent(4L, 10L, "view"), FunnelEvent(4L, 10L, "click"))
+      q.processAllAvailable()
+      in.addData(
+        FunnelEvent(1L, 30L, "purchase"),
+        FunnelEvent(4L, 12L, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("funnel")
+      .groupBy("user_id")
+      .agg(max("vt").as("vt"), max("ct").as("ct"), max("pt").as("pt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(last == Set(
+      (1L, 10L, 20L, 30L),   // full funnel, stages from both batches
+      (2L, 10L, -1L, -1L),   // click-before-view never counts
+      (3L, 10L, -1L, -1L),   // purchase without a click never counts
+      (4L, 10L, 12L, -1L)))  // tie dropped, later click accepted
   }
 
   test("stream-static enrichment join broadcasts the dim, keeps left rows") {
