@@ -82,21 +82,29 @@ object Scale {
     * .writeTo`/`readFrom`) the expression deserializes. */
   def bloomPrunedSemiJoin(probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,
-      expectedItems: Long = 1 << 20, fpp: Double = 0.01): DataFrame =
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame =
     probe.filter(bloomMightContain(build, buildKey, probeKey, expectedItems, fpp))
       .join(build.select(col(buildKey).as(probeKey)), Seq(probeKey), "left_semi")
 
   /** The probe-side predicate of [[bloomPrunedSemiJoin]]: a codegen'd
     * `might_contain(bloom, xxhash64(key))` over a bloom built (distributed)
     * from the build side's key set. Exposed separately so the pruning
-    * effectiveness is testable on its own. */
+    * effectiveness is testable on its own.
+    *
+    * `expectedItems = 0` (default) sizes the bloom from a count of the
+    * build side: one cheap extra job on the dim, and the bloom literal in
+    * the probe plan shrinks from a fixed worst case to ~1.2 bytes/key —
+    * an oversized bloom ships with EVERY probe task's binary (Spark warns
+    * "Broadcasting large task binary" above 1 MB). Pass it explicitly when
+    * the build cardinality is already known. */
   def bloomMightContain(build: DataFrame, buildKey: String, probeKey: String,
-      expectedItems: Long = 1 << 20, fpp: Double = 0.01): org.apache.spark.sql.Column = {
+      expectedItems: Long = 0L, fpp: Double = 0.01): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     import org.apache.spark.sql.types.BinaryType
     import org.apache.spark.sql.GraftColumnBridge
+    val sized = if (expectedItems > 0) expectedItems else math.max(build.count(), 4096L)
     val bloom = build.select(xxhash64(col(buildKey)).as("__h"))
-      .stat.bloomFilter("__h", expectedItems, fpp)
+      .stat.bloomFilter("__h", sized, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     // seed 42 = the xxhash64() function's seed, matching the insert side
