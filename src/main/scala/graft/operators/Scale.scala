@@ -96,15 +96,30 @@ object Scale {
     * the probe plan shrinks from a fixed worst case to ~1.2 bytes/key —
     * an oversized bloom ships with EVERY probe task's binary (Spark warns
     * "Broadcasting large task binary" above 1 MB). Pass it explicitly when
-    * the build cardinality is already known. */
+    * the build cardinality is already known. The build side is persisted
+    * across the sizing count and the bloom aggregation (released before
+    * returning), so auto-sizing costs one extra CACHED pass, not a second
+    * scan of the dim.
+    *
+    * NOTE: the bloom must exist before the probe plan can reference it, so
+    * calling this (or [[bloomPrunedSemiJoin]]) runs the build-side jobs
+    * EAGERLY at plan-construction time — unlike everything else in this
+    * library, the returned Column is not fully lazy. (Spark's own injected
+    * runtime filters defer via a scalar subquery; an explicit operator
+    * trades that laziness for a guaranteed scan-stage filter.) */
   def bloomMightContain(build: DataFrame, buildKey: String, probeKey: String,
       expectedItems: Long = 0L, fpp: Double = 0.01): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     import org.apache.spark.sql.types.BinaryType
     import org.apache.spark.sql.GraftColumnBridge
-    val sized = if (expectedItems > 0) expectedItems else math.max(build.count(), 4096L)
-    val bloom = build.select(xxhash64(col(buildKey)).as("__h"))
-      .stat.bloomFilter("__h", sized, fpp)
+    val keys = build.select(xxhash64(col(buildKey)).as("__h"))
+    val cached = if (expectedItems > 0) keys else keys.persist()
+    val bloom =
+      try {
+        val sized = if (expectedItems > 0) expectedItems
+                    else math.max(cached.count(), 4096L)
+        cached.stat.bloomFilter("__h", sized, fpp)
+      } finally { if (expectedItems <= 0) cached.unpersist() }
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     // seed 42 = the xxhash64() function's seed, matching the insert side
@@ -113,10 +128,6 @@ object Scale {
       XxHash64(Seq(GraftColumnBridge.expression(col(probeKey))), 42L)))
   }
 
-  /** Q91 — lineitem rows belonging to the top-value orders (~5% of orders
-    * pass the price gate), via [[bloomPrunedSemiJoin]]. The oracle states
-    * the plain `IN` subquery; the bloom is invisible to the result —
-    * exactly the property the operator guarantees. */
   /** Q100 — [[saltedJoin]] under the oracle gate: salting changes WHERE
     * rows meet (the hot key spreads over `salt` partitions), never WHICH
     * rows join — so the plain-join oracle must hash-match exactly. The
@@ -136,6 +147,10 @@ object Scale {
       .orderBy("o_orderpriority")
   }
 
+  /** Q91 — lineitem rows belonging to the top-value orders (~5% of orders
+    * pass the price gate), via [[bloomPrunedSemiJoin]]. The oracle states
+    * the plain `IN` subquery; the bloom is invisible to the result —
+    * exactly the property the operator guarantees. */
   def q91BloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
     val build = Tables(s, dir, "orders")
       .filter(col("o_totalprice") > 475000.0)

@@ -500,12 +500,22 @@ object TextAnalysis {
     * group is. */
   def quotaCap(d: DataFrame, groupCol: String, idCol: String,
       seed: String, k: Int): DataFrame =
+    seededRank(d, groupCol, idCol, seed)
+      .filter(col("__rnk") <= k)
+      .drop("__rnk")
+
+  /** The shared md5-rank contract of [[quotaCap]] and
+    * [[q95MixtureResample]]: rank rows within `groupCol` by
+    * md5(seed|id) with the id as tie-break — a pure function of
+    * (seed, id), reproducible across engines, reruns, partitionings, and
+    * cluster sizes. NULL ids excluded. Adds `__rnk` (caller drops it). */
+  def seededRank(d: DataFrame, groupCol: String, idCol: String,
+      seed: String): DataFrame =
     d.filter(col(idCol).isNotNull)
       .withColumn("__qk", md5(concat(lit(seed + "|"), col(idCol).cast("string"))))
       .withColumn("__rnk", row_number().over(
         Window.partitionBy(groupCol).orderBy(col("__qk"), col(idCol))))
-      .filter(col("__rnk") <= k)
-      .drop("__qk", "__rnk")
+      .drop("__qk")
 
   /** Q90 — per-source quota audit: totals vs kept-under-cap (k=15, binding
     * at every SF), plus the kept ids' sum so the oracle pins WHICH rows
@@ -576,15 +586,15 @@ object TextAnalysis {
     val weights = counts.withColumn("w",
       floor(sqrt(col("n_total").cast("double")) * 1000).cast("long"))
     val totals = weights.agg(sum("w").as("sum_w"), sum("n_total").as("n_all"))
+    // the (N/2)·w product runs in DECIMAL(38,0): a Long intermediate would
+    // silently wrap around n_all·w ≈ 2^63 (DuckDB's BIGINT errors instead
+    // of wrapping — DECIMAL keeps the engines agreeing at any scale)
     val quotas = weights.crossJoin(broadcast(totals))
       .select(col("source"), col("n_total"),
-        expr("(n_all div 2) * w div sum_w").cast("long").as("quota"))
-    val ranked = d
-      .withColumn("__qk", md5(concat(lit("q95|"), col("doc_id").cast("string"))))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy("source").orderBy(col("__qk"), col("doc_id"))))
-    ranked.join(broadcast(quotas), Seq("source"))
-      .filter(col("rnk") <= col("quota"))
+        expr("CAST(n_all div 2 AS DECIMAL(38,0)) * w div sum_w").cast("long").as("quota"))
+    seededRank(d, "source", "doc_id", "q95")
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("__rnk") <= col("quota"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"), sum("doc_id").cast("long").as("kept_sum"))
       .join(quotas, Seq("source"))
