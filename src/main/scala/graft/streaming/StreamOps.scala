@@ -113,6 +113,40 @@ object StreamOps {
       }
   }
 
+  /** Per-key admission cap — the streaming twin of the batch quota cap
+    * (operators.TextAnalysis.quotaCap): admit at most `k` events per key
+    * over the stream's lifetime, drop the rest. State is ONE long per key.
+    * Where the batch op selects survivors by deterministic hash rank
+    * (order-independent, needs the whole group), a stream must decide at
+    * arrival — so the streaming contract is first-k-by-arrival, the
+    * admission-control shape of a per-source ingest throttle. Use an idle
+    * timeout to bound state to the active key set. */
+  def admitPerKey(ds: Dataset[KeyedEvent], k: Long,
+                  idleTimeout: Option[String] = None): Dataset[KeyedEvent] = {
+    import ds.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, KeyedEvent](
+        OutputMode.Append(), timeoutConf) {
+        (key: String, events: Iterator[KeyedEvent], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val admitted = state.getOption.getOrElse(0L)
+            // within a batch, admit in event-time order (ties by value) so
+            // the micro-batch boundary doesn't make admission arbitrary
+            val take = events.toSeq.sortBy(e => (e.ts.getTime, e.value))
+              .take(math.max(0L, k - admitted).toInt)
+            state.update(admitted + take.size)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            take.iterator
+          }
+      }
+  }
+
   /** Per-user streaming funnel state machine — the stateful twin of the
     * batch q96 (operators.Relational.q96Funnel): first view → first click
     * strictly after it → first purchase strictly after that. State is three

@@ -155,6 +155,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last == Set(("a", 3L, 7.0), ("b", 1L, 10.0)))
   }
 
+  test("admitPerKey caps each key at k across micro-batches, first-k by event time") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamOps.admitPerKey(in.toDS(), k = 3).toDF()
+      .writeStream.format("memory").queryName("admit")
+      .outputMode("append").start()
+    try {
+      // batch 1: a has 2 (both admitted), b has 4 (3 admitted, ts order)
+      in.addData(
+        KeyedEvent("a", ts(1), 1.0), KeyedEvent("a", ts(2), 2.0),
+        KeyedEvent("b", ts(4), 40.0), KeyedEvent("b", ts(1), 10.0),
+        KeyedEvent("b", ts(2), 20.0), KeyedEvent("b", ts(3), 30.0))
+      q.processAllAvailable()
+      // batch 2: a gets 1 more (cap reached), b is already full — all dropped
+      in.addData(
+        KeyedEvent("a", ts(3), 3.0), KeyedEvent("a", ts(4), 4.0),
+        KeyedEvent("b", ts(5), 50.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("admit")
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+    assert(got == Set(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0),   // a: first 3 across batches
+      ("b", 10.0), ("b", 20.0), ("b", 30.0) // b: ts order beat arrival order
+    ), s"got=$got")
+  }
+
   test("funnelPerUser: ordered stages advance, disorder and skips don't") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
