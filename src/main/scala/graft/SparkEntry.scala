@@ -125,6 +125,7 @@ object SparkEntry {
     "q98_bigram_lm"        -> ((s, dir) => TextAnalysis.q98BigramLm(s, dir)),
     "q99_winsorized"       -> (Relational.q99Winsorized _),
     "q100_salted_join"     -> (Scale.q100SaltedJoin _),
+    "q101_gap_fill"        -> (Relational.q101GapFill _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -378,5 +379,8 @@ object SparkEntry {
     "q100_salted_join" -> // salting spreads the hot key across partitions but
       // may not change the join result: the plain-join oracle is the proof
       "SELECT o_orderpriority, COUNT(*) AS n, CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_totalprice > 400000.0 GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "q101_gap_fill" -> // dense hour axis min..max, zero-filled; gap runs via
+      // the q88 island trick; single row out, gaps may be 0 at dense SFs
+      "WITH hrs AS (SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS hb, COUNT(*) AS n FROM events GROUP BY 1), b AS (SELECT MIN(hb) AS lo, MAX(hb) AS hi FROM hrs), dense AS (SELECT unnest(generate_series(lo, hi, 3600000000000)) AS hb FROM b), f AS (SELECT d.hb, COALESCE(n, 0) AS n FROM dense d LEFT JOIN hrs ON d.hb = hrs.hb), g AS (SELECT hb FROM f WHERE n = 0), r AS (SELECT hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM g), runs AS (SELECT grp, COUNT(*) AS run FROM r GROUP BY grp), gs AS (SELECT COUNT(*) AS n_gap_runs, COALESCE(MAX(run), 0) AS max_gap_run FROM runs) SELECT (SELECT COUNT(*) FROM f) AS n_hours, (SELECT COUNT(*) FROM f WHERE n > 0) AS n_data_hours, (SELECT COUNT(*) FROM f WHERE n = 0) AS n_gap_hours, CAST(n_gap_runs AS BIGINT) AS n_gap_runs, CAST(max_gap_run AS BIGINT) AS max_gap_run FROM gs",
   )
 }

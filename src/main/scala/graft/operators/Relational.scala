@@ -878,6 +878,43 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Q101 — time-series densification (gap fill) + gap-run statistics: a
+    * dense hour axis from min to max event hour, zero-filled where no
+    * events landed, then consecutive gap hours grouped into runs with the
+    * q88 island trick (hb − row_number·1h constant per run). The
+    * monitoring/feature-engineering primitive Spark has no native operator
+    * for — the dense axis comes from explode(sequence(lo, hi, 1h)).
+    *
+    * Scale shape: the hour table is bounded by the fixture's fixed 30-day
+    * window (≤ ~720 rows at ANY scale factor — more data densifies hours,
+    * it does not add them), so the dense axis, the left join, and the
+    * single gap-run window (q81 constant-partition idiom, no WindowExec
+    * scale warning) are all tiny-table operations; only the initial
+    * per-hour count touches the corpus, as one partial-agg pass. */
+  def q101GapFill(s: SparkSession, dir: String): DataFrame = {
+    val hour = 3600000000000L
+    val hours = t(s, dir, "events")
+      .groupBy((col("ts") - col("ts") % lit(hour)).as("hb"))
+      .agg(count(lit(1)).as("n"))
+    val dense = hours.agg(min("hb").as("lo"), max("hb").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(hour))).as("hb"))
+    val filled = dense.join(hours, Seq("hb"), "left")
+      .select(col("hb"), coalesce(col("n"), lit(0L)).as("n"))
+    val constPart = substring(col("hb").cast("string"), 1, 0) // q81 idiom
+    val gapStats = filled.filter(col("n") === 0)
+      .withColumn("grp",
+        col("hb") - row_number().over(Window.partitionBy(constPart).orderBy("hb")) * hour)
+      .groupBy("grp").agg(count(lit(1)).as("run"))
+      .agg(count(lit(1)).as("n_gap_runs"),
+        coalesce(max("run"), lit(0L)).as("max_gap_run"))
+    filled
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(when(col("n") > 0, 1L).otherwise(0L)).cast("long").as("n_data_hours"),
+        sum(when(col("n") === 0, 1L).otherwise(0L)).cast("long").as("n_gap_hours"))
+      .crossJoin(gapStats)
+  }
+
   /** Q99 — winsorized statistics: clip l_extendedprice to its exact per-flag
     * [p05, p95] and report the clipped total. Thresholds are the q85
     * discrete order statistics (smallest value with 20·cum ≥ n, resp.
