@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+/** Integration test for the composed curation flow: the operators must
+  * CHAIN — each stage's contract holding on the previous stage's output —
+  * and the whole flow must be a pure function of (input set, seed). */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+  val sfDir = "/root/testdata/sf0.001"
+  var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("curate: stages chain, funnel is monotone, output contracts hold") {
+    val docs = Tables(spark, sfDir, "documents")
+    val benchmark = docs.filter(col("doc_id") % 100 === 0).select("doc_id", "text")
+    val (out, funnel) = Curation.curate(docs, benchmark, quotaPerSource = 10)
+    val result = out.cache()
+    try {
+      // funnel: every stage prunes or keeps, never grows; nothing vacuous
+      assert(funnel.map(_.stage) == Seq("non_empty", "quality_gate",
+        "exact_dedup", "decontaminated", "quota_capped"))
+      funnel.sliding(2).foreach { case Seq(a, b) =>
+        assert(b.rows <= a.rows, s"${b.stage} grew: ${a.rows} -> ${b.rows}")
+      }
+      assert(funnel.head.rows > 0 && funnel.last.rows > 0, s"vacuous funnel: $funnel")
+
+      val n = result.count()
+      assert(n == funnel.last.rows)
+      // no duplicate content survives
+      val distinctFp = result.agg(countDistinct(md5(col("text")))).head.getLong(0)
+      assert(distinctFp == n, s"$n rows but $distinctFp distinct contents")
+      // benchmark members (>=5 words, so they share their own shingles)
+      // must have been removed
+      val leaked = result.join(
+        benchmark.filter(size(split(trim(col("text")), "\\s+")) >= 5).select("doc_id"),
+        Seq("doc_id"), "left_semi").count()
+      assert(leaked == 0L, s"$leaked benchmark docs leaked into the output")
+      // quota binds per source
+      val over = result.groupBy("source").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 10).count()
+      assert(over == 0L, "a source exceeded its quota")
+      // pos is exactly the permutation 1..n
+      val stats = result.agg(min("pos"), max("pos"), countDistinct("pos")).head()
+      assert((stats.getLong(0), stats.getLong(1), stats.getLong(2)) == (1L, n, n),
+        s"pos is not a permutation of 1..$n: $stats")
+    } finally result.unpersist()
+
+    // pure function of (input set, seed): a scrambled, repartitioned input
+    // yields the identical (doc_id, pos) assignment
+    val scrambled = docs.orderBy(rand(11)).repartition(7)
+    val (out2, _) = Curation.curate(scrambled, benchmark, quotaPerSource = 10)
+    val a = out.select("doc_id", "pos").orderBy("doc_id").collect().toSeq
+    val b = out2.select("doc_id", "pos").orderBy("doc_id").collect().toSeq
+    assert(a == b, "curation depends on input order/partitioning")
+  }
+}
