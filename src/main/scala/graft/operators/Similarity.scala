@@ -219,8 +219,12 @@ object Similarity {
   def q87AnnRecall(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < 20).toDF("qid", "qv")
+    // ONE brute-force truth pass shared by both recall branches (it is the
+    // dominant cost — |q|·|corpus| fused-loop cosines); the result is tiny
+    // (|q|·k rows). Persisted blocks are swept by the caller's
+    // releasePersisted (Bench/Verify do this after every query).
+    val truth = exactTopK(e, q, k = 10).persist()
     def recallOf(method: String, approx: DataFrame): DataFrame = {
-      val truth = exactTopK(e, q, k = 10)
       val tot = truth.agg(count(lit(1)).as("tot"))
       truth.join(approx.select("qid", "cid"), Seq("qid", "cid"), "left_semi")
         .agg(count(lit(1)).as("hits"))
