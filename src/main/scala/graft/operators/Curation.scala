@@ -46,8 +46,14 @@ object Curation {
         Seq("doc_id"), "left_anti"))
     val capped = stage("quota_capped",
       TextAnalysis.quotaCap(clean, "source", "doc_id", seed, quotaPerSource))
+    // The position stage derives its hash from a DISTINCT seed ("<seed>|pos").
+    // quotaCap keeps the k smallest md5(seed|id) per source, so survivors of
+    // capped sources are concentrated in the low quantile of THAT key; reusing
+    // it for the global order would front-load large sources and the final
+    // shuffle would not be independent of selection.
     val ordered = capped.join(
-      TextAnalysis.deterministicShuffle(capped, "doc_id", seed), Seq("doc_id"))
+      TextAnalysis.deterministicShuffle(capped, "doc_id", seed + "|pos"),
+      Seq("doc_id"))
     (ordered, acc.toList)
   }
 }

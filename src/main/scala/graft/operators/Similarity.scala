@@ -221,23 +221,31 @@ object Similarity {
     val q = e.filter(col("vec_id") < 20).toDF("qid", "qv")
     // ONE brute-force truth pass shared by both recall branches (it is the
     // dominant cost — |q|·|corpus| fused-loop cosines); the result is tiny
-    // (|q|·k rows). Persisted blocks are swept by the caller's
-    // releasePersisted (Bench/Verify do this after every query).
+    // (|q|·k rows). The metric is materialized eagerly below so the cache
+    // can be released HERE — a direct library caller must not leak cached
+    // blocks for the session lifetime.
     val truth = exactTopK(e, q, k = 10).persist()
     def recallOf(method: String, approx: DataFrame): DataFrame = {
       val tot = truth.agg(count(lit(1)).as("tot"))
       truth.join(approx.select("qid", "cid"), Seq("qid", "cid"), "left_semi")
         .agg(count(lit(1)).as("hits"))
-        .crossJoin(tot)
+        .crossJoin(broadcast(tot))
         .select(lit(method).as("method"),
           round(col("hits").cast("double") / col("tot"), 4).as("recall"),
           col("hits").cast("long").as("hits"), col("tot").cast("long").as("denom"))
     }
     val ivf = ivfSearch(e, q, k = 10, stride = sqrtStride(e), nprobe = 2)
     val lsh = annSearch(e, q, k = 10, nBits = 5, nTables = 6)
-    recallOf("ivf_sqrtn_nprobe2", ivf)
+    val metric = recallOf("ivf_sqrtn_nprobe2", ivf)
       .unionAll(recallOf("lsh_5bit_x6", lsh))
       .orderBy("method")
+    // two rows, four columns: collecting the METRIC (not data) is the price
+    // of a leak-free contract — then rebuild a local frame for the caller
+    val rows = metric.collect().toSeq
+    val out = s.createDataFrame(
+      s.sparkContext.parallelize(rows, 1), metric.schema)
+    truth.unpersist(blocking = false)
+    out
   }
 
   /** Full ANN query path over LSH buckets: signature-join then exact rerank

@@ -138,8 +138,11 @@ object StreamOps {
             val admitted = state.getOption.getOrElse(0L)
             // within a batch, admit in event-time order (ties by value) so
             // the micro-batch boundary doesn't make admission arbitrary
+            // clamp before the Int conversion: a Long cap > Int.MaxValue must
+            // saturate, not wrap into a small/negative take()
+            val room = math.min(math.max(0L, k - admitted), Int.MaxValue.toLong)
             val take = events.toSeq.sortBy(e => (e.ts.getTime, e.value))
-              .take(math.max(0L, k - admitted).toInt)
+              .take(room.toInt)
             state.update(admitted + take.size)
             idleTimeout.foreach(state.setTimeoutDuration)
             take.iterator

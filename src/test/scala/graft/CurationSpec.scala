@@ -65,4 +65,30 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = out2.select("doc_id", "pos").orderBy("doc_id").collect().toSeq
     assert(a == b, "curation depends on input order/partitioning")
   }
+
+  test("curate: training positions are independent of quota selection (per-source uniformity)") {
+    // quotaCap keeps the k SMALLEST md5(seed|id) per source. If the position
+    // stage reused the same key, survivors from capped (large) sources would
+    // concentrate in the low positions — the shuffle would be biased by
+    // source size. With the distinct "|pos" seed, each source's mean
+    // normalized position must sit near 1/2.
+    val docs = Tables(spark, sfDir, "documents")
+    val benchmark = docs.filter(col("doc_id") % 100 === 0).select("doc_id", "text")
+    // small quota ⇒ every source is hard-capped ⇒ maximal selection pressure
+    val (out, _) = Curation.curate(docs, benchmark, quotaPerSource = 10)
+    val n = out.count().toDouble
+    val bySource = out.groupBy("source")
+      .agg(avg(col("pos").cast("double") / n).as("mean_frac"),
+        count(lit(1)).as("c"))
+      .collect()
+    assert(bySource.length >= 3, "need several sources for the bias check")
+    bySource.foreach { r =>
+      val frac = r.getDouble(1)
+      // mean of c iid U(0,1) has sd = 1/sqrt(12 c); allow 4 sigma
+      val tol = 4.0 / math.sqrt(12.0 * r.getLong(2))
+      assert(math.abs(frac - 0.5) < tol,
+        s"source ${r.get(0)}: mean position fraction $frac is biased (tol $tol) — " +
+          "position key is correlated with quota-survivor key")
+    }
+  }
 }

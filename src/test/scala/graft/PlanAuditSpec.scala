@@ -345,15 +345,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = planString(graft.operators.TextAnalysis.q93InvertedIndex(spark, sfDir))
     // the rnk<=5 filter must plan WindowGroupLimit(Partial) below the term
     // exchange — without it a corpus-wide stopword ships its ENTIRE posting
-    // list (every doc_id) through one window partition before the cap
-    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+    // list (every doc_id) through one window partition before the cap.
+    // Match the Partial mode ON the WindowGroupLimit node itself, not any
+    // partial HashAggregate elsewhere in the tree.
+    assert("(?i)windowgrouplimit[^\\n]*partial".r.findFirstIn(plan).isDefined,
       s"posting-list cap lost its map-side pre-pruning:\n$plan")
     // and no collect_list ever sees an uncapped group: the aggregate must
     // be an ANCESTOR of the group-limit window (cap below = cap before
-    // collection; tree printing puts the parent first)
+    // collection; tree printing puts the parent first). Both tokens must
+    // actually be present — indexOf(-1) on a missing collect_list would
+    // pass the ordering check vacuously.
     val planLower = plan.toLowerCase
-    assert(planLower.indexOf("collect_list") < planLower.indexOf("windowgrouplimit"),
-      s"collect_list runs before the cap:\n$plan")
+    val iCollect = planLower.indexOf("collect_list")
+    val iCap = planLower.indexOf("windowgrouplimit")
+    assert(iCollect >= 0, s"collect_list missing from plan:\n$plan")
+    assert(iCap >= 0, s"WindowGroupLimit missing from plan:\n$plan")
+    assert(iCollect < iCap, s"collect_list runs before the cap:\n$plan")
   }
 
   test("q91 bloom semi-join: might_contain filter sits at the probe scan") {
