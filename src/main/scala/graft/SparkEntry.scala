@@ -18,7 +18,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q03JoinMultiway(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Driver contract: the DataFrame-API lane plus the SQL-text front door
+    * (every oracle-gated query re-run as Spark SQL text — [[SqlFrontDoor]]). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ SqlFrontDoor.laneQueries
+
+  /** DuckDB oracle for both lanes: the SQL-text twin of `qNN_x` is gated by
+    * the same oracle under its `sNN_x` name. */
+  def oracleSql: Map[String, String] =
+    baseOracleSql ++ SqlFrontDoor.laneOracle
+
+  /** The DataFrame-API (Scala) lane — also the bench set: the SQL-text lane
+    * produces byte-identical optimized plans (RelationalConformanceSpec pins
+    * lane-equality), so timing it would double bench wall-clock for zero
+    * information. */
+  def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_sort" -> (Relational.q01ScanFilterSort _),
     "q02_project_case"     -> (Relational.q02ProjectCase _),
     "q03_join_multiway"    -> (Relational.q03JoinMultiway _),
@@ -126,6 +140,10 @@ object SparkEntry {
     "q99_winsorized"       -> (Relational.q99Winsorized _),
     "q100_salted_join"     -> (Scale.q100SaltedJoin _),
     "q101_gap_fill"        -> (Relational.q101GapFill _),
+    // TPC-H decorrelation stress shapes (r4 directive #5): Q17/Q20/Q21
+    "q102_tpch_q17"        -> (Relational.q102TpchQ17 _),
+    "q103_tpch_q20"        -> (Relational.q103TpchQ20 _),
+    "q104_tpch_q21"        -> (Relational.q104TpchQ21 _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -133,7 +151,7 @@ object SparkEntry {
     * epoch-nanos Spark reads under nanosAsLong; integer-ish outputs CAST to
     * BIGINT on both sides (DuckDB LENGTH/EXTRACT/ROW_NUMBER return BIGINT,
     * DuckDB SUM(BIGINT) returns HUGEINT). */
-  def oracleSql: Map[String, String] = Map(
+  def baseOracleSql: Map[String, String] = Map(
     "q01_scan_filter_sort" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber",
     // Money math runs in DECIMAL on BOTH sides (then CAST back to DOUBLE):
@@ -379,6 +397,13 @@ object SparkEntry {
     "q100_salted_join" -> // salting spreads the hot key across partitions but
       // may not change the join result: the plain-join oracle is the proof
       "SELECT o_orderpriority, COUNT(*) AS n, CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_totalprice > 400000.0 GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "q102_tpch_q17" -> // correlated scalar agg vs same table; 5·qty·cnt < sum
+      // in DECIMAL ≡ qty < 0.2·avg exactly (the q58 no-double-AVG rule)
+      "SELECT COUNT(*) AS n_small, CAST(ROUND(COALESCE(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))), 0), 2) AS DOUBLE) AS revenue FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey WHERE p.p_name LIKE '%ol%' AND 5 * CAST(l.l_quantity AS DECIMAL(12,2)) * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey) < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)",
+    "q103_tpch_q20" -> // nested IN over a correlated agg (TPC-H Q20 shape)
+      "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (SELECT l1.l_suppkey FROM lineitem l1 WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%ol%') AND 2 * CAST(l1.l_quantity AS DECIMAL(12,2)) * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey) > (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)) ORDER BY s_suppkey",
+    "q104_tpch_q21" -> // EXISTS + NOT EXISTS with correlated <> (TPC-H Q21 shape)
+      "SELECT s.s_name, COUNT(*) AS numwait FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey JOIN orders o ON o.o_orderkey = l1.l_orderkey WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') GROUP BY s.s_name ORDER BY numwait DESC, s.s_name",
     "q101_gap_fill" -> // dense hour axis min..max, zero-filled; gap runs via
       // the q88 island trick; single row out, gaps may be 0 at dense SFs
       "WITH hrs AS (SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS hb, COUNT(*) AS n FROM events GROUP BY 1), b AS (SELECT MIN(hb) AS lo, MAX(hb) AS hi FROM hrs), dense AS (SELECT unnest(generate_series(lo, hi, 3600000000000)) AS hb FROM b), f AS (SELECT d.hb, COALESCE(n, 0) AS n FROM dense d LEFT JOIN hrs ON d.hb = hrs.hb), g AS (SELECT hb FROM f WHERE n = 0), r AS (SELECT hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM g), runs AS (SELECT grp, COUNT(*) AS run FROM r GROUP BY grp), gs AS (SELECT COUNT(*) AS n_gap_runs, COALESCE(MAX(run), 0) AS max_gap_run FROM runs) SELECT (SELECT COUNT(*) FROM f) AS n_hours, (SELECT COUNT(*) FROM f WHERE n > 0) AS n_data_hours, (SELECT COUNT(*) FROM f WHERE n = 0) AS n_gap_hours, CAST(n_gap_runs AS BIGINT) AS n_gap_runs, CAST(max_gap_run AS BIGINT) AS max_gap_run FROM gs",

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-text front door.
+  *
+  * Users of the reference drive it with SQL strings (reference `README.md:204`
+  * — queries are typed at a SQL prompt against the sink database); an engine
+  * whose only tested entry point is the Scala DataFrame API leaves that whole
+  * user surface unproven. Every oracle-gated query is therefore registered a
+  * SECOND time under an `sNN_` name whose implementation is nothing but
+  * `spark.sql(<text>)` over the registered temp views ([[Tables.registerAll]]),
+  * hash-compared by the driver against the SAME DuckDB oracle as its `qNN_`
+  * sibling. Green here proves the engine's SQL dialect end-to-end: parser →
+  * analyzer (view resolution) → the same optimized plans the DataFrame lane
+  * produces.
+  *
+  * Where the DuckDB and Spark dialects agree, the oracle SQL itself IS the
+  * Spark text; where they split (regex flags, `string_split_regex`→`split`,
+  * `unnest`→`explode`, `//`→`div`, `epoch_ns(ts)`→raw bigint under
+  * nanosAsLong, …) [[sparkDialect]] carries the Spark twin.
+  * RelationalConformanceSpec asserts twin ≡ DataFrame plan row-for-row, so
+  * the two lanes cannot drift apart silently.
+  */
+object SqlFrontDoor {
+
+  /** Spark-dialect twins for oracle SQL that is DuckDB-specific. */
+  val sparkDialect: Map[String, String] = Map(
+    "q08_agg_tpch_q1" -> // TIMESTAMP literal vs timestamp_ntz column
+      "SELECT l_returnflag, l_linestatus, CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_disc, ROUND(AVG(l_quantity), 4) AS avg_qty, COUNT(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q23_json_extract" -> // json_extract_string -> get_json_object
+      "SELECT event_type, CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS s FROM events GROUP BY event_type ORDER BY event_type",
+    "q24_event_tumbling" -> // ts already bigint epoch-nanos under nanosAsLong
+      "SELECT (ts - (ts % 3600000000000)) AS hour_bucket, event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    // DuckDB string_split_regex/len(regexp_extract_all) -> Spark split/regexp_count
+    "q29_token_count" ->
+      "SELECT lang, SUM(ws) AS total_ws, SUM(bpe) AS total_bpe, MAX(ws) AS max_ws, MIN(ws) AS min_ws FROM (SELECT lang, CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS ws, CAST(regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]') AS BIGINT) AS bpe FROM documents) t GROUP BY lang ORDER BY lang",
+    "q30_text_quality" ->
+      "SELECT lang, ROUND(AVG(ar), 4) AS alpha_ratio, ROUND(AVG(sr), 4) AS stopword_ratio, ROUND(AVG(len), 2) AS avg_len FROM (SELECT lang, CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '')) AS DOUBLE) / LENGTH(text) AS ar, CAST(regexp_count(text, '\\\\b(the|a|of|and|to)\\\\b') AS DOUBLE) / size(split(trim(text), '\\\\s+')) AS sr, CAST(LENGTH(text) AS BIGINT) AS len FROM documents) t GROUP BY lang ORDER BY lang",
+    "q31_lang_id" ->
+      "SELECT CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en' WHEN s_de >= s_es AND s_de >= s_fr THEN 'de' WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang, COUNT(*) AS n FROM (SELECT CAST(regexp_count(text, '\\\\b(the|of|and|to|in)\\\\b') AS BIGINT) AS s_en, CAST(regexp_count(text, '\\\\b(der|die|das|und|ist)\\\\b') AS BIGINT) AS s_de, CAST(regexp_count(text, '\\\\b(el|la|los|que|a)\\\\b') AS BIGINT) AS s_es, CAST(regexp_count(text, '\\\\b(le|les|et|des|du)\\\\b') AS BIGINT) AS s_fr FROM documents) t GROUP BY 1 ORDER BY 1",
+    "q32_fingerprint_md5" ->
+      "SELECT doc_id, md5(lower(regexp_replace(text, '\\\\s+', ' '))) AS fp FROM documents ORDER BY doc_id",
+    "q33_jaccard_pairs" ->
+      "WITH w AS (SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS word FROM documents WHERE doc_id < 40), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
+    "q36_cosine_topk" ->
+      "WITH f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM embeddings LATERAL VIEW posexplode(embedding) t AS i, v), d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot, SUM(q.v * q.v) AS qq, SUM(c.v * c.v) AS cc FROM f q JOIN f c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id GROUP BY 1, 2), r AS (SELECT qid, cid, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d), rk AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM r) SELECT qid, cid, sim, rnk FROM rk WHERE rnk <= 5 ORDER BY qid, rnk",
+    "q37_neardup_embedding" ->
+      "WITH f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM embeddings LATERAL VIEW posexplode(embedding) t AS i, v WHERE vec_id < 300), d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, SUM(a.v * b.v) AS dot, SUM(a.v * a.v) AS qq, SUM(b.v * b.v) AS cc FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2) SELECT id1, id2, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d ORDER BY sim DESC, id1, id2 LIMIT 20",
+    "q38_multimodal_bytes" ->
+      "SELECT doc_id, CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes FROM documents WHERE doc_id < 100 ORDER BY doc_id",
+    "q88_range_join_binned" -> // epoch_ns(ts) -> raw ts (bigint under nanosAsLong)
+      "WITH hrs AS (SELECT ts - (ts % 3600000000000) AS hb, COUNT(*) AS c FROM events GROUP BY 1), st AS (SELECT SUM(c) AS total, COUNT(*) AS n_hours FROM hrs), busy AS (SELECT hb FROM hrs, st WHERE 10 * c * n_hours > 11 * total), isl AS (SELECT MIN(hb) AS start_ns, MAX(hb) + 3600000000000 AS end_ns, COUNT(*) AS island_hours FROM (SELECT hb, hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM busy) g GROUP BY grp) SELECT i.start_ns AS island_start, CAST(i.island_hours AS BIGINT) AS island_hours, COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users, CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value FROM events e JOIN isl i ON e.ts >= i.start_ns AND e.ts < i.end_ns GROUP BY 1, 2 ORDER BY 1",
+    "q89_tfidf_top_terms" -> // string_split_regex -> split, unnest -> explode, // -> div
+      "WITH d AS (SELECT doc_id, lang, lower(text) AS text FROM documents WHERE text IS NOT NULL), tok AS (SELECT doc_id, lang, explode(split(trim(text), '\\\\s+')) AS term FROM d), ft AS (SELECT doc_id, lang, term FROM tok WHERE length(term) >= 3), tf AS (SELECT lang, doc_id, term, COUNT(*) AS tf FROM ft GROUP BY 1, 2, 3), st AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), n AS (SELECT COUNT(*) AS n_docs FROM d), sc AS (SELECT lang, term, SUM(tf) AS ttf FROM tf GROUP BY 1, 2), w AS (SELECT sc.lang, sc.term, CAST(sc.ttf * ((n.n_docs * 1000) div st.df) AS BIGINT) AS score FROM sc JOIN st USING (term) CROSS JOIN n), r AS (SELECT lang, term, score, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rnk FROM w) SELECT lang, term, score, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10 ORDER BY lang, rnk",
+    "q90_quota_cap" -> // VARCHAR -> STRING cast spelling
+      "WITH r AS (SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(concat('q90|', CAST(doc_id AS STRING))), doc_id) AS rnk FROM documents WHERE doc_id IS NOT NULL) SELECT source, COUNT(*) AS n_total, CAST(SUM(CASE WHEN rnk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, CAST(SUM(CASE WHEN rnk <= 15 THEN doc_id END) AS BIGINT) AS kept_sum FROM r GROUP BY source ORDER BY source",
+    "q41_asof_join" -> // ts is bigint epoch-nanos in Spark; div 1000 ≡ the
+      // oracle's epoch_us (micro resolution contract, see q41AsofJoin doc)
+      "WITH u AS (SELECT user_id, ts div 1000 AS ts, 1 AS is_click FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, ts div 1000 AS ts, 0 AS is_click FROM events WHERE event_type = 'purchase') SELECT user_id, ts, COALESCE(last_purchase_ts, -1) AS last_purchase_ts FROM (SELECT user_id, ts, is_click, MAX(CASE WHEN is_click = 0 THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, is_click ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts FROM u) w WHERE is_click = 1 ORDER BY user_id, ts",
+    "q42_percentiles" -> // quantile_cont -> percentile (both exact interpolated)
+      "SELECT l_returnflag, ROUND(percentile(l_quantity, 0.25), 2) AS p25, ROUND(percentile(l_quantity, 0.5), 2) AS p50, ROUND(percentile(l_quantity, 0.75), 2) AS p75, ROUND(percentile(l_quantity, 0.99), 2) AS p99 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q44_explode_tokens" -> // unnest/string_split_regex -> explode/split
+      "SELECT doc_id, word, COUNT(*) AS n FROM (SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS word FROM documents WHERE doc_id < 10) t GROUP BY doc_id, word ORDER BY doc_id, word",
+    "q46_string_more" -> // VARCHAR -> STRING cast spelling
+      "SELECT p_partkey, LPAD(CAST(p_partkey AS STRING), 8, '0') AS pk8, REPLACE(p_type, ' ', '_') AS ty, SPLIT_PART(p_name, ' ', 1) AS w1, REGEXP_EXTRACT(p_name, '([aeiou]+)', 1) AS vow FROM part ORDER BY p_partkey",
+    "q47_date_trunc" -> // strftime -> date_format
+      "SELECT date_format(date_trunc('month', o_orderdate), 'yyyy-MM') AS m, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
+    "q54_tpch_q3" -> // TIMESTAMP literal vs timestamp_ntz column
+      "SELECT l_orderkey, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE o_orderdate < TIMESTAMP_NTZ '1996-01-01 00:00:00' AND l_shipdate > TIMESTAMP_NTZ '1996-01-01 00:00:00' GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    "q61_string_agg" -> // string_agg(ORDER BY) -> concat_ws/sort_array/collect_list
+      "WITH d AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders), s AS (SELECT o_orderstatus, concat_ws(',', sort_array(collect_list(o_orderpriority))) AS prios FROM d GROUP BY o_orderstatus), c AS (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus) SELECT s.o_orderstatus, prios, n FROM s JOIN c USING (o_orderstatus) ORDER BY o_orderstatus",
+    "q66_chunk" -> // generate_series/unnest -> sequence/explode; // -> div
+      "SELECT doc_id, CAST((i - 1) div 80 AS BIGINT) AS chunk_id, CAST(length(substring(text, i, 100)) AS BIGINT) AS chunk_len, md5(substring(text, i, 100)) AS chunk_md5 FROM (SELECT doc_id, text, explode(sequence(1, length(text), 80)) AS i FROM documents WHERE doc_id < 30) t ORDER BY doc_id, chunk_id",
+    "q67_pii_redact" -> // regexp_count / no 'g' flag in Spark regexp_replace
+      "WITH dirty AS (SELECT lang, concat(coalesce(text, ''), ' contact user', doc_id, '@example.com or call 55512340', doc_id) AS d FROM documents), r AS (SELECT lang, regexp_replace(regexp_replace(d, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+', '<EMAIL>'), '[0-9]{7,}', '<NUM>') AS clean, CAST(regexp_count(d, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+') AS BIGINT) AS n_email FROM dirty) SELECT lang, COUNT(*) AS n, SUM(n_email) AS emails_masked, SUM(CAST(regexp_count(clean, '<EMAIL>') AS BIGINT)) AS email_tags, SUM(CAST(regexp_count(clean, '<NUM>') AS BIGINT)) AS num_tags FROM r GROUP BY lang ORDER BY lang",
+    "q68_sessionize" -> // ts already bigint epoch-nanos in Spark (no epoch_ns)
+      "WITH e AS (SELECT user_id, ts FROM events), m AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000000 THEN 1 ELSE 0 END AS brk FROM e), s AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m), g AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY 1, 2) SELECT user_id, COUNT(*) AS n_sessions, SUM(n) AS n_events, MAX(n) AS max_session FROM g GROUP BY user_id ORDER BY user_id",
+    "q74_top_bigrams" -> // string_split_regex/list index -> split/element_at
+      "WITH w AS (SELECT split(trim(text), '\\\\s+') AS words FROM documents), e AS (SELECT concat(element_at(words, CAST(i AS INT)), ' ', element_at(words, CAST(i AS INT) + 1)) AS bigram FROM (SELECT words, explode(sequence(1, size(words) - 1)) AS i FROM w WHERE size(words) >= 2) t) SELECT bigram, COUNT(*) AS n FROM e GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20",
+    "q75_repetition" -> // list_distinct/len -> array_distinct/size
+      "SELECT lang, ROUND(AVG(rep), 4) AS rep_ratio, ROUND(MAX(rep), 4) AS max_rep, COUNT(*) AS n FROM (SELECT lang, CAST(size(words) - size(array_distinct(words)) AS DOUBLE) / size(words) AS rep FROM (SELECT lang, split(trim(text), '\\\\s+') AS words FROM documents) w) t GROUP BY lang ORDER BY lang",
+    "q76_decontaminate" -> // list_slice/array_to_string -> slice/concat_ws
+      "WITH base AS (SELECT doc_id, lang, concat(coalesce(text, ''), CASE WHEN doc_id % 7 = 0 OR doc_id % 100 = 0 THEN ' zq wv jk pq xy' ELSE '' END) AS text FROM documents), w AS (SELECT doc_id, lang, split(trim(text), '\\\\s+') AS words FROM base), shg AS (SELECT doc_id, lang, concat_ws(' ', slice(words, CAST(i AS INT), 5)) AS sh FROM (SELECT doc_id, lang, words, explode(sequence(1, size(words) - 4)) AS i FROM w WHERE size(words) >= 5) t), b AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 100 = 0), c AS (SELECT DISTINCT s.doc_id, s.lang FROM shg s JOIN b ON s.sh = b.sh WHERE s.doc_id % 100 <> 0) SELECT lang, COUNT(*) AS n_contaminated FROM c GROUP BY lang ORDER BY lang",
+    "q77_embedding_norms" -> // list_sum/list_transform -> aggregate HOF
+      "SELECT label, ROUND(AVG(nrm), 4) AS avg_norm, ROUND(MIN(nrm), 4) AS min_norm, ROUND(MAX(nrm), 4) AS max_norm, COUNT(*) AS n FROM (SELECT label, SQRT(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm FROM embeddings) t GROUP BY label ORDER BY label",
+    "q80_pack_bins" -> // string_split_regex/len/'//' -> split/size/div
+      "WITH t AS (SELECT source, doc_id % 8 AS shard, doc_id, CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS tokens FROM documents), p AS (SELECT source, shard, tokens, SUM(tokens) OVER (PARTITION BY source, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS prefix FROM t), b AS (SELECT source, shard, tokens, (prefix div 2048) AS bin FROM p) SELECT source, shard, CAST(MAX(bin) + 1 AS BIGINT) AS n_bins, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM b GROUP BY source, shard ORDER BY source, shard",
+    "q81_shuffle_order" -> // VARCHAR -> STRING cast spelling
+      "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(concat('e1|', CAST(doc_id AS STRING))), doc_id) AS BIGINT) AS pos FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id",
+    "q83_posexplode" -> // generate_subscripts/unnest -> LATERAL VIEW posexplode
+      "SELECT doc_id, CAST(i AS BIGINT) AS i, word FROM documents LATERAL VIEW posexplode(split(trim(text), '\\\\s+')) t AS i, word WHERE doc_id < 5 ORDER BY doc_id, i",
+    "q86_map_funcs" -> // json_extract_string -> get_json_object
+      "SELECT event_type, 'k,u' AS keys, SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k, SUM(user_id) AS sum_u, CAST(2 * COUNT(*) AS BIGINT) AS n_entries, COUNT(*) AS n FROM events WHERE props IS NOT NULL GROUP BY event_type ORDER BY event_type, keys",
+    "q84_length_buckets" -> // string_split_regex/len -> split/size
+      "WITH t AS (SELECT lang, CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS tokens FROM documents WHERE text IS NOT NULL), b AS (SELECT lang, tokens, CASE WHEN tokens < 16 THEN 'a_lt16' WHEN tokens < 32 THEN 'b_16_31' WHEN tokens < 64 THEN 'c_32_63' WHEN tokens < 128 THEN 'd_64_127' ELSE 'e_128_plus' END AS bucket FROM t) SELECT lang, bucket, COUNT(*) AS n, CAST(SUM(tokens) AS BIGINT) AS total_tokens, ROUND(CAST(SUM(tokens) AS DOUBLE) / COUNT(*), 2) AS avg_tokens FROM b GROUP BY lang, bucket ORDER BY lang, bucket",
+    "q85_quality_gate" -> // no 'g' flag in Spark regexp_replace (global is default)
+      "WITH s AS (SELECT lang, CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '')) AS DOUBLE) / LENGTH(text) AS score FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0), g AS (SELECT lang, score, COUNT(*) AS cnt FROM s GROUP BY 1, 2), c AS (SELECT lang, score, SUM(cnt) OVER (PARTITION BY lang ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g), t AS (SELECT lang, COUNT(*) AS n FROM s GROUP BY lang), thr AS (SELECT c.lang, MIN(score) AS thr FROM c JOIN t ON c.lang = t.lang WHERE cum * 4 >= n GROUP BY c.lang) SELECT s.lang, COUNT(*) AS n_kept, ROUND(AVG(score), 4) AS avg_kept_score, ROUND(MIN(score), 4) AS min_kept_score FROM s JOIN thr ON s.lang = thr.lang WHERE score >= thr GROUP BY s.lang ORDER BY s.lang",
+    "q92_cdc_passages" -> // string_split_regex -> split; generate_subscripts/
+      // unnest -> LATERAL VIEW posexplode (0- vs 1-based i: order-only, not
+      // output); string_agg(ORDER BY) -> concat_ws/transform/array_sort
+      "WITH base AS (SELECT doc_id, concat(text, CASE WHEN doc_id % 5 = 0 THEN ' the quick brown fox jumps over the lazy dog' ELSE '' END) AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), tok AS (SELECT doc_id, i, word FROM base LATERAL VIEW posexplode(split(trim(t), '\\\\s+')) x AS i, word), m AS (SELECT doc_id, i, word, CASE WHEN substring(md5(word), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END AS b FROM tok), pw AS (SELECT doc_id, i, word, SUM(b) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid FROM m), pas AS (SELECT doc_id, pid, md5(concat_ws(' ', transform(array_sort(collect_list(struct(i, word))), s -> s.word))) AS pmd5 FROM pw GROUP BY doc_id, pid), g AS (SELECT pmd5, COUNT(*) AS copies, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS keeper FROM pas GROUP BY pmd5) SELECT COUNT(*) AS n_unique_passages, CAST(SUM(copies) AS BIGINT) AS n_passages, CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS cross_doc_groups, CAST(SUM(CASE WHEN n_docs >= 2 THEN copies END) AS BIGINT) AS cross_doc_copies, CAST(SUM(CASE WHEN n_docs >= 2 THEN keeper END) AS BIGINT) AS keeper_sum FROM g",
+    "q93_inverted_index" -> // string_agg(ORDER BY) -> concat_ws over sorted list
+      "WITH tok AS (SELECT doc_id, explode(split(trim(lower(text)), '\\\\s+')) AS term FROM documents WHERE text IS NOT NULL), ft AS (SELECT doc_id, term FROM tok WHERE length(term) >= 3), td AS (SELECT term, doc_id, COUNT(*) AS tf_d FROM ft GROUP BY 1, 2), st AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf_d) AS BIGINT) AS tf FROM td GROUP BY term), r AS (SELECT term, doc_id, ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM td), p AS (SELECT term, concat_ws(',', transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING))) AS posting FROM r WHERE rn <= 5 GROUP BY term) SELECT st.term, df, tf, posting FROM st JOIN p ON st.term = p.term ORDER BY df DESC, st.term LIMIT 50",
+    "q94_hopping_windows" -> // epoch_ns -> raw bigint ts; unnest([0,1]) -> explode(array)
+      "WITH e AS (SELECT ts AS tns, event_type, user_id, value FROM events), x AS (SELECT tns - (tns % 3600000000000) - k * 3600000000000 AS wstart, event_type, user_id, value FROM e LATERAL VIEW explode(array(0L, 1L)) kk AS k) SELECT wstart, event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users, CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sv FROM x GROUP BY 1, 2 ORDER BY 1, 2",
+    "q95_mixture_resample" -> // '//' -> div, VARCHAR -> STRING
+      "WITH d AS (SELECT source, doc_id FROM documents WHERE doc_id IS NOT NULL), c AS (SELECT source, COUNT(*) AS n_total FROM d GROUP BY source), w AS (SELECT source, n_total, CAST(FLOOR(SQRT(CAST(n_total AS DOUBLE)) * 1000) AS BIGINT) AS w FROM c), t AS (SELECT SUM(w) AS sum_w, SUM(n_total) AS n_all FROM w), q AS (SELECT source, n_total, ((n_all div 2) * w) div sum_w AS quota FROM w, t), r AS (SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(concat('q95|', CAST(doc_id AS STRING))), doc_id) AS rnk FROM d) SELECT q.source, q.n_total, CAST(q.quota AS BIGINT) AS quota, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS kept_sum FROM r JOIN q ON r.source = q.source WHERE rnk <= quota GROUP BY 1, 2, 3 ORDER BY q.source",
+    "q96_funnel" -> // epoch_us(ts) -> ts div 1000 (µs truncation contract)
+      "WITH e AS (SELECT user_id, ts div 1000 AS t, event_type FROM events), v AS (SELECT user_id, MIN(t) AS vt FROM e WHERE event_type = 'view' GROUP BY user_id), c AS (SELECT e.user_id, MIN(t) AS ct FROM e JOIN v ON e.user_id = v.user_id WHERE event_type = 'click' AND t > vt GROUP BY e.user_id), p AS (SELECT e.user_id, MIN(t) AS pt FROM e JOIN c ON e.user_id = c.user_id WHERE event_type = 'purchase' AND t > ct GROUP BY e.user_id) SELECT v.user_id % 10 AS bucket, COUNT(*) AS n_view, COUNT(ct) AS n_click, COUNT(pt) AS n_purchase, CAST(SUM(ct - vt) AS BIGINT) AS total_lag_us FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id GROUP BY 1 ORDER BY 1",
+    "q97_rolling_range" -> // epoch_us(ts) -> ts div 1000
+      "WITH e AS (SELECT user_id, ts div 1000 AS t, CAST(value AS DECIMAL(12,2)) AS v FROM events), r AS (SELECT user_id, COUNT(*) OVER win AS n_1h, SUM(v) OVER win AS v_1h FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) SELECT user_id, MAX(n_1h) AS max_burst, CAST(MAX(v_1h) AS DOUBLE) AS max_value_1h FROM r GROUP BY user_id ORDER BY user_id",
+    "q98_bigram_lm" -> // string_split_regex/unnest/words[i]/'//' -> split/explode/element_at/div
+      "WITH w AS (SELECT split(trim(lower(text)), '\\\\s+') AS words FROM documents WHERE text IS NOT NULL), e AS (SELECT element_at(words, CAST(i AS INT)) AS w1, element_at(words, CAST(i AS INT) + 1) AS w2 FROM (SELECT words, explode(sequence(1, size(words) - 1)) AS i FROM w WHERE size(words) >= 2) t), c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM e GROUP BY 1, 2), c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1) SELECT c2.w1, c2.w2, c2.n2, c1.n1, CAST(c2.n2 * 1000000 div c1.n1 AS BIGINT) AS p_ppm FROM c2 JOIN c1 USING (w1) ORDER BY c2.n2 DESC, c2.w1, c2.w2 LIMIT 30",
+    "q101_gap_fill" -> // epoch_ns -> raw ts; unnest(generate_series) -> explode(sequence)
+      "WITH hrs AS (SELECT ts - (ts % 3600000000000) AS hb, COUNT(*) AS n FROM events GROUP BY 1), b AS (SELECT MIN(hb) AS lo, MAX(hb) AS hi FROM hrs), dense AS (SELECT explode(sequence(lo, hi, 3600000000000)) AS hb FROM b), f AS (SELECT d.hb, COALESCE(n, 0) AS n FROM dense d LEFT JOIN hrs ON d.hb = hrs.hb), g AS (SELECT hb FROM f WHERE n = 0), r AS (SELECT hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM g), runs AS (SELECT grp, COUNT(*) AS run FROM r GROUP BY grp), gs AS (SELECT COUNT(*) AS n_gap_runs, COALESCE(MAX(run), 0) AS max_gap_run FROM runs) SELECT (SELECT COUNT(*) FROM f) AS n_hours, (SELECT COUNT(*) FROM f WHERE n > 0) AS n_data_hours, (SELECT COUNT(*) FROM f WHERE n = 0) AS n_gap_hours, CAST(n_gap_runs AS BIGINT) AS n_gap_runs, CAST(max_gap_run AS BIGINT) AS max_gap_run FROM gs",
+    "q53_char_ngram_jaccard" -> // range() lateral -> explode(sequence)
+      "WITH w AS (SELECT doc_id, substring(text, i, 3) AS word FROM (SELECT doc_id, text, explode(sequence(1, length(text) - 2)) AS i FROM documents WHERE doc_id < 20)), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
+  )
+
+  /** Spark-runnable SQL text for every oracle-gated query name (the oracle
+    * SQL itself where the dialects agree, else the twin above). */
+  def sqlText: Map[String, String] =
+    SparkEntry.baseOracleSql.map { case (name, duck) =>
+      name -> sparkDialect.getOrElse(name, duck)
+    }
+
+  /** The front-door lane: `qNN_x` → `sNN_x`, each entry running the SQL text
+    * through `spark.sql` over the registered views. */
+  def laneQueries: Map[String, (SparkSession, String) => DataFrame] =
+    sqlText.map { case (name, text) =>
+      ("s" + name.drop(1)) -> { (s: SparkSession, dir: String) =>
+        Tables.registerAll(s, dir)
+        s.sql(text)
+      }
+    }
+
+  /** Same DuckDB oracle keyed by the lane name — the SQL-text lane must hash
+    * identically to its DataFrame sibling. */
+  def laneOracle: Map[String, String] =
+    SparkEntry.baseOracleSql.map { case (name, sql) => ("s" + name.drop(1)) -> sql }
+}

@@ -966,4 +966,68 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum("wc").cast("long").as("winsorized_total_cents"))
       .orderBy("l_returnflag")
   }
+
+  /** Q102 — TPC-H Q17 shape: correlated scalar aggregate against the SAME
+    * table being scanned ("small-quantity-order revenue"). The classic
+    * decorrelation stress: RewriteCorrelatedScalarSubquery must turn each
+    * per-row `(SELECT agg FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)`
+    * into ONE aggregate over lineitem grouped by l_partkey joined back —
+    * per-row re-execution would be O(|lineitem|²) and can never run at
+    * 100 TB. PlanAuditSpec pins the decorrelated shape.
+    *
+    * `qty < 0.2·avg(qty)` is spelled exactly: `5·qty·cnt < sum` in DECIMAL —
+    * a double AVG's last-ulp value depends on accumulation order, so a
+    * boundary row could flip between engines (the q58 rule). */
+  def q102TpchQ17(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""SELECT COUNT(*) AS n_small,
+            |  CAST(ROUND(COALESCE(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))), 0), 2) AS DOUBLE) AS revenue
+            |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            |WHERE p.p_name LIKE '%ol%'
+            |  AND 5 * CAST(l.l_quantity AS DECIMAL(12,2)) *
+            |      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+            |    < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(12,2)))
+            |       FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+  }
+
+  /** Q103 — TPC-H Q20 shape: IN-subquery nested inside an IN-subquery, with
+    * a correlated aggregate at the innermost level ("suppliers with excess
+    * shipments"). RewritePredicateSubquery must plan both IN levels as semi
+    * joins and the inner correlated agg as a grouped aggregate + join — the
+    * three-level nesting is what breaks naive one-level decorrelators. */
+  def q103TpchQ20(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+            |  SELECT l1.l_suppkey FROM lineitem l1
+            |  WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%ol%')
+            |    AND 2 * CAST(l1.l_quantity AS DECIMAL(12,2)) *
+            |        (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+            |      > (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(12,2)))
+            |         FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey))
+            |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** Q104 — TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins on the fact
+    * table with a correlated NON-equality predicate (`l2.l_suppkey <>
+    * l1.l_suppkey`) — "the supplier who was the only one to return lines on
+    * a multi-supplier finished order". RewritePredicateSubquery must plan
+    * the EXISTS as a left-semi and the NOT EXISTS as a left-anti join, each
+    * keyed on l_orderkey with the <> folded into the join condition; any
+    * per-row probe of lineitem is quadratic. */
+  def q104TpchQ21(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""SELECT s.s_name, COUNT(*) AS numwait
+            |FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+            |     JOIN orders o ON o.o_orderkey = l1.l_orderkey
+            |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+            |  AND EXISTS (SELECT 1 FROM lineitem l2
+            |              WHERE l2.l_orderkey = l1.l_orderkey
+            |                AND l2.l_suppkey <> l1.l_suppkey)
+            |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+            |                  WHERE l3.l_orderkey = l1.l_orderkey
+            |                    AND l3.l_suppkey <> l1.l_suppkey
+            |                    AND l3.l_returnflag = 'R')
+            |GROUP BY s.s_name
+            |ORDER BY numwait DESC, s.s_name""".stripMargin)
+  }
 }

@@ -371,4 +371,40 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bloom predicate missing from the physical plan:\n$plan")
     assert(plan.contains("LeftSemi"), s"no semi-join in plan:\n$plan")
   }
+
+  // --- TPC-H decorrelation stress shapes (r4 directive #5): the physical
+  // plan must contain NO residual subquery execution — a correlated subquery
+  // left per-row is O(n²) and can never run at 100 TB. "subquery" appearing
+  // anywhere in the executed-plan text (ScalarSubquery / InSubqueryExec /
+  // SubqueryExec reuse nodes) is the failure signature.
+
+  test("q102 TPC-H Q17: correlated scalar aggs decorrelate to grouped agg + outer join") {
+    val plan = planString(graft.operators.Relational.q102TpchQ17(spark, sfDir))
+    assert(!plan.toLowerCase.contains("subquery"),
+      s"residual per-row subquery in plan:\n$plan")
+    // the decorrelated agg joins back LeftOuter on l_partkey, and the
+    // 5·qty·cnt < sum predicate folds into a join condition
+    assert(plan.contains("LeftOuter"), s"decorrelated agg join missing:\n$plan")
+    assert(plan.contains("HashAggregate"), s"grouped per-partkey agg missing:\n$plan")
+  }
+
+  test("q103 TPC-H Q20: nested IN over correlated agg plans as semi joins") {
+    val plan = planString(graft.operators.Relational.q103TpchQ20(spark, sfDir))
+    assert(!plan.toLowerCase.contains("subquery"),
+      s"residual per-row subquery in plan:\n$plan")
+    assert(plan.contains("LeftSemi"), s"IN levels must plan as semi joins:\n$plan")
+  }
+
+  test("q104 TPC-H Q21: EXISTS/NOT EXISTS plan as semi/anti joins with the <> folded in") {
+    val plan = planString(graft.operators.Relational.q104TpchQ21(spark, sfDir))
+    assert(!plan.toLowerCase.contains("subquery"),
+      s"residual per-row subquery in plan:\n$plan")
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$plan")
+    // the correlated non-equality predicate must ride the join itself
+    // (as a NOT(=) join condition), not a post-join filter
+    assert("(?i)(leftsemi|leftanti)[^\\n]*NOT \\(l_suppkey".r.findFirstIn(plan).isDefined
+      || plan.contains("NOT (l_suppkey"),
+      s"<> predicate not folded into the semi/anti join:\n$plan")
+  }
 }
