@@ -102,11 +102,15 @@ object ConfluentAvro {
     * multiple schema versions (field added with default, field dropped)
     * decodes to one uniform output schema. The registry snapshot is taken
     * at PLAN time and shipped in the closure: executors on a real cluster
-    * have no driver registry state. */
-  def decodeAuto(df: DataFrame, valueCol: String, readerSchema: Schema): DataFrame = {
+    * have no driver registry state (and never open registry connections —
+    * see [[SchemaRegistryClient.snapshot]]). Pass an
+    * [[HttpSchemaRegistryClient]] to resolve against a live Confluent
+    * registry; the default is the in-process one. */
+  def decodeAuto(df: DataFrame, valueCol: String, readerSchema: Schema,
+                 registry: SchemaRegistryClient = SchemaRegistry): DataFrame = {
     val st = SchemaBridge.avroToStruct(readerSchema)
     val readerJson = readerSchema.toString
-    val writers: Map[Int, String] = SchemaRegistry.snapshot()
+    val writers: Map[Int, String] = registry.snapshot()
     val idx = df.schema.fieldIndex(valueCol)
     df.mapPartitions { rows =>
       val reader = new Schema.Parser().parse(readerJson)

@@ -11,7 +11,7 @@ import scala.collection.concurrent.TrieMap
   * Ids are derived from Avro's canonical parsing fingerprint, so the same
   * schema always gets the same id across processes/runs — no registry state
   * to replicate to executors. */
-object SchemaRegistry {
+object SchemaRegistry extends SchemaRegistryClient {
   private val byId = new TrieMap[Int, Schema]()
   private val bySubject = new TrieMap[String, Int]()
 
@@ -19,21 +19,21 @@ object SchemaRegistry {
   def idFor(schema: Schema): Int =
     (SchemaNormalization.parsingFingerprint64(schema) & 0x7fffffff).toInt
 
-  def register(subject: String, schema: Schema): Int = {
+  override def register(subject: String, schema: Schema): Int = {
     val id = idFor(schema)
     byId.put(id, schema)
     bySubject.put(subject, id)
     id
   }
 
-  def schemaById(id: Int): Option[Schema] = byId.get(id)
-  def latestIdFor(subject: String): Option[Int] = bySubject.get(subject)
+  override def schemaById(id: Int): Option[Schema] = byId.get(id)
+  override def latestIdFor(subject: String): Option[Int] = bySubject.get(subject)
 
   /** Serializable snapshot (id -> schema JSON) for shipping to executors:
     * this object is per-JVM, so on a real cluster executors start with an
     * EMPTY registry — plan-time snapshots travel with the closure instead
     * of assuming shared driver state (local-mode would hide that bug). */
-  def snapshot(): Map[Int, String] = byId.readOnlySnapshot().toMap.map {
+  override def snapshot(): Map[Int, String] = byId.readOnlySnapshot().toMap.map {
     case (id, s) => id -> s.toString
   }
 }

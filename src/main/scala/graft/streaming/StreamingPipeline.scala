@@ -33,14 +33,62 @@ import graft.pipeline.{ConfluentAvro, TransactionalJdbcSink}
   */
 object StreamingPipeline {
 
-  /** Rate-capped file stream source — the Kafka-less stand-in for R9+R11.
+  /** Transport descriptor — the SINGLE seam where source config is built.
+    * Everything downstream of [[open]] (decode → dedup → sink) is
+    * format-agnostic, so swapping file ↔ kafka is a SourceSpec swap, not a
+    * pipeline rewrite. The kafka branch can't execute here (no connector
+    * jar in the sandbox) but its option construction is contract-tested:
+    * the only untested thing left is the jar itself. */
+  final case class SourceSpec(format: String, options: Map[String, String],
+                              schema: Option[StructType] = None)
+
+  /** Kafka transport spec with the reference consumer's semantics
+    * (AvroConsumer.java:61-93, config.properties(03):7-9):
+    *  - explicit topic subscription (the reference `assign`s all partitions
+    *    of one topic — `subscribe` on a single topic is the same coverage);
+    *  - `startingOffsets`: the reference seeks to the LAST STORED offset at
+    *    startup, or earliest when none — in Structured Streaming the
+    *    checkpoint plays the offset store, so `earliest` only seeds the
+    *    FIRST run (every restart resumes from the checkpoint exactly like
+    *    the reference's seek);
+    *  - `maxOffsetsPerTrigger` ≙ max.poll.records: bounds per-micro-batch
+    *    intake (R11 backpressure);
+    *  - `failOnDataLoss=true`: the reference treats a missing stored offset
+    *    as a hard error (it never silently skips) — so do we. */
+  def kafkaSource(topic: String, bootstrapServers: String,
+                  maxOffsetsPerTrigger: Long,
+                  startingOffsets: String = "earliest"): SourceSpec =
+    SourceSpec("kafka", Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets,
+      "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString,
+      "failOnDataLoss" -> "true"))
+
+  /** Rate-capped file transport spec — the Kafka-less stand-in for R9+R11.
     * maxFilesPerTrigger ≙ max.poll.records: bounds per-micro-batch intake. */
+  def fileSourceSpec(dir: String, schema: StructType,
+                     maxFilesPerTrigger: Int = 1): SourceSpec =
+    SourceSpec("parquet",
+      Map("path" -> dir, "maxFilesPerTrigger" -> maxFilesPerTrigger.toString),
+      Some(schema))
+
+  /** Open a transport spec as a streaming DataFrame. Kafka's fixed output
+    * columns (key binary, value binary, topic, partition, offset, …) line
+    * up with [[decode]]'s `value` contract directly; file sources carry
+    * the declared schema. */
+  def open(spark: SparkSession, spec: SourceSpec): DataFrame = {
+    val r = spark.readStream.format(spec.format).options(spec.options)
+    spec.schema.foreach(r.schema)
+    r.load()
+  }
+
+  /** Rate-capped file stream source (R9+R11 stand-in), via the [[open]]
+    * seam — the golden streaming suite exercises the same entry path a
+    * kafka deployment would. */
   def fileSource(spark: SparkSession, dir: String, schema: StructType,
                  maxFilesPerTrigger: Int = 1): DataFrame =
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
+    open(spark, fileSourceSpec(dir, schema, maxFilesPerTrigger))
 
   /** Decode a stream of Confluent-framed Avro `value` binaries to typed
     * columns (R10). Works unchanged on streaming DataFrames because the

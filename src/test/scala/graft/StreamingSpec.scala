@@ -456,4 +456,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q2.awaitTermination(60000)
     assert(sink.dataCount() == 1000, s"exactly-once violated: ${sink.dataCount()}")
   }
+
+  test("kafka source spec constructs exactly the reference consumer's reader options") {
+    // The sandbox ships no spark-sql-kafka jar, so the kafka branch cannot
+    // execute here — but the OPTIONS it would hand the connector are the
+    // reference semantics (AvroConsumer.java:61-93) and must not drift:
+    // subscribe to the topic, earliest-then-checkpoint offsets (the seek-to-
+    // stored-offset contract), max.poll.records as maxOffsetsPerTrigger, and
+    // hard failure on lost offsets. With the jar present, open(spark, spec)
+    // is the ONLY line between this spec and a live broker.
+    val spec = StreamingPipeline.kafkaSource(
+      "exam_ds1", "broker-1:9092,broker-2:9092", maxOffsetsPerTrigger = 10L)
+    assert(spec.format == "kafka")
+    assert(spec.schema.isEmpty, "kafka sources carry the connector's fixed schema")
+    assert(spec.options == Map(
+      "kafka.bootstrap.servers" -> "broker-1:9092,broker-2:9092",
+      "subscribe" -> "exam_ds1",
+      "startingOffsets" -> "earliest",
+      "maxOffsetsPerTrigger" -> "10",
+      "failOnDataLoss" -> "true"))
+    // and the file stand-in rides the SAME seam (golden suite → seam-tested)
+    val fileSpec = StreamingPipeline.fileSourceSpec("/tmp/x",
+      new org.apache.spark.sql.types.StructType().add("a", "long"), 2)
+    assert(fileSpec.format == "parquet" &&
+      fileSpec.options("maxFilesPerTrigger") == "2" && fileSpec.schema.nonEmpty)
+  }
 }
