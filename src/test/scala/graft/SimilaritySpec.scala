@@ -134,20 +134,24 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2 >= r0, s"refinement regressed recall: $r0 -> $r2")
   }
 
-  test("q87 pins recall@10 floors for both ANN scale paths") {
+  test("q87 pins recall@10 floors for both ANN scale paths; IVF ≥ LSH") {
     val rows = Similarity.q87AnnRecall(spark, sfDir).collect()
     assert(rows.length == 2)
     val byMethod = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
-    info(f"recall@10 ivf=${byMethod("ivf_sqrtn_nprobe2")}%.3f lsh=${byMethod("lsh_5bit_x6")}%.3f")
+    val (ivf, lsh) = (byMethod("ivf_sqrtn_nprobe4_r1"), byMethod("lsh_5bit_x6"))
+    info(f"recall@10 ivf=$ivf%.3f lsh=$lsh%.3f")
     // denominators: 20 queries x 10 = 200 truth pairs on the fixed corpus
     rows.foreach(r => assert(r.getLong(3) == 200L, s"truth set size ${r.getLong(3)}"))
     // floors pinned ~0.1 under the measured values on the seeded sf0.001
-    // embeddings (see info line) — a hash-family or probe regression trips
-    // them; ROUND(4)-tie wobble cannot move recall by 0.1
-    assert(byMethod("ivf_sqrtn_nprobe2") >= 0.15,
-      s"IVF nprobe=2 recall collapsed: ${byMethod("ivf_sqrtn_nprobe2")}")
-    assert(byMethod("lsh_5bit_x6") >= 0.20,
-      s"LSH 6x5-bit recall collapsed: ${byMethod("lsh_5bit_x6")}")
+    // embeddings (ivf 0.505, lsh 0.375 — RecallProbe sweep, r5) — a
+    // hash-family or probe regression trips them; ROUND(4)-tie wobble
+    // cannot move recall by 0.1
+    assert(ivf >= 0.40, s"IVF nprobe=4+refine recall collapsed: $ivf")
+    assert(lsh >= 0.27, s"LSH 6x5-bit recall collapsed: $lsh")
+    // the r4 directive's contract: at its production probe budget the IVF
+    // path is at least as good as the LSH path (and costs less — one refine
+    // pass + 4/√n of the corpus reranked vs 6 signature tables)
+    assert(ivf >= lsh, s"IVF ($ivf) fell below LSH ($lsh)")
   }
 
   test("IVF assignment covers the whole corpus exactly once") {
