@@ -92,6 +92,30 @@ object Bench {
     // suite left the session clean; collapsed in r02 (persist leak).
     val pipelineRpsAfter = benchPipeline(spark)
 
+    // 10× scale drill (r4 directive #4): rerun the most expensive queries on
+    // a freshly materialized 10× dataset and record runtime ratios — the
+    // only small-machine evidence that no hidden quadratic / mega-task waits
+    // at the next decade of scale. Ratios compare the drill's own 1× pass
+    // (same cache state) to its 10× pass.
+    val drillFactor = 10
+    val drillDir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_scale_drill_${drillFactor}x")
+    val drill =
+      try ScaleDrill.run(spark, sfDir, drillDir.toString, drillFactor)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] scale drill failed: ${e.getMessage}"); Seq.empty
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(drillDir)
+      }
+    val drillJson = drill.map { case (k, b, x) =>
+      "\"" + k + f"""\":{"base":$b%.2f,"x$drillFactor":$x%.2f,"ratio":${x / math.max(b, 1e-9)}%.2f}"""
+    }.mkString("{", ",", "}")
+    val drillMaxRatio =
+      if (drill.isEmpty) -1.0 else drill.map { case (_, b, x) => x / math.max(b, 1e-9) }.max
+
     def secOrFail(t: Double, ok: Boolean): String = if (ok) f"$t%.2f" else "-1"
     val detail = cold.map { case (k, cv, cok) =>
       val (_, wv, wok) = warmByName(k)
@@ -101,10 +125,10 @@ object Bench {
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailPath = "bench_detail.json"
     val pw = new java.io.PrintWriter(detailPath)
-    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"queries":$detail,"failures":$failJson,"sf":"$sfDir"}""")
+    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"scale_drill":{"factor":$drillFactor,"queries":$drillJson},"queries":$detail,"failures":$failJson,"sf":"$sfDir"}""")
     finally pw.close()
 
-    println(f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"sf":"$sfDir","detail":"$detailPath"}""")
+    println(f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 
