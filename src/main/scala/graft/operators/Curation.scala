@@ -14,11 +14,19 @@ import org.apache.spark.sql.functions._
   *
   * Every stage is embarrassingly parallel or partial-aggregated (the
   * per-operator scaladocs carry the 100 TB arguments); the composition
-  * adds nothing but the stages themselves. Per-stage row accounting is
-  * returned so a pipeline run can assert and log its funnel — each
-  * stage's count() is one extra action over a lazily re-derived plan,
-  * the standard price of audit counts (persist the input once at scale
-  * if the re-derivation matters).
+  * adds nothing but the stages themselves.
+  *
+  * Funnel accounting rides `observe()` (CollectMetrics) nodes at each
+  * stage boundary, all populated by ONE internal materialization — never
+  * a count() per stage. The count-per-stage spelling re-derives the whole
+  * upstream chain for every count (k stages → k(k+1)/2 cumulative stage
+  * executions): the r5 scale drill measured it at 26.7 s for the sf0.1
+  * corpus where the flow itself costs ~5 s — at 100 TB that multiplier is
+  * the difference between one pass over the data and eleven. The quota
+  * fan-in is persisted across the internal materialization (its subtree
+  * appears in both branches of the position self-join, and an observed
+  * metric must fire exactly once) and released before returning, so
+  * callers inherit no pinned storage.
   */
 object Curation {
   final case class StageCount(stage: String, rows: Long)
@@ -31,9 +39,12 @@ object Curation {
   def curate(docs: DataFrame, benchmark: DataFrame,
       minAlphaRatio: Double = 0.45, quotaPerSource: Int = 1000,
       seed: String = "curate"): (DataFrame, Seq[StageCount]) = {
-    val acc = scala.collection.mutable.ArrayBuffer.empty[StageCount]
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(String, org.apache.spark.sql.Observation)]
     def stage(name: String, d: DataFrame): DataFrame = {
-      acc += StageCount(name, d.count()); d
+      val obs = org.apache.spark.sql.Observation() // unique auto-name
+      acc += name -> obs
+      d.observe(obs, count(lit(1)).as("rows"))
     }
     val nonEmpty = stage("non_empty",
       docs.filter(col("text").isNotNull && length(trim(col("text"))) > 0))
@@ -44,8 +55,13 @@ object Curation {
     val clean = stage("decontaminated",
       deduped.join(Dedup.contaminatedIds(deduped, benchmark).select("doc_id"),
         Seq("doc_id"), "left_anti"))
+    // persist the fan-in: the position self-join below derives BOTH branches
+    // from `capped`, and each observed metric must fire exactly once — the
+    // cache fill executes the observed chain a single time, the second
+    // branch reads blocks
     val capped = stage("quota_capped",
       TextAnalysis.quotaCap(clean, "source", "doc_id", seed, quotaPerSource))
+      .persist()
     // The position stage derives its hash from a DISTINCT seed ("<seed>|pos").
     // quotaCap keeps the k smallest md5(seed|id) per source, so survivors of
     // capped sources are concentrated in the low quantile of THAT key; reusing
@@ -54,6 +70,11 @@ object Curation {
     val ordered = capped.join(
       TextAnalysis.deterministicShuffle(capped, "doc_id", seed + "|pos"),
       Seq("doc_id"))
-    (ordered, acc.toList)
+    ordered.count() // the ONE action that populates every stage observation
+    val funnel = acc.map { case (name, obs) =>
+      StageCount(name, obs.get("rows").asInstanceOf[Long])
+    }.toList
+    capped.unpersist(blocking = false) // leak-free: callers re-derive lazily
+    (ordered, funnel)
   }
 }
