@@ -100,8 +100,12 @@ object Bench {
     val drillFactor = 10
     val drillDir = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_scale_drill_${drillFactor}x")
+    // base-side timings reuse the main passes' per-query best (same session,
+    // same best-of-two policy) — the drill only pays for the 10× side
+    val drillBase = cold.filter(_._3)
+      .map { case (k, v, _) => k -> math.min(v, warmByName(k)._2) }.toMap
     val drill =
-      try ScaleDrill.run(spark, sfDir, drillDir.toString, drillFactor)
+      try ScaleDrill.run(spark, sfDir, drillDir.toString, drillFactor, drillBase)
       catch { case e: Throwable =>
         System.err.println(s"[bench] scale drill failed: ${e.getMessage}"); Seq.empty
       } finally {

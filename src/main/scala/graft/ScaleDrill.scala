@@ -81,20 +81,34 @@ object ScaleDrill {
 
   /** Run the drill: time each query on the base dir and on a freshly
     * materialized `factor`× dir. Returns (name, baseSec, scaledSec) rows.
-    * Persisted state is swept between queries exactly like the bench
-    * passes, so one query's working set never pollutes another's ratio. */
-  def run(s: SparkSession, sfDir: String, outDir: String, factor: Int): Seq[(String, Double, Double)] = {
+    * Each side is BEST-OF-TWO (the main bench's policy): a single-shot
+    * timing right after the factor-× materialization write is exposed to
+    * page-cache/GC weather, and one contention burst would record a
+    * permanently wrong ratio (observed 9 s ↔ 67 s for the same query
+    * across runs). Persisted state is swept between executions exactly
+    * like the bench passes, so one query's working set never pollutes
+    * another's ratio.
+    *
+    * @param baseTimes known base-dir timings to reuse (Bench passes its
+    *                  per-query best-of-two from the main passes — same
+    *                  session, same policy, zero extra wall-clock); queries
+    *                  absent from the map are timed here. */
+  def run(s: SparkSession, sfDir: String, outDir: String, factor: Int,
+          baseTimes: Map[String, Double] = Map.empty): Seq[(String, Double, Double)] = {
     materialize(s, sfDir, outDir, factor)
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
-      val t0 = System.nanoTime()
-      fn(s, dir).write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      GraftSession.releasePersisted(s)
-      sec
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(s, dir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        GraftSession.releasePersisted(s)
+        sec
+      }
+      math.min(once(), once())
     }
     val qs = drillQueries.map { name =>
       val fn = SparkEntry.baseQueries(name)
-      (name, time(fn, sfDir), time(fn, outDir))
+      (name, baseTimes.getOrElse(name, time(fn, sfDir)), time(fn, outDir))
     }
     // the composed curation flow (dedup → decontaminate → quota → shuffle):
     // the end-to-end path a training-data run takes

@@ -34,6 +34,20 @@ object VectorOps {
   /** HOF composition of cosine (reference semantics for parity tests). */
   def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Fused argmax-cosine against a one-row broadcast centroid array —
+    * `cents`: array<struct<cent_id long, centv array<double>>>. */
+  def bestCentroid(vec: Column, cents: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(BestCentroid(
+      org.apache.spark.sql.GraftColumnBridge.expression(vec),
+      org.apache.spark.sql.GraftColumnBridge.expression(cents)))
+
+  /** Fused LSH signature against a precomputed hyperplane matrix literal —
+    * `planes`: array<array<double>>, bit b = sign(vec · planes[b]). */
+  def lshBucket(vec: Column, planes: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(LshBucket(
+      org.apache.spark.sql.GraftColumnBridge.expression(vec),
+      org.apache.spark.sql.GraftColumnBridge.expression(planes)))
+
   /** Cast an array<float> embedding to array<double> so all products are
     * computed in double precision (matches the oracle's CAST AS DOUBLE). */
   def asDouble(c: Column): Column = c.cast("array<double>")

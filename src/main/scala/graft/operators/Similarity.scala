@@ -69,18 +69,48 @@ object Similarity {
     * ([[annSearch]] nTables>1) draws an independent family per table;
     * table=0 reproduces the single-table family exactly. */
   def lshSignature(d: DataFrame, vecCol: String, nBits: Int = 16, table: Int = 0): DataFrame = {
-    val bits = (0 until nBits).map { b =>
-      // h_b[i] in [-0.5, 0.5): (xxhash64(seed,i) mod 1000)/1000 - 0.5
-      val dotB = aggregate(
-        zip_with(col(vecCol),
-          transform(sequence(lit(0), size(col(vecCol)) - 1),
-            i => (pmod(xxhash64(lit(table * nBits + b), i), lit(1000)).cast("double") / 1000.0) - 0.5),
-          (x, h) => x * h),
-        lit(0.0), (acc, v) => acc + v)
-      when(dotB > 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }
-    d.withColumn("lsh_bucket", bits.reduce(_ + _))
+    // The hyperplane matrix depends only on (table, bit, dim index) — build
+    // it ONCE with the SAME Catalyst expressions the per-row spelling used
+    // (h_b[i] = (xxhash64(seed_b, i) mod 1000)/1000 - 0.5, evaluated on
+    // int-typed children), so signatures are bit-for-bit unchanged
+    // (SimilaritySpec pins the parity). Per row, the fused
+    // [[graft.functions.LshBucket]] kernel folds the matrix in one codegen
+    // loop — the HOF spelling re-derived every hyperplane element per row
+    // per bit (xxhash64 + array alloc per element, interpreted).
+    signatureWithDim(d, vecCol, nBits, table, vecDim(d, vecCol))
   }
+
+  /** Vector dimensionality — one tiny action, hoisted by callers that
+    * signature the same frames repeatedly ([[annSearch]]: 2·nTables). */
+  private def vecDim(d: DataFrame, vecCol: String): Int = {
+    val row = d.select(size(col(vecCol)).as("n")).agg(max("n")).first()
+    if (row.isNullAt(0)) 0 else row.getInt(0)
+  }
+
+  private def signatureWithDim(d: DataFrame, vecCol: String, nBits: Int,
+      table: Int, dim: Int): DataFrame =
+    d.withColumn("lsh_bucket",
+      VectorOps.lshBucket(col(vecCol), typedLit(hyperplanes(nBits, table, dim))))
+
+  /** Hyperplane matrix for one LSH table: h_b[i] = (xxhash64(table·nBits+b,
+    * i) mod 1000)/1000 − 0.5, computed by evaluating the SAME Catalyst
+    * XxHash64 expression the original per-row HOF spelling used (int-typed
+    * children, default seed) — driver-side, zero Spark jobs, bit-for-bit
+    * identical signatures (SimilaritySpec pins the parity). Memoized: the
+    * matrix is a pure function of (nBits, table, dim), and annSearch asks
+    * for it 2·nTables times per call. */
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int), Seq[Seq[Double]]]
+  private def hyperplanes(nBits: Int, table: Int, dim: Int): Seq[Seq[Double]] =
+    planeCache.getOrElseUpdate((nBits, table, dim),
+      (0 until nBits).map { b =>
+        (0 until dim).map { i =>
+          import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+          val h = XxHash64(Seq(Literal(table * nBits + b), Literal(i)), 42L)
+            .eval(null).asInstanceOf[Long]
+          (((h % 1000) + 1000) % 1000).toDouble / 1000.0 - 0.5
+        }
+      })
 
   /** Q39 — LSH bucket histogram (rows-only: engine-internal hash family).
     * The candidate-generation stage of ANN at scale: corpus bucketed once,
@@ -103,12 +133,20 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, stride: Int = 50, refineIters: Int = 0): DataFrame =
     assignTo(corpus, ivfCentroids(corpus, stride, refineIters))
 
-  private def assignTo(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus.join(broadcast(centroids))
+  /** One narrow codegen'd pass: the centroid table is folded into a single
+    * row (sorted by cent_id so exact-tie argmax is deterministic) and
+    * broadcast; every corpus vector evaluates the fused
+    * [[graft.functions.BestCentroid]] kernel in place. No N×C joined rows,
+    * no assignment shuffle — the r5 scale drill caught the join+max_by
+    * spelling copying ~1 KB of vector payload per (vector, centroid) pair
+    * through a non-codegen BNLJ (11 s for what is ~180 M flops). */
+  private def assignTo(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val centArr = centroids.agg(
+      array_sort(collect_list(struct(col("cent_id"), col("centv")))).as("cents"))
+    corpus.crossJoin(broadcast(centArr))
       .select(col("vec_id"), col("v"),
-        col("cent_id"), VectorOps.cosine(col("v"), col("centv")).as("csim"))
-      .groupBy("vec_id")
-      .agg(first("v").as("v"), max_by(col("cent_id"), col("csim")).as("cluster"))
+        VectorOps.bestCentroid(col("v"), col("cents")).as("cluster"))
+  }
 
   /** IVF centroid table: stride-sampled seeds, optionally refined by
     * `refineIters` Lloyd (k-means) iterations — assign every vector to its
@@ -270,9 +308,10 @@ object Similarity {
                 nTables: Int = 1): DataFrame = {
     val c = corpus.toDF("cid", "cv")
     val q = queries.toDF("qid", "qv")
+    val (cDim, qDim) = (vecDim(c, "cv"), vecDim(q, "qv"))
     val candIds = (0 until nTables).map { t =>
-      val cb = lshSignature(c, "cv", nBits, t).select(col("cid"), col("lsh_bucket"))
-      val qb = lshSignature(q, "qv", nBits, t)
+      val cb = signatureWithDim(c, "cv", nBits, t, cDim).select(col("cid"), col("lsh_bucket"))
+      val qb = signatureWithDim(q, "qv", nBits, t, qDim)
         .select(col("qid"), col("lsh_bucket").as("qbucket"))
       broadcast(qb).join(cb, col("qbucket") === col("lsh_bucket") && col("qid") =!= col("cid"))
         .select("qid", "cid")

@@ -154,6 +154,33 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf >= lsh, s"IVF ($ivf) fell below LSH ($lsh)")
   }
 
+  test("lshSignature kernel ≡ the per-row HOF spelling, bit for bit") {
+    // the fused LshBucket kernel + precomputed hyperplane literal must
+    // reproduce the original spelling exactly (same xxhash64-derived
+    // hyperplanes, same index-order dot, same >0 bit rule) — recall floors
+    // and bucket histograms depend on the family not drifting
+    val e = corpus()
+    for (table <- Seq(0, 3); nBits <- Seq(5, 8)) {
+      val fused = Similarity.lshSignature(e, "v", nBits, table)
+        .select("vec_id", "lsh_bucket").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hof = e.withColumn("lsh_bucket",
+        (0 until nBits).map { b =>
+          val dotB = aggregate(
+            zip_with(col("v"),
+              transform(sequence(lit(0), size(col("v")) - 1),
+                i => (pmod(xxhash64(lit(table * nBits + b), i), lit(1000))
+                  .cast("double") / 1000.0) - 0.5),
+              (x, h) => x * h),
+            lit(0.0), (acc, v) => acc + v)
+          when(dotB > 0, shiftleft(lit(1L), b)).otherwise(0L)
+        }.reduce(_ + _))
+        .select("vec_id", "lsh_bucket").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fused == hof, s"signature family drifted at table=$table nBits=$nBits")
+    }
+  }
+
   test("IVF assignment covers the whole corpus exactly once") {
     val e = corpus()
     val assigned = Similarity.ivfAssign(e, stride = 100)
