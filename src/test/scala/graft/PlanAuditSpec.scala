@@ -372,6 +372,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("LeftSemi"), s"no semi-join in plan:\n$plan")
   }
 
+  test("IVF assignment: one narrow kernel pass, no N×C join rows, no corpus shuffle") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val assigned = graft.operators.Similarity.ivfAssign(e, stride = 100)
+    val plan = planString(assigned)
+    // the fused argmax kernel must be IN the projection (not a join+agg)
+    assert(plan.contains("bestcentroid") || plan.toLowerCase.contains("bestcentroid"),
+      s"BestCentroid kernel missing — assignment regressed to join+agg:\n$plan")
+    // the only exchanges allowed are the tiny centroid-side fold to one row
+    // (partial/final agg pair) — the CORPUS must never shuffle for
+    // assignment; a corpus exchange here is the N·√N-row scale bug
+    assert(!plan.contains("HashAggregate") ||
+      !"(?s)Exchange hashpartitioning\\(vec_id".r.findFirstIn(plan).isDefined,
+      s"corpus shuffles for IVF assignment:\n$plan")
+  }
+
   // --- TPC-H decorrelation stress shapes (r4 directive #5): the physical
   // plan must contain NO residual subquery execution — a correlated subquery
   // left per-row is O(n²) and can never run at 100 TB. "subquery" appearing

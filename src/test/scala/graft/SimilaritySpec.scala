@@ -154,6 +154,33 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf >= lsh, s"IVF ($ivf) fell below LSH ($lsh)")
   }
 
+  test("BestCentroid and LshBucket: interpreted eval matches hand computation") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    val vecT = ArrayType(DoubleType, containsNull = false)
+    val v = Literal.create(ArrayData.toArrayData(Array(1.0, 0.0)), vecT)
+    // centroids: id 1 → (0,1) [cos 0], id 2 → (2,0) [cos 1], id 3 → (1,1) [cos .707]
+    val centT = ArrayType(StructType(Seq(
+      StructField("cent_id", LongType), StructField("centv", vecT))))
+    def cent(id: Long, a: Double, b: Double): InternalRow =
+      InternalRow(id, ArrayData.toArrayData(Array(a, b)))
+    val cents = Literal.create(
+      ArrayData.toArrayData(Array(cent(1, 0, 1), cent(2, 2, 0), cent(3, 1, 1))), centT)
+    assert(graft.functions.BestCentroid(v, cents).eval(null) == 2L)
+    // all-NaN (zero vector) → no valid assignment → -1
+    val zero = Literal.create(ArrayData.toArrayData(Array(0.0, 0.0)), vecT)
+    assert(graft.functions.BestCentroid(zero, cents).eval(null) == -1L)
+    // LshBucket: planes (1,0) → dot 1 > 0 sets bit 0; (-1,0) → bit 1 unset
+    val planes = Literal.create(
+      ArrayData.toArrayData(Array(
+        ArrayData.toArrayData(Array(1.0, 0.0)),
+        ArrayData.toArrayData(Array(-1.0, 0.0)))),
+      ArrayType(vecT))
+    assert(graft.functions.LshBucket(v, planes).eval(null) == 1L)
+  }
+
   test("lshSignature kernel ≡ the per-row HOF spelling, bit for bit") {
     // the fused LshBucket kernel + precomputed hyperplane literal must
     // reproduce the original spelling exactly (same xxhash64-derived
