@@ -200,13 +200,20 @@ object StreamOps {
     * (streaming)"): equi-key plus a time-range condition, both sides
     * watermarked so Spark can bound the buffered state (without watermarks a
     * stream-stream join's state grows forever — the 100 TB failure mode).
-    * @param cond time-range predicate, e.g.
+    *
+    * `joinType` supports the outer variants ("left_outer" / "right_outer" /
+    * "full_outer"): an unmatched row is emitted with NULLs on the other side
+    * only once the WATERMARK proves no future match can arrive — outer
+    * results are therefore delayed by the watermark horizon, the price of a
+    * correct negative ("no purchase followed this click") on an unbounded
+    * stream.
+    * @param joinCond time-range predicate, e.g.
     *   col("r_ts").between(col("l_ts"), col("l_ts") + expr("interval 5 minutes")) */
   def intervalJoin(left: DataFrame, leftTs: String, leftWm: String,
                    right: DataFrame, rightTs: String, rightWm: String,
-                   joinCond: Column): DataFrame =
+                   joinCond: Column, joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, leftWm)
-      .join(right.withWatermark(rightTs, rightWm), joinCond)
+      .join(right.withWatermark(rightTs, rightWm), joinCond, joinType)
 
   /** Stream-static enrichment join: a streaming fact joined to a batch
     * dimension table. No watermark needed — the static side is not stateful;

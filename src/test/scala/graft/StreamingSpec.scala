@@ -289,6 +289,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Set(("u1", ts(1), ts(4)))) // only the in-window pair
   }
 
+  test("stream-stream LEFT OUTER interval join emits watermark-proven non-matches") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val clicks = MemoryStream[(Timestamp, String)]
+    val buys = MemoryStream[(Timestamp, String)]
+    val joined = graft.streaming.StreamOps.intervalJoin(
+      clicks.toDF().toDF("cts", "cuid"), "cts", "10 minutes",
+      buys.toDF().toDF("bts", "buid"), "bts", "10 minutes",
+      col("cuid") === col("buid") &&
+        col("bts").between(col("cts"), col("cts") + expr("interval 5 minutes")),
+      joinType = "left_outer")
+      .select("cuid", "cts", "bts")
+
+    val out = runToMemory(joined, "ivjoin_outer")(
+      () => {
+        clicks.addData((ts(1), "u1"), (ts(2), "u2"))
+        buys.addData((ts(4), "u1")) // u1 matched in-window; u2 never buys
+      },
+      // advance BOTH watermarks far past u2's join window so the engine can
+      // PROVE no match will arrive — only then may the null row emit
+      () => { clicks.addData((ts(120), "zz")); buys.addData((ts(120), "zz2")) },
+      () => { clicks.addData((ts(240), "zw")); buys.addData((ts(240), "zw2")) })
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), Option(r.getTimestamp(2)))).toSet
+    assert(rows.contains(("u1", ts(1), Some(ts(4)))), s"matched pair missing: $rows")
+    assert(rows.contains(("u2", ts(2), None)),
+      s"watermark-proven non-match not emitted with NULL right side: $rows")
+    // and no premature null for u1 (it HAD a match inside the interval)
+    assert(!rows.contains(("u1", ts(1), None)), s"spurious outer row: $rows")
+  }
+
   test("events.parquet file-streams through a tumbling window (real test data)") {
     val sfDir = "/root/testdata/sf0.001"
     val batch = Tables(spark, sfDir, "events")
