@@ -144,6 +144,7 @@ object SparkEntry {
     "q102_tpch_q17"        -> (Relational.q102TpchQ17 _),
     "q103_tpch_q20"        -> (Relational.q103TpchQ20 _),
     "q104_tpch_q21"        -> (Relational.q104TpchQ21 _),
+    "q105_session_window"  -> (Relational.q105SessionWindow _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -404,6 +405,10 @@ object SparkEntry {
       "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (SELECT l1.l_suppkey FROM lineitem l1 WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%ol%') AND 2 * CAST(l1.l_quantity AS DECIMAL(12,2)) * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey) > (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)) ORDER BY s_suppkey",
     "q104_tpch_q21" -> // EXISTS + NOT EXISTS with correlated <> (TPC-H Q21 shape)
       "SELECT s.s_name, COUNT(*) AS numwait FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey JOIN orders o ON o.o_orderkey = l1.l_orderkey WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') GROUP BY s.s_name ORDER BY numwait DESC, s.s_name",
+    "q105_session_window" -> // the native operator's end-exclusive merge
+      // rule (new session when diff >= gap) spelled as the island algorithm;
+      // session end = last event + gap; µs-truncated ts (q41 contract)
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), m AS (SELECT user_id, t, CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800000000 THEN 1 ELSE 0 END AS brk FROM e), s AS (SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m) SELECT user_id, MIN(t) AS session_start_us, MAX(t) + 1800000000 AS session_end_us, COUNT(*) AS n_events FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us",
     "q101_gap_fill" -> // dense hour axis min..max, zero-filled; gap runs via
       // the q88 island trick; single row out, gaps may be 0 at dense SFs
       "WITH hrs AS (SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS hb, COUNT(*) AS n FROM events GROUP BY 1), b AS (SELECT MIN(hb) AS lo, MAX(hb) AS hi FROM hrs), dense AS (SELECT unnest(generate_series(lo, hi, 3600000000000)) AS hb FROM b), f AS (SELECT d.hb, COALESCE(n, 0) AS n FROM dense d LEFT JOIN hrs ON d.hb = hrs.hb), g AS (SELECT hb FROM f WHERE n = 0), r AS (SELECT hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM g), runs AS (SELECT grp, COUNT(*) AS run FROM r GROUP BY grp), gs AS (SELECT COUNT(*) AS n_gap_runs, COALESCE(MAX(run), 0) AS max_gap_run FROM runs) SELECT (SELECT COUNT(*) FROM f) AS n_hours, (SELECT COUNT(*) FROM f WHERE n > 0) AS n_data_hours, (SELECT COUNT(*) FROM f WHERE n = 0) AS n_gap_hours, CAST(n_gap_runs AS BIGINT) AS n_gap_runs, CAST(max_gap_run AS BIGINT) AS max_gap_run FROM gs",

@@ -967,6 +967,27 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Q105 — NATIVE session windows in batch (`session_window`), upgrading
+    * session semantics from golden-only (StreamOps.sessionAgg's streaming
+    * twin) to oracle-gated: the same operator runs unchanged over a stream.
+    * Spark merges an event into a session while its time is STRICTLY before
+    * the previous end (= last event + gap, end-exclusive window), so the
+    * oracle's break condition is `diff >= gap`. Session end = last event +
+    * gap on both sides; timestamps µs-truncated per the q41 resolution
+    * contract. Contrast q68: that spells the island algorithm by hand
+    * (strict `>` break, per-user rollup); this gates the built-in operator
+    * itself, emitting one row per session. */
+  def q105SessionWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("tst"))
+      .groupBy(col("user_id"), session_window(col("tst"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+
   /** Q102 — TPC-H Q17 shape: correlated scalar aggregate against the SAME
     * table being scanned ("small-quantity-order revenue"). The classic
     * decorrelation stress: RewriteCorrelatedScalarSubquery must turn each
