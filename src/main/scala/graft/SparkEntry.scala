@@ -145,6 +145,8 @@ object SparkEntry {
     "q103_tpch_q20"        -> (Relational.q103TpchQ20 _),
     "q104_tpch_q21"        -> (Relational.q104TpchQ21 _),
     "q105_session_window"  -> (Relational.q105SessionWindow _),
+    "q106_grouping_meta"   -> (Relational.q106GroupingSets _),
+    "q107_percentile_disc" -> (Relational.q107PercentileDisc _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -409,6 +411,11 @@ object SparkEntry {
       // rule (new session when diff >= gap) spelled as the island algorithm;
       // session end = last event + gap; µs-truncated ts (q41 contract)
       "WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), m AS (SELECT user_id, t, CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800000000 THEN 1 ELSE 0 END AS brk FROM e), s AS (SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m) SELECT user_id, MIN(t) AS session_start_us, MAX(t) + 1800000000 AS session_end_us, COUNT(*) AS n_events FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us",
+    "q106_grouping_meta" -> // GROUPING() flag: data-NULL vs rollup-NULL
+      "SELECT o_orderpriority, o_orderstatus, CAST(GROUPING(o_orderpriority) AS BIGINT) AS g1, CAST(GROUPING(o_orderstatus) AS BIGINT) AS g2, COUNT(*) AS n FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus) ORDER BY g1, g2, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST",
+    "q107_percentile_disc" -> // discrete order statistic: actual data
+      // element (cume_dist >= p rule) — hash-exact with no ROUND
+      "SELECT l_returnflag, quantile_disc(l_extendedprice, 0.25) AS p25, quantile_disc(l_extendedprice, 0.5) AS p50, quantile_disc(l_extendedprice, 0.9) AS p90, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q101_gap_fill" -> // dense hour axis min..max, zero-filled; gap runs via
       // the q88 island trick; single row out, gaps may be 0 at dense SFs
       "WITH hrs AS (SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS hb, COUNT(*) AS n FROM events GROUP BY 1), b AS (SELECT MIN(hb) AS lo, MAX(hb) AS hi FROM hrs), dense AS (SELECT unnest(generate_series(lo, hi, 3600000000000)) AS hb FROM b), f AS (SELECT d.hb, COALESCE(n, 0) AS n FROM dense d LEFT JOIN hrs ON d.hb = hrs.hb), g AS (SELECT hb FROM f WHERE n = 0), r AS (SELECT hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM g), runs AS (SELECT grp, COUNT(*) AS run FROM r GROUP BY grp), gs AS (SELECT COUNT(*) AS n_gap_runs, COALESCE(MAX(run), 0) AS max_gap_run FROM runs) SELECT (SELECT COUNT(*) FROM f) AS n_hours, (SELECT COUNT(*) FROM f WHERE n > 0) AS n_data_hours, (SELECT COUNT(*) FROM f WHERE n = 0) AS n_gap_hours, CAST(n_gap_runs AS BIGINT) AS n_gap_runs, CAST(max_gap_run AS BIGINT) AS max_gap_run FROM gs",

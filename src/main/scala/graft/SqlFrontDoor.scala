@@ -117,6 +117,9 @@ object SqlFrontDoor {
     "q105_session_window" -> // the SQL spelling of the NATIVE operator
       // (session_window in GROUP BY), vs the oracle's island algorithm
       "SELECT user_id, unix_micros(session_window.start) AS session_start_us, unix_micros(session_window.`end`) AS session_end_us, COUNT(*) AS n_events FROM events GROUP BY user_id, session_window(timestamp_micros(ts div 1000), '30 minutes') ORDER BY user_id, session_start_us",
+    "q107_percentile_disc" -> // quantile_disc(x, p) -> SQL-standard
+      // PERCENTILE_DISC(p) WITHIN GROUP (ORDER BY x)
+      "SELECT l_returnflag, percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25, percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50, percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q53_char_ngram_jaccard" -> // range() lateral -> explode(sequence)
       "WITH w AS (SELECT doc_id, substring(text, i, 3) AS word FROM (SELECT doc_id, text, explode(sequence(1, length(text) - 2)) AS i FROM documents WHERE doc_id < 20)), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
   )

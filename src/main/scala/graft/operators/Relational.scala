@@ -988,6 +988,36 @@ object Relational {
         col("n_events"))
       .orderBy("user_id", "session_start_us")
 
+  /** Q106 — GROUPING() metadata over CUBE: distinguishes a NULL that came
+    * from the DATA from a NULL that marks a rollup level — without it a
+    * cube over a nullable dimension is ambiguous (the gap q10/q11 leave
+    * open). Both engines cast the flag to BIGINT for the hash gate. */
+  def q106GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping(col("o_orderpriority")).cast("long").as("g1"),
+        grouping(col("o_orderstatus")).cast("long").as("g2"),
+        count(lit(1)).as("n"))
+      .orderBy(col("g1"), col("g2"),
+        col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  /** Q107 — PERCENTILE_DISC (discrete order statistic as a FUNCTION, not
+    * the hand-rolled q85/q99 cumulative spelling): returns an actual data
+    * element (smallest value whose cume_dist ≥ p — the SQL standard rule,
+    * verified identical to DuckDB's quantile_disc at both gate SFs), so
+    * unlike interpolated percentiles it is hash-exact cross-engine with no
+    * ROUND. Complements q42 (exact interpolated) and q49 (approx sketch). */
+  def q107PercentileDisc(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""SELECT l_returnflag,
+            |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+            |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+            |  percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_extendedprice) AS p90,
+            |  COUNT(*) AS n
+            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** Q102 — TPC-H Q17 shape: correlated scalar aggregate against the SAME
     * table being scanned ("small-quantity-order revenue"). The classic
     * decorrelation stress: RewriteCorrelatedScalarSubquery must turn each
