@@ -147,6 +147,9 @@ object SparkEntry {
     "q105_session_window"  -> (Relational.q105SessionWindow _),
     "q106_grouping_meta"   -> (Relational.q106GroupingSets _),
     "q107_percentile_disc" -> (Relational.q107PercentileDisc _),
+    "q108_forward_fill"    -> (Relational.q108ForwardFill _),
+    "q109_unpivot"         -> (Relational.q109Unpivot _),
+    "q110_explode_outer"   -> (Relational.q110ExplodeOuter _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -416,6 +419,15 @@ object SparkEntry {
     "q107_percentile_disc" -> // discrete order statistic: actual data
       // element (cume_dist >= p rule) — hash-exact with no ROUND
       "SELECT l_returnflag, quantile_disc(l_extendedprice, 0.25) AS p25, quantile_disc(l_extendedprice, 0.5) AS p50, quantile_disc(l_extendedprice, 0.9) AS p90, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q108_forward_fill" -> // LOCF: last non-null per user carried forward;
+      // deterministic null injection; exact integer cents; -1 sentinel
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS t, CAST(ROUND(value*100) AS BIGINT) AS cents FROM events), m AS (SELECT user_id, t, cents, CASE WHEN (user_id + cents) % 5 = 0 THEN NULL ELSE cents END AS v FROM e) SELECT user_id, t, COALESCE(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS filled_cents FROM m ORDER BY user_id, t, filled_cents",
+    "q109_unpivot" -> // wide->long melt; wide spelled as CASE sums (values
+      // identical to the engine's pivot with 0-fill)
+      "WITH wide AS (SELECT lang, CAST(SUM(CASE WHEN source='src0' THEN 1 ELSE 0 END) AS BIGINT) AS src0, CAST(SUM(CASE WHEN source='src1' THEN 1 ELSE 0 END) AS BIGINT) AS src1, CAST(SUM(CASE WHEN source='src2' THEN 1 ELSE 0 END) AS BIGINT) AS src2 FROM documents GROUP BY lang) SELECT lang, src, n FROM (UNPIVOT wide ON src0, src1, src2 INTO NAME src VALUE n) ORDER BY lang, src",
+    "q110_explode_outer" -> // outer generator semantics emulated as
+      // unnest-or-NULL union (DuckDB's unnest drops empty-list rows)
+      "WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) >= 7) AS ws FROM documents WHERE text IS NOT NULL), e AS (SELECT doc_id, unnest(ws) AS tok FROM w WHERE len(ws) > 0 UNION ALL SELECT doc_id, NULL AS tok FROM w WHERE len(ws) = 0) SELECT doc_id, tok FROM e ORDER BY doc_id, tok NULLS FIRST",
     "q101_gap_fill" -> // dense hour axis min..max, zero-filled; gap runs via
       // the q88 island trick; single row out, gaps may be 0 at dense SFs
       "WITH hrs AS (SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS hb, COUNT(*) AS n FROM events GROUP BY 1), b AS (SELECT MIN(hb) AS lo, MAX(hb) AS hi FROM hrs), dense AS (SELECT unnest(generate_series(lo, hi, 3600000000000)) AS hb FROM b), f AS (SELECT d.hb, COALESCE(n, 0) AS n FROM dense d LEFT JOIN hrs ON d.hb = hrs.hb), g AS (SELECT hb FROM f WHERE n = 0), r AS (SELECT hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM g), runs AS (SELECT grp, COUNT(*) AS run FROM r GROUP BY grp), gs AS (SELECT COUNT(*) AS n_gap_runs, COALESCE(MAX(run), 0) AS max_gap_run FROM runs) SELECT (SELECT COUNT(*) FROM f) AS n_hours, (SELECT COUNT(*) FROM f WHERE n > 0) AS n_data_hours, (SELECT COUNT(*) FROM f WHERE n = 0) AS n_gap_hours, CAST(n_gap_runs AS BIGINT) AS n_gap_runs, CAST(max_gap_run AS BIGINT) AS max_gap_run FROM gs",

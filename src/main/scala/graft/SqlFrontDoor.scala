@@ -120,6 +120,13 @@ object SqlFrontDoor {
     "q107_percentile_disc" -> // quantile_disc(x, p) -> SQL-standard
       // PERCENTILE_DISC(p) WITHIN GROUP (ORDER BY x)
       "SELECT l_returnflag, percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25, percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50, percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q108_forward_fill" -> // IGNORE NULLS placement: inside the call in
+      // DuckDB, after it in Spark; epoch_us -> ts div 1000
+      "WITH e AS (SELECT user_id, ts div 1000 AS t, CAST(ROUND(value*100) AS BIGINT) AS cents FROM events), m AS (SELECT user_id, t, cents, CASE WHEN (user_id + cents) % 5 = 0 THEN NULL ELSE cents END AS v FROM e) SELECT user_id, t, COALESCE(last_value(v) IGNORE NULLS OVER (PARTITION BY user_id ORDER BY t, cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS filled_cents FROM m ORDER BY user_id, t, filled_cents",
+    "q109_unpivot" -> // DuckDB UNPIVOT..INTO NAME..VALUE -> Spark UNPIVOT (v FOR k IN (...))
+      "WITH wide AS (SELECT lang, CAST(SUM(CASE WHEN source='src0' THEN 1 ELSE 0 END) AS BIGINT) AS src0, CAST(SUM(CASE WHEN source='src1' THEN 1 ELSE 0 END) AS BIGINT) AS src1, CAST(SUM(CASE WHEN source='src2' THEN 1 ELSE 0 END) AS BIGINT) AS src2 FROM documents GROUP BY lang) SELECT lang, src, n FROM wide UNPIVOT (n FOR src IN (src0, src1, src2)) ORDER BY lang, src",
+    "q110_explode_outer" -> // unnest-or-NULL union -> LATERAL VIEW OUTER explode
+      "WITH w AS (SELECT doc_id, filter(split(trim(text), '\\\\s+'), x -> length(x) >= 7) AS ws FROM documents WHERE text IS NOT NULL) SELECT doc_id, tok FROM w LATERAL VIEW OUTER explode(ws) x AS tok ORDER BY doc_id, tok NULLS FIRST",
     "q53_char_ngram_jaccard" -> // range() lateral -> explode(sequence)
       "WITH w AS (SELECT doc_id, substring(text, i, 3) AS word FROM (SELECT doc_id, text, explode(sequence(1, length(text) - 2)) AS i FROM documents WHERE doc_id < 20)), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
   )

@@ -1018,6 +1018,55 @@ object Relational {
             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Q108 — forward fill / LOCF (`last_value IGNORE NULLS` over a running
+    * frame): the canonical time-series gap repair — each NULL observation
+    * takes the last non-null value for its key; leading NULLs become the
+    * -1 sentinel. NULLs are injected deterministically ((user+cents)%5=0)
+    * so the fill actually exercises; money in exact integer cents; window
+    * order (t, cents) is a total order per user so both engines fill
+    * identically. Per-user frames — the q14/q15 parallelism family. */
+  def q108ForwardFill(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"),
+      expr("ts div 1000").as("t"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val m = e.withColumn("v",
+      when((col("user_id") + col("cents")) % 5 === 0, lit(null).cast("long"))
+        .otherwise(col("cents")))
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.select(col("user_id"), col("t"),
+        coalesce(last(col("v"), ignoreNulls = true).over(w), lit(-1L)).as("filled_cents"))
+      .orderBy("user_id", "t", "filled_cents")
+  }
+
+  /** Q109 — UNPIVOT (melt), the inverse of Q43's pivot: wide per-source
+    * count columns back to (lang, src, n) rows via the native
+    * `Dataset.unpivot` — the wide→long reshape a feature store does before
+    * stacking mixture statistics. The pivot side fills absent cells with 0
+    * first (pivot-of-count yields NULL there, and unpivot would keep it). */
+  def q109Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "documents")
+      .groupBy("lang").pivot("source", Seq("src0", "src1", "src2"))
+      .agg(count(lit(1)))
+    val filled = wide.select(col("lang") +:
+      Seq("src0", "src1", "src2").map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    filled.unpivot(Array(col("lang")),
+        Array(col("src0"), col("src1"), col("src2")), "src", "n")
+      .orderBy("lang", "src")
+  }
+
+  /** Q110 — explode_outer: generator rows for EMPTY arrays too (a NULL
+    * token row marks "document has no long tokens"), where plain explode
+    * silently drops the parent row — the difference between "no rows" and
+    * "a row saying none", which per-document accounting needs. Token
+    * filter ≥7 chars keeps both populations non-empty on the fixture. */
+  def q110ExplodeOuter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode_outer(filter(split(trim(col("text")), "\\s+"),
+          x => length(x) >= 7)).as("tok"))
+      .orderBy(col("doc_id"), col("tok").asc_nulls_first)
+
   /** Q102 — TPC-H Q17 shape: correlated scalar aggregate against the SAME
     * table being scanned ("small-quantity-order revenue"). The classic
     * decorrelation stress: RewriteCorrelatedScalarSubquery must turn each
