@@ -82,7 +82,7 @@ object Bench {
     val cold = onePass()
     val warm = onePass()
     val warmByName = warm.map(r => r._1 -> r).toMap
-    val failures = (cold ++ warm).filterNot(_._3).map(_._1).distinct.sorted
+    val queryFailures = (cold ++ warm).filterNot(_._3).map(_._1).distinct.sorted
     val total = cold.filter(_._3).map(_._2).sum
     val totalWarm = warm.filter(_._3).map(_._2).sum
     val totalBest = cold.filter(_._3)
@@ -93,19 +93,15 @@ object Bench {
     val pipelineRpsAfter = benchPipeline(spark)
 
     // 10× scale drill (r4 directive #4): rerun the most expensive queries on
-    // a freshly materialized 10× dataset and record runtime ratios — the
-    // only small-machine evidence that no hidden quadratic / mega-task waits
-    // at the next decade of scale. Ratios compare the drill's own 1× pass
-    // (same cache state) to its 10× pass.
+    // freshly materialized like-for-like 1× and 10× datasets (interleaved
+    // best-of-two — see ScaleDrill's measurement-design scaladoc) — the only
+    // small-machine evidence that no hidden quadratic / mega-task waits at
+    // the next decade of scale.
     val drillFactor = 10
     val drillDir = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_scale_drill_${drillFactor}x")
-    // base-side timings reuse the main passes' per-query best (same session,
-    // same best-of-two policy) — the drill only pays for the 10× side
-    val drillBase = cold.filter(_._3)
-      .map { case (k, v, _) => k -> math.min(v, warmByName(k)._2) }.toMap
     val drill =
-      try ScaleDrill.run(spark, sfDir, drillDir.toString, drillFactor, drillBase)
+      try ScaleDrill.run(spark, sfDir, drillDir.toString, drillFactor)
       catch { case e: Throwable =>
         System.err.println(s"[bench] scale drill failed: ${e.getMessage}"); Seq.empty
       } finally {
@@ -119,6 +115,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val drillMaxRatio =
       if (drill.isEmpty) -1.0 else drill.map { case (_, b, x) => x / math.max(b, 1e-9) }.max
+    // superlinear = FAILURE, not a buried ratio (r5 verdict #3: a 28.59
+    // shipped as a green bench line). `factor`× data on fixed cores may
+    // legitimately cost up to ~factor×; above that something scales worse
+    // than the data.
+    val drillFailures = drill.collect {
+      case (k, b, x) if x / math.max(b, 1e-9) > drillFactor =>
+        f"scale_drill:$k(ratio=${x / math.max(b, 1e-9)}%.1f)"
+    }
 
     def secOrFail(t: Double, ok: Boolean): String = if (ok) f"$t%.2f" else "-1"
     val detail = cold.map { case (k, cv, cok) =>
@@ -126,6 +130,7 @@ object Bench {
       val best = secOrFail(math.min(cv, wv), cok && wok)
       "\"" + k + f"""\":{"cold":${secOrFail(cv, cok)},"warm":${secOrFail(wv, wok)},"best":$best}"""
     }.mkString("{", ",", "}")
+    val failures = queryFailures ++ drillFailures
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailPath = "bench_detail.json"
     val pw = new java.io.PrintWriter(detailPath)

@@ -1,8 +1,11 @@
 package graft
 
-/** Ad-hoc profiler: `runMain graft.Prof <queryName> [sfDir] [runs] [cpus]`.
-  * Times repeated noop-sink executions of one SparkEntry query, then prints
-  * the formatted plan — the iterate-on-.explain loop from the build brief. */
+/** Ad-hoc profiler: `runMain graft.Prof <queryName> [sfDir] [runs] [cpus]
+  * [conf1=v1,conf2=v2]`. Times repeated noop-sink executions of one
+  * SparkEntry query, then prints the formatted plan — the
+  * iterate-on-.explain loop from the build brief. The optional 5th arg
+  * passes extra spark confs for A/B experiments (e.g. AQE partition
+  * scaling) without editing session code. */
 object Prof {
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
@@ -10,14 +13,19 @@ object Prof {
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 3
     val cpus = if (args.length > 3) args(3) else "32"
-    val spark = GraftSession.builder(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus).getOrCreate()
+    var b = GraftSession.builder(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+    if (args.length > 4 && args(4).nonEmpty)
+      args(4).split(',').map(_.split("=", 2)).foreach(kv => b = b.config(kv(0), kv(1)))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fn = SparkEntry.queries(name)
+    val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      if (name == "curation_flow") ScaleDrill.curationFlow else SparkEntry.queries(name)
     for (i <- 1 to runs) {
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       println(f"[prof] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      GraftSession.releasePersisted(spark)
     }
     fn(spark, dir).explain("formatted")
     spark.stop()

@@ -7,10 +7,26 @@ import org.apache.spark.sql.functions._
   * sf0.1, so the only way to SEE a hidden quadratic or a 2 GB task is to
   * manufacture the next decade of scale and measure. [[materialize]] writes
   * a `factor`× copy of the drill tables; Bench runs the most expensive
-  * queries on both and records per-query runtime ratios — a plan that is
-  * linear in the data should scale well UNDER `factor` (fixed overhead
-  * amortizes), and a ratio far above `factor` is a scale bug, caught here
-  * instead of on a cluster.
+  * queries on a same-written 1× copy and the `factor`× copy and records
+  * per-query runtime ratios — a plan that is linear in the data should scale
+  * well UNDER `factor` (fixed overhead amortizes), and a ratio far above
+  * `factor` is a scale bug, caught here instead of on a cluster.
+  *
+  * Measurement design (r5 verdict, "What's wrong"):
+  *  - BOTH sides are freshly materialized by the same writer with the same
+  *    multi-file layout. The r5 drill reused the main bench passes' timings
+  *    as the base side (different cache/GC state) and read the source
+  *    single-file sf0.1 layout on one side only — the recorded 28.6× was
+  *    mostly those artifacts.
+  *  - The layout is multi-file (one per core): a single parquet file under
+  *    the row-group size is ONE row group = ONE split, so every map stage
+  *    runs single-threaded regardless of cores — wall-clock then grows
+  *    linearly with data even for perfectly linear plans. Real data growth
+  *    brings real split growth on a cluster; the drill must model that, or
+  *    it measures the test harness's file count, not the engine's plans.
+  *  - Timing is INTERLEAVED best-of-two (base, ×N, base, ×N) so a
+  *    contention burst or page-cache transition hits both sides alike
+  *    instead of permanently poisoning one ratio side.
   *
   * Replication must not distort the algorithmic structure:
   *  - `documents`: ids shift by copy; every copy beyond the first gets a
@@ -29,25 +45,34 @@ import org.apache.spark.sql.functions._
   */
 object ScaleDrill {
 
-  /** The five most expensive suite queries (r4 bench) + one events query —
-    * every drill table is exercised. */
+  /** The most expensive suite queries (r4/r5 bench) + one events query —
+    * every drill table is exercised. q107 joined in r6: the built-in
+    * percentile buffers per-distinct-value counts per group, and the drill
+    * is where that buffer either holds or breaks. */
   val drillQueries: Seq[String] = Seq(
     "q50_neardup_confirmed", // documents: LSH near-dup pipeline
     "q56_window_dist",       // orders: sharded distribution windows
     "q87_ann_recall",        // embeddings: ANN truth + IVF + LSH
     "q92_cdc_passages",      // documents: content-defined passage dedup
     "q97_rolling_range",     // events: RANGE-frame rolling window
-    "q99_winsorized")        // lineitem: sharded two-sided percentile
+    "q99_winsorized",        // lineitem: sharded two-sided percentile
+    "q107_percentile_disc")  // lineitem: built-in percentile_disc
 
-  /** Write a `factor`× scale copy of the drill tables under `outDir`. */
+  /** Write a `factor`× scale copy of the drill tables under `outDir`.
+    * factor=1 writes a verbatim copy — the like-for-like base side. */
   def materialize(s: SparkSession, sfDir: String, outDir: String, factor: Int): Unit = {
-    require(factor >= 2, s"factor $factor is not a scale-up")
+    require(factor >= 1, s"factor $factor must be >= 1")
     val copies = broadcast(s.range(0, factor).select(col("id").as("copy")))
+    // one file per core: the unit of parallel parquet read is the row group,
+    // and these tables are far under the 128 MB row-group size — a
+    // single-file write would pin every downstream map stage to one core
+    val nFiles = s.sparkContext.defaultParallelism
 
     def scaled(table: String)(f: DataFrame => DataFrame): Unit = {
       val base = Tables(s, sfDir, table)
       f(base.crossJoin(copies)).drop("copy")
         .select(base.columns.map(col).toIndexedSeq: _*)
+        .repartition(nFiles)
         .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
     }
 
@@ -77,46 +102,49 @@ object ScaleDrill {
 
     val maxUser = Tables(s, sfDir, "events").agg(max("user_id")).first().getLong(0) + 1
     scaled("events")(d => d.withColumn("user_id", col("user_id") + col("copy") * maxUser))
+
+    // dimension tables ride along verbatim (fact FKs still resolve; dims
+    // don't grow with fact scale) so Tables.registerAll works against a
+    // drill dir — q107 reaches lineitem through the SQL catalog
+    val scaledTables = Set("documents", "embeddings", "orders", "lineitem", "events")
+    Tables.names.filterNot(scaledTables).foreach { t =>
+      Tables(s, sfDir, t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
   }
 
-  /** Run the drill: time each query on the base dir and on a freshly
-    * materialized `factor`× dir. Returns (name, baseSec, scaledSec) rows.
-    * Each side is BEST-OF-TWO (the main bench's policy): a single-shot
-    * timing right after the factor-× materialization write is exposed to
-    * page-cache/GC weather, and one contention burst would record a
-    * permanently wrong ratio (observed 9 s ↔ 67 s for the same query
-    * across runs). Persisted state is swept between executions exactly
-    * like the bench passes, so one query's working set never pollutes
-    * another's ratio.
-    *
-    * @param baseTimes known base-dir timings to reuse (Bench passes its
-    *                  per-query best-of-two from the main passes — same
-    *                  session, same policy, zero extra wall-clock); queries
-    *                  absent from the map are timed here. */
-  def run(s: SparkSession, sfDir: String, outDir: String, factor: Int,
-          baseTimes: Map[String, Double] = Map.empty): Seq[(String, Double, Double)] = {
-    materialize(s, sfDir, outDir, factor)
-    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(s, dir).write.format("noop").mode("overwrite").save()
-        val sec = (System.nanoTime() - t0) / 1e9
-        GraftSession.releasePersisted(s)
-        sec
-      }
-      math.min(once(), once())
+  /** Run the drill: materialize a 1× and a `factor`× copy under `outDir`
+    * (subdirs `base1x` / `scaled`), then time each query on both,
+    * interleaved best-of-two. Returns (name, baseSec, scaledSec) rows.
+    * Persisted state is swept between executions exactly like the bench
+    * passes, so one query's working set never pollutes another's ratio. */
+  def run(s: SparkSession, sfDir: String, outDir: String, factor: Int): Seq[(String, Double, Double)] = {
+    val baseDir = s"$outDir/base1x"
+    val bigDir = s"$outDir/scaled"
+    materialize(s, sfDir, baseDir, 1)
+    materialize(s, sfDir, bigDir, factor)
+    def once(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val t0 = System.nanoTime()
+      fn(s, dir).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      GraftSession.releasePersisted(s)
+      sec
     }
-    val qs = drillQueries.map { name =>
-      val fn = SparkEntry.baseQueries(name)
-      (name, baseTimes.getOrElse(name, time(fn, sfDir)), time(fn, outDir))
+    val all = drillQueries.map(n => n -> SparkEntry.baseQueries(n)) :+
+      ("curation_flow" -> curationFlow)
+    all.map { case (name, fn) =>
+      val b1 = once(fn, baseDir); val x1 = once(fn, bigDir)
+      val b2 = once(fn, baseDir); val x2 = once(fn, bigDir)
+      (name, math.min(b1, b2), math.min(x1, x2))
     }
-    // the composed curation flow (dedup → decontaminate → quota → shuffle):
-    // the end-to-end path a training-data run takes
-    def curateOn(dir: String): Double = time((sp, d) => {
-      val docs = Tables(sp, d, "documents")
-      val benchmark = docs.filter(col("doc_id") % 100 === 0).select("doc_id", "text")
-      graft.operators.Curation.curate(docs, benchmark, quotaPerSource = 1000000)._1
-    }, dir)
-    qs :+ (("curation_flow", curateOn(sfDir), curateOn(outDir)))
+  }
+
+  /** The composed curation flow as a (session, dir) => frame lambda — the
+    * drill's end-to-end lane, also reachable from [[Prof]] by the name
+    * "curation_flow". Timing it through a write covers BOTH curate()'s
+    * internal funnel materialization and the caller-side output write. */
+  val curationFlow: (SparkSession, String) => DataFrame = (sp, d) => {
+    val docs = Tables(sp, d, "documents")
+    val benchmark = docs.filter(col("doc_id") % 100 === 0).select("doc_id", "text")
+    graft.operators.Curation.curate(docs, benchmark, quotaPerSource = 1000000)._1
   }
 }

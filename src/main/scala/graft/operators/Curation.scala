@@ -22,11 +22,25 @@ import org.apache.spark.sql.functions._
   * upstream chain for every count (k stages → k(k+1)/2 cumulative stage
   * executions): the r5 scale drill measured it at 26.7 s for the sf0.1
   * corpus where the flow itself costs ~5 s — at 100 TB that multiplier is
-  * the difference between one pass over the data and eleven. The quota
-  * fan-in is persisted across the internal materialization (its subtree
-  * appears in both branches of the position self-join, and an observed
-  * metric must fire exactly once) and released before returning, so
-  * callers inherit no pinned storage.
+  * the difference between one pass over the data and eleven.
+  *
+  * What the ONE internal action materializes (and persists) is the
+  * survivor ID SET — 8 bytes/row — never document text (the r5 shape
+  * persisted the full capped corpus and ALSO unpersisted it before
+  * returning, so every caller re-executed the whole selection chain on
+  * its first action: a 2× end-to-end tax the drill measured directly).
+  * The returned frame joins the raw input against the persisted
+  * (id, pos) assignment, so a caller's write pays one cheap input scan +
+  * a tiny join — the expensive chain (fingerprint dedup + shingle
+  * decontamination + quota ranking) runs exactly once, inside curate().
+  *
+  * Persist lifecycle: the id set stays pinned UNDER the returned plan
+  * (same contract as Dedup.confirmedNearDups) — callers release it after
+  * materializing via unpersist/GraftSession.releasePersisted; afterwards
+  * the plan remains correct but re-derives the selection chain lazily.
+  * The input `docs` plan is evaluated twice (once under the internal
+  * chain, once under the returned join) — callers pass a cheap scan or
+  * persist their input if it is itself an expensive derivation.
   */
 object Curation {
   final case class StageCount(stage: String, rows: Long)
@@ -46,35 +60,64 @@ object Curation {
       acc += name -> obs
       d.observe(obs, count(lit(1)).as("rows"))
     }
-    val nonEmpty = stage("non_empty",
-      docs.filter(col("text").isNotNull && length(trim(col("text"))) > 0))
+    // layout-independent parallelism for the whole text chain (quality
+    // regexes, fingerprints, shingle explode): a no-op on an already-parallel
+    // input, one raw-input rebalance when the source is few unsplittable
+    // files (see Scale.ensureParallel — the r5 drill's single-threaded-map
+    // failure mode)
+    val input = Scale.ensureParallel(docs)
+    val nonEmptyPred = col("text").isNotNull && length(trim(col("text"))) > 0
     val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
       .cast("double") / length(col("text"))
+    val nonEmpty = stage("non_empty", input.filter(nonEmptyPred))
     val quality = stage("quality_gate", nonEmpty.filter(alpha >= minAlphaRatio))
-    val deduped = stage("exact_dedup", Dedup.dropExactDuplicates(quality))
+    // The observed spine must stay TREE-shaped: a CollectMetrics node that
+    // ends up under two plan branches (e.g. the probe AND the join build of
+    // a fan-out operator) executes as duplicate instances, and with
+    // exchange/stage reuse one instance is dead — whichever accumulator the
+    // harvest picks decides between the true count and 0 (observed as an
+    // intermittent exact_dedup=0). So every BUILD side below derives from
+    // the raw, un-observed `passers` with the stage gates re-applied —
+    // semantically identical (keeper election and shingle contamination are
+    // pure functions of text), and each observe node appears exactly once.
+    val passers = input.filter(nonEmptyPred && alpha >= minAlphaRatio)
+    // inline exact-dedup with an un-observed keeper build; same contract as
+    // Dedup.dropExactDuplicates (16-byte fingerprint, min-id keeper)
+    val keepers = passers
+      .select(Dedup.contentFp(col("text")).as("__fp"), col("doc_id"))
+      .groupBy("__fp").agg(min("doc_id").as("doc_id"))
+    val deduped = stage("exact_dedup",
+      quality.withColumn("__fp", Dedup.contentFp(col("text")))
+        .join(keepers, Seq("__fp", "doc_id"), "left_semi").drop("__fp"))
+    // contamination is text-pure, so screening ALL quality-passers yields
+    // the same id set restricted to deduped survivors — and keeps the
+    // observed chain out of the anti-join's build side
     val clean = stage("decontaminated",
-      deduped.join(Dedup.contaminatedIds(deduped, benchmark).select("doc_id"),
+      deduped.join(Dedup.contaminatedIds(passers, benchmark).select("doc_id"),
         Seq("doc_id"), "left_anti"))
-    // persist the fan-in: the position self-join below derives BOTH branches
-    // from `capped`, and each observed metric must fire exactly once — the
-    // cache fill executes the observed chain a single time, the second
-    // branch reads blocks
     val capped = stage("quota_capped",
       TextAnalysis.quotaCap(clean, "source", "doc_id", seed, quotaPerSource))
-      .persist()
+    // ids-only persist: Catalyst prunes the chain to the columns selection
+    // needs, and the blocks pinned for the position stage and the returned
+    // join are 8-byte ids — never text
+    val ids = capped.select(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the ONE action: executes the observed chain a single time (each stage
+    // observation fires exactly once) and fills the id cache every
+    // downstream consumer reads instead of re-deriving the chain
+    ids.count()
+    val funnel = acc.map { case (name, obs) =>
+      StageCount(name, obs.get("rows").asInstanceOf[Long])
+    }.toList
     // The position stage derives its hash from a DISTINCT seed ("<seed>|pos").
     // quotaCap keeps the k smallest md5(seed|id) per source, so survivors of
     // capped sources are concentrated in the low quantile of THAT key; reusing
     // it for the global order would front-load large sources and the final
-    // shuffle would not be independent of selection.
-    val ordered = capped.join(
-      TextAnalysis.deterministicShuffle(capped, "doc_id", seed + "|pos"),
+    // shuffle would not be independent of selection. Both fan-out branches
+    // inside deterministicShuffle read the persisted id blocks.
+    val ordered = input.join(
+      TextAnalysis.deterministicShuffle(ids, "doc_id", seed + "|pos"),
       Seq("doc_id"))
-    ordered.count() // the ONE action that populates every stage observation
-    val funnel = acc.map { case (name, obs) =>
-      StageCount(name, obs.get("rows").asInstanceOf[Long])
-    }.toList
-    capped.unpersist(blocking = false) // leak-free: callers re-derive lazily
     (ordered, funnel)
   }
 }

@@ -299,7 +299,20 @@ object Dedup {
     * thousands of docs), so the distinct benchmark-shingle side broadcasts
     * and the corpus side streams through a broadcast semi-join — the corpus
     * never shuffles, and only contaminated (doc_id) survive to the tiny
-    * distinct. Exploded shingles stay columnar inside the scan stage. */
+    * distinct. Exploded shingles stay columnar inside the scan stage.
+    *
+    * The broadcast is FORCED, not left to the planner: the r5 scale drill
+    * caught the benchmark shingle table tipping over
+    * `autoBroadcastJoinThreshold` at 10× (size estimates for an exploded
+    * distinct are loose), silently degrading the semi-join to sort-merge —
+    * which shuffle-sorts the ENTIRE exploded corpus shingle table (~50× row
+    * inflation over the corpus) and was the dominant term in the
+    * curation_flow 28.6× blow-up. The size CONTRACT this encodes: the
+    * benchmark side is an eval suite — bounded at thousands of documents /
+    * tens of MB of distinct shingles — independent of corpus scale; it must
+    * fit in one executor's memory or the caller should pre-reduce it.
+    * PlanAuditSpec pins that the corpus probe side of this join never
+    * sorts. */
   /** `carry` columns ride along with doc_id through the shingle pass so the
     * caller never has to re-scan the corpus just to recover them. */
   def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, k: Int = 5,
@@ -309,8 +322,12 @@ object Dedup {
       .select(keep.map(col) :+ split(trim(col("text")), "\\s+").as("words"): _*)
       .filter(size(col("words")) >= k)
       .select(keep.map(col) :+ explode(shingles(col("words"), k)).as("sh"): _*)
-    sh(corpus, keyCols)
-      .join(sh(benchmark, Seq("doc_id")).select("sh").distinct(), Seq("sh"), "left_semi")
+    // the ~50× shingle fan-out must not run single-threaded on an
+    // unsplittable source layout; no-op when the corpus plan is already
+    // parallel (the 100 TB case — the EXPLODED table still never shuffles)
+    sh(Scale.ensureParallel(corpus), keyCols)
+      .join(broadcast(sh(benchmark, Seq("doc_id")).select("sh").distinct()),
+        Seq("sh"), "left_semi")
       .select(keyCols.map(col): _*).distinct()
   }
 
@@ -482,7 +499,9 @@ object Dedup {
     *
     * Returns (doc_id, pid, passage). */
   def cdcPassages(d: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = d.select(col(idCol),
+    // the ~50× token fan-out must not be serialized by the source layout
+    // (no-op on an already-parallel input — Scale.ensureParallel)
+    val toks = Scale.ensureParallel(d).select(col(idCol),
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("i", "word")))
     val boundary = when(substring(md5(col("word")), 1, 1).isin("0", "1"), 1L).otherwise(0L)
     val win = Window.partitionBy(idCol).orderBy("i")

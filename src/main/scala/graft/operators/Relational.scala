@@ -940,26 +940,35 @@ object Relational {
     val li = t(s, dir, "lineitem")
       .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c"))
       .withColumn("sh", expr("c div 100000"))
-    val r = li.repartition(col("l_returnflag"), col("sh"))
+    // ONE exchange under every branch: the ranked subtree `r` is the shared
+    // parent of the shard-stats branch (shCnt = max(rn) — derived FROM the
+    // window so Catalyst cannot prune it back to a separate scan+agg), the
+    // threshold branch, and the clip branch (window pruned there, exchange
+    // kept). All three canonically share the (flag, shard) exchange, so AQE
+    // stage reuse materializes the fact scan+shuffle once. The r5 spelling
+    // planted four independent scan branches; with an unsplittable source
+    // layout each was a serial scan, and the drill measured all four.
+    val base = li.repartition(col("l_returnflag"), col("sh"))
+    val r = base
       .withColumn("rn", row_number().over(
         Window.partitionBy("l_returnflag", "sh").orderBy("c")).cast("long"))
-    // same partitioning as the repartition → no exchange for this agg
-    val shCounts = r.groupBy("l_returnflag", "sh").agg(count(lit(1)).as("shCnt"))
-    val shPrefix = shCounts
+    // per-shard counts, prefix offsets, and per-flag totals in ONE tiny
+    // broadcast frame (≈ |flags|·|shards| rows)
+    val stats = r.groupBy(col("l_returnflag"), col("sh"))
+      .agg(max("rn").as("shCnt"))
       .withColumn("shPrefix",
         coalesce(sum("shCnt").over(Window.partitionBy("l_returnflag").orderBy("sh")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("l_returnflag"), col("sh"), col("shPrefix"))
-    val totals = shCounts.groupBy("l_returnflag").agg(sum("shCnt").as("n"))
+      .withColumn("n", sum("shCnt").over(Window.partitionBy("l_returnflag")))
+      .select(col("l_returnflag"), col("sh"), col("shPrefix"), col("n"))
     val thresholds = r
-      .join(broadcast(shPrefix), Seq("l_returnflag", "sh"))
-      .join(broadcast(totals), Seq("l_returnflag"))
+      .join(broadcast(stats), Seq("l_returnflag", "sh"))
       .withColumn("cum", col("rn") + col("shPrefix"))
       .groupBy("l_returnflag")
       .agg(
         min(when(col("cum") * 20 >= col("n"), col("c"))).as("p05_cents"),
         min(when(col("cum") * 20 >= col("n") * 19, col("c"))).as("p95_cents"))
-    li.join(broadcast(thresholds), Seq("l_returnflag"))
+    base.join(broadcast(thresholds), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("p05_cents"), col("p95_cents"),
         greatest(col("p05_cents"), least(col("p95_cents"), col("c"))).as("wc"))
       .groupBy("l_returnflag", "p05_cents", "p95_cents")

@@ -19,6 +19,33 @@ import graft.Tables
   */
 object Scale {
 
+  /** Guarantee a frame's evaluation parallelism is at least the session's
+    * core count before heavy per-row work (explode fan-out, regex
+    * tokenization, hash kernels).
+    *
+    * The trap this closes: map-side parallelism is gated on the SOURCE
+    * LAYOUT, not on cores. A parquet file smaller than the writer's row-group
+    * size holds ONE row group, and a row group is the unit of parallel read —
+    * so a scan of few small files runs its entire map chain (however
+    * expensive per row) on one or two cores, no matter how many are idle.
+    * That is the classic small-files / unsplittable-input under-parallelism
+    * problem (same shape as a gzip input), and the r5 10× scale drill hit it
+    * exactly: the drill corpus is one file per table, so every document
+    * operator's shingle/token explode ran single-threaded at BOTH scales and
+    * wall-clock grew linearly with data — recorded as the q92/curation_flow
+    * blow-up.
+    *
+    * The probe is plan-time only (`rdd.getNumPartitions` — physical
+    * planning, no job): when the plan already evaluates with at least half
+    * the session's cores (every real cluster scan of TB-scale data does,
+    * and any post-shuffle subtree does), this is a NO-OP and adds nothing.
+    * Only an under-parallel plan gets one round-robin exchange of its raw
+    * input — paid once, before the fan-out multiplies the bytes. */
+  def ensureParallel(d: DataFrame): DataFrame = {
+    val target = d.sparkSession.sparkContext.defaultParallelism
+    if (d.rdd.getNumPartitions * 2 <= target) d.repartition(target) else d
+  }
+
   /** Salted equi-join: big side gets a uniform salt in [0, salt); small side
     * is replicated `salt` ways; join key becomes (key, salt). The hot key's
     * rows land in `salt` different partitions instead of one. Result is
