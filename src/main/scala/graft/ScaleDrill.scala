@@ -56,7 +56,8 @@ object ScaleDrill {
     "q92_cdc_passages",      // documents: content-defined passage dedup
     "q97_rolling_range",     // events: RANGE-frame rolling window
     "q99_winsorized",        // lineitem: sharded two-sided percentile
-    "q107_percentile_disc")  // lineitem: built-in percentile_disc
+    "q107_percentile_disc",  // lineitem: built-in percentile_disc (buffer caveat)
+    "q112_percentile_disc_sharded") // lineitem: its declared 100 TB spelling
 
   /** Write a `factor`× scale copy of the drill tables under `outDir`.
     * factor=1 writes a verbatim copy — the like-for-like base side. */

@@ -150,6 +150,10 @@ object SparkEntry {
     "q108_forward_fill"    -> (Relational.q108ForwardFill _),
     "q109_unpivot"         -> (Relational.q109Unpivot _),
     "q110_explode_outer"   -> (Relational.q110ExplodeOuter _),
+    // r6: composed curation funnel under the oracle gate (r5 verdict #6)
+    "q111_curation_funnel" -> (graft.operators.Curation.q111CurationFunnel _),
+    // r6: the declared 100 TB spelling of percentile_disc (r5 verdict #5)
+    "q112_percentile_disc_sharded" -> (Relational.q112PercentileDiscSharded _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -428,6 +432,16 @@ object SparkEntry {
     "q110_explode_outer" -> // outer generator semantics emulated as
       // unnest-or-NULL union (DuckDB's unnest drops empty-list rows)
       "WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) >= 7) AS ws FROM documents WHERE text IS NOT NULL), e AS (SELECT doc_id, unnest(ws) AS tok FROM w WHERE len(ws) > 0 UNION ALL SELECT doc_id, NULL AS tok FROM w WHERE len(ws) = 0) SELECT doc_id, tok FROM e ORDER BY doc_id, tok NULLS FIRST",
+    "q111_curation_funnel" -> // the COMPOSED curation flow's closed form:
+      // funnel counts per stage + survivor id-sum + Σ doc_id·pos position
+      // checksum (pins the exact training order). Stages mirror
+      // Curation.curate: non-empty → alpha-ratio ≥ 0.45 → min-id dedup per
+      // md5(text) → 5-shingle decon vs the every-100th-doc benchmark →
+      // md5-rank quota k=15 → md5-rank global positions.
+      "WITH ne AS (SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), q AS (SELECT * FROM ne WHERE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) >= 0.45), k AS (SELECT md5(text) AS fp, MIN(doc_id) AS keep FROM q GROUP BY 1), d AS (SELECT q.* FROM q JOIN k ON md5(q.text) = fp AND q.doc_id = keep), qw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM q), shc AS (SELECT doc_id, array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i FROM qw WHERE len(words) >= 5) t), bw AS (SELECT string_split_regex(trim(text), '\\s+') AS words FROM documents WHERE doc_id % 100 = 0), bsh AS (SELECT DISTINCT array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh FROM (SELECT words, unnest(generate_series(1, len(words) - 4)) AS i FROM bw WHERE len(words) >= 5) t), contam AS (SELECT DISTINCT doc_id FROM shc JOIN bsh USING (sh)), c AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM contam)), r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(concat('curate|', CAST(doc_id AS VARCHAR))), doc_id) AS rnk FROM c), cap AS (SELECT doc_id FROM r WHERE rnk <= 15), p AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY md5(concat('curate|pos|', CAST(doc_id AS VARCHAR))), doc_id) AS pos FROM cap) SELECT (SELECT COUNT(*) FROM ne) AS n_non_empty, (SELECT COUNT(*) FROM q) AS n_quality, (SELECT COUNT(*) FROM d) AS n_dedup, (SELECT COUNT(*) FROM c) AS n_clean, (SELECT COUNT(*) FROM cap) AS n_capped, CAST((SELECT SUM(doc_id) FROM cap) AS BIGINT) AS kept_id_sum, CAST((SELECT SUM(doc_id * pos) FROM p) AS BIGINT) AS pos_checksum",
+    "q112_percentile_disc_sharded" -> // same oracle rule as q107: the
+      // sharded decomposition must reproduce the built-in exactly
+      "SELECT l_returnflag, quantile_disc(l_extendedprice, 0.25) AS p25, quantile_disc(l_extendedprice, 0.5) AS p50, quantile_disc(l_extendedprice, 0.9) AS p90, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q101_gap_fill" -> // dense hour axis min..max, zero-filled; gap runs via
       // the q88 island trick; single row out, gaps may be 0 at dense SFs
       "WITH hrs AS (SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS hb, COUNT(*) AS n FROM events GROUP BY 1), b AS (SELECT MIN(hb) AS lo, MAX(hb) AS hi FROM hrs), dense AS (SELECT unnest(generate_series(lo, hi, 3600000000000)) AS hb FROM b), f AS (SELECT d.hb, COALESCE(n, 0) AS n FROM dense d LEFT JOIN hrs ON d.hb = hrs.hb), g AS (SELECT hb FROM f WHERE n = 0), r AS (SELECT hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM g), runs AS (SELECT grp, COUNT(*) AS run FROM r GROUP BY grp), gs AS (SELECT COUNT(*) AS n_gap_runs, COALESCE(MAX(run), 0) AS max_gap_run FROM runs) SELECT (SELECT COUNT(*) FROM f) AS n_hours, (SELECT COUNT(*) FROM f WHERE n > 0) AS n_data_hours, (SELECT COUNT(*) FROM f WHERE n = 0) AS n_gap_hours, CAST(n_gap_runs AS BIGINT) AS n_gap_runs, CAST(max_gap_run AS BIGINT) AS max_gap_run FROM gs",

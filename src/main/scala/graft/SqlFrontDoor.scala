@@ -127,6 +127,15 @@ object SqlFrontDoor {
       "WITH wide AS (SELECT lang, CAST(SUM(CASE WHEN source='src0' THEN 1 ELSE 0 END) AS BIGINT) AS src0, CAST(SUM(CASE WHEN source='src1' THEN 1 ELSE 0 END) AS BIGINT) AS src1, CAST(SUM(CASE WHEN source='src2' THEN 1 ELSE 0 END) AS BIGINT) AS src2 FROM documents GROUP BY lang) SELECT lang, src, n FROM wide UNPIVOT (n FOR src IN (src0, src1, src2)) ORDER BY lang, src",
     "q110_explode_outer" -> // unnest-or-NULL union -> LATERAL VIEW OUTER explode
       "WITH w AS (SELECT doc_id, filter(split(trim(text), '\\\\s+'), x -> length(x) >= 7) AS ws FROM documents WHERE text IS NOT NULL) SELECT doc_id, tok FROM w LATERAL VIEW OUTER explode(ws) x AS tok ORDER BY doc_id, tok NULLS FIRST",
+    "q111_curation_funnel" -> // string_split_regex/list_slice/array_to_string/
+      // unnest(generate_series)/len/VARCHAR -> split/slice/concat_ws/
+      // explode(sequence)/size/STRING; no 'g' flag
+      "WITH ne AS (SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), q AS (SELECT * FROM ne WHERE CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS DOUBLE) / length(text) >= 0.45), k AS (SELECT md5(text) AS fp, MIN(doc_id) AS keep FROM q GROUP BY 1), d AS (SELECT q.* FROM q JOIN k ON md5(q.text) = fp AND q.doc_id = keep), qw AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM q), shc AS (SELECT doc_id, concat_ws(' ', slice(words, CAST(i AS INT), 5)) AS sh FROM (SELECT doc_id, words, explode(sequence(1, size(words) - 4)) AS i FROM qw WHERE size(words) >= 5) t), bw AS (SELECT split(trim(text), '\\\\s+') AS words FROM documents WHERE doc_id % 100 = 0), bsh AS (SELECT DISTINCT concat_ws(' ', slice(words, CAST(i AS INT), 5)) AS sh FROM (SELECT words, explode(sequence(1, size(words) - 4)) AS i FROM bw WHERE size(words) >= 5) t), contam AS (SELECT DISTINCT doc_id FROM shc JOIN bsh USING (sh)), c AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM contam)), r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(concat('curate|', CAST(doc_id AS STRING))), doc_id) AS rnk FROM c), cap AS (SELECT doc_id FROM r WHERE rnk <= 15), p AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY md5(concat('curate|pos|', CAST(doc_id AS STRING))), doc_id) AS pos FROM cap) SELECT (SELECT COUNT(*) FROM ne) AS n_non_empty, (SELECT COUNT(*) FROM q) AS n_quality, (SELECT COUNT(*) FROM d) AS n_dedup, (SELECT COUNT(*) FROM c) AS n_clean, (SELECT COUNT(*) FROM cap) AS n_capped, CAST((SELECT SUM(doc_id) FROM cap) AS BIGINT) AS kept_id_sum, CAST((SELECT SUM(doc_id * pos) FROM p) AS BIGINT) AS pos_checksum",
+    "q112_percentile_disc_sharded" -> // the sharded order-statistic
+      // decomposition spelled as SQL text (quantile_disc has no Spark twin;
+      // the built-in WITHIN GROUP spelling is s107's text — this lane covers
+      // the 100 TB spelling's dialect surface)
+      "WITH li AS (SELECT l_returnflag, l_extendedprice AS v, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem), ls AS (SELECT *, c div 100000 AS sh FROM li), r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag, sh ORDER BY c) AS BIGINT) AS rn FROM ls), st AS (SELECT l_returnflag, sh, MAX(rn) AS shCnt FROM r GROUP BY 1, 2), st2 AS (SELECT l_returnflag, sh, COALESCE(SUM(shCnt) OVER (PARTITION BY l_returnflag ORDER BY sh ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS shPrefix, SUM(shCnt) OVER (PARTITION BY l_returnflag) AS n FROM st), j AS (SELECT r.l_returnflag, r.v, r.rn + st2.shPrefix AS cum, st2.n FROM r JOIN st2 ON r.l_returnflag = st2.l_returnflag AND r.sh = st2.sh) SELECT l_returnflag, MIN(CASE WHEN cum * 4 >= n THEN v END) AS p25, MIN(CASE WHEN cum * 2 >= n THEN v END) AS p50, MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS p90, MAX(n) AS n FROM j GROUP BY l_returnflag ORDER BY l_returnflag",
     "q53_char_ngram_jaccard" -> // range() lateral -> explode(sequence)
       "WITH w AS (SELECT doc_id, substring(text, i, 3) AS word FROM (SELECT doc_id, text, explode(sequence(1, length(text) - 2)) AS i FROM documents WHERE doc_id < 20)), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
   )

@@ -120,4 +120,29 @@ object Curation {
       Seq("doc_id"))
     (ordered, funnel)
   }
+
+  /** Q111 — the COMPOSED curation flow under the DuckDB oracle gate (r5
+    * verdict #6): every stage is gated individually (q85 quality, q28 dedup,
+    * q76 decon, q90 quota, q81 positions); this row proves the COMPOSITION —
+    * per-stage funnel counts, the survivor id-sum (pins WHICH docs survive),
+    * and a position checksum Σ doc_id·pos (pins the exact training-order
+    * assignment) all have a closed relational form DuckDB replays. Benchmark
+    * = every 100th doc (the drill's stand-in eval slice) — benchmark members
+    * are corpus members, so they share their own shingles and the decon
+    * stage is non-vacuous at every SF. quota k=15 binds at every SF (q90's
+    * choice). One output row. */
+  def q111CurationFunnel(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(s, dir, "documents")
+    val benchmark = docs.filter(col("doc_id") % 100 === 0).select("doc_id", "text")
+    val (ordered, funnel) = curate(docs, benchmark, quotaPerSource = 15)
+    val sums = ordered.agg(
+      sum(col("doc_id")).cast("long").as("kept_id_sum"),
+      sum(col("doc_id") * col("pos")).cast("long").as("pos_checksum")).first()
+    val f = funnel.map(sc => sc.stage -> sc.rows).toMap
+    import s.implicits._
+    Seq((f("non_empty"), f("quality_gate"), f("exact_dedup"), f("decontaminated"),
+      f("quota_capped"), sums.getLong(0), sums.getLong(1)))
+      .toDF("n_non_empty", "n_quality", "n_dedup", "n_clean", "n_capped",
+        "kept_id_sum", "pos_checksum")
+  }
 }

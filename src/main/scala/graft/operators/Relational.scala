@@ -1016,7 +1016,19 @@ object Relational {
     * element (smallest value whose cume_dist ≥ p — the SQL standard rule,
     * verified identical to DuckDB's quantile_disc at both gate SFs), so
     * unlike interpolated percentiles it is hash-exact cross-engine with no
-    * ROUND. Complements q42 (exact interpolated) and q49 (approx sketch). */
+    * ROUND. Complements q42 (exact interpolated) and q49 (approx sketch).
+    *
+    * SCALE CAVEAT (r5 verdict watch item): Spark's percentile aggregate
+    * family buffers a per-DISTINCT-VALUE count map per group in each task's
+    * aggregation buffer. On a near-unique column (prices: ~1 distinct value
+    * per row) the buffer grows with the DATA, not the group count — a
+    * per-task memory cliff at 100 TB that partial aggregation cannot save
+    * (the partial buffers are what grows). This built-in spelling is the
+    * CONVENIENCE form for bounded-cardinality columns; the declared 100 TB
+    * spelling is [[q112PercentileDiscSharded]], which computes the identical
+    * result with bounded memory (constant-size window/agg state per task)
+    * and shuffles only (key, value) pairs. Both are oracle-gated against the
+    * same SQL-standard rule and both run in the 10× scale drill. */
   def q107PercentileDisc(s: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerAll(s, dir)
     s.sql("""SELECT l_returnflag,
@@ -1025,6 +1037,44 @@ object Relational {
             |  percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_extendedprice) AS p90,
             |  COUNT(*) AS n
             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** Q112 — PERCENTILE_DISC via sharded order statistics: the declared
+    * 100 TB spelling of q107 (see its scale caveat). The q99/q85 machinery:
+    * rank within (flag, $1,000 price shard) — window parallelism is
+    * |flags|·|shards|, never |flags| — plus a tiny broadcast of per-shard
+    * prefix offsets; global rank = prefix + within-shard rank. The
+    * percentile rule is integer arithmetic on ranks (cume_dist ≥ p ⇔
+    * k·cum ≥ m·n), and `min(value | row qualifies)` equals the standard
+    * threshold by the q99 tie argument (a tie row qualifies iff its group's
+    * last row does). Memory per task is bounded by the running window state
+    * — no per-distinct-value buffer anywhere. Hash-exact against the SAME
+    * oracle as q107: the returned percentiles are actual data elements. */
+  def q112PercentileDiscSharded(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+        cents(col("l_extendedprice")).as("c"))
+      .withColumn("sh", expr("c div 100000"))
+    // one exchange, shared by the stats and threshold branches (q99 shape)
+    val base = li.repartition(col("l_returnflag"), col("sh"))
+    val r = base.withColumn("rn", row_number().over(
+      Window.partitionBy("l_returnflag", "sh").orderBy("c")).cast("long"))
+    val stats = r.groupBy(col("l_returnflag"), col("sh"))
+      .agg(max("rn").as("shCnt"))
+      .withColumn("shPrefix",
+        coalesce(sum("shCnt").over(Window.partitionBy("l_returnflag").orderBy("sh")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("shCnt").over(Window.partitionBy("l_returnflag")))
+      .select(col("l_returnflag"), col("sh"), col("shPrefix"), col("n"))
+    r.join(broadcast(stats), Seq("l_returnflag", "sh"))
+      .withColumn("cum", col("rn") + col("shPrefix"))
+      .groupBy("l_returnflag")
+      .agg(
+        min(when(col("cum") * 4 >= col("n"), col("v"))).as("p25"),
+        min(when(col("cum") * 2 >= col("n"), col("v"))).as("p50"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("v"))).as("p90"),
+        max("n").as("n"))
+      .orderBy("l_returnflag")
   }
 
   /** Q108 — forward fill / LOCF (`last_value IGNORE NULLS` over a running
