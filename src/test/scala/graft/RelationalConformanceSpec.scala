@@ -23,12 +23,21 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  /** Rows-only lane twins whose SQL text mirrors the DataFrame operator's
+    * hash family / algorithm EXACTLY, so row-for-row equality is asserted
+    * even without a DuckDB oracle. q87 is excluded by design: its SQL twin
+    * runs the unrefined IVF and a 2-table LSH (Lloyd refinement is
+    * imperative driver logic with no single-statement SQL spelling), so only
+    * its shape — 2 labeled recall rows — is pinned. */
+  private val rowsOnlyParity: Set[String] =
+    SqlFrontDoor.rowsOnlySql.keySet - "q87_ann_recall"
+
   for ((name, fn) <- SparkEntry.baseQueries.toSeq.sortBy(_._1)) {
     test(name) {
       val df = fn(spark, sfDir)
       val got = df.collect()
       assert(got.length > 0, s"$name returned no rows")
-      SparkEntry.baseOracleSql.get(name).foreach { _ =>
+      if (SparkEntry.baseOracleSql.contains(name) || rowsOnlyParity.contains(name)) {
         // the SAME text the sNN_ SQL-front-door lane executes: this loop IS
         // the lane-equality pin (DataFrame plan ≡ spark.sql(text), row-for-row)
         val sql = SqlFrontDoor.sqlText(name)
@@ -45,10 +54,23 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s87_ann_recall: SQL twin emits the 2-method recall shape") {
+    val rows = SqlFrontDoor.laneQueries("s87_ann_recall")(spark, sfDir)
+      .collect()
+    assert(rows.length == 2, s"expected 2 recall rows, got ${rows.length}")
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("ivf_sqrtn_nprobe4_r0", "lsh_5bit_x2"))
+    rows.foreach { r =>
+      val recall = r.getDouble(1)
+      assert(recall >= 0.0 && recall <= 1.0, s"recall out of range: $r")
+    }
+  }
+
   test("sql front door: every oracle query has an sNN_ lane twin that resolves over the views") {
     val lane = SqlFrontDoor.laneQueries
-    assert(lane.keySet == SparkEntry.baseOracleSql.keySet.map("s" + _.drop(1)),
-      "lane names must mirror the oracle-gated base names")
+    assert(lane.keySet ==
+      (SparkEntry.baseOracleSql.keySet ++ SqlFrontDoor.rowsOnlySql.keySet).map("s" + _.drop(1)),
+      "lane names must mirror the oracle-gated + rows-only base names")
     // every lane entry parses + analyzes over the registered views; execution
     // equality is pinned per-query by the loop above, which runs the
     // IDENTICAL text (SqlFrontDoor.sqlText) against the DataFrame plan
@@ -62,6 +84,7 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(SqlFrontDoor.laneOracle("s" + q.drop(1)) == sql, s"lane oracle drifted for $q")
     }
     assert(SparkEntry.queries.size == SparkEntry.baseQueries.size + lane.size)
-    assert(SparkEntry.oracleSql.size == SparkEntry.baseOracleSql.size + lane.size)
+    assert(SparkEntry.oracleSql.size ==
+      SparkEntry.baseOracleSql.size + SqlFrontDoor.laneOracle.size)
   }
 }
