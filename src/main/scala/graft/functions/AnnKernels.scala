@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Fused argmax-cosine over a (small, broadcast) centroid table: returns the
   * `cent_id` whose vector maximizes cosine similarity with `vec`.
@@ -19,8 +19,20 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *
   * Ties: strict `>`, centroid array pre-sorted by cent_id → the LOWEST
   * cent_id among exact ties wins, deterministically. All-NaN similarities
-  * (zero vectors) return -1 (no valid assignment). */
-case class BestCentroid(left: Expression, right: Expression) extends BinaryExpression {
+  * (zero vectors) return -1 (no valid assignment).
+  *
+  * Input typing (r5 advice): the eval loops read 8-byte doubles positionally
+  * (`ArrayData.getDouble`), so an `array<float>` argument — e.g. the
+  * embeddings table's native column passed without VectorOps.asDouble —
+  * would silently read garbage. Declaring `inputTypes` makes the analyzer
+  * insert the cast (or fail analysis when no cast exists) instead. */
+case class BestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq( // inferred: AbstractDataType is private[sql]
+    ArrayType(DoubleType),
+    ArrayType(StructType(Seq(
+      StructField("cent_id", LongType), StructField("centv", ArrayType(DoubleType))))))
 
   override def dataType: DataType = LongType
 
@@ -91,8 +103,16 @@ case class BestCentroid(left: Expression, right: Expression) extends BinaryExpre
   *
   * Bit semantics match the HOF spelling exactly: dot accumulated in index
   * order, bit set iff dot > 0 (NaN sets nothing). Rows shorter than a
-  * plane fold over the shared prefix, like zip_with. */
-case class LshBucket(left: Expression, right: Expression) extends BinaryExpression {
+  * plane fold over the shared prefix, like zip_with.
+  *
+  * Input typing: same contract as [[BestCentroid]] — positional getDouble
+  * reads require array<double>; the declared `inputTypes` make an
+  * array<float> argument cast at analysis instead of reading garbage. */
+case class LshBucket(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = // inferred: AbstractDataType is private[sql]
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
 
   override def dataType: DataType = LongType
 

@@ -68,7 +68,8 @@ object Similarity {
     * `table` offsets the hyperplane seeds so OR-amplified multi-table search
     * ([[annSearch]] nTables>1) draws an independent family per table;
     * table=0 reproduces the single-table family exactly. */
-  def lshSignature(d: DataFrame, vecCol: String, nBits: Int = 16, table: Int = 0): DataFrame = {
+  def lshSignature(d: DataFrame, vecCol: String, nBits: Int = 16, table: Int = 0,
+      dim: Option[Int] = None): DataFrame = {
     // The hyperplane matrix depends only on (table, bit, dim index) — build
     // it ONCE with the SAME Catalyst expressions the per-row spelling used
     // (h_b[i] = (xxhash64(seed_b, i) mod 1000)/1000 - 0.5, evaluated on
@@ -77,7 +78,12 @@ object Similarity {
     // [[graft.functions.LshBucket]] kernel folds the matrix in one codegen
     // loop — the HOF spelling re-derived every hyperplane element per row
     // per bit (xxhash64 + array alloc per element, interpreted).
-    signatureWithDim(d, vecCol, nBits, table, vecDim(d, vecCol))
+    //
+    // `dim` (r5 advice): pass the vector dimensionality to keep this a PURE
+    // transformation — required for streaming DataFrames, recommended
+    // whenever the caller knows the embedding width. Only when absent does
+    // the one-row max(size) probe run (a call-time Spark action on `d`).
+    signatureWithDim(d, vecCol, nBits, table, dim.getOrElse(vecDim(d, vecCol)))
   }
 
   /** Vector dimensionality — one tiny action, hoisted by callers that

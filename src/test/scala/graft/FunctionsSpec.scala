@@ -84,4 +84,43 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pe.columns.toSeq == Seq("vec_id", "pos", "col"))
     assert(pe.count() == 5 * 64) // 64-dim vectors explode fully
   }
+
+  test("ANN kernels: array<float> input is analyzer-cast, not silently misread (r5 advice)") {
+    // BestCentroid/LshBucket read 8-byte doubles positionally; before the
+    // inputTypes declaration, passing the embeddings table's NATIVE
+    // array<float> column analyzed fine but read garbage. Now the analyzer
+    // inserts the cast: the float spelling must equal the asDouble spelling.
+    import graft.functions.VectorOps
+    val e = Tables(spark, sfDir, "embeddings").limit(50)
+    val cents = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("cent_id"), VectorOps.asDouble(col("embedding")).as("centv"))
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("centv")))).as("cents"))
+    val viaFloat = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), VectorOps.bestCentroid(col("embedding"), col("cents")).as("c"))
+      .orderBy("vec_id").collect().toSeq
+    val viaDouble = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        VectorOps.bestCentroid(VectorOps.asDouble(col("embedding")), col("cents")).as("c"))
+      .orderBy("vec_id").collect().toSeq
+    assert(viaFloat == viaDouble, "float input must cast to the double path")
+
+    val planes = typedLit(Seq(Seq(0.5, -0.25, 0.125), Seq(-0.5, 0.25, 0.75)))
+    val bFloat = e.select(col("vec_id"),
+      VectorOps.lshBucket(col("embedding"), planes).as("b")).orderBy("vec_id").collect().toSeq
+    val bDouble = e.select(col("vec_id"),
+      VectorOps.lshBucket(VectorOps.asDouble(col("embedding")), planes).as("b"))
+      .orderBy("vec_id").collect().toSeq
+    assert(bFloat == bDouble, "float input must cast to the double path")
+  }
+
+  test("lshSignature with caller-supplied dim is action-free and matches the probed path (r5 advice)") {
+    import graft.operators.Similarity
+    val e = Tables(spark, sfDir, "embeddings").limit(50)
+      .select(col("vec_id"), graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+    val probed = Similarity.lshSignature(e, "v", nBits = 8)
+      .select("vec_id", "lsh_bucket").orderBy("vec_id").collect().toSeq
+    val given = Similarity.lshSignature(e, "v", nBits = 8, dim = Some(64))
+      .select("vec_id", "lsh_bucket").orderBy("vec_id").collect().toSeq
+    assert(probed == given, "explicit dim must reproduce the probed signatures")
+  }
 }
