@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""sf1 correctness spot-gate (r5 verdict #8).
+
+All per-round hash-compares run at sf0.01/sf0.1; nothing proved the hash
+contract is SF-independent at the next decade. This script replays the
+driver's DuckDB compare for the most expensive ORACLE-GATED queries against
+a 10x-sf0.1 ("sf1-scale") dataset produced by graft.ScaleDrill.materialize
+(key-shifted copies; text perturbed so near-dup structure stays
+scale-invariant -- see ScaleDrill scaladoc).
+
+Usage:
+  1) sbt 'runMain graft.DrillMaterialize /root/testdata/sf0.1 /tmp/graft_sf1 10'
+  2) sbt 'runMain graft.Verify /tmp/graft_sf1 /tmp/vout_sf1 <q1,q2,...>'
+  3) python3 scripts/sf1_gate.py /tmp/graft_sf1 /tmp/vout_sf1 CORRECTNESS_sf1.json
+
+Compare contract mirrors the driver: columns sorted by name, rows sorted,
+doubles rounded to 4 decimals, value-hash equality.
+"""
+import decimal
+import hashlib
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def views(con, sf1dir):
+    for t in TABLES:
+        src = f"{sf1dir}/{t}.parquet/*.parquet"
+        if t == "events":
+            # ScaleDrill writes ts as bigint epoch-nanos (Spark reads the
+            # source INT64 TIMESTAMP(NANOS) with nanosAsLong); rebuild the
+            # TIMESTAMP_NS the oracle SQL expects. Lossless: the generated
+            # data has no sub-microsecond component (checked upstream).
+            con.execute(
+                f"CREATE VIEW events AS SELECT * REPLACE "
+                f"(CAST('1970-01-01' AS TIMESTAMP_NS) + "
+                f"INTERVAL (ts // 1000) MICROSECOND AS ts) FROM '{src}'")
+        else:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return f"{v:.4f}"
+    if isinstance(v, decimal.Decimal):
+        return f"{float(v):.4f}"
+    return str(v)
+
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df.reindex(cols, axis=1)
+    rows = sorted(tuple(norm_cell(v) for v in row)
+                  for row in df.itertuples(index=False, name=None))
+    return cols, rows
+
+
+def main():
+    sf1dir, voutdir, outjson = sys.argv[1], sys.argv[2], sys.argv[3]
+    con = duckdb.connect()
+    views(con, sf1dir)
+    oracle = json.load(open(f"{voutdir}/oracle_sql.json"))
+    out = {}
+    for name in sorted(oracle):
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+            got = con.execute(
+                f"SELECT * FROM '{voutdir}/{name}/*.parquet'").fetchdf()
+            ec, er = canon(exp)
+            gc, gr = canon(got)
+            schema = [c.lower() for c in ec] == [c.lower() for c in gc]
+            rows = len(er) == len(gr)
+            h = lambda rs: hashlib.md5(
+                "\n".join("\x1f".join(r) for r in rs).encode()).hexdigest()
+            out[name] = {
+                "rows_match": rows, "schema_match": schema,
+                "hash_match": schema and rows and h(er) == h(gr),
+                "spark_rows": len(gr), "oracle_rows": len(er), "err": None,
+            }
+        except Exception as ex:  # noqa: BLE001 - record, keep gating the rest
+            out[name] = {"rows_match": None, "schema_match": None,
+                         "hash_match": None, "spark_rows": None,
+                         "oracle_rows": None, "err": str(ex)[:300]}
+        print(name, out[name]["hash_match"], out[name].get("err") or "")
+    json.dump(out, open(outjson, "w"), indent=1)
+    ok = sum(1 for v in out.values() if v["hash_match"])
+    print(f"[sf1-gate] {ok}/{len(out)} hash-green -> {outjson}")
+
+
+if __name__ == "__main__":
+    main()

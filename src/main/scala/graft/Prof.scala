@@ -16,7 +16,12 @@ object Prof {
     var b = GraftSession.builder(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
     if (args.length > 4 && args(4).nonEmpty)
-      args(4).split(',').map(_.split("=", 2)).foreach(kv => b = b.config(kv(0), kv(1)))
+      args(4).split(',').filter(_.nonEmpty).foreach { tok =>
+        val kv = tok.split("=", 2)
+        require(kv.length == 2 && kv(0).nonEmpty,
+          s"bad conf token '$tok' in '${args(4)}' — want key=value[,key=value...]")
+        b = b.config(kv(0), kv(1))
+      }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =

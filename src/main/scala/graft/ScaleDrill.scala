@@ -59,6 +59,18 @@ object ScaleDrill {
     "q107_percentile_disc",  // lineitem: built-in percentile_disc (buffer caveat)
     "q112_percentile_disc_sharded") // lineitem: its declared 100 TB spelling
 
+  /** Drill lanes measured for VISIBILITY but EXPECTED superlinear: the ratio
+    * is a documented property of the spelling, not a regression, so Bench
+    * excludes these from the failure gate and records them under a separate
+    * `known_superlinear` key in bench_detail.json — failures[] stays
+    * empty-unless-regression (r6 ADVICE #1; a permanently red list would
+    * dilute the gate's ship-blocking signal from day one). */
+  val knownSuperlinear: Map[String, String] = Map(
+    "q107_percentile_disc" ->
+      ("built-in percentile buffers per-distinct-value counts per group " +
+        "(r6 measured 24.5x at 10x data); q112_percentile_disc_sharded is " +
+        "the declared 100 TB spelling of the same answer and stays gated"))
+
   /** Write a `factor`× scale copy of the drill tables under `outDir`.
     * factor=1 writes a verbatim copy — the like-for-like base side. */
   def materialize(s: SparkSession, sfDir: String, outDir: String, factor: Int): Unit = {

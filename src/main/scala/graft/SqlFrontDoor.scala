@@ -166,13 +166,18 @@ object SqlFrontDoor {
 
   /** Per-row random-hyperplane LSH bucket over `v` — the HOF spelling of
     * functions.LshBucket's family: h_b[i] = pmod(xxhash64(tbl·nBits+b, i),
-    * 1000)/1000 − 0.5, bit set when the dot is positive. */
-  private def lshBucketSql(nBits: Int, table: Int): String =
+    * 1000)/1000 − 0.5, bit set when the dot is positive. The index rides
+    * transform's (x, i) lambda over `v` itself — total on a zero-length
+    * vector (empty fold → dot 0.0 → bit clear → bucket 0, exactly the
+    * LshBucket kernel's degenerate case), where the earlier
+    * sequence(0, size(v)-1) spelling produced a DESCENDING [0,-1] index
+    * array and crashed on element_at(v, 0) (r6 ADVICE #5). */
+  private[graft] def lshBucketSql(nBits: Int, table: Int): String =
     (0 until nBits).map { b =>
       val seed = table * nBits + b
-      s"(CASE WHEN aggregate(transform(sequence(0, size(v) - 1), i -> " +
-        s"element_at(v, i + 1) * ((CAST(pmod(xxhash64($seed, i), 1000) AS DOUBLE) / 1000.0) - 0.5)), " +
-        s"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      s"(CASE WHEN aggregate(transform(v, (x, i) -> " +
+        s"CAST(x AS DOUBLE) * ((CAST(pmod(xxhash64($seed, i), 1000) AS DOUBLE) / 1000.0) - 0.5)), " +
+        s"CAST(0.0 AS DOUBLE), (acc, y) -> acc + y) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
 
   private def simhashSql: String = {

@@ -138,6 +138,12 @@ object Curation {
     val sums = ordered.agg(
       sum(col("doc_id")).cast("long").as("kept_id_sum"),
       sum(col("doc_id") * col("pos")).cast("long").as("pos_checksum")).first()
+    // curate()'s contract pins the survivor-id persist for the caller to
+    // release; the funnel row above is this query's ONLY consumer of it, so
+    // release here — a harness that runs q111 twice per session (the q/s
+    // conformance lanes) must not accumulate pinned MEMORY_AND_DISK blocks
+    // (r6 ADVICE #2).
+    graft.GraftSession.releasePersisted(s)
     val f = funnel.map(sc => sc.stage -> sc.rows).toMap
     import s.implicits._
     Seq((f("non_empty"), f("quality_gate"), f("exact_dedup"), f("decontaminated"),

@@ -492,26 +492,52 @@ object Dedup {
     * pipelines (rsync/LBFS-style content-defined boundaries, here with a
     * portable md5 gate instead of a rolling hash so DuckDB can replay it).
     *
-    * Scale shape: posexplode is map-side linear; the per-doc cumulative
-    * window partitions by doc_id (corpus-cardinality key — full
-    * parallelism); passage reassembly is one partial-aggregated groupBy on
-    * (doc_id, pid). Nothing global until the caller's passage-hash agg.
+    * Scale shape: the whole chunking is ONE map-side projection — a
+    * document fits in its row, so the split is computed with array HOFs
+    * (boundary flags → segment start positions → slice per segment) and
+    * the only generator is the final posexplode of the per-doc passage
+    * array. Zero shuffles until the caller's passage-hash agg. (The r1–r6
+    * spelling shuffled twice for the same answer: a per-doc cumulative
+    * window over posexploded tokens, then a groupBy(doc_id, pid) that
+    * collect_list+sorted every token struct back together — the r6 drill
+    * measured it at 3.6× for 10× data; reassembling a row-local value
+    * through the shuffle machinery was all overhead.)
     *
-    * Returns (doc_id, pid, passage). */
+    * Returns (doc_id, pid, passage) — pid ascending in document order,
+    * identical numbering to the window spelling (first passage gets pid 1
+    * when word 0 is itself a boundary, else pid 0). */
   def cdcPassages(d: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // the ~50× token fan-out must not be serialized by the source layout
     // (no-op on an already-parallel input — Scale.ensureParallel)
-    val toks = Scale.ensureParallel(d).select(col(idCol),
-        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("i", "word")))
-    val boundary = when(substring(md5(col("word")), 1, 1).isin("0", "1"), 1L).otherwise(0L)
-    val win = Window.partitionBy(idCol).orderBy("i")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toks
-      .withColumn("pid", sum(boundary).over(win))
-      .groupBy(col(idCol), col("pid"))
-      .agg(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("i"), col("word")))),
-          x => x.getField("word"))).as("passage"))
+    val words = Scale.ensureParallel(d)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
+      // boundary flag per word, hashed ONCE (separate projection so the
+      // start-position filter and the pid offset both read the flags
+      // instead of re-running md5 per consumer)
+      .withColumn("__b", transform(col("__w"),
+        w => when(substring(md5(w), 1, 1).isin("0", "1"), 1).otherwise(0)))
+    // 0-based start position of every passage: position 0 unless word 0 is
+    // a boundary (then the head segment is empty and does not exist — the
+    // window spelling had no pid-0 rows in that case), plus every boundary
+    // position
+    val starts = concat(
+      when(element_at(col("__b"), 1) === 1, array().cast("array<int>"))
+        .otherwise(array(lit(0))),
+      filter(sequence(lit(0), size(col("__w")) - 1),
+        i => element_at(col("__b"), i + 1) === 1))
+    // passage k spans [starts(k), starts(k+1)) — the last one runs to the
+    // end of the document
+    // try_element_at: the k+2 lookup runs one past the end for the final
+    // segment by design — ANSI element_at throws there
+    val passages = transform(col("__s"), (s0, k) =>
+      concat_ws(" ", slice(col("__w"), s0 + 1,
+        coalesce(try_element_at(col("__s"), k + 2), size(col("__w"))) - s0)))
+    words
+      .withColumn("__s", starts)
+      .select(col(idCol),
+        when(element_at(col("__b"), 1) === 1, 1L).otherwise(0L).as("__off"),
+        posexplode(passages).as(Seq("__k", "passage")))
+      .select(col(idCol), (col("__k") + col("__off")).as("pid"), col("passage"))
   }
 
   /** Q92 — passage-level dedup summary over CDC chunks, with an injected

@@ -35,13 +35,30 @@ object Scale {
     * wall-clock grew linearly with data — recorded as the q92/curation_flow
     * blow-up.
     *
-    * The probe is plan-time only (`rdd.getNumPartitions` — physical
-    * planning, no job): when the plan already evaluates with at least half
-    * the session's cores (every real cluster scan of TB-scale data does,
-    * and any post-shuffle subtree does), this is a NO-OP and adds nothing.
-    * Only an under-parallel plan gets one round-robin exchange of its raw
-    * input — paid once, before the fan-out multiplies the bytes. */
+    * The `rdd.getNumPartitions` probe is free ONLY for an exchange-free
+    * (scan-rooted) plan: there it is physical planning, no job. With AQE
+    * enabled, `.rdd` on a plan CONTAINING exchanges executes the upstream
+    * shuffle stages eagerly (AQE must run them to pick the final plan), and
+    * it throws outright on a streaming frame — so this helper probes only
+    * when the optimized plan has no shuffle-inducing node and is a no-op
+    * otherwise (a post-shuffle subtree already evaluates with the session's
+    * configured shuffle parallelism, so there is nothing to fix there
+    * anyway; r6 ADVICE #3). When the probe does fire and finds fewer live
+    * partitions than half the session's cores (every real cluster scan of
+    * TB-scale data has plenty), the under-parallel input gets one
+    * round-robin exchange — paid once, before the fan-out multiplies the
+    * bytes. */
   def ensureParallel(d: DataFrame): DataFrame = {
+    if (d.isStreaming) return d
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Deduplicate, Distinct, GlobalLimit, Join, RepartitionOperation, Sort}
+    val mayExchange = d.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Distinct | _: Deduplicate | _: Sort |
+           _: GlobalLimit | _: RepartitionOperation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Window => true
+      case _ => false
+    }
+    if (mayExchange) return d
     val target = d.sparkSession.sparkContext.defaultParallelism
     if (d.rdd.getNumPartitions * 2 <= target) d.repartition(target) else d
   }

@@ -66,6 +66,17 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("lshBucketSql is total on a zero-length embedding (r6 ADVICE #5)") {
+    // the earlier sequence(0, size(v)-1) spelling produced a DESCENDING
+    // [0,-1] index array on an empty vector and crashed on element_at(v, 0);
+    // the indexed-transform spelling must degrade to bucket 0 like the
+    // LshBucket kernel's empty fold
+    val bucket = spark.sql(
+      s"SELECT ${SqlFrontDoor.lshBucketSql(8, 0)} AS b FROM " +
+        "(SELECT CAST(array() AS ARRAY<FLOAT>) AS v)").first().getLong(0)
+    assert(bucket == 0L)
+  }
+
   test("sql front door: every oracle query has an sNN_ lane twin that resolves over the views") {
     val lane = SqlFrontDoor.laneQueries
     assert(lane.keySet ==

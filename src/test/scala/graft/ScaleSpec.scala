@@ -266,4 +266,26 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(admitted <= trueMatches + total / 10,
       s"bloom admitted $admitted of $total (true matches: $trueMatches)")
   }
+
+  test("ensureParallel repartitions an under-parallel scan-rooted plan") {
+    val one = spark.range(0, 1000, 1, 1).toDF("id")
+    val out = Scale.ensureParallel(one)
+    assert(out.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+  }
+
+  test("ensureParallel is a strict no-op on plans that may shuffle (r6 ADVICE #3)") {
+    // with AQE, .rdd on an exchange-bearing plan would EXECUTE the shuffle
+    // stages eagerly — the helper must not probe such plans at all, which
+    // the reference-equality assertion proves (no wrapper, no probe result)
+    val agg = spark.range(0, 1000, 1, 1).toDF("id")
+      .groupBy((col("id") % 10).as("k")).agg(count(lit(1)).as("n"))
+    assert(Scale.ensureParallel(agg) eq agg)
+    val joined = spark.range(10).toDF("a").join(spark.range(10).toDF("a"), "a")
+    assert(Scale.ensureParallel(joined) eq joined)
+  }
+
+  test("ensureParallel passes streaming frames through untouched (.rdd would throw)") {
+    val stream = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    assert(Scale.ensureParallel(stream) eq stream)
+  }
 }
