@@ -154,6 +154,10 @@ object SparkEntry {
     "q111_curation_funnel" -> (graft.operators.Curation.q111CurationFunnel _),
     // r6: the declared 100 TB spelling of percentile_disc (r5 verdict #5)
     "q112_percentile_disc_sharded" -> (Relational.q112PercentileDiscSharded _),
+    // r7: product-quantization codec + ADC search — recall@10 + compression
+    // accounting (rows-only like q87; s113 replays the identical math and
+    // the conformance loop pins row-for-row parity)
+    "q113_pq_recall"       -> (Similarity.q113PqRecall _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):

@@ -192,7 +192,50 @@ object SqlFrontDoor {
       s"SELECT doc_id, $pack AS simhash FROM v ORDER BY doc_id"
   }
 
+  /** PQ-ADC (q113) SQL twin — IDENTICAL math to the DataFrame lane, so the
+    * conformance loop pins row-for-row parity (unlike s87, no labeled
+    * divergence): the per-subspace argmax folds the SAME sorted codebook
+    * with strict `>` and graft_cosine (the exact kernel BestCentroid fuses
+    * per-element), and the ADC scorer folds the same flat LUTs in the same
+    * index order. */
+  private def pqArgmaxSql(m: Int): String = {
+    val sv = s"slice(v, ${m * 8 + 1}, 8)"
+    s"aggregate(cb$m, named_struct('b', CAST('-Infinity' AS DOUBLE), 'id', CAST(-1 AS BIGINT)), " +
+      s"(acc, c) -> CASE WHEN graft_cosine($sv, c.centv) > acc.b " +
+      s"THEN named_struct('b', graft_cosine($sv, c.centv), 'id', c.cent_id) ELSE acc END).id"
+  }
+  private def pqSql: String = {
+    val M = 8; val K = 16
+    val cbCols = (0 until M).map(m =>
+      s"sort_array(collect_list(named_struct('cent_id', vec_id, 'centv', slice(v, ${m * 8 + 1}, 8)))) AS cb$m").mkString(", ")
+    val nlut = (0 until M).map(m =>
+      s"transform(cb$m, c -> aggregate(c.centv, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))")
+      .mkString("flatten(array(", ", ", "))")
+    val qlut = (0 until M).map(m =>
+      s"transform(cb$m, c -> aggregate(zip_with(slice(qv, ${m * 8 + 1}, 8), c.centv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x))")
+      .mkString("flatten(array(", ", ", "))")
+    val codesArr = (0 until M).map(pqArgmaxSql).mkString("array(", ", ", ")")
+    def fold(lut: String) =
+      s"aggregate(transform(codes, (c, i) -> CASE WHEN c < 0 THEN CAST(0.0 AS DOUBLE) " +
+        s"ELSE element_at($lut, CAST(i * $K + c + 1 AS INT)) END), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    "WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"cbr AS (SELECT $cbCols FROM e WHERE vec_id < $K), " +
+      s"cb AS (SELECT *, $nlut AS nlut FROM cbr), " +
+      s"codes AS (SELECT vec_id AS cid, $codesArr AS codes FROM e CROSS JOIN cb), " +
+      "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20), " +
+      s"qlut AS (SELECT qid, $qlut AS lut, nlut, sqrt(aggregate(qv, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)) AS qn FROM q CROSS JOIN cb), " +
+      s"scored AS (SELECT qid, cid, nanvl(${fold("lut")} / (qn * sqrt(${fold("nlut")})), CAST(-2.0 AS DOUBLE)) AS sim FROM qlut JOIN codes ON qid <> cid), " +
+      "top AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM scored) t WHERE rnk <= 10), " +
+      "truth AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM (SELECT qid, b.vec_id AS cid, round(graft_cosine(qv, b.v), 4) AS sim FROM q JOIN e b ON qid <> b.vec_id) raw) t WHERE rnk <= 10), " +
+      "h AS (SELECT COUNT(*) AS hits FROM truth LEFT SEMI JOIN top ON truth.qid = top.qid AND truth.cid = top.cid), " +
+      "d AS (SELECT COUNT(*) AS denom FROM truth) " +
+      "SELECT 'pq_m8_k16_adc' AS method, round(CAST(hits AS DOUBLE) / denom, 4) AS recall, " +
+      "CAST(hits AS BIGINT) AS hits, CAST(denom AS BIGINT) AS denom, " +
+      "CAST(4 AS BIGINT) AS bytes_per_vec, CAST(64 AS BIGINT) AS compression_x FROM h CROSS JOIN d"
+  }
+
   val rowsOnlySql: Map[String, String] = Map(
+    "q113_pq_recall" -> pqSql,
     "q25_hash_bucket" -> // Spark Murmur3 hash() — no DuckDB twin by design
       "SELECT c_custkey, CAST(abs(hash(c_name)) % 8 AS BIGINT) AS bucket FROM customer ORDER BY c_custkey",
     "q34_minhash_bands" ->

@@ -331,4 +331,105 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  // ------------------------------------------------- product quantization
+
+  /** 1-based subvector slice for subspace `m` of width `sub`. */
+  private def subv(v: Column, m: Int, sub: Int): Column = slice(v, m * sub + 1, sub)
+
+  /** PQ codebook as ONE broadcastable row: per subspace `m`, column `cb<m>`
+    * holds `array<struct<cent_id, centv>>` sorted by cent_id (the
+    * [[graft.functions.BestCentroid]] tie contract), plus `__nlut` — the
+    * flat `m·k + j → |centv|²` lookup the ADC scorer folds over.
+    *
+    * Codewords are the `k` LOWEST vec_ids — deterministic and replayable
+    * by the s113 SQL twin with a plain WHERE, no engine-internal sampling
+    * state. (A production codebook would Lloyd-refine per subspace exactly
+    * like [[ivfCentroids]]; the codec and scorer below are agnostic to how
+    * the codebook was trained.) */
+  def pqCodebook(corpus: DataFrame, m: Int, k: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    val cbCols = (0 until m).map { i =>
+      sort_array(collect_list(struct(col("cid").as("cent_id"),
+        subv(col("cv"), i, sub).as("centv")))).as(s"cb$i")
+    }
+    val row = corpus.toDF("cid", "cv").filter(col("cid") < k).agg(cbCols.head, cbCols.tail: _*)
+    row.withColumn("__nlut", flatten(array((0 until m).map { i =>
+      transform(col(s"cb$i"),
+        c => aggregate(c.getField("centv"), lit(0.0), (a, x) => a + x * x))
+    }: _*)))
+  }
+
+  /** Encode the corpus against a [[pqCodebook]] row: each vector becomes
+    * `m` small-int codes (argmax-cosine per subspace via the fused
+    * [[graft.functions.BestCentroid]] kernel — one narrow codegen pass,
+    * codebook rides a one-row broadcast). This is the compression
+    * operator: m·log₂(k) bits per vector (m=8, k=16 → 4 bytes) replace
+    * dim·4 raw bytes — at 100 TB the search working set shrinks 64× and
+    * becomes memory-bandwidth-bound on codes, not vectors. */
+  def pqEncode(corpus: DataFrame, cb: DataFrame, m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    corpus.toDF("cid", "cv").crossJoin(broadcast(cb))
+      .select(col("cid"), array((0 until m).map { i =>
+        VectorOps.bestCentroid(subv(col("cv"), i, sub), col(s"cb$i"))
+      }: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: per query, ONE flat
+    * lookup table `lut[m·k + j] = dot(q_m, cb_m[j])` is computed against
+    * the broadcast codebook (Q·m·k small dots), and every (query, vector)
+    * pair is then scored by folding the vector's `m` codes over the LUT —
+    * approximate cosine = Σ lut[code] / (|q|·√Σ nlut[code]). The corpus
+    * side touches ONLY codes: no vector payload is read, shuffled, or
+    * broadcast after encode, which is the entire point of PQ at scale. */
+  def pqSearch(codes: DataFrame, queries: DataFrame, cb: DataFrame,
+               m: Int, k: Int, dim: Int, topK: Int): DataFrame = {
+    val sub = dim / m
+    val qlut = queries.toDF("qid", "qv").crossJoin(broadcast(cb))
+      .select(col("qid"),
+        flatten(array((0 until m).map { i =>
+          transform(col(s"cb$i"), c =>
+            aggregate(zip_with(subv(col("qv"), i, sub), c.getField("centv"),
+              (x, y) => x * y), lit(0.0), (a, x) => a + x))
+        }: _*)).as("lut"),
+        col("__nlut").as("nlut"),
+        sqrt(aggregate(col("qv"), lit(0.0), (a, x) => a + x * x)).as("qn"))
+    // code -1 marks an unassignable (all-NaN cosine, e.g. zero) subvector —
+    // it contributes nothing; a fully degenerate row scores the -2 sentinel
+    // (below every real cosine) instead of NaN, which Spark sorts FIRST desc
+    def fold(lut: Column): Column =
+      aggregate(transform(col("codes"), (c, i) => when(c < 0, lit(0.0))
+        .otherwise(element_at(lut, (i * k + c + 1).cast("int")))),
+        lit(0.0), (a, x) => a + x)
+    val scored = broadcast(qlut).join(codes, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        nanvl(fold(col("lut")) / (col("qn") * sqrt(fold(col("nlut")))), lit(-2.0)).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+      .select("qid", "cid")
+  }
+
+  /** Q113 — PQ-ADC recall@10 plus the compression accounting, rows-only
+    * like q87 (float argmax rankings have no DuckDB twin; the s113 SQL-text
+    * twin replays the identical math with graft_cosine + HOF folds and the
+    * conformance loop pins row-for-row parity). One row:
+    * (method, recall, hits, denom, bytes_per_vec, compression_x). */
+  def q113PqRecall(s: SparkSession, dir: String): DataFrame = {
+    val M = 8; val K = 16; val Dim = 64
+    val e = emb(s, dir).select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 20).toDF("qid", "qv")
+    val cb = pqCodebook(e, M, K, Dim)
+    val codes = pqEncode(e, cb, M, Dim)
+    val approx = pqSearch(codes, q, cb, M, K, Dim, topK = 10)
+    val truth = exactTopK(e, q, k = 10)
+    val tot = truth.agg(count(lit(1)).as("denom"))
+    truth.join(approx, Seq("qid", "cid"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(broadcast(tot))
+      .select(lit("pq_m8_k16_adc").as("method"),
+        round(col("hits").cast("double") / col("denom"), 4).as("recall"),
+        col("hits").cast("long").as("hits"), col("denom").cast("long").as("denom"),
+        lit(M * 4 / 8).cast("long").as("bytes_per_vec"), // m·log2(k) bits
+        lit(Dim * 4 / (M * 4 / 8)).cast("long").as("compression_x"))
+  }
 }

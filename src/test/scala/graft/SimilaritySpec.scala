@@ -239,4 +239,35 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(overlap >= 4, s"query $q: only $overlap/5 overlap with ground truth")
     }
   }
+
+  test("PQ codec: codes are total, in-range, and the codebook is one broadcastable row") {
+    val e = corpus()
+    val cb = Similarity.pqCodebook(e, m = 8, k = 16, dim = 64)
+    val cbRow = cb.collect()
+    assert(cbRow.length == 1, "codebook must be a single row")
+    assert(cbRow(0).getSeq[Double](cbRow(0).fieldIndex("__nlut")).length == 8 * 16)
+    val codes = Similarity.pqEncode(e, cb, m = 8, dim = 64).collect()
+    assert(codes.length == e.count(), "every vector must encode")
+    codes.foreach { r =>
+      val cs = r.getSeq[Long](1)
+      assert(cs.length == 8, s"want 8 subspace codes, got ${cs.length}")
+      // codewords are the 16 lowest vec_ids, so codes ∈ [0, 16)
+      assert(cs.forall(c => c >= 0 && c < 16), s"code out of range: $cs")
+    }
+  }
+
+  test("q113 pins the PQ-ADC recall floor and the 64x compression accounting") {
+    val r = Similarity.q113PqRecall(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getString(0) == "pq_m8_k16_adc")
+    val recall = row.getDouble(1)
+    info(f"PQ-ADC recall@10 = $recall%.3f")
+    // 4-byte codes from a 16-word sampled codebook vs 256-byte raw vectors:
+    // the floor is deliberately modest (no Lloyd refinement — the s113 SQL
+    // twin replays the exact math, which refinement would break), but a
+    // collapse to near-zero means the LUT indexing or argmax is wrong
+    assert(recall >= 0.10, s"PQ-ADC recall collapsed: $recall")
+    assert(row.getLong(4) == 4L && row.getLong(5) == 64L)
+  }
 }
