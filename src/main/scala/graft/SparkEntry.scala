@@ -158,6 +158,17 @@ object SparkEntry {
     // accounting (rows-only like q87; s113 replays the identical math and
     // the conformance loop pins row-for-row parity)
     "q113_pq_recall"       -> (Similarity.q113PqRecall _),
+    // r7: IVF-PQ composed (prune WHICH × shrink WHAT) — rows-only like
+    // q87/q113; s114 replays the identical index and math
+    "q114_ivfpq_recall"    -> (Similarity.q114IvfPqRecall _),
+    // r7: weighted sampling w/o replacement (Efraimidis–Spirakis, md5 stream)
+    "q115_weighted_sample" -> ((s, d) => TextAnalysis.q115WeightedSample(s, d)),
+    // r7: per-doc bigram-rarity quality score (integer LM-perplexity proxy)
+    "q116_bigram_rarity"   -> ((s, d) => TextAnalysis.q116BigramRarity(s, d)),
+    // r7: SCD type-2 validity intervals from the event stream (CDC → dim)
+    "q117_scd2_intervals"  -> (Relational.q117Scd2Intervals _),
+    // r7: robust outliers via sharded-median MAD (bounded-memory at 100 TB)
+    "q118_mad_outliers"    -> (Relational.q118MadOutliers _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -446,6 +457,20 @@ object SparkEntry {
     "q112_percentile_disc_sharded" -> // same oracle rule as q107: the
       // sharded decomposition must reproduce the built-in exactly
       "SELECT l_returnflag, quantile_disc(l_extendedprice, 0.25) AS p25, quantile_disc(l_extendedprice, 0.5) AS p50, quantile_disc(l_extendedprice, 0.9) AS p90, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q115_weighted_sample" -> // A-ES priority -ln(u)/w; u is the md5-derived
+      // dyadic uniform both engines compute bit-identically, so the sampled
+      // id set replays exactly (float note in the operator's scaladoc)
+      "WITH d AS (SELECT doc_id, source, n_chars + 1 AS w FROM documents WHERE doc_id IS NOT NULL), u AS (SELECT doc_id, source, w, CAST(CAST(concat('0x', substring(md5(concat('q115|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 1 AS DOUBLE) / 4294967297.0 AS u FROM d), p AS (SELECT doc_id, source, w, -ln(u) / w AS pri FROM u), r AS (SELECT source, doc_id, w, ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rnk FROM p) SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, CAST(w AS BIGINT) AS w FROM r WHERE rnk <= 20 ORDER BY source, rnk",
+    "q116_bigram_rarity" -> // corpus bigram counts joined back per doc;
+      // bottom-20 by integer mean corpus frequency (ppm-style div)
+      "WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words FROM documents WHERE text IS NOT NULL), db AS (SELECT doc_id, array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 1), ' ') AS bg FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS i FROM w WHERE len(words) >= 2) t), c2 AS (SELECT bg, COUNT(*) AS c2 FROM db GROUP BY bg), pd AS (SELECT doc_id, COUNT(*) AS n_bigrams, MIN(c2) AS min_c2, SUM(c2) AS sum_c2 FROM db JOIN c2 USING (bg) GROUP BY doc_id) SELECT doc_id, n_bigrams, CAST(min_c2 AS BIGINT) AS min_c2, CAST(sum_c2 * 1000000 // n_bigrams AS BIGINT) AS mean_c2_ppm FROM pd ORDER BY mean_c2_ppm, doc_id LIMIT 20",
+    "q117_scd2_intervals" -> // island compression of per-user event_type
+      // runs; valid_to = next interval's valid_from (lead over interval_seq);
+      // µs-truncated ts (q41 contract); -1 sentinel on the open interval
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events), m AS (SELECT user_id, t, event_id, event_type, CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL OR LAG(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) <> event_type THEN 1 ELSE 0 END AS chg FROM e), s AS (SELECT user_id, t, event_type, SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS interval_seq FROM m), g AS (SELECT user_id, interval_seq, MIN(event_type) AS event_type, MIN(t) AS valid_from_us, COUNT(*) AS n_events FROM s GROUP BY 1, 2) SELECT user_id, CAST(interval_seq AS BIGINT) AS interval_seq, event_type, valid_from_us, COALESCE(LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY interval_seq), -1) AS valid_to_us, n_events FROM g ORDER BY user_id, interval_seq",
+    "q118_mad_outliers" -> // exact integer-cents median + MAD via
+      // quantile_disc (= the engine's sharded min(2·cum ≥ n) rule)
+      "WITH li AS (SELECT l_returnflag AS f, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem), med AS (SELECT f, quantile_disc(c, 0.5) AS med_cents FROM li GROUP BY f), dev AS (SELECT li.f, c, med_cents, abs(c - med_cents) AS d FROM li JOIN med USING (f)), mad AS (SELECT f, quantile_disc(d, 0.5) AS mad_cents FROM dev GROUP BY f) SELECT f AS l_returnflag, MAX(med_cents) AS med_cents, MAX(mad_cents) AS mad_cents, COUNT(*) AS n, CAST(SUM(CASE WHEN d > 3 * mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers FROM dev JOIN mad USING (f) GROUP BY f ORDER BY f",
     "q101_gap_fill" -> // dense hour axis min..max, zero-filled; gap runs via
       // the q88 island trick; single row out, gaps may be 0 at dense SFs
       "WITH hrs AS (SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS hb, COUNT(*) AS n FROM events GROUP BY 1), b AS (SELECT MIN(hb) AS lo, MAX(hb) AS hi FROM hrs), dense AS (SELECT unnest(generate_series(lo, hi, 3600000000000)) AS hb FROM b), f AS (SELECT d.hb, COALESCE(n, 0) AS n FROM dense d LEFT JOIN hrs ON d.hb = hrs.hb), g AS (SELECT hb FROM f WHERE n = 0), r AS (SELECT hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM g), runs AS (SELECT grp, COUNT(*) AS run FROM r GROUP BY grp), gs AS (SELECT COUNT(*) AS n_gap_runs, COALESCE(MAX(run), 0) AS max_gap_run FROM runs) SELECT (SELECT COUNT(*) FROM f) AS n_hours, (SELECT COUNT(*) FROM f WHERE n > 0) AS n_data_hours, (SELECT COUNT(*) FROM f WHERE n = 0) AS n_gap_hours, CAST(n_gap_runs AS BIGINT) AS n_gap_runs, CAST(max_gap_run AS BIGINT) AS max_gap_run FROM gs",

@@ -136,6 +136,18 @@ object SqlFrontDoor {
       // the built-in WITHIN GROUP spelling is s107's text — this lane covers
       // the 100 TB spelling's dialect surface)
       "WITH li AS (SELECT l_returnflag, l_extendedprice AS v, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem), ls AS (SELECT *, c div 100000 AS sh FROM li), r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag, sh ORDER BY c) AS BIGINT) AS rn FROM ls), st AS (SELECT l_returnflag, sh, MAX(rn) AS shCnt FROM r GROUP BY 1, 2), st2 AS (SELECT l_returnflag, sh, COALESCE(SUM(shCnt) OVER (PARTITION BY l_returnflag ORDER BY sh ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS shPrefix, SUM(shCnt) OVER (PARTITION BY l_returnflag) AS n FROM st), j AS (SELECT r.l_returnflag, r.v, r.rn + st2.shPrefix AS cum, st2.n FROM r JOIN st2 ON r.l_returnflag = st2.l_returnflag AND r.sh = st2.sh) SELECT l_returnflag, MIN(CASE WHEN cum * 4 >= n THEN v END) AS p25, MIN(CASE WHEN cum * 2 >= n THEN v END) AS p50, MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS p90, MAX(n) AS n FROM j GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q115_weighted_sample" -> // '0x' hex cast -> conv(,16,10); VARCHAR -> STRING
+      "WITH d AS (SELECT doc_id, source, n_chars + 1 AS w FROM documents WHERE doc_id IS NOT NULL), u AS (SELECT doc_id, source, w, CAST(CAST(conv(substring(md5(concat('q115|', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) + 1 AS DOUBLE) / 4294967297.0 AS u FROM d), p AS (SELECT doc_id, source, w, -ln(u) / w AS pri FROM u), r AS (SELECT source, doc_id, w, ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rnk FROM p) SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, CAST(w AS BIGINT) AS w FROM r WHERE rnk <= 20 ORDER BY source, rnk",
+    "q116_bigram_rarity" -> // string_split_regex/list_slice/array_to_string/
+      // unnest(generate_series)/len/'//'  ->  split/slice/concat_ws/
+      // explode(sequence)/size/div
+      "WITH w AS (SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS words FROM documents WHERE text IS NOT NULL), db AS (SELECT doc_id, concat_ws(' ', slice(words, CAST(i AS INT), 2)) AS bg FROM (SELECT doc_id, words, explode(sequence(1, size(words) - 1)) AS i FROM w WHERE size(words) >= 2) t), c2 AS (SELECT bg, COUNT(*) AS c2 FROM db GROUP BY bg), pd AS (SELECT doc_id, COUNT(*) AS n_bigrams, MIN(c2) AS min_c2, SUM(c2) AS sum_c2 FROM db JOIN c2 USING (bg) GROUP BY doc_id) SELECT doc_id, n_bigrams, CAST(min_c2 AS BIGINT) AS min_c2, CAST(sum_c2 * 1000000 div n_bigrams AS BIGINT) AS mean_c2_ppm FROM pd ORDER BY mean_c2_ppm, doc_id LIMIT 20",
+    "q117_scd2_intervals" -> // epoch_us(ts) -> ts div 1000 (µs contract)
+      "WITH e AS (SELECT user_id, ts div 1000 AS t, event_id, event_type FROM events), m AS (SELECT user_id, t, event_id, event_type, CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL OR LAG(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) <> event_type THEN 1 ELSE 0 END AS chg FROM e), s AS (SELECT user_id, t, event_type, SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS interval_seq FROM m), g AS (SELECT user_id, interval_seq, MIN(event_type) AS event_type, MIN(t) AS valid_from_us, COUNT(*) AS n_events FROM s GROUP BY 1, 2) SELECT user_id, CAST(interval_seq AS BIGINT) AS interval_seq, event_type, valid_from_us, COALESCE(LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY interval_seq), -1) AS valid_to_us, n_events FROM g ORDER BY user_id, interval_seq",
+    "q118_mad_outliers" -> // quantile_disc(x, p) -> PERCENTILE_DISC(p)
+      // WITHIN GROUP (ORDER BY x), CAST back to BIGINT (Spark returns the
+      // ordering column's type only for numeric-widened inputs)
+      "WITH li AS (SELECT l_returnflag AS f, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem), med AS (SELECT f, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT) AS med_cents FROM li GROUP BY f), dev AS (SELECT li.f, c, med_cents, abs(c - med_cents) AS d FROM li JOIN med USING (f)), mad AS (SELECT f, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS BIGINT) AS mad_cents FROM dev GROUP BY f) SELECT f AS l_returnflag, MAX(med_cents) AS med_cents, MAX(mad_cents) AS mad_cents, COUNT(*) AS n, CAST(SUM(CASE WHEN d > 3 * mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers FROM dev JOIN mad USING (f) GROUP BY f ORDER BY f",
     "q53_char_ngram_jaccard" -> // range() lateral -> explode(sequence)
       "WITH w AS (SELECT doc_id, substring(text, i, 3) AS word FROM (SELECT doc_id, text, explode(sequence(1, length(text) - 2)) AS i FROM documents WHERE doc_id < 20)), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
   )
@@ -234,8 +246,58 @@ object SqlFrontDoor {
       "CAST(4 AS BIGINT) AS bytes_per_vec, CAST(64 AS BIGINT) AS compression_x FROM h CROSS JOIN d"
   }
 
+  /** IVF-PQ (q114) SQL twin — like s113, IDENTICAL math to the DataFrame
+    * lane: the coarse assignment folds the sorted centroid array with
+    * strict `>` and graft_cosine (BestCentroid's exact contract, including
+    * the -1/NaN degenerate case), the probe ranks by (cosine DESC,
+    * cent_id), and the codes/LUT/ADC pieces are the s113 spellings scoped
+    * to probed clusters. */
+  private def ivfPqSql: String = {
+    val M = 8; val K = 16
+    val cbCols = (0 until M).map(m =>
+      s"sort_array(collect_list(named_struct('cent_id', vec_id, 'centv', slice(v, ${m * 8 + 1}, 8)))) AS cb$m").mkString(", ")
+    val nlut = (0 until M).map(m =>
+      s"transform(cb$m, c -> aggregate(c.centv, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))")
+      .mkString("flatten(array(", ", ", "))")
+    val qlut = (0 until M).map(m =>
+      s"transform(cb$m, c -> aggregate(zip_with(slice(qv, ${m * 8 + 1}, 8), c.centv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x))")
+      .mkString("flatten(array(", ", ", "))")
+    val codesArr = (0 until M).map(pqArgmaxSql).mkString("array(", ", ", ")")
+    def fold(lut: String) =
+      s"aggregate(transform(codes, (c, i) -> CASE WHEN c < 0 THEN CAST(0.0 AS DOUBLE) " +
+        s"ELSE element_at($lut, CAST(i * $K + c + 1 AS INT)) END), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    val assignFold =
+      "aggregate(cents, named_struct('b', CAST('-Infinity' AS DOUBLE), 'id', CAST(-1 AS BIGINT)), " +
+        "(acc, c) -> CASE WHEN graft_cosine(v, c.centv) > acc.b " +
+        "THEN named_struct('b', graft_cosine(v, c.centv), 'id', c.cent_id) ELSE acc END).id"
+    "WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"cbr AS (SELECT $cbCols FROM e WHERE vec_id < $K), " +
+      s"cb AS (SELECT *, $nlut AS nlut FROM cbr), " +
+      "st AS (SELECT GREATEST(2, CAST(ROUND(SQRT(COUNT(*)), 0) AS INT)) AS stride FROM e), " +
+      "cents0 AS (SELECT vec_id AS cent_id, v AS centv FROM e, st WHERE vec_id % stride = 0), " +
+      "ca AS (SELECT sort_array(collect_list(named_struct('cent_id', cent_id, 'centv', centv))) AS cents FROM cents0), " +
+      s"asgn AS (SELECT vec_id AS cid, v, $assignFold AS cluster FROM e CROSS JOIN ca), " +
+      s"codes AS (SELECT cid, cluster, $codesArr AS codes FROM asgn CROSS JOIN cb), " +
+      s"q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20), " +
+      "pr AS (SELECT qid, cluster FROM (SELECT q.qid, c.cent_id AS cluster, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY graft_cosine(q.qv, c.centv) DESC, c.cent_id) AS prnk FROM q CROSS JOIN cents0 c) z WHERE prnk <= 4), " +
+      s"qlut AS (SELECT qid, $qlut AS lut, nlut, sqrt(aggregate(qv, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)) AS qn FROM q CROSS JOIN cb), " +
+      s"scored AS (SELECT ql.qid, codes.cid, nanvl(${fold("lut")} / (qn * sqrt(${fold("nlut")})), CAST(-2.0 AS DOUBLE)) AS sim FROM qlut ql JOIN pr ON ql.qid = pr.qid JOIN codes ON codes.cluster = pr.cluster WHERE ql.qid <> codes.cid), " +
+      "top AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM scored) t WHERE rnk <= 10), " +
+      "truth AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM (SELECT qid, b.vec_id AS cid, round(graft_cosine(qv, b.v), 4) AS sim FROM q JOIN e b ON qid <> b.vec_id) raw) t WHERE rnk <= 10), " +
+      "h AS (SELECT COUNT(*) AS hits FROM truth LEFT SEMI JOIN top ON truth.qid = top.qid AND truth.cid = top.cid), " +
+      "d AS (SELECT COUNT(*) AS denom FROM truth), " +
+      "sc AS (SELECT COUNT(*) AS scanned_pairs FROM scored), " +
+      "nn AS (SELECT COUNT(*) AS n_corpus FROM e), " +
+      "nq AS (SELECT COUNT(*) AS n_q FROM q) " +
+      "SELECT 'ivfpq_m8_k16_nprobe4' AS method, round(CAST(hits AS DOUBLE) / denom, 4) AS recall, " +
+      "CAST(hits AS BIGINT) AS hits, CAST(denom AS BIGINT) AS denom, " +
+      "CAST(scanned_pairs AS BIGINT) AS scanned_pairs, CAST(n_q * (n_corpus - 1) AS BIGINT) AS full_scan_pairs " +
+      "FROM h CROSS JOIN d CROSS JOIN sc CROSS JOIN nn CROSS JOIN nq"
+  }
+
   val rowsOnlySql: Map[String, String] = Map(
     "q113_pq_recall" -> pqSql,
+    "q114_ivfpq_recall" -> ivfPqSql,
     "q25_hash_bucket" -> // Spark Murmur3 hash() — no DuckDB twin by design
       "SELECT c_custkey, CAST(abs(hash(c_name)) % 8 AS BIGINT) AS bucket FROM customer ORDER BY c_custkey",
     "q34_minhash_bands" ->

@@ -1189,4 +1189,95 @@ object Relational {
             |GROUP BY s.s_name
             |ORDER BY numwait DESC, s.s_name""".stripMargin)
   }
+
+  /** Q117 — SCD type-2 interval compression: collapse each user's event
+    * stream into validity intervals `[valid_from, valid_to)` over runs of
+    * the SAME event_type (the change-data-capture → slowly-changing-
+    * dimension build every warehouse and feature store runs). Island
+    * algorithm: a run breaks when event_type changes; `interval_seq` is the
+    * running break count — a per-user total order that survives ties in t
+    * (ordering is (t, event_id), a total order). valid_to = next interval's
+    * valid_from (lead over interval_seq), open intervals get the -1
+    * sentinel. Timestamps µs-truncated (the q41 resolution contract); all
+    * output integer → hash-exact.
+    *
+    * Scale shape: one shuffle by user_id serves both windows (the row-level
+    * lag/sum and the interval-level lead reuse the same partitioning;
+    * intervals are strictly fewer rows than events), parallelism is
+    * |users| — the q14/q15 family, no global sort until the final output
+    * ORDER BY. */
+  def q117Scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("t"),
+        col("event_id"), col("event_type"))
+    val wo = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val runs = e
+      .withColumn("chg",
+        when(lag("event_type", 1).over(wo).isNull ||
+          lag("event_type", 1).over(wo) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("interval_seq",
+        sum("chg").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "interval_seq")
+      .agg(min("event_type").as("event_type"),
+        min("t").as("valid_from_us"), count(lit(1)).as("n_events"))
+    val wi = Window.partitionBy("user_id").orderBy("interval_seq")
+    runs
+      .withColumn("valid_to_us",
+        coalesce(lead("valid_from_us", 1).over(wi), lit(-1L)))
+      .select("user_id", "interval_seq", "event_type",
+        "valid_from_us", "valid_to_us", "n_events")
+      .orderBy("user_id", "interval_seq")
+  }
+
+  /** Q118 — robust outlier detection via median absolute deviation: per
+    * flag, exact median of price-cents, MAD = median(|c − med|), outliers =
+    * rows with |c − med| > 3·MAD (the standard robust z-score gate a
+    * curation pipeline runs where mean/stddev would be dragged by the very
+    * outliers it hunts). Both medians are the q112 sharded order statistic
+    * (rank within (flag, $1,000 shard) + broadcast shard prefix offsets;
+    * `min(c | 2·cum ≥ n)` is exactly quantile_disc(0.5) by the q99 tie
+    * argument) — window parallelism |flags|·|shards| and constant state per
+    * task, never the per-distinct-value buffer of the built-in percentile.
+    * All-integer output → hash-exact.
+    *
+    * Scale: two linear passes over the fact table (the second median's
+    * input |c − med| cannot exist before the first resolves — a true data
+    * dependency, not a plan defect); each pass is one exchange; thresholds
+    * ride a ~|flags|-row broadcast back onto the scan-side count. */
+  def q118MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    // sharded discrete median of `v` per `key` — the q112 machinery
+    def shardedMedian(in: DataFrame, key: String, v: String): DataFrame = {
+      val sharded = in.withColumn("sh", expr(s"$v div 100000"))
+      val r = sharded.repartition(col(key), col("sh"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(key, "sh").orderBy(v)).cast("long"))
+      val stats = r.groupBy(col(key), col("sh"))
+        .agg(max("rn").as("shCnt"))
+        .withColumn("shPrefix",
+          coalesce(sum("shCnt").over(Window.partitionBy(key).orderBy("sh")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum("shCnt").over(Window.partitionBy(key)))
+        .select(col(key), col("sh"), col("shPrefix"), col("n"))
+      r.join(broadcast(stats), Seq(key, "sh"))
+        .withColumn("cum", col("rn") + col("shPrefix"))
+        .groupBy(key)
+        .agg(min(when(col("cum") * 2 >= col("n"), col(v))).as("med"),
+          max("n").as("n"))
+    }
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("f"), cents(col("l_extendedprice")).as("c"))
+    val med = shardedMedian(li, "f", "c")
+      .select(col("f"), col("med").as("med_cents"), col("n"))
+    val dev = li.join(broadcast(med), Seq("f"))
+      .withColumn("d", abs(col("c") - col("med_cents")))
+    val mad = shardedMedian(dev.select(col("f"), col("d")), "f", "d")
+      .select(col("f"), col("med").as("mad_cents"))
+    dev.join(broadcast(mad), Seq("f"))
+      .groupBy(col("f").as("l_returnflag"))
+      .agg(max("med_cents").as("med_cents"), max("mad_cents").as("mad_cents"),
+        count(lit(1)).as("n"),
+        sum(when(col("d") > col("mad_cents") * 3, 1L).otherwise(0L))
+          .cast("long").as("n_outliers"))
+      .orderBy("l_returnflag")
+  }
 }

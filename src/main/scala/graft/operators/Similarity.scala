@@ -382,10 +382,27 @@ object Similarity {
     * approximate cosine = Σ lut[code] / (|q|·√Σ nlut[code]). The corpus
     * side touches ONLY codes: no vector payload is read, shuffled, or
     * broadcast after encode, which is the entire point of PQ at scale. */
-  def pqSearch(codes: DataFrame, queries: DataFrame, cb: DataFrame,
-               m: Int, k: Int, dim: Int, topK: Int): DataFrame = {
-    val sub = dim / m
-    val qlut = queries.toDF("qid", "qv").crossJoin(broadcast(cb))
+  /** ADC fold: Σ over subspaces of `lut[m·k + code]`. Code -1 marks an
+    * unassignable (all-NaN cosine, e.g. zero) subvector — it contributes
+    * nothing. */
+  private def adcFold(lut: Column, k: Int): Column =
+    aggregate(transform(col("codes"), (c, i) => when(c < 0, lit(0.0))
+      .otherwise(element_at(lut, (i * k + c + 1).cast("int")))),
+      lit(0.0), (a, x) => a + x)
+
+  /** Approximate cosine from the ADC folds, as `sim`: a fully degenerate
+    * row scores the -2 sentinel (below every real cosine) instead of NaN,
+    * which Spark sorts FIRST desc. Expects `codes`/`lut`/`nlut`/`qn`
+    * columns in scope. */
+  private def adcSim(k: Int): Column =
+    nanvl(adcFold(col("lut"), k) / (col("qn") * sqrt(adcFold(col("nlut"), k))),
+      lit(-2.0)).as("sim")
+
+  /** Per-query flat ADC lookup tables against a broadcast [[pqCodebook]]
+    * row: `lut[m·k + j] = dot(q_m, cb_m[j])`, plus the codebook's `nlut`
+    * and the query norm — everything [[adcSim]] needs. */
+  private def queryLuts(queries: DataFrame, cb: DataFrame, m: Int, sub: Int): DataFrame =
+    queries.toDF("qid", "qv").crossJoin(broadcast(cb))
       .select(col("qid"),
         flatten(array((0 until m).map { i =>
           transform(col(s"cb$i"), c =>
@@ -394,16 +411,12 @@ object Similarity {
         }: _*)).as("lut"),
         col("__nlut").as("nlut"),
         sqrt(aggregate(col("qv"), lit(0.0), (a, x) => a + x * x)).as("qn"))
-    // code -1 marks an unassignable (all-NaN cosine, e.g. zero) subvector —
-    // it contributes nothing; a fully degenerate row scores the -2 sentinel
-    // (below every real cosine) instead of NaN, which Spark sorts FIRST desc
-    def fold(lut: Column): Column =
-      aggregate(transform(col("codes"), (c, i) => when(c < 0, lit(0.0))
-        .otherwise(element_at(lut, (i * k + c + 1).cast("int")))),
-        lit(0.0), (a, x) => a + x)
+
+  def pqSearch(codes: DataFrame, queries: DataFrame, cb: DataFrame,
+               m: Int, k: Int, dim: Int, topK: Int): DataFrame = {
+    val qlut = queryLuts(queries, cb, m, dim / m)
     val scored = broadcast(qlut).join(codes, col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        nanvl(fold(col("lut")) / (col("qn") * sqrt(fold(col("nlut")))), lit(-2.0)).as("sim"))
+      .select(col("qid"), col("cid"), adcSim(k))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
       .select("qid", "cid")
@@ -431,5 +444,63 @@ object Similarity {
         col("hits").cast("long").as("hits"), col("denom").cast("long").as("denom"),
         lit(M * 4 / 8).cast("long").as("bytes_per_vec"), // m·log2(k) bits
         lit(Dim * 4 / (M * 4 / 8)).cast("long").as("compression_x"))
+  }
+
+  /** Q114 — IVF-PQ: the two scale levers COMPOSED, which is what every
+    * production vector index (FAISS IVFPQ, SCaNN, Milvus) actually ships —
+    * IVF prunes WHICH vectors get scored (nprobe/√n of the corpus), PQ
+    * shrinks WHAT is read per scored vector (4-byte codes, 64×). At 100 TB:
+    * cluster-partitioned code shards, a query touches nprobe shards and
+    * streams codes only — both the scan fraction and the bytes-per-row
+    * fall out of this one plan. Unrefined stride centroids (no Lloyd pass)
+    * so the s114 SQL twin replays the index EXACTLY; the recall/scan
+    * accounting is the contract: (method, recall@10, hits, denom,
+    * scanned_pairs, full_scan_pairs) — scanned_pairs/full_scan_pairs is the
+    * measured pruning factor. Rows-only like q87/q113 (float argmax has no
+    * DuckDB twin); SimilaritySpec pins the recall floor and that
+    * scanned_pairs < full_scan_pairs actually holds. */
+  def q114IvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val M = 8; val K = 16; val Dim = 64; val NProbe = 4
+    val sub = Dim / M
+    val e = emb(s, dir).select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 20).toDF("qid", "qv")
+    val cents = ivfCentroids(e, sqrtStride(e))
+    // one broadcast-assign pass; codes carry their cluster so the probe
+    // join lands directly on the (cluster → codes) inverted lists
+    val assigned = assignTo(e, cents)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("cluster"))
+    val cb = pqCodebook(e, M, K, Dim)
+    val coded = assigned.crossJoin(broadcast(cb))
+      .select(col("cid"), col("cluster"), array((0 until M).map { i =>
+        VectorOps.bestCentroid(subv(col("cv"), i, sub), col(s"cb$i"))
+      }: _*).as("codes"))
+    val wp = Window.partitionBy("qid").orderBy(col("csim").desc, col("cluster"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cent_id").as("cluster"),
+        VectorOps.cosine(col("qv"), col("centv")).as("csim"))
+      .withColumn("prnk", row_number().over(wp))
+      .filter(col("prnk") <= NProbe)
+      .select("qid", "cluster")
+    val qlut = queryLuts(q, cb, M, sub)
+    val scored = broadcast(qlut.join(probes, Seq("qid"))).join(coded, Seq("cluster"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), adcSim(K))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    val approx = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10).select("qid", "cid")
+    val truth = exactTopK(e, q, k = 10)
+    val tot = truth.agg(count(lit(1)).as("denom"))
+    val scanned = scored.agg(count(lit(1)).as("scanned_pairs"))
+    val nq = q.agg(count(lit(1)).as("n_q"))
+    val nAll = e.agg(count(lit(1)).as("n_corpus"))
+    truth.join(approx, Seq("qid", "cid"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(scanned))
+      .crossJoin(broadcast(nq)).crossJoin(broadcast(nAll))
+      .select(lit(s"ivfpq_m8_k16_nprobe$NProbe").as("method"),
+        round(col("hits").cast("double") / col("denom"), 4).as("recall"),
+        col("hits").cast("long").as("hits"), col("denom").cast("long").as("denom"),
+        col("scanned_pairs").cast("long").as("scanned_pairs"),
+        (col("n_q") * (col("n_corpus") - 1)).cast("long").as("full_scan_pairs"))
   }
 }

@@ -628,4 +628,70 @@ object TextAnalysis {
       .orderBy(desc("n2"), asc("w1"), asc("w2"))
       .limit(k)
   }
+
+  /** Q115 — weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES): per source, keep the k docs with the smallest priority
+    * `-ln(u)/w`, where `w = n_chars + 1` is the weight and `u ∈ (0,1)` is a
+    * uniform derived from md5(doc_id) — the md5-portable determinism idiom
+    * (q73/q81/q90), so BOTH engines draw the identical "random" stream and
+    * the oracle replays the exact sample. A-ES is THE distributed weighted
+    * sampler: one scan, a per-source top-k on the priority, no sequential
+    * roulette wheel — P(doc in sample) is exactly the successive-weighted-
+    * draw law.
+    *
+    * Float note: u is an exact dyadic rational (32-bit hash / 2³³⁻ᵉ), `/`
+    * and ln are correctly-rounded / <1-ulp on both engines, and keys of
+    * distinct docs are ~uniform over decades — a cross-engine rank flip
+    * needs two keys within ~1e-16 relative, vanishing at any real n.
+    * Output is ids + integer weights only (the priority itself is never
+    * emitted).
+    *
+    * Scale: the rank is a per-source window (parallelism = |sources|;
+    * at 100 TB shard it exactly like q56/q81 — rank within (source,
+    * hash-shard), keep k per shard, then merge the ≤ shards·k survivors);
+    * only (id, weight, priority) triples ever shuffle, never text. */
+  def q115WeightedSample(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("source"), (col("n_chars") + 1).as("w"))
+      .withColumn("u",
+        (conv(substring(md5(concat(lit("q115|"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long") + 1).cast("double") / 4294967297.0)
+      .withColumn("pri", -log(col("u")) / col("w"))
+    d.withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy(col("pri"), col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk"), col("doc_id"), col("w").cast("long").as("w"))
+      .orderBy("source", "rnk")
+  }
+
+  /** Q116 — per-document bigram-rarity scoring: how "surprising" is each
+    * document under the corpus's own bigram statistics (the q98 LM turned
+    * into a per-doc quality signal — the cheap integer stand-in for LM
+    * perplexity filtering, CCNet-style). For every doc: n_bigrams, the
+    * corpus frequency of its RAREST bigram (min_c2 = 1 means it contains a
+    * corpus-unique phrase), and the mean corpus frequency in ppm-style
+    * integer arithmetic (µ·10⁶ div n). Bottom-k by mean frequency surfaces
+    * the most out-of-distribution docs. All-integer → hash-exact.
+    *
+    * Scale: corpus counts are a partial-agg over exploded bigrams (only
+    * (bigram, count) pairs shuffle); the doc←count join is bigram-keyed —
+    * at 100 TB the count table is Zipf-headed, so broadcast its head and
+    * shuffle only the tail (the q100 salting family applies verbatim);
+    * bottom-k plans as TakeOrderedAndProject, no global sort. */
+  def q116BigramRarity(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val db = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(bigrams(col("words"))).as("bg"))
+    val c2 = db.groupBy("bg").agg(count(lit(1)).as("c2"))
+    db.join(c2, Seq("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        min("c2").as("min_c2"),
+        sum("c2").cast("long").as("sum_c2"))
+      .select(col("doc_id"), col("n_bigrams"), col("min_c2"),
+        expr("sum_c2 * 1000000 div n_bigrams").cast("long").as("mean_c2_ppm"))
+      .orderBy(col("mean_c2_ppm"), col("doc_id"))
+      .limit(k)
+  }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Relational, TextAnalysis}
+
+/** Semantic invariants for the round-7 operators, independently of the
+  * DuckDB oracle: q115's sample is recomputed from scratch in the driver
+  * (same md5 stream, plain Scala), q117's intervals must tile the event
+  * stream exactly, and q118's robust statistics are recomputed naively.
+  * The oracle gate proves cross-engine agreement; these prove the
+  * ALGORITHM is the one on the label. */
+class RelationalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  val sfDir = "/root/testdata/sf0.001"
+  var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("q115: the A-ES sample equals a from-scratch driver recomputation") {
+    val k = 20
+    val docs = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id").isNotNull)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2) + 1))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      rows.toSeq.map { case (id, _, w) =>
+        val u = (java.lang.Long.parseLong(md5hex(s"q115|$id").take(8), 16) + 1
+          ).toDouble / 4294967297.0
+        (id, w, -math.log(u) / w)
+      }.sortBy { case (id, _, pri) => (pri, id) }
+        .take(k).zipWithIndex
+        .map { case ((id, w, _), i) => (src, (i + 1).toLong, id, w) }
+    }.toSet
+    val got = TextAnalysis.q115WeightedSample(spark, sfDir, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, "sample diverged from the A-ES definition")
+  }
+
+  test("q115: weighting is live - kept docs are heavier than the corpus average") {
+    val d = Tables(spark, sfDir, "documents").filter(col("doc_id").isNotNull)
+    val overall = d.agg(avg(col("n_chars") + 1)).first().getDouble(0)
+    val kept = TextAnalysis.q115WeightedSample(spark, sfDir, 20)
+      .agg(avg("w")).first().getDouble(0)
+    info(f"mean weight kept=$kept%.1f vs corpus=$overall%.1f")
+    assert(kept > overall, "A-ES must favor heavy docs on average")
+  }
+
+  test("q117: intervals tile the event stream exactly") {
+    val iv = Relational.q117Scd2Intervals(spark, sfDir).collect()
+    val nEvents = Tables(spark, sfDir, "events").count()
+    assert(iv.map(_.getLong(5)).sum == nEvents, "interval n_events must tile all events")
+    iv.groupBy(_.getLong(0)).foreach { case (user, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq,
+        s"user $user: interval_seq not contiguous")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(4) == b.getLong(3),
+            s"user $user: valid_to must equal the next valid_from")
+          assert(a.getString(2) != b.getString(2),
+            s"user $user: consecutive intervals must change event_type")
+        case _ =>
+      }
+      assert(sorted.last.getLong(4) == -1L, s"user $user: open interval sentinel")
+    }
+  }
+
+  test("q118: median/MAD/outliers equal a naive driver recomputation") {
+    val cents = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def discMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s((s.length - 1) / 2) // smallest with 2·cum ≥ n
+    }
+    val expected = cents.groupBy(_._1).map { case (f, rows) =>
+      val cs = rows.map(_._2).toSeq
+      val med = discMedian(cs)
+      val devs = cs.map(c => math.abs(c - med))
+      val mad = discMedian(devs)
+      (f, (med, mad, cs.length.toLong, devs.count(_ > 3 * mad).toLong))
+    }
+    val got = Relational.q118MadOutliers(spark, sfDir).collect().map(r =>
+      (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected, s"MAD stats diverged: $got vs $expected")
+  }
+}

@@ -270,4 +270,24 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.10, s"PQ-ADC recall collapsed: $recall")
     assert(row.getLong(4) == 4L && row.getLong(5) == 64L)
   }
+
+  test("q114 pins the IVF-PQ recall floor and that the index actually prunes") {
+    val r = Similarity.q114IvfPqRecall(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getString(0) == "ivfpq_m8_k16_nprobe4")
+    val recall = row.getDouble(1)
+    val scanned = row.getLong(4)
+    val full = row.getLong(5)
+    info(f"IVF-PQ recall@10 = $recall%.3f, scanned $scanned/$full pairs " +
+      f"(${100.0 * scanned / full}%.1f%%)")
+    // the composition pays BOTH approximation costs (cluster pruning ×
+    // 4-byte quantization): the floor is the collapse guard, and the scan
+    // accounting is the point of IVF — nprobe=4 of ~√n clusters must score
+    // well under half the corpus (full-scan "pruning" would make the
+    // recall number a lie)
+    assert(recall >= 0.10, s"IVF-PQ recall collapsed: $recall")
+    assert(scanned > 0 && scanned < full / 2,
+      s"IVF-PQ scanned $scanned of $full pairs - the index is not pruning")
+  }
 }
