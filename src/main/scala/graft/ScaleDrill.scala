@@ -57,7 +57,10 @@ object ScaleDrill {
     "q97_rolling_range",     // events: RANGE-frame rolling window
     "q99_winsorized",        // lineitem: sharded two-sided percentile
     "q107_percentile_disc",  // lineitem: built-in percentile_disc (buffer caveat)
-    "q112_percentile_disc_sharded") // lineitem: its declared 100 TB spelling
+    "q112_percentile_disc_sharded", // lineitem: its declared 100 TB spelling
+    "q118_mad_outliers")     // lineitem: histogram-refinement medians — the
+                             // zero-shuffle quantile plan must show its flat
+                             // scaling here, where the shuffle plans can't
 
   /** Drill lanes measured for VISIBILITY but EXPECTED superlinear: the ratio
     * is a documented property of the spelling, not a regression, so Bench

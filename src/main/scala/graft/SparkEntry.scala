@@ -470,7 +470,7 @@ object SparkEntry {
       "WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events), m AS (SELECT user_id, t, event_id, event_type, CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL OR LAG(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) <> event_type THEN 1 ELSE 0 END AS chg FROM e), s AS (SELECT user_id, t, event_type, SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS interval_seq FROM m), g AS (SELECT user_id, interval_seq, MIN(event_type) AS event_type, MIN(t) AS valid_from_us, COUNT(*) AS n_events FROM s GROUP BY 1, 2) SELECT user_id, CAST(interval_seq AS BIGINT) AS interval_seq, event_type, valid_from_us, COALESCE(LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY interval_seq), -1) AS valid_to_us, n_events FROM g ORDER BY user_id, interval_seq",
     "q118_mad_outliers" -> // exact integer-cents median + MAD via
       // quantile_disc (= the engine's sharded min(2·cum ≥ n) rule)
-      "WITH li AS (SELECT l_returnflag AS f, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem), med AS (SELECT f, quantile_disc(c, 0.5) AS med_cents FROM li GROUP BY f), dev AS (SELECT li.f, c, med_cents, abs(c - med_cents) AS d FROM li JOIN med USING (f)), mad AS (SELECT f, quantile_disc(d, 0.5) AS mad_cents FROM dev GROUP BY f) SELECT f AS l_returnflag, MAX(med_cents) AS med_cents, MAX(mad_cents) AS mad_cents, COUNT(*) AS n, CAST(SUM(CASE WHEN d > 3 * mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers FROM dev JOIN mad USING (f) GROUP BY f ORDER BY f",
+      "WITH li AS (SELECT l_returnflag AS f, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem), med AS (SELECT f, quantile_disc(c, 0.5) AS med_cents FROM li GROUP BY f), dev AS (SELECT li.f, c, med_cents, abs(c - med_cents) AS d FROM li JOIN med USING (f)), mad AS (SELECT f, quantile_disc(d, 0.5) AS mad_cents FROM dev GROUP BY f) SELECT f AS l_returnflag, MAX(med_cents) AS med_cents, MAX(mad_cents) AS mad_cents, COUNT(*) AS n, CAST(SUM(CASE WHEN d * 2 > 3 * mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers FROM dev JOIN mad USING (f) GROUP BY f ORDER BY f",
     "q101_gap_fill" -> // dense hour axis min..max, zero-filled; gap runs via
       // the q88 island trick; single row out, gaps may be 0 at dense SFs
       "WITH hrs AS (SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS hb, COUNT(*) AS n FROM events GROUP BY 1), b AS (SELECT MIN(hb) AS lo, MAX(hb) AS hi FROM hrs), dense AS (SELECT unnest(generate_series(lo, hi, 3600000000000)) AS hb FROM b), f AS (SELECT d.hb, COALESCE(n, 0) AS n FROM dense d LEFT JOIN hrs ON d.hb = hrs.hb), g AS (SELECT hb FROM f WHERE n = 0), r AS (SELECT hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM g), runs AS (SELECT grp, COUNT(*) AS run FROM r GROUP BY grp), gs AS (SELECT COUNT(*) AS n_gap_runs, COALESCE(MAX(run), 0) AS max_gap_run FROM runs) SELECT (SELECT COUNT(*) FROM f) AS n_hours, (SELECT COUNT(*) FROM f WHERE n > 0) AS n_data_hours, (SELECT COUNT(*) FROM f WHERE n = 0) AS n_gap_hours, CAST(n_gap_runs AS BIGINT) AS n_gap_runs, CAST(max_gap_run AS BIGINT) AS max_gap_run FROM gs",

@@ -91,7 +91,7 @@ class RelationalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val med = discMedian(cs)
       val devs = cs.map(c => math.abs(c - med))
       val mad = discMedian(devs)
-      (f, (med, mad, cs.length.toLong, devs.count(_ > 3 * mad).toLong))
+      (f, (med, mad, cs.length.toLong, devs.count(_ * 2 > 3 * mad).toLong))
     }
     val got = Relational.q118MadOutliers(spark, sfDir).collect().map(r =>
       (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
