@@ -9,9 +9,11 @@ a 10x-sf0.1 ("sf1-scale") dataset produced by graft.ScaleDrill.materialize
 scale-invariant -- see ScaleDrill scaladoc).
 
 Usage:
-  1) sbt 'runMain graft.DrillMaterialize /root/testdata/sf0.1 /tmp/graft_sf1 10'
-  2) sbt 'runMain graft.Verify /tmp/graft_sf1 /tmp/vout_sf1 <q1,q2,...>'
-  3) python3 scripts/sf1_gate.py /tmp/graft_sf1 /tmp/vout_sf1 CORRECTNESS_sf1.json
+  1) sbt 'runMain graft.DrillPrep /root/testdata/sf0.1 /tmp/graft_sf1 10'
+     (writes /tmp/graft_sf1/base1x and /tmp/graft_sf1/scaled; the gate
+      runs against the scaled copy)
+  2) sbt 'runMain graft.Verify /tmp/graft_sf1/scaled /tmp/vout_sf1 <q1,q2,...>'
+  3) python3 scripts/sf1_gate.py /tmp/graft_sf1/scaled /tmp/vout_sf1 CORRECTNESS_sf1.json
 
 Compare contract mirrors the driver: columns sorted by name, rows sorted,
 doubles rounded to 4 decimals, value-hash equality.

@@ -169,6 +169,10 @@ object SparkEntry {
     "q117_scd2_intervals"  -> (Relational.q117Scd2Intervals _),
     // r7: robust outliers via sharded-median MAD (bounded-memory at 100 TB)
     "q118_mad_outliers"    -> (Relational.q118MadOutliers _),
+    // r7: correlated LATERAL + ORDER BY/LIMIT — decorrelates to one window
+    "q119_lateral_topk"    -> (Relational.q119LateralTopk _),
+    // r7: WITH RECURSIVE order-chain walk — engine-planned iteration
+    "q120_recursive_chain" -> (Relational.q120RecursiveChain _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -471,6 +475,12 @@ object SparkEntry {
     "q118_mad_outliers" -> // exact integer-cents median + MAD via
       // quantile_disc (= the engine's sharded min(2·cum ≥ n) rule)
       "WITH li AS (SELECT l_returnflag AS f, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem), med AS (SELECT f, quantile_disc(c, 0.5) AS med_cents FROM li GROUP BY f), dev AS (SELECT li.f, c, med_cents, abs(c - med_cents) AS d FROM li JOIN med USING (f)), mad AS (SELECT f, quantile_disc(d, 0.5) AS mad_cents FROM dev GROUP BY f) SELECT f AS l_returnflag, MAX(med_cents) AS med_cents, MAX(mad_cents) AS mad_cents, COUNT(*) AS n, CAST(SUM(CASE WHEN d * 2 > 3 * mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers FROM dev JOIN mad USING (f) GROUP BY f ORDER BY f",
+    "q119_lateral_topk" -> // identical text runs on both engines: lateral
+      // derived table with correlated predicate + per-invocation sort/limit
+      "SELECT c.c_custkey, o.o_orderkey, o.o_totalprice FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey",
+    "q120_recursive_chain" -> // identical text on both engines: WITH
+      // RECURSIVE, correlated MIN in the recursive member, depth-capped
+      "WITH RECURSIVE chain AS (SELECT o_custkey AS ck, MIN(o_orderkey) AS ok, 1 AS depth FROM orders GROUP BY o_custkey UNION ALL SELECT n.ck, n.ok, n.depth FROM (SELECT c.ck AS ck, (SELECT MIN(o2.o_orderkey) FROM orders o2 WHERE o2.o_custkey = c.ck AND o2.o_orderkey > c.ok) AS ok, c.depth + 1 AS depth FROM chain c WHERE c.depth < 8) n WHERE n.ok IS NOT NULL) SELECT depth, COUNT(*) AS n, CAST(SUM(ok) AS BIGINT) AS key_sum FROM chain GROUP BY depth ORDER BY depth",
     "q101_gap_fill" -> // dense hour axis min..max, zero-filled; gap runs via
       // the q88 island trick; single row out, gaps may be 0 at dense SFs
       "WITH hrs AS (SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS hb, COUNT(*) AS n FROM events GROUP BY 1), b AS (SELECT MIN(hb) AS lo, MAX(hb) AS hi FROM hrs), dense AS (SELECT unnest(generate_series(lo, hi, 3600000000000)) AS hb FROM b), f AS (SELECT d.hb, COALESCE(n, 0) AS n FROM dense d LEFT JOIN hrs ON d.hb = hrs.hb), g AS (SELECT hb FROM f WHERE n = 0), r AS (SELECT hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM g), runs AS (SELECT grp, COUNT(*) AS run FROM r GROUP BY grp), gs AS (SELECT COUNT(*) AS n_gap_runs, COALESCE(MAX(run), 0) AS max_gap_run FROM runs) SELECT (SELECT COUNT(*) FROM f) AS n_hours, (SELECT COUNT(*) FROM f WHERE n > 0) AS n_data_hours, (SELECT COUNT(*) FROM f WHERE n = 0) AS n_gap_hours, CAST(n_gap_runs AS BIGINT) AS n_gap_runs, CAST(max_gap_run AS BIGINT) AS max_gap_run FROM gs",

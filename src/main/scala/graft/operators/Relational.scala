@@ -1229,6 +1229,54 @@ object Relational {
       .orderBy("user_id", "interval_seq")
   }
 
+  /** Q119 — correlated LATERAL subquery with ORDER BY + LIMIT: per
+    * customer, the top-2 orders by price, spelled as the lateral derived
+    * table every SQL user writes ("for each row, run this parameterized
+    * query"). The decorrelation stress beyond q102–q104: the inner query
+    * has a correlated predicate AND a per-invocation sort+limit, so
+    * DecorrelateInnerQuery must rewrite it into ONE window rank over
+    * orders joined back — per-row re-execution of a sort would be
+    * O(n·m log m) and can never run at 100 TB. PlanAuditSpec pins the
+    * Window-not-nested-loop shape. */
+  def q119LateralTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+            |FROM customer c,
+            |     LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+            |              WHERE o_custkey = c.c_custkey
+            |              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+            |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+  }
+
+  /** Q120 — RECURSIVE CTE (Spark 4's WITH RECURSIVE): walk each
+    * customer's order chain in orderkey succession — seed = first order,
+    * step = smallest orderkey strictly above the cursor, depth-capped —
+    * and report the per-depth survivor histogram. The iterate-until-done
+    * control flow q79's connected components hand-rolls in the driver,
+    * here planned ENTIRELY by the engine (UnionLoop), with the correlated
+    * MIN in the recursive member decorrelated into an aggregate join per
+    * level. Scale: iterations are bounded by the depth cap, each level is
+    * one custkey-keyed join against orders, and the frontier only shrinks
+    * — no driver round-trips, no lineage blow-up. All-integer output →
+    * hash-exact; DuckDB replays the identical text. */
+  def q120RecursiveChain(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""WITH RECURSIVE chain AS (
+            |  SELECT o_custkey AS ck, MIN(o_orderkey) AS ok, 1 AS depth
+            |  FROM orders GROUP BY o_custkey
+            |  UNION ALL
+            |  SELECT n.ck, n.ok, n.depth FROM (
+            |    SELECT c.ck AS ck,
+            |           (SELECT MIN(o2.o_orderkey) FROM orders o2
+            |            WHERE o2.o_custkey = c.ck AND o2.o_orderkey > c.ok) AS ok,
+            |           c.depth + 1 AS depth
+            |    FROM chain c WHERE c.depth < 8
+            |  ) n WHERE n.ok IS NOT NULL
+            |)
+            |SELECT depth, COUNT(*) AS n, CAST(SUM(ok) AS BIGINT) AS key_sum
+            |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
   /** Exact discrete median (= quantile_disc(0.5): the value at global rank
     * ⌈n/2⌉ ascending) of integer column `x` per `key`, by HISTOGRAM
     * REFINEMENT: count rows per $1,000 bin (map-side partial agg — only

@@ -425,4 +425,34 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       || plan.contains("NOT (l_suppkey"),
       s"<> predicate not folded into the semi/anti join:\n$plan")
   }
+
+  test("q119 LATERAL + LIMIT: decorrelates to one window rank, no nested loop") {
+    val plan = planString(graft.operators.Relational.q119LateralTopk(spark, sfDir))
+    // per-row re-execution of the inner sort+limit would surface as a
+    // BroadcastNestedLoopJoin (or a residual subquery) — either is O(n·m)
+    // and the query could never leave a laptop
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"lateral ran as a nested loop:\n$plan")
+    assert(!plan.toLowerCase.contains("scalarsubquery"),
+      s"residual per-row subquery in plan:\n$plan")
+    assert(plan.contains("Window"),
+      s"expected the decorrelated window rank:\n$plan")
+  }
+
+  test("q118 MAD: the fact table is never shuffled or row-sorted") {
+    val df = graft.operators.Relational.q118MadOutliers(spark, sfDir)
+    // every shuffle in the plan must carry count/mark rows, never the fact
+    // table: a fact-sized exchange means the histogram refinement regressed
+    // to the full-rank spelling
+    val n = countShuffles(df)
+    // per median: l1 partial-agg exchange + 2 window exchanges over count
+    // rows + l2 agg exchange (≈4, ×2 medians) + the final flag agg + sort;
+    // the pin is the CLASS of shuffle, so count them and assert none is a
+    // row_number sort over raw rows
+    val plan = planString(df)
+    assert(!plan.contains("row_number"),
+      s"histogram median must not rank raw rows:\n$plan")
+    assert(n <= 12, s"q118 shuffle count grew to $n:\n$plan")
+    GraftSession.releasePersisted(spark)
+  }
 }
