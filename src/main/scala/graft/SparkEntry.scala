@@ -479,8 +479,9 @@ object SparkEntry {
       // derived table with correlated predicate + per-invocation sort/limit
       "SELECT c.c_custkey, o.o_orderkey, o.o_totalprice FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey",
     "q120_recursive_chain" -> // identical text on both engines: WITH
-      // RECURSIVE, correlated MIN in the recursive member, depth-capped
-      "WITH RECURSIVE chain AS (SELECT o_custkey AS ck, MIN(o_orderkey) AS ok, 1 AS depth FROM orders GROUP BY o_custkey UNION ALL SELECT n.ck, n.ok, n.depth FROM (SELECT c.ck AS ck, (SELECT MIN(o2.o_orderkey) FROM orders o2 WHERE o2.o_custkey = c.ck AND o2.o_orderkey > c.ok) AS ok, c.depth + 1 AS depth FROM chain c WHERE c.depth < 8) n WHERE n.ok IS NOT NULL) SELECT depth, COUNT(*) AS n, CAST(SUM(ok) AS BIGINT) AS key_sum FROM chain GROUP BY depth ORDER BY depth",
+      // RECURSIVE over a precomputed successor edge table — the recursion
+      // is a pure equi-join per level (see the operator's scale note)
+      "WITH RECURSIVE succ AS (SELECT o_custkey AS ck, o_orderkey AS ok, LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt FROM orders), chain AS (SELECT ck, MIN(ok) AS ok, 1 AS depth FROM succ GROUP BY ck UNION ALL SELECT s.ck, s.nxt AS ok, c.depth + 1 AS depth FROM chain c JOIN succ s ON s.ck = c.ck AND s.ok = c.ok WHERE s.nxt IS NOT NULL AND c.depth < 8) SELECT depth, COUNT(*) AS n, CAST(SUM(ok) AS BIGINT) AS key_sum FROM chain GROUP BY depth ORDER BY depth",
     "q101_gap_fill" -> // dense hour axis min..max, zero-filled; gap runs via
       // the q88 island trick; single row out, gaps may be 0 at dense SFs
       "WITH hrs AS (SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS hb, COUNT(*) AS n FROM events GROUP BY 1), b AS (SELECT MIN(hb) AS lo, MAX(hb) AS hi FROM hrs), dense AS (SELECT unnest(generate_series(lo, hi, 3600000000000)) AS hb FROM b), f AS (SELECT d.hb, COALESCE(n, 0) AS n FROM dense d LEFT JOIN hrs ON d.hb = hrs.hb), g AS (SELECT hb FROM f WHERE n = 0), r AS (SELECT hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM g), runs AS (SELECT grp, COUNT(*) AS run FROM r GROUP BY grp), gs AS (SELECT COUNT(*) AS n_gap_runs, COALESCE(MAX(run), 0) AS max_gap_run FROM runs) SELECT (SELECT COUNT(*) FROM f) AS n_hours, (SELECT COUNT(*) FROM f WHERE n > 0) AS n_data_hours, (SELECT COUNT(*) FROM f WHERE n = 0) AS n_gap_hours, CAST(n_gap_runs AS BIGINT) AS n_gap_runs, CAST(max_gap_run AS BIGINT) AS max_gap_run FROM gs",
