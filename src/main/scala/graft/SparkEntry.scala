@@ -173,6 +173,10 @@ object SparkEntry {
     "q119_lateral_topk"    -> (Relational.q119LateralTopk _),
     // r7: WITH RECURSIVE order-chain walk — engine-planned iteration
     "q120_recursive_chain" -> (Relational.q120RecursiveChain _),
+    // r7: blocked fuzzy join (edit-distance ER over blocking keys)
+    "q121_fuzzy_pairs"     -> (graft.operators.Dedup.q121FuzzyPairs _),
+    // r7: retention cohort matrix (first-day cohorts × day offsets)
+    "q122_retention_cohorts" -> (Relational.q122RetentionCohorts _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -482,6 +486,12 @@ object SparkEntry {
       // RECURSIVE over a precomputed successor edge table — the recursion
       // is a pure equi-join per level (see the operator's scale note)
       "WITH RECURSIVE succ AS (SELECT o_custkey AS ck, o_orderkey AS ok, LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt FROM orders), chain AS (SELECT ck, MIN(ok) AS ok, 1 AS depth FROM succ GROUP BY ck UNION ALL SELECT s.ck, s.nxt AS ok, c.depth + 1 AS depth FROM chain c JOIN succ s ON s.ck = c.ck AND s.ok = c.ok WHERE s.nxt IS NOT NULL AND c.depth < 8) SELECT depth, COUNT(*) AS n, CAST(SUM(ok) AS BIGINT) AS key_sum FROM chain GROUP BY depth ORDER BY depth",
+    "q121_fuzzy_pairs" -> // identical text on both engines: levenshtein is
+      // the same classic DP; blocking key = first 4 prefix chars
+      "WITH d AS (SELECT doc_id, lower(substring(trim(text), 1, 24)) AS sig FROM documents WHERE text IS NOT NULL AND doc_id < 2000), b AS (SELECT doc_id, sig, substring(sig, 1, 4) AS blk FROM d) SELECT a.doc_id AS id1, c.doc_id AS id2, CAST(levenshtein(a.sig, c.sig) AS BIGINT) AS lev FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id WHERE levenshtein(a.sig, c.sig) <= 6 ORDER BY id1, id2",
+    "q122_retention_cohorts" -> // first-active-day cohorts × day offsets,
+      // distinct-user counts; µs truncation then day bucketing
+      "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events), c AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id), a AS (SELECT DISTINCT user_id, d FROM e) SELECT cohort_day, d - cohort_day AS offset, COUNT(DISTINCT a.user_id) AS n_users FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2",
     "q101_gap_fill" -> // dense hour axis min..max, zero-filled; gap runs via
       // the q88 island trick; single row out, gaps may be 0 at dense SFs
       "WITH hrs AS (SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS hb, COUNT(*) AS n FROM events GROUP BY 1), b AS (SELECT MIN(hb) AS lo, MAX(hb) AS hi FROM hrs), dense AS (SELECT unnest(generate_series(lo, hi, 3600000000000)) AS hb FROM b), f AS (SELECT d.hb, COALESCE(n, 0) AS n FROM dense d LEFT JOIN hrs ON d.hb = hrs.hb), g AS (SELECT hb FROM f WHERE n = 0), r AS (SELECT hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM g), runs AS (SELECT grp, COUNT(*) AS run FROM r GROUP BY grp), gs AS (SELECT COUNT(*) AS n_gap_runs, COALESCE(MAX(run), 0) AS max_gap_run FROM runs) SELECT (SELECT COUNT(*) FROM f) AS n_hours, (SELECT COUNT(*) FROM f WHERE n > 0) AS n_data_hours, (SELECT COUNT(*) FROM f WHERE n = 0) AS n_gap_hours, CAST(n_gap_runs AS BIGINT) AS n_gap_runs, CAST(max_gap_run AS BIGINT) AS max_gap_run FROM gs",

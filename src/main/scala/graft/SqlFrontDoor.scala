@@ -148,6 +148,8 @@ object SqlFrontDoor {
       // WITHIN GROUP (ORDER BY x), CAST back to BIGINT (Spark returns the
       // ordering column's type only for numeric-widened inputs)
       "WITH li AS (SELECT l_returnflag AS f, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem), med AS (SELECT f, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT) AS med_cents FROM li GROUP BY f), dev AS (SELECT li.f, c, med_cents, abs(c - med_cents) AS d FROM li JOIN med USING (f)), mad AS (SELECT f, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS BIGINT) AS mad_cents FROM dev GROUP BY f) SELECT f AS l_returnflag, MAX(med_cents) AS med_cents, MAX(mad_cents) AS mad_cents, COUNT(*) AS n, CAST(SUM(CASE WHEN d * 2 > 3 * mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers FROM dev JOIN mad USING (f) GROUP BY f ORDER BY f",
+    "q122_retention_cohorts" -> // epoch_us(ts) // N -> ts div 1000 div N
+      "WITH e AS (SELECT user_id, ts div 1000 div 86400000000 AS d FROM events), c AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id), a AS (SELECT DISTINCT user_id, d FROM e) SELECT cohort_day, d - cohort_day AS offset, COUNT(DISTINCT a.user_id) AS n_users FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2",
     "q53_char_ngram_jaccard" -> // range() lateral -> explode(sequence)
       "WITH w AS (SELECT doc_id, substring(text, i, 3) AS word FROM (SELECT doc_id, text, explode(sequence(1, length(text) - 2)) AS i FROM documents WHERE doc_id < 20)), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
   )

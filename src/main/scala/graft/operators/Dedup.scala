@@ -564,4 +564,33 @@ object Dedup {
         sum(when(col("n_docs") >= 2, col("copies"))).cast("long").as("cross_doc_copies"),
         sum(when(col("n_docs") >= 2, col("keeper"))).cast("long").as("keeper_sum"))
   }
+
+  /** Q121 — blocked fuzzy join (entity resolution): document pairs whose
+    * normalized 24-char prefixes are within edit distance 6, candidate-
+    * generated by BLOCKING on the first 4 prefix chars — the classic ER
+    * decomposition that turns an O(n²) all-pairs Levenshtein into
+    * Σ|block|² comparisons on a cheap equi-join. Complements the
+    * set-similarity dedup stack (q33 Jaccard, q34/q50 MinHash, q53 char
+    * n-grams): edit distance catches single-character typo variants that
+    * shingle overlap scores poorly. Levenshtein is the same classic DP in
+    * both engines → exact oracle, all-integer.
+    *
+    * Scale: the block key is the join key — candidate pairs shuffle as an
+    * equi-join, never a cross join; skew = one giant block, handled like
+    * any skewed join key (salting/AQE, q100 family). At 100 TB you'd OR
+    * several complementary blocking keys and prescreen candidates with
+    * the q34 MinHash bands before paying the DP. */
+  def q121FuzzyPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .filter(col("text").isNotNull && col("doc_id") < 2000)
+      .select(col("doc_id"), lower(substring(trim(col("text")), 1, 24)).as("sig"))
+      .withColumn("blk", substring(col("sig"), 1, 4))
+    val a = d.select(col("doc_id").as("id1"), col("sig").as("sig1"), col("blk"))
+    val b = d.select(col("doc_id").as("id2"), col("sig").as("sig2"), col("blk"))
+    a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
+      .withColumn("lev", levenshtein(col("sig1"), col("sig2")).cast("long"))
+      .filter(col("lev") <= 6)
+      .select("id1", "id2", "lev")
+      .orderBy("id1", "id2")
+  }
 }

@@ -1282,6 +1282,29 @@ object Relational {
             |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
   }
 
+  /** Q122 — retention cohort matrix: cohort = each user's FIRST active
+    * day, cell (cohort, offset) = distinct users from that cohort active
+    * `offset` days later — the canonical product-analytics rollup every
+    * event warehouse serves, and the decaying-counts shape (day-0 cohort
+    * size, then attrition) is the non-vacuous part the fixture actually
+    * exhibits. Timestamps µs-truncated then day-bucketed (86,400,000,000
+    * µs), all-integer → hash-exact.
+    *
+    * Scale: ONE shuffle by user_id serves both the cohort min and the
+    * distinct-activity dedup (same key, partial-agg'd map-side); the
+    * (cohort, offset) matrix aggregate is over |users|·|active days| rows
+    * of 3 integers, and the matrix itself is tiny (days × days). */
+  def q122RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000 div 86400000000").as("d"))
+    val cohort = e.groupBy("user_id").agg(min("d").as("cohort_day"))
+    val active = e.distinct()
+    active.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "offset")
+  }
+
   /** Exact discrete median (= quantile_disc(0.5): the value at global rank
     * ⌈n/2⌉ ascending) of integer column `x` per `key`, by HISTOGRAM
     * REFINEMENT: count rows per $1,000 bin (map-side partial agg — only
