@@ -132,7 +132,15 @@ object ScaleDrill {
     * (subdirs `base1x` / `scaled`), then time each query on both,
     * interleaved best-of-two. Returns (name, baseSec, scaledSec) rows.
     * Persisted state is swept between executions exactly like the bench
-    * passes, so one query's working set never pollutes another's ratio. */
+    * passes, so one query's working set never pollutes another's ratio.
+    *
+    * Burst robustness: a query whose first two interleaved pairs land
+    * above `factor` gets ONE extra (base, ×N) pair before the ratio is
+    * final. The drill runs at the END of the bench JVM — a full-GC or host
+    * burst during both ×N timings of one query fakes a quadratic (r7
+    * observed the same q92 ×10 lane at 1.6 s and 12.9 s across two idle
+    * runs); a REAL quadratic fails the extra pair identically, so the
+    * re-measure narrows the false-red window without loosening the gate. */
   def run(s: SparkSession, sfDir: String, outDir: String, factor: Int): Seq[(String, Double, Double)] = {
     val baseDir = s"$outDir/base1x"
     val bigDir = s"$outDir/scaled"
@@ -150,7 +158,12 @@ object ScaleDrill {
     all.map { case (name, fn) =>
       val b1 = once(fn, baseDir); val x1 = once(fn, bigDir)
       val b2 = once(fn, baseDir); val x2 = once(fn, bigDir)
-      (name, math.min(b1, b2), math.min(x1, x2))
+      var (b, x) = (math.min(b1, b2), math.min(x1, x2))
+      if (x > b * factor) {
+        val b3 = once(fn, baseDir); val x3 = once(fn, bigDir)
+        b = math.min(b, b3); x = math.min(x, x3)
+      }
+      (name, b, x)
     }
   }
 
