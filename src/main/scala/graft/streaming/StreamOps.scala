@@ -113,6 +113,44 @@ object StreamOps {
       }
   }
 
+  /** Running per-key count/sum on Spark 4's `transformWithState` — the NEW
+    * arbitrary-state API (`StatefulProcessor` + named typed state variables
+    * + per-state TTL), the successor to flatMapGroupsWithState. Semantics
+    * are IDENTICAL to [[runningPerKey]], and StreamingSpec cross-checks the
+    * two APIs emit the same rows over the same stream — so a user migrating
+    * state code to the new API has both spellings here, verified against
+    * each other.
+    *
+    * Scale notes: requires the RocksDB state store provider (the API's own
+    * contract, and the 100 TB conf anyway — state is hash-partitioned by
+    * key and spills off-heap); `ttl` bounds state to the recently-active
+    * key set exactly like runningPerKey's idle timeout — on an unbounded
+    * key space, no TTL means unbounded state. */
+  def runningPerKeyTws(ds: Dataset[KeyedEvent],
+                       ttl: Option[java.time.Duration] = None): Dataset[KeyRunning] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    val ttlConf = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+    val proc = new StatefulProcessor[String, KeyedEvent, KeyRunning] {
+      @transient private var st: ValueState[KeyRunning] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[KeyRunning]("running",
+          org.apache.spark.sql.Encoders.product[KeyRunning], ttlConf)
+      override def handleInputRows(key: String, rows: Iterator[KeyedEvent],
+                                   tv: TimerValues): Iterator[KeyRunning] = {
+        val prev = if (st.exists()) st.get() else KeyRunning(key, 0L, 0.0)
+        var cnt = prev.count
+        var sum = prev.sum
+        rows.foreach { e => cnt += 1; sum += e.value }
+        val next = KeyRunning(key, cnt, sum)
+        st.update(next)
+        Iterator.single(next)
+      }
+    }
+    ds.groupByKey(_.key)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Per-key admission cap — the streaming twin of the batch quota cap
     * (operators.TextAnalysis.quotaCap): admit at most `k` events per key
     * over the stream's lifetime, drop the rest. State is ONE long per key.

@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pipeline.{RecordGenerator, TransactionalJdbcSink}
 import graft.schema.SchemaBridge
-import graft.streaming.{FunnelEvent, KeyedEvent, StreamOps, StreamingPipeline}
+import graft.streaming.{FunnelEvent, KeyedEvent, KeyRunning, StreamOps, StreamingPipeline}
 
 /** Streaming-layer tests (SURVEY §2.3.9, §5.2): watermarked windows with
   * late-data drop, session windows, stream dedup, explicit keyed state, and
@@ -212,6 +212,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val got = spark.table("rocksadmit")
         .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
       assert(got == Set(("a", 1.0), ("a", 2.0), ("b", 5.0)))
+    } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("runningPerKeyTws (transformWithState) matches the flatMapGroupsWithState spelling") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    // transformWithState requires the RocksDB provider by contract
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batches = Seq(
+        Seq(KeyedEvent("a", ts(1), 1.0), KeyedEvent("a", ts(2), 2.0),
+          KeyedEvent("b", ts(1), 10.0)),
+        Seq(KeyedEvent("a", ts(3), 4.0), KeyedEvent("b", ts(3), 10.0),
+          KeyedEvent("c", ts(4), 7.0)))
+      def runThrough(name: String,
+                     op: org.apache.spark.sql.Dataset[KeyedEvent] =>
+                       org.apache.spark.sql.Dataset[KeyRunning]): Set[(String, Long, Double)] = {
+        val in = MemoryStream[KeyedEvent]
+        val q = op(in.toDS()).toDF().writeStream.format("memory")
+          .queryName(name).outputMode("update").start()
+        try {
+          batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        } finally q.stop()
+        spark.table(name).groupBy("key")
+          .agg(max("count").as("c"), max("sum").as("s"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      }
+      val legacy = runThrough("tws_legacy", ds => StreamOps.runningPerKey(ds))
+      val tws = runThrough("tws_new", ds => StreamOps.runningPerKeyTws(ds))
+      assert(tws == legacy, s"APIs diverged: tws=$tws legacy=$legacy")
+      assert(tws == Set(("a", 3L, 7.0), ("b", 2L, 20.0), ("c", 1L, 7.0)))
     } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
