@@ -58,6 +58,10 @@ object ScaleDrill {
     "q99_winsorized",        // lineitem: sharded two-sided percentile
     "q107_percentile_disc",  // lineitem: built-in percentile_disc (buffer caveat)
     "q112_percentile_disc_sharded", // lineitem: its declared 100 TB spelling
+    "q116_bigram_rarity",    // documents: exploded-bigram self-join — the
+                             // count-table join-back is the classic shape
+                             // that blows up when the head of the Zipf
+                             // distribution shuffles instead of broadcasts
     "q118_mad_outliers")     // lineitem: histogram-refinement medians — the
                              // zero-shuffle quantile plan must show its flat
                              // scaling here, where the shuffle plans can't
