@@ -163,7 +163,10 @@ object ScaleDrill {
       val b1 = once(fn, baseDir); val x1 = once(fn, bigDir)
       val b2 = once(fn, baseDir); val x2 = once(fn, bigDir)
       var (b, x) = (math.min(b1, b2), math.min(x1, x2))
-      if (x > b * factor) {
+      // known-superlinear lanes are recorded, not gated — an extra pair
+      // there buys nothing and the ×N side is the drill's most expensive
+      // timing, so only gated queries earn the re-measure
+      if (x > b * factor && !knownSuperlinear.contains(name)) {
         val b3 = once(fn, baseDir); val x3 = once(fn, bigDir)
         b = math.min(b, b3); x = math.min(x, x3)
       }

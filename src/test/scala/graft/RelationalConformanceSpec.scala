@@ -51,6 +51,11 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
           assert(g == e, s"$name row $i: $g != $e")
         }
       }
+      // operators that pin metadata-sized frames (q111 survivor ids, q118
+      // med/mad) rely on the harness sweep between queries — Bench and
+      // Verify both sweep; this loop runs every query twice (q + s lanes)
+      // and must not accumulate pinned blocks across 244 tests
+      GraftSession.releasePersisted(spark)
     }
   }
 
