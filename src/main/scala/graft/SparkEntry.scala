@@ -468,7 +468,7 @@ object SparkEntry {
     "q115_weighted_sample" -> // A-ES priority -ln(u)/w; u is the md5-derived
       // dyadic uniform both engines compute bit-identically, so the sampled
       // id set replays exactly (float note in the operator's scaladoc)
-      "WITH d AS (SELECT doc_id, source, n_chars + 1 AS w FROM documents WHERE doc_id IS NOT NULL), u AS (SELECT doc_id, source, w, CAST(CAST(concat('0x', substring(md5(concat('q115|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 1 AS DOUBLE) / 4294967297.0 AS u FROM d), p AS (SELECT doc_id, source, w, -ln(u) / w AS pri FROM u), r AS (SELECT source, doc_id, w, ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rnk FROM p) SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, CAST(w AS BIGINT) AS w FROM r WHERE rnk <= 20 ORDER BY source, rnk",
+      "WITH d AS (SELECT doc_id, source, n_chars + 1 AS w FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL), u AS (SELECT doc_id, source, w, CAST(CAST(concat('0x', substring(md5(concat('q115|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 1 AS DOUBLE) / 4294967297.0 AS u FROM d), p AS (SELECT doc_id, source, w, -ln(u) / w AS pri FROM u), r AS (SELECT source, doc_id, w, ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rnk FROM p) SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, CAST(w AS BIGINT) AS w FROM r WHERE rnk <= 20 ORDER BY source, rnk",
     "q116_bigram_rarity" -> // corpus bigram counts joined back per doc;
       // bottom-20 by integer mean corpus frequency (ppm-style div)
       "WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words FROM documents WHERE text IS NOT NULL), db AS (SELECT doc_id, array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 1), ' ') AS bg FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS i FROM w WHERE len(words) >= 2) t), c2 AS (SELECT bg, COUNT(*) AS c2 FROM db GROUP BY bg), pd AS (SELECT doc_id, COUNT(*) AS n_bigrams, MIN(c2) AS min_c2, SUM(c2) AS sum_c2 FROM db JOIN c2 USING (bg) GROUP BY doc_id) SELECT doc_id, n_bigrams, CAST(min_c2 AS BIGINT) AS min_c2, CAST(sum_c2 * 1000000 // n_bigrams AS BIGINT) AS mean_c2_ppm FROM pd ORDER BY mean_c2_ppm, doc_id LIMIT 20",

@@ -137,7 +137,7 @@ object SqlFrontDoor {
       // the 100 TB spelling's dialect surface)
       "WITH li AS (SELECT l_returnflag, l_extendedprice AS v, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem), ls AS (SELECT *, c div 100000 AS sh FROM li), r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag, sh ORDER BY c) AS BIGINT) AS rn FROM ls), st AS (SELECT l_returnflag, sh, MAX(rn) AS shCnt FROM r GROUP BY 1, 2), st2 AS (SELECT l_returnflag, sh, COALESCE(SUM(shCnt) OVER (PARTITION BY l_returnflag ORDER BY sh ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS shPrefix, SUM(shCnt) OVER (PARTITION BY l_returnflag) AS n FROM st), j AS (SELECT r.l_returnflag, r.v, r.rn + st2.shPrefix AS cum, st2.n FROM r JOIN st2 ON r.l_returnflag = st2.l_returnflag AND r.sh = st2.sh) SELECT l_returnflag, MIN(CASE WHEN cum * 4 >= n THEN v END) AS p25, MIN(CASE WHEN cum * 2 >= n THEN v END) AS p50, MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS p90, MAX(n) AS n FROM j GROUP BY l_returnflag ORDER BY l_returnflag",
     "q115_weighted_sample" -> // '0x' hex cast -> conv(,16,10); VARCHAR -> STRING
-      "WITH d AS (SELECT doc_id, source, n_chars + 1 AS w FROM documents WHERE doc_id IS NOT NULL), u AS (SELECT doc_id, source, w, CAST(CAST(conv(substring(md5(concat('q115|', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) + 1 AS DOUBLE) / 4294967297.0 AS u FROM d), p AS (SELECT doc_id, source, w, -ln(u) / w AS pri FROM u), r AS (SELECT source, doc_id, w, ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rnk FROM p) SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, CAST(w AS BIGINT) AS w FROM r WHERE rnk <= 20 ORDER BY source, rnk",
+      "WITH d AS (SELECT doc_id, source, n_chars + 1 AS w FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL), u AS (SELECT doc_id, source, w, CAST(CAST(conv(substring(md5(concat('q115|', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) + 1 AS DOUBLE) / 4294967297.0 AS u FROM d), p AS (SELECT doc_id, source, w, -ln(u) / w AS pri FROM u), r AS (SELECT source, doc_id, w, ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rnk FROM p) SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, CAST(w AS BIGINT) AS w FROM r WHERE rnk <= 20 ORDER BY source, rnk",
     "q116_bigram_rarity" -> // string_split_regex/list_slice/array_to_string/
       // unnest(generate_series)/len/'//'  ->  split/slice/concat_ws/
       // explode(sequence)/size/div

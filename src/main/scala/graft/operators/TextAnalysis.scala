@@ -651,7 +651,11 @@ object TextAnalysis {
     * hash-shard), keep k per shard, then merge the ≤ shards·k survivors);
     * only (id, weight, priority) triples ever shuffle, never text. */
   def q115WeightedSample(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val d = docs(s, dir).filter(col("doc_id").isNotNull)
+    // n_chars null-guard: a NULL weight would make the priority NULL, and
+    // the engines DISAGREE on where NULLs sort ascending (Spark first,
+    // DuckDB last) — the one latent cross-engine divergence in this query,
+    // excluded rather than coalesced so the weight law stays honest
+    val d = docs(s, dir).filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
       .select(col("doc_id"), col("source"), (col("n_chars") + 1).as("w"))
       .withColumn("u",
         (conv(substring(md5(concat(lit("q115|"), col("doc_id").cast("string"))), 1, 8),

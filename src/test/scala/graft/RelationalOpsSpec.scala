@@ -33,7 +33,7 @@ class RelationalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q115: the A-ES sample equals a from-scratch driver recomputation") {
     val k = 20
     val docs = Tables(spark, sfDir, "documents")
-      .filter(col("doc_id").isNotNull)
+      .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
       .select("doc_id", "source", "n_chars").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2) + 1))
     val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
