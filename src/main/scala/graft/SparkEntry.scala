@@ -177,6 +177,14 @@ object SparkEntry {
     "q121_fuzzy_pairs"     -> (graft.operators.Dedup.q121FuzzyPairs _),
     // r7: retention cohort matrix (first-day cohorts × day offsets)
     "q122_retention_cohorts" -> (Relational.q122RetentionCohorts _),
+    // r7 batch 2: TPC-H Q15/Q18/Q22 decorrelation shapes
+    "q123_tpch_q15"        -> (Relational.q123TpchQ15 _),
+    "q124_tpch_q18"        -> (Relational.q124TpchQ18 _),
+    "q125_tpch_q22"        -> (Relational.q125TpchQ22 _),
+    // r7 batch 2: multi-DISTINCT Expand plan; CDC snapshot diff; latest-per-key
+    "q126_multi_distinct"  -> (Relational.q126MultiDistinct _),
+    "q127_snapshot_diff"   -> (Relational.q127SnapshotDiff _),
+    "q128_latest_per_key"  -> (Relational.q128LatestPerKey _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -495,5 +503,24 @@ object SparkEntry {
     "q101_gap_fill" -> // dense hour axis min..max, zero-filled; gap runs via
       // the q88 island trick; single row out, gaps may be 0 at dense SFs
       "WITH hrs AS (SELECT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS hb, COUNT(*) AS n FROM events GROUP BY 1), b AS (SELECT MIN(hb) AS lo, MAX(hb) AS hi FROM hrs), dense AS (SELECT unnest(generate_series(lo, hi, 3600000000000)) AS hb FROM b), f AS (SELECT d.hb, COALESCE(n, 0) AS n FROM dense d LEFT JOIN hrs ON d.hb = hrs.hb), g AS (SELECT hb FROM f WHERE n = 0), r AS (SELECT hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM g), runs AS (SELECT grp, COUNT(*) AS run FROM r GROUP BY grp), gs AS (SELECT COUNT(*) AS n_gap_runs, COALESCE(MAX(run), 0) AS max_gap_run FROM runs) SELECT (SELECT COUNT(*) FROM f) AS n_hours, (SELECT COUNT(*) FROM f WHERE n > 0) AS n_data_hours, (SELECT COUNT(*) FROM f WHERE n = 0) AS n_gap_hours, CAST(n_gap_runs AS BIGINT) AS n_gap_runs, CAST(max_gap_run AS BIGINT) AS max_gap_run FROM gs",
+    "q123_tpch_q15" -> // aggregated view probed by a scalar MAX over itself;
+      // DECIMAL-then-ROUND makes the `=` compare two identical doubles
+      "WITH revenue AS (SELECT l_suppkey AS supplier_no, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS total_revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_suppkey) SELECT supplier_no, total_revenue FROM revenue WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue) ORDER BY supplier_no",
+    "q124_tpch_q18" -> // IN over a HAVING-filtered aggregate -> left-semi;
+      // total ORDER BY (qty DESC then unique orderkey) under the LIMIT
+      "SELECT c.c_custkey, o.o_orderkey, CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_qty FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey JOIN lineitem l ON o.o_orderkey = l.l_orderkey WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 280) GROUP BY c.c_custkey, o.o_orderkey ORDER BY total_qty DESC, o.o_orderkey LIMIT 50",
+    "q125_tpch_q22" -> // scalar AVG bound + NOT EXISTS anti-join; code is
+      // derived (no phone col in the fixture) — plan shape is the point
+      "SELECT c_nationkey % 10 AS code, COUNT(*) AS numcust, CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal FROM customer c WHERE c_nationkey % 10 IN (0, 1, 2, 3, 4, 5, 6) AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (0, 1, 2, 3, 4, 5, 6)) AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00') GROUP BY c_nationkey % 10 ORDER BY code",
+    "q126_multi_distinct" -> // three DISTINCT aggregates beside COUNT(*):
+      // the Expand-rewrite plan; distinct-mod domain value-bounded (<1000)
+      "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(DISTINCT o_orderpriority) AS n_prio, CAST(SUM(DISTINCT CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 100, 0) AS BIGINT) % 1000) AS BIGINT) AS dist_mod_sum, COUNT(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q127_snapshot_diff" -> // full-outer reconciliation of two deterministic
+      // snapshot slices; drift injected on 11Z so 'changed' is non-empty
+      "WITH a AS (SELECT o_orderkey AS k, CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 100, 0) AS BIGINT) AS ca FROM orders WHERE o_orderkey % 7 <> 0), b AS (SELECT o_orderkey AS k, CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 100, 0) AS BIGINT) + CASE WHEN o_orderkey % 11 = 0 THEN 1000 ELSE 0 END AS cb FROM orders WHERE o_orderkey % 5 <> 0), j AS (SELECT COALESCE(a.k, b.k) AS k, ca, cb FROM a FULL JOIN b ON a.k = b.k), c AS (SELECT k, CASE WHEN ca IS NULL THEN 'added' WHEN cb IS NULL THEN 'removed' WHEN ca <> cb THEN 'changed' ELSE 'same' END AS status FROM j) SELECT status, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum FROM c GROUP BY status ORDER BY status",
+    "q128_latest_per_key" -> // the oracle spells ROW_NUMBER()=1; the engine
+      // lane is max(struct) partial-agg — same semantics, fewer shuffled
+      // bytes (see the operator's scale note); µs truncation contract
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events), r AS (SELECT user_id, t, event_id, event_type, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rn FROM e) SELECT user_id, t AS last_t_us, event_id AS last_event_id, event_type AS last_event_type FROM r WHERE rn = 1 ORDER BY user_id",
   )
 }

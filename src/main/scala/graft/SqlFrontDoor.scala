@@ -150,6 +150,12 @@ object SqlFrontDoor {
       "WITH li AS (SELECT l_returnflag AS f, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem), med AS (SELECT f, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT) AS med_cents FROM li GROUP BY f), dev AS (SELECT li.f, c, med_cents, abs(c - med_cents) AS d FROM li JOIN med USING (f)), mad AS (SELECT f, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS BIGINT) AS mad_cents FROM dev GROUP BY f) SELECT f AS l_returnflag, MAX(med_cents) AS med_cents, MAX(mad_cents) AS mad_cents, COUNT(*) AS n, CAST(SUM(CASE WHEN d * 2 > 3 * mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers FROM dev JOIN mad USING (f) GROUP BY f ORDER BY f",
     "q122_retention_cohorts" -> // epoch_us(ts) // N -> ts div 1000 div N
       "WITH e AS (SELECT user_id, ts div 1000 div 86400000000 AS d FROM events), c AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id), a AS (SELECT DISTINCT user_id, d FROM e) SELECT cohort_day, d - cohort_day AS offset, COUNT(DISTINCT a.user_id) AS n_users FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2",
+    "q123_tpch_q15" -> // TIMESTAMP literal vs timestamp_ntz column
+      "WITH revenue AS (SELECT l_suppkey AS supplier_no, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS total_revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP_NTZ '1996-04-01 00:00:00' GROUP BY l_suppkey) SELECT supplier_no, total_revenue FROM revenue WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue) ORDER BY supplier_no",
+    "q125_tpch_q22" -> // TIMESTAMP literal vs timestamp_ntz column
+      "SELECT c_nationkey % 10 AS code, COUNT(*) AS numcust, CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal FROM customer c WHERE c_nationkey % 10 IN (0, 1, 2, 3, 4, 5, 6) AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (0, 1, 2, 3, 4, 5, 6)) AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP_NTZ '1998-01-01 00:00:00') GROUP BY c_nationkey % 10 ORDER BY code",
+    "q128_latest_per_key" -> // epoch_us(ts) -> ts div 1000 (µs contract)
+      "WITH e AS (SELECT user_id, ts div 1000 AS t, event_id, event_type FROM events), r AS (SELECT user_id, t, event_id, event_type, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rn FROM e) SELECT user_id, t AS last_t_us, event_id AS last_event_id, event_type AS last_event_type FROM r WHERE rn = 1 ORDER BY user_id",
     "q53_char_ngram_jaccard" -> // range() lateral -> explode(sequence)
       "WITH w AS (SELECT doc_id, substring(text, i, 3) AS word FROM (SELECT doc_id, text, explode(sequence(1, length(text) - 2)) AS i FROM documents WHERE doc_id < 20)), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
   )

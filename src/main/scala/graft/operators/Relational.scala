@@ -1384,4 +1384,174 @@ object Relational {
           .cast("long").as("n_outliers"))
       .orderBy("l_returnflag")
   }
+
+  /** Q123 — TPC-H Q15 shape: an aggregated view (quarterly revenue per
+    * supplier) probed by a scalar MAX subquery over ITSELF ("the top
+    * supplier(s)"). The decorrelation stress beyond q102: the subquery's
+    * input is not a base table but the same derived aggregate — Catalyst
+    * must plan the view once, aggregate it to a 1-row MAX, and broadcast
+    * that scalar back as a filter; a naive evaluator re-derives the whole
+    * revenue aggregation per probe row. Revenue sums run in DECIMAL then
+    * ROUND → the compared double is fully determined (the `=` against the
+    * MAX compares two identically-derived rounded values, so the predicate
+    * is cross-engine exact).
+    *
+    * Scale: one shuffle of the date-filtered lineitem slice by l_suppkey
+    * (partial-agg'd map-side to |suppliers| rows); everything downstream of
+    * that aggregate is supplier-cardinality. The filter reaches the scan
+    * (shipdate min/max row-group skipping). */
+  def q123TpchQ15(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""WITH revenue AS (
+            |  SELECT l_suppkey AS supplier_no,
+            |         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+            |                        (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)
+            |           AS total_revenue
+            |  FROM lineitem
+            |  WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+            |    AND l_shipdate <  TIMESTAMP_NTZ '1996-04-01 00:00:00'
+            |  GROUP BY l_suppkey)
+            |SELECT supplier_no, total_revenue FROM revenue
+            |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+            |ORDER BY supplier_no""".stripMargin)
+  }
+
+  /** Q124 — TPC-H Q18 shape (large-volume orders): `o_orderkey IN (… GROUP
+    * BY … HAVING SUM(qty) > 280)` — the IN-over-aggregated-HAVING pattern.
+    * RewritePredicateSubquery plans the IN as a left-semi join against the
+    * HAVING-filtered aggregate; the outer 3-way join then re-aggregates the
+    * surviving orders. Quantity sums in DECIMAL → ROUND → exact.
+    *
+    * Scale: the HAVING aggregate is one partial-agg'd shuffle of lineitem
+    * by l_orderkey to |orders| rows, filtered to the rare heavy tail BEFORE
+    * the semi join — so the expensive 3-way join runs only over qualifying
+    * orders (84 of 15k at sf0.01). Top-k is TakeOrderedAndProject (no
+    * global sort). */
+  def q124TpchQ18(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""SELECT c.c_custkey, o.o_orderkey,
+            |       CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_qty
+            |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+            |     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+            |                       GROUP BY l_orderkey HAVING SUM(l_quantity) > 280)
+            |GROUP BY c.c_custkey, o.o_orderkey
+            |ORDER BY total_qty DESC, o.o_orderkey LIMIT 50""".stripMargin)
+  }
+
+  /** Q125 — TPC-H Q22 shape (global sales opportunity): an UNCORRELATED
+    * scalar AVG subquery as a filter bound plus a correlated NOT EXISTS
+    * anti-join, composed in one WHERE. The customer fixture carries no
+    * phone column, so the "country code" is derived (`c_nationkey % 10`) —
+    * the plan shape (scalar broadcast + left-anti on o_custkey with the
+    * date predicate UNDER the join) is the point, and "no order since
+    * 1998" keeps the anti-join non-vacuous in this fixture (8 such
+    * customers at sf0.01). Money in DECIMAL → exact.
+    *
+    * Scale: the AVG is a 1-row broadcast; the NOT EXISTS is a left-anti
+    * join keyed on custkey whose orders side is date-filtered at the scan
+    * (pushdown) before shuffling — never a per-customer probe. */
+  def q125TpchQ22(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""SELECT c_nationkey % 10 AS code, COUNT(*) AS numcust,
+            |       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+            |FROM customer c
+            |WHERE c_nationkey % 10 IN (0, 1, 2, 3, 4, 5, 6)
+            |  AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+            |                   WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (0, 1, 2, 3, 4, 5, 6))
+            |  AND NOT EXISTS (SELECT 1 FROM orders o
+            |                  WHERE o.o_custkey = c.c_custkey
+            |                    AND o.o_orderdate >= TIMESTAMP_NTZ '1998-01-01 00:00:00')
+            |GROUP BY c_nationkey % 10
+            |ORDER BY code""".stripMargin)
+  }
+
+  /** Q126 — multiple DISTINCT aggregates beside a plain one in a single
+    * GROUP BY: COUNT(DISTINCT custkey), COUNT(DISTINCT priority),
+    * SUM(DISTINCT cents % 1000), COUNT(*). Catalyst rewrites this with
+    * EXPAND — each input row is replicated once per distinct group (+1 for
+    * the plain aggregates), tagged with a grouping id, then two aggregate
+    * passes dedup and combine. The distinct-mod domain is value-bounded
+    * (< 1000 residues) so the SUM(DISTINCT) is hash-exact.
+    *
+    * Scale: Expand multiplies the shuffled bytes by (n_distincts + 1) —
+    * the documented cost of the one-pass spelling. At 100 TB with many
+    * distinct clauses the right alternative is per-clause two-phase
+    * pre-aggregation (dedup each (group, expr) pair map-side first, as
+    * q09's single-distinct plan does automatically); with 3 clauses over
+    * narrow integer columns the 4× expand of a projected 3-column input
+    * is the cheaper plan, and partial aggregation still combines map-side
+    * within each replica. */
+  def q126MultiDistinct(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_custkey"), col("o_orderpriority"),
+        (cents(col("o_totalprice")) % 1000).as("mod_cents"))
+      .groupBy("o_orderstatus")
+      .agg(countDistinct("o_custkey").as("n_cust"),
+        countDistinct("o_orderpriority").as("n_prio"),
+        sum_distinct(col("mod_cents")).cast("long").as("dist_mod_sum"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Q127 — CDC snapshot diff: classify every key across two table
+    * snapshots as added / removed / changed / same via ONE full-outer join
+    * (the reconciliation step behind every warehouse sync and the
+    * reference's exactly-once landing audit — "did replay change anything").
+    * Snapshots are deterministic slices of orders (A = keys ∉ 7ℤ, B = keys
+    * ∉ 5ℤ with an injected +1000-cent price drift on 11ℤ), so all four
+    * classes are non-empty and the comparison runs on exact integer cents.
+    *
+    * Scale: one shuffle of each snapshot by key into a single full-outer
+    * sort-merge join, then a 4-row aggregate; the CASE classification is a
+    * projection. No window, no driver loop; AQE handles the (unskewed)
+    * key space. At 100 TB the same plan holds — the diff is join-bound,
+    * and bucketing both snapshots by key (ParquetLayout) removes even
+    * that shuffle. */
+  def q127SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("ca"))
+    val b = o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        (cents(col("o_totalprice")) +
+          when(col("o_orderkey") % 11 === 0, 1000L).otherwise(0L)).as("cb"))
+    a.join(b, Seq("k"), "full")
+      .select(col("k"),
+        when(col("ca").isNull, "added")
+          .when(col("cb").isNull, "removed")
+          .when(col("ca") =!= col("cb"), "changed")
+          .otherwise("same").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sum("k").cast("long").as("key_sum"))
+      .orderBy("status")
+  }
+
+  /** Q128 — latest row per key ("current state" materialization): each
+    * user's most recent event by (t, event_id), the dedup-by-recency every
+    * CDC consumer and feature store runs over its change stream — and the
+    * batch twin of the reference consumer's per-key last-write-wins landing
+    * order (AvroProducer.java:79-83 guarantees per-key arrival order; this
+    * recovers the same "current row" from an unordered lake).
+    *
+    * Spelled as `max(struct(t, event_id, payload…))` — a PARTIAL-AGGREGABLE
+    * reduction: every map task combines down to |its keys| structs before
+    * the single |users|-row shuffle. The ROW_NUMBER()=1 window spelling
+    * (the oracle's) shuffles and sorts EVERY event row by user — identical
+    * semantics, ~|events|/|users|× more shuffled bytes; at 100 TB the agg
+    * spelling is the only one that survives, which is why the engine lane
+    * and the oracle lane deliberately differ. Struct comparison orders by
+    * (t, event_id) first — a total order (event_id unique), so the trailing
+    * payload field never decides and the result is deterministic. */
+  def q128LatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("t"),
+        col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(max(struct(col("t"), col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.t").as("last_t_us"),
+        col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_event_type"))
+      .orderBy("user_id")
+  }
 }
