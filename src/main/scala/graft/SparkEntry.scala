@@ -511,7 +511,7 @@ object SparkEntry {
       "SELECT c.c_custkey, o.o_orderkey, CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_qty FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey JOIN lineitem l ON o.o_orderkey = l.l_orderkey WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 280) GROUP BY c.c_custkey, o.o_orderkey ORDER BY total_qty DESC, o.o_orderkey LIMIT 50",
     "q125_tpch_q22" -> // scalar AVG bound + NOT EXISTS anti-join; code is
       // derived (no phone col in the fixture) — plan shape is the point
-      "SELECT c_nationkey % 10 AS code, COUNT(*) AS numcust, CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal FROM customer c WHERE c_nationkey % 10 IN (0, 1, 2, 3, 4, 5, 6) AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (0, 1, 2, 3, 4, 5, 6)) AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00') GROUP BY c_nationkey % 10 ORDER BY code",
+      "SELECT c_nationkey % 10 AS code, COUNT(*) AS numcust, CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal FROM customer c WHERE c_nationkey % 10 IN (0, 1, 2, 3, 4, 5, 6) AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (0, 1, 2, 3, 4, 5, 6)) AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') GROUP BY c_nationkey % 10 ORDER BY code",
     "q126_multi_distinct" -> // three DISTINCT aggregates beside COUNT(*):
       // the Expand-rewrite plan; distinct-mod domain value-bounded (<1000)
       "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(DISTINCT o_orderpriority) AS n_prio, CAST(SUM(DISTINCT CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 100, 0) AS BIGINT) % 1000) AS BIGINT) AS dist_mod_sum, COUNT(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",

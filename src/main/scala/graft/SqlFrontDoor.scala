@@ -153,7 +153,7 @@ object SqlFrontDoor {
     "q123_tpch_q15" -> // TIMESTAMP literal vs timestamp_ntz column
       "WITH revenue AS (SELECT l_suppkey AS supplier_no, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS total_revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP_NTZ '1996-04-01 00:00:00' GROUP BY l_suppkey) SELECT supplier_no, total_revenue FROM revenue WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue) ORDER BY supplier_no",
     "q125_tpch_q22" -> // TIMESTAMP literal vs timestamp_ntz column
-      "SELECT c_nationkey % 10 AS code, COUNT(*) AS numcust, CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal FROM customer c WHERE c_nationkey % 10 IN (0, 1, 2, 3, 4, 5, 6) AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (0, 1, 2, 3, 4, 5, 6)) AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP_NTZ '1998-01-01 00:00:00') GROUP BY c_nationkey % 10 ORDER BY code",
+      "SELECT c_nationkey % 10 AS code, COUNT(*) AS numcust, CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal FROM customer c WHERE c_nationkey % 10 IN (0, 1, 2, 3, 4, 5, 6) AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (0, 1, 2, 3, 4, 5, 6)) AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP_NTZ '1999-01-01 00:00:00') GROUP BY c_nationkey % 10 ORDER BY code",
     "q128_latest_per_key" -> // epoch_us(ts) -> ts div 1000 (µs contract)
       "WITH e AS (SELECT user_id, ts div 1000 AS t, event_id, event_type FROM events), r AS (SELECT user_id, t, event_id, event_type, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rn FROM e) SELECT user_id, t AS last_t_us, event_id AS last_event_id, event_type AS last_event_type FROM r WHERE rn = 1 ORDER BY user_id",
     "q53_char_ngram_jaccard" -> // range() lateral -> explode(sequence)

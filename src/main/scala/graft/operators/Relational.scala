@@ -1445,8 +1445,8 @@ object Relational {
     * phone column, so the "country code" is derived (`c_nationkey % 10`) —
     * the plan shape (scalar broadcast + left-anti on o_custkey with the
     * date predicate UNDER the join) is the point, and "no order since
-    * 1998" keeps the anti-join non-vacuous in this fixture (8 such
-    * customers at sf0.01). Money in DECIMAL → exact.
+    * 1999" keeps the anti-join non-vacuous at every fixture SF (2 such
+    * customers at sf0.001, 10 at sf0.01). Money in DECIMAL → exact.
     *
     * Scale: the AVG is a 1-row broadcast; the NOT EXISTS is a left-anti
     * join keyed on custkey whose orders side is date-filtered at the scan
@@ -1461,7 +1461,7 @@ object Relational {
             |                   WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (0, 1, 2, 3, 4, 5, 6))
             |  AND NOT EXISTS (SELECT 1 FROM orders o
             |                  WHERE o.o_custkey = c.c_custkey
-            |                    AND o.o_orderdate >= TIMESTAMP_NTZ '1998-01-01 00:00:00')
+            |                    AND o.o_orderdate >= TIMESTAMP_NTZ '1999-01-01 00:00:00')
             |GROUP BY c_nationkey % 10
             |ORDER BY code""".stripMargin)
   }
@@ -1536,13 +1536,17 @@ object Relational {
     *
     * Spelled as `max(struct(t, event_id, payload…))` — a PARTIAL-AGGREGABLE
     * reduction: every map task combines down to |its keys| structs before
-    * the single |users|-row shuffle. The ROW_NUMBER()=1 window spelling
-    * (the oracle's) shuffles and sorts EVERY event row by user — identical
-    * semantics, ~|events|/|users|× more shuffled bytes; at 100 TB the agg
-    * spelling is the only one that survives, which is why the engine lane
-    * and the oracle lane deliberately differ. Struct comparison orders by
-    * (t, event_id) first — a total order (event_id unique), so the trailing
-    * payload field never decides and the result is deterministic. */
+    * the single |users|-row shuffle. Struct max has no mutable hash-agg
+    * buffer, so Catalyst plans partial+final SortAggregate — the map-side
+    * sort is LOCAL (no exchange feeds it) and only |keys| structs cross
+    * the wire (PlanAuditSpec pins 2 SortAggregates, 1 shuffle, 0 windows).
+    * The ROW_NUMBER()=1 window spelling (the oracle's) shuffles and sorts
+    * EVERY event row by user — identical semantics, ~|events|/|users|×
+    * more shuffled bytes; at 100 TB the agg spelling is the only one that
+    * survives, which is why the engine lane and the oracle lane
+    * deliberately differ. Struct comparison orders by (t, event_id)
+    * first — a total order (event_id unique), so the trailing payload
+    * field never decides and the result is deterministic. */
   def q128LatestPerKey(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events")
       .select(col("user_id"), expr("ts div 1000").as("t"),

@@ -439,6 +439,41 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the decorrelated window rank:\n$plan")
   }
 
+  test("q124 TPC-H Q18: HAVING-IN plans as a semi join; top-k never global-sorts") {
+    val plan = planString(graft.operators.Relational.q124TpchQ18(spark, sfDir))
+    assert(!plan.toLowerCase.contains("subquery"),
+      s"residual per-row subquery in plan:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"IN over the HAVING aggregate must plan as a semi join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ORDER BY+LIMIT must plan as top-k, not a global sort:\n$plan")
+  }
+
+  test("q126 multi-DISTINCT: one Expand, hash aggregation throughout") {
+    val plan = planString(graft.operators.Relational.q126MultiDistinct(spark, sfDir))
+    // the one-pass multi-distinct rewrite: exactly one Expand replica step;
+    // all aggregate levels stay hash (narrow integer keys — a SortAggregate
+    // here would mean the distinct exprs stopped being hashable)
+    assert("Expand \\[".r.findAllIn(plan).size == 1,
+      s"expected exactly one Expand:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"multi-distinct fell out of hash aggregation:\n$plan")
+  }
+
+  test("q128 latest-per-key: partial+final agg, one shuffle, zero windows") {
+    val df = graft.operators.Relational.q128LatestPerKey(spark, sfDir)
+    val plan = planString(df)
+    // the scale contract vs the oracle's ROW_NUMBER()=1 spelling: struct
+    // max plans as partial+final SortAggregate (no mutable hash buffer),
+    // the map-side sort is LOCAL, and only |keys| structs cross the wire
+    assert(!plan.contains("Window"),
+      s"latest-per-key must not run as a window rank:\n$plan")
+    assert("SortAggregate\\(".r.findAllIn(plan).size == 2,
+      s"expected partial+final SortAggregate pair:\n$plan")
+    assert(countShuffles(df) <= 2, // agg exchange + output range sort
+      s"latest-per-key shuffles more than agg+sort:\n$plan")
+  }
+
   test("q118 MAD: the fact table is never shuffled or row-sorted") {
     val df = graft.operators.Relational.q118MadOutliers(spark, sfDir)
     // every shuffle in the plan must carry count/mark rows, never the fact
