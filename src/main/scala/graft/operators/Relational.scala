@@ -1267,15 +1267,27 @@ object Relational {
     * replays the identical text. */
   def q120RecursiveChain(s: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerAll(s, dir)
-    s.sql("""WITH RECURSIVE succ AS (
-            |  SELECT o_custkey AS ck, o_orderkey AS ok,
-            |         LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt
-            |  FROM orders
-            |), chain AS (
-            |  SELECT ck, MIN(ok) AS ok, 1 AS depth FROM succ GROUP BY ck
+    // the edge table is referenced by EVERY recursion level, and a CTE is
+    // inlined per reference — left inline, each of the ~8 UnionLoop
+    // iterations re-runs the LEAD window over all of orders (8× the scan +
+    // shuffle + sort for an edge set that never changes). Materialize it
+    // ONCE behind a cached view: per level the recursion is then a hash
+    // join of the shrinking frontier against pinned (ck, ok, nxt) triples
+    // — 3 longs per order, released by the harness sweep
+    // (GraftSession.releasePersisted between queries).
+    // The s120 SQL-text twin keeps the inline CTE: identical rows (the
+    // conformance pin), one engine-planned statement — the cache is an
+    // executor-side economy, not a semantic fork.
+    s.sql("""SELECT o_custkey AS ck, o_orderkey AS ok,
+            |       LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt
+            |FROM orders""".stripMargin)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .createOrReplaceTempView("q120_succ")
+    s.sql("""WITH RECURSIVE chain AS (
+            |  SELECT ck, MIN(ok) AS ok, 1 AS depth FROM q120_succ GROUP BY ck
             |  UNION ALL
             |  SELECT s.ck, s.nxt AS ok, c.depth + 1 AS depth
-            |  FROM chain c JOIN succ s ON s.ck = c.ck AND s.ok = c.ok
+            |  FROM chain c JOIN q120_succ s ON s.ck = c.ck AND s.ok = c.ok
             |  WHERE s.nxt IS NOT NULL AND c.depth < 8
             |)
             |SELECT depth, COUNT(*) AS n, CAST(SUM(ok) AS BIGINT) AS key_sum
