@@ -62,9 +62,18 @@ object ScaleDrill {
                              // count-table join-back is the classic shape
                              // that blows up when the head of the Zipf
                              // distribution shuffles instead of broadcasts
-    "q118_mad_outliers")     // lineitem: histogram-refinement medians — the
+    "q118_mad_outliers",     // lineitem: histogram-refinement medians — the
                              // zero-shuffle quantile plan must show its flat
                              // scaling here, where the shuffle plans can't
+    "q124_tpch_q18",         // lineitem×orders×customer: the drill's only
+                             // multi-way join lane — semi-join pre-filter +
+                             // 3-way join must scale with the FILTERED side
+    "q127_snapshot_diff",    // orders: full-outer reconciliation — SMJ both
+                             // sides, the join-bound shape with no dim to
+                             // broadcast
+    "q128_latest_per_key")   // events: partial SortAggregate of max(struct) —
+                             // the |keys|-shuffle contract vs the window
+                             // spelling, measured not just plan-pinned
 
   /** Drill lanes measured for VISIBILITY but EXPECTED superlinear: the ratio
     * is a documented property of the spelling, not a regression, so Bench

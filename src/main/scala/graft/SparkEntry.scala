@@ -185,6 +185,11 @@ object SparkEntry {
     "q126_multi_distinct"  -> (Relational.q126MultiDistinct _),
     "q127_snapshot_diff"   -> (Relational.q127SnapshotDiff _),
     "q128_latest_per_key"  -> (Relational.q128LatestPerKey _),
+    // r7 batch 2: mergeable HLL sketch rollup — sketch once at the finest
+    // grain, answer coarser rollups by merging (rows-only: DataSketches
+    // HLL is engine-internal; s129 replays the identical statement and
+    // RelationalOpsSpec pins the estimates inside lgK=12 error)
+    "q129_hll_rollup"      -> (Relational.q129HllRollup _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):

@@ -304,6 +304,9 @@ object SqlFrontDoor {
   }
 
   val rowsOnlySql: Map[String, String] = Map(
+    "q129_hll_rollup" -> // DataSketches HLL: identical statement both
+      // lanes (deterministic — register-max updates are commutative)
+      "WITH leaf AS (SELECT o_orderstatus, o_orderpriority, hll_sketch_agg(o_custkey, 12) AS sk FROM orders GROUP BY 1, 2), est AS (SELECT o_orderstatus, COUNT(*) AS n_leaves, hll_sketch_estimate(hll_union_agg(sk, false)) AS est_nd FROM leaf GROUP BY 1), exact AS (SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_nd FROM orders GROUP BY 1) SELECT est.o_orderstatus, n_leaves, est_nd, exact_nd, CAST(abs(est_nd - exact_nd) * 1000 / exact_nd AS BIGINT) AS err_ppt FROM est JOIN exact ON est.o_orderstatus = exact.o_orderstatus ORDER BY est.o_orderstatus",
     "q113_pq_recall" -> pqSql,
     "q114_ivfpq_recall" -> ivfPqSql,
     "q25_hash_bucket" -> // Spark Murmur3 hash() — no DuckDB twin by design

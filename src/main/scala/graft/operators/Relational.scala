@@ -1570,4 +1570,43 @@ object Relational {
         col("m.event_type").as("last_event_type"))
       .orderBy("user_id")
   }
+
+  /** Q129 — mergeable HLL sketch rollup: per-(status, priority) leaf
+    * sketches of distinct custkeys (`hll_sketch_agg`, Apache DataSketches
+    * HLL_8, lgK=12), merged UP to status level with `hll_union_agg` and
+    * estimated — beside the exact COUNT(DISTINCT) and an integer
+    * parts-per-thousand error. This is THE 100 TB distinct-counting
+    * pattern: sketch once at the finest grain (a few KB per group however
+    * many rows), then answer every coarser rollup by MERGING sketches —
+    * no re-scan, no re-shuffle of raw keys, union is associative so
+    * partial merges distribute freely. q09/q122's exact distincts re-scan
+    * per grain; q49's approx_count_distinct estimates one grain and can't
+    * roll up. The estimate is deterministic (register-max updates are
+    * commutative; the sketch is a pure function of the key SET), so the
+    * error column is hash-stable — but engine-internal (DuckDB carries no
+    * compatible sketch), hence rows-only with the s129 twin replaying the
+    * identical statement, and RelationalOpsSpec asserting the estimates
+    * land within HLL lgK=12 theoretical error of exact.
+    *
+    * Scale: leaf sketching is a partial-aggregable shuffle of (status,
+    * priority, key) — and the rollup merge moves ~|leaf groups| sketches
+    * of ≤4 KB, not keys. The exact lane (for the error audit) pays the
+    * usual distinct re-shuffle; a production rollup ships only the
+    * sketches. */
+  def q129HllRollup(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val leaf = o.groupBy("o_orderstatus", "o_orderpriority")
+      .agg(hll_sketch_agg(col("o_custkey"), 12).as("sk"))
+    val est = leaf.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_leaves"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), false)).as("est_nd"))
+    val exact = o.groupBy("o_orderstatus")
+      .agg(countDistinct("o_custkey").as("exact_nd"))
+    est.join(exact, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n_leaves"), col("est_nd"),
+        col("exact_nd"),
+        (abs(col("est_nd") - col("exact_nd")) * 1000 / col("exact_nd"))
+          .cast("long").as("err_ppt"))
+      .orderBy("o_orderstatus")
+  }
 }

@@ -97,4 +97,17 @@ class RelationalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(got == expected, s"MAD stats diverged: $got vs $expected")
   }
+
+  test("q129: merged HLL estimates land within lgK=12 error of exact") {
+    val rows = Relational.q129HllRollup(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no rollup rows")
+    rows.foreach { r =>
+      val (status, est, exact) = (r.getString(0), r.getLong(2), r.getLong(3))
+      // HLL_8 at lgK=12: RSE ≈ 1.04/√4096 ≈ 1.6%; 3σ ≈ 5% — a merge bug
+      // (e.g. double-counting registers) lands far outside this band
+      assert(math.abs(est - exact) <= math.max(3, (exact * 0.05).toLong),
+        s"$status: estimate $est vs exact $exact outside the 5% band")
+      assert(r.getLong(1) > 0, "leaf count must be positive")
+    }
+  }
 }
