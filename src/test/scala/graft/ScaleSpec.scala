@@ -132,6 +132,38 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.count() == expect)
   }
 
+  test("z-order layout: per-file min/max stay tight on BOTH dimensions") {
+    import graft.sources.ParquetLayout
+    val e = Tables(spark, sfDir, "events").select("user_id", "ts", "event_id")
+    val tmp = java.nio.file.Files.createTempDirectory("graftz").toString
+    val zdir = s"$tmp/zorder"; val sdir = s"$tmp/sorted"
+    ParquetLayout.writeZOrdered(e, zdir, "user_id", "ts", nFiles = 16)
+    // the comparison layout: same file count, clustered on user_id only
+    e.repartitionByRange(16, col("user_id")).sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(sdir)
+    // avg per-file (max−min)/global-span — the quantity row-group min/max
+    // skipping actually prunes on. No plan text: this measures the FILES.
+    def avgWidth(path: String, c: String): Double = {
+      val d = spark.read.parquet(path)
+      val g = d.agg((max(col(c)) - min(col(c))).cast("double")).head.getDouble(0)
+      d.groupBy(input_file_name())
+        .agg(((max(col(c)) - min(col(c))).cast("double") / g).as("w"))
+        .agg(avg("w")).head.getDouble(0)
+    }
+    // 16 z-tiles ⇒ each file covers ~1/√16 = 1/4 of EACH dimension (+slop
+    // for range-sample boundaries and the 150-user granularity at sf0.001)
+    assert(avgWidth(zdir, "user_id") < 0.6,
+      "z-order: user_id not clustered within files")
+    assert(avgWidth(zdir, "ts") < 0.6,
+      "z-order: ts not clustered within files")
+    // the single-column sort serves user_id BETTER (tighter on its one
+    // dimension — that is the trade) but carries the FULL time span in
+    // every file: a time predicate skips nothing there
+    assert(avgWidth(sdir, "user_id") < 0.3, "sorted baseline lost its own key")
+    assert(avgWidth(sdir, "ts") > 0.8,
+      "single-column sort should NOT cluster ts (else the test is vacuous)")
+  }
+
   test("dynamic partition pruning: a dim-side filter prunes fact directories at runtime") {
     import graft.sources.ParquetLayout
     // AQE off for this test only: the fact-side FileSourceScanExec must be
