@@ -357,11 +357,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("events.parquet file-streams through a tumbling window (real test data)") {
     val sfDir = "/root/testdata/sf0.001"
     val batch = Tables(spark, sfDir, "events")
-    // file stream sources watch a DIRECTORY; stage the single-file table
+    // file stream sources watch a DIRECTORY; stage the table through Tables
+    // (NOT a raw file copy) so the staged copy carries the engine's
+    // normalized bigint `ts` — the raw file's physical type is the driver's
+    // choice (nanos through r6, micros since the r7 regen) and a raw copy
+    // read under batch.schema would mis-type the column
     val dir = java.nio.file.Files.createTempDirectory("graftevents")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
+    batch.coalesce(1).write.mode("overwrite").parquet(dir.toString)
     val stream = StreamingPipeline.fileSource(
       spark, dir.toString, batch.schema, maxFilesPerTrigger = 1)
       .withColumn("tst", StreamOps.nanosToTimestamp(col("ts")))
