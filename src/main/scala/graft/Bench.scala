@@ -150,8 +150,23 @@ object Bench {
     try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"scale_drill":{"factor":$drillFactor,"queries":$drillJson,"known_superlinear":$drillKnownJson},"queries":$detail,"failures":$failJson,"sf":"$sfDir"}""")
     finally pw.close()
 
-    println(f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x) => x / math.max(b, 1e-9) }.max}%.2f,"sf":"$sfDir","detail":"$detailPath"}""")
+    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x) => x / math.max(b, 1e-9) }.max}%.2f,"sf":"$sfDir","detail":"$detailPath"}"""
+    // The summary survives in THREE places so no capture window can lose it
+    // (r8's artifact held a log-noise tail and parsed:null):
+    //  1. a file the judge can always read back,
+    //  2. stdout printed AFTER spark.stop() — the session's shutdown logging
+    //     is done, so the JSON line is the LAST output of the run and sits
+    //     inside any tail-capture window,
+    //  3. and a nonzero exit code whenever failures[] is non-empty, so a
+    //     broken run can never masquerade as rc=0 green.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_summary.json"), summary + "\n")
     spark.stop()
+    println(summary)
+    System.out.flush()
+    if (failures.nonEmpty) {
+      System.err.println(s"[bench] ${failures.size} failures: ${failures.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 
   /** Pipeline throughput (BASELINE.md planned metric): generate → Confluent-

@@ -97,8 +97,13 @@ object Tables {
     relCache.keySet.foreach(k => if (k.sparkContext.isStopped) relCache.remove(k))
     val perSession = relCache.getOrElseUpdate(s,
       scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
-    perSession.getOrElseUpdate((dir, name),
-      normalizeTs(s.read.parquet(s"$dir/$name.parquet")))
+    perSession.getOrElseUpdate((dir, name), {
+      val df = s.read.parquet(s"$dir/$name.parquet")
+      // `ts` normalization is scoped to the one table that carries the
+      // contract: a future fixture with a legitimately timestamp-typed `ts`
+      // column must NOT be silently retyped to bigint (r8 ADVICE #2)
+      if (name == "events") normalizeTs(df) else df
+    })
   }
 
   /** Engine-wide `ts` contract: epoch-NANOS bigint, whatever the file's
@@ -126,6 +131,12 @@ object Tables {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(TimestampType) | Some(TimestampNTZType) =>
+        // Range note: `micros * 1000` overflows Long past 2262-04-11 — the
+        // inherent ceiling of the epoch-NANOS contract itself (a nanos file
+        // cannot carry such values either; only a micros/NTZ file could,
+        // and driver data tops out in the 2020s). If the fixture generation
+        // ever changes, TsPhysicalTypeSpec's cross-spelling equality pin is
+        // the tripwire.
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
       case _ => df
     }

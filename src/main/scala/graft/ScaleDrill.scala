@@ -62,6 +62,9 @@ object ScaleDrill {
                              // count-table join-back is the classic shape
                              // that blows up when the head of the Zipf
                              // distribution shuffles instead of broadcasts
+    "q121_fuzzy_pairs",      // documents: blocked fuzzy join (r8 verdict #7:
+                             // cap lifted, ratio recorded) — see
+                             // knownSuperlinear for the regime analysis
     "q118_mad_outliers",     // lineitem: histogram-refinement medians — the
                              // zero-shuffle quantile plan must show its flat
                              // scaling here, where the shuffle plans can't
@@ -85,7 +88,14 @@ object ScaleDrill {
     "q107_percentile_disc" ->
       ("built-in percentile buffers per-distinct-value counts per group " +
         "(r6 measured 24.5x at 10x data); q112_percentile_disc_sharded is " +
-        "the declared 100 TB spelling of the same answer and stays gated"))
+        "the declared 100 TB spelling of the same answer and stays gated"),
+    "q121_fuzzy_pairs" ->
+      ("blocked-ER comparisons cost min(Σ|block|², cap·n): fixed-cardinality " +
+        "blocking keys make block sizes grow WITH the corpus, so the 1×→10× " +
+        "window sits in the quadratic regime until blocks saturate the " +
+        "1000-member cap, after which cost is linear (cap·n). The exact-oracle " +
+        "lane keeps the blocked-DP shape; q50 MinHash banding is the declared " +
+        "scale path for fuzzy candidates at 100 TB"))
 
   /** Write a `factor`× scale copy of the drill tables under `outDir`.
     * factor=1 writes a verbatim copy — the like-for-like base side. */

@@ -499,9 +499,10 @@ object SparkEntry {
       // RECURSIVE over a precomputed successor edge table — the recursion
       // is a pure equi-join per level (see the operator's scale note)
       "WITH RECURSIVE succ AS (SELECT o_custkey AS ck, o_orderkey AS ok, LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt FROM orders), chain AS (SELECT ck, MIN(ok) AS ok, 1 AS depth FROM succ GROUP BY ck UNION ALL SELECT s.ck, s.nxt AS ok, c.depth + 1 AS depth FROM chain c JOIN succ s ON s.ck = c.ck AND s.ok = c.ok WHERE s.nxt IS NOT NULL AND c.depth < 8) SELECT depth, COUNT(*) AS n, CAST(SUM(ok) AS BIGINT) AS key_sum FROM chain GROUP BY depth ORDER BY depth",
-    "q121_fuzzy_pairs" -> // identical text on both engines: levenshtein is
-      // the same classic DP; blocking key = first 4 prefix chars
-      "WITH d AS (SELECT doc_id, lower(substring(trim(text), 1, 24)) AS sig FROM documents WHERE text IS NOT NULL AND doc_id < 2000), b AS (SELECT doc_id, sig, substring(sig, 1, 4) AS blk FROM d) SELECT a.doc_id AS id1, c.doc_id AS id2, CAST(levenshtein(a.sig, c.sig) AS BIGINT) AS lev FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id WHERE levenshtein(a.sig, c.sig) <= 6 ORDER BY id1, id2",
+    "q121_fuzzy_pairs" -> // identical semantics on both engines: levenshtein
+      // is the same classic DP; blocking key = (prefix-4, ⌊len/8⌋ band),
+      // mega-blocks (>1000 members) dropped — same guard both sides
+      "WITH d AS (SELECT doc_id, lower(substring(trim(text), 1, 24)) AS sig FROM documents WHERE text IS NOT NULL), b0 AS (SELECT doc_id, sig, substring(sig, 1, 4) AS blk, CAST(length(sig) // 8 AS BIGINT) AS lb FROM d), b AS (SELECT doc_id, sig, blk, lb FROM (SELECT doc_id, sig, blk, lb, COUNT(*) OVER (PARTITION BY blk, lb) AS bn FROM b0) t WHERE bn <= 1000) SELECT a.doc_id AS id1, c.doc_id AS id2, CAST(levenshtein(a.sig, c.sig) AS BIGINT) AS lev FROM b a JOIN b c ON a.blk = c.blk AND a.lb = c.lb AND a.doc_id < c.doc_id WHERE levenshtein(a.sig, c.sig) <= 6 ORDER BY id1, id2",
     "q122_retention_cohorts" -> // first-active-day cohorts × day offsets,
       // distinct-user counts; µs truncation then day bucketing
       "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events), c AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id), a AS (SELECT DISTINCT user_id, d FROM e) SELECT cohort_day, d - cohort_day AS offset, COUNT(DISTINCT a.user_id) AS n_users FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2",

@@ -148,6 +148,8 @@ object SqlFrontDoor {
       // WITHIN GROUP (ORDER BY x), CAST back to BIGINT (Spark returns the
       // ordering column's type only for numeric-widened inputs)
       "WITH li AS (SELECT l_returnflag AS f, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem), med AS (SELECT f, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT) AS med_cents FROM li GROUP BY f), dev AS (SELECT li.f, c, med_cents, abs(c - med_cents) AS d FROM li JOIN med USING (f)), mad AS (SELECT f, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS BIGINT) AS mad_cents FROM dev GROUP BY f) SELECT f AS l_returnflag, MAX(med_cents) AS med_cents, MAX(mad_cents) AS mad_cents, COUNT(*) AS n, CAST(SUM(CASE WHEN d * 2 > 3 * mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers FROM dev JOIN mad USING (f) GROUP BY f ORDER BY f",
+    "q121_fuzzy_pairs" -> // length(sig) // 8 -> div (Spark has no '//')
+      "WITH d AS (SELECT doc_id, lower(substring(trim(text), 1, 24)) AS sig FROM documents WHERE text IS NOT NULL), b0 AS (SELECT doc_id, sig, substring(sig, 1, 4) AS blk, CAST(length(sig) div 8 AS BIGINT) AS lb FROM d), b AS (SELECT doc_id, sig, blk, lb FROM (SELECT doc_id, sig, blk, lb, COUNT(*) OVER (PARTITION BY blk, lb) AS bn FROM b0) t WHERE bn <= 1000) SELECT a.doc_id AS id1, c.doc_id AS id2, CAST(levenshtein(a.sig, c.sig) AS BIGINT) AS lev FROM b a JOIN b c ON a.blk = c.blk AND a.lb = c.lb AND a.doc_id < c.doc_id WHERE levenshtein(a.sig, c.sig) <= 6 ORDER BY id1, id2",
     "q122_retention_cohorts" -> // epoch_us(ts) // N -> ts div 1000 div N
       "WITH e AS (SELECT user_id, ts div 1000 div 86400000000 AS d FROM events), c AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id), a AS (SELECT DISTINCT user_id, d FROM e) SELECT cohort_day, d - cohort_day AS offset, COUNT(DISTINCT a.user_id) AS n_users FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2",
     "q123_tpch_q15" -> // TIMESTAMP literal vs timestamp_ntz column

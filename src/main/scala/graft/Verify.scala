@@ -10,6 +10,14 @@ import java.nio.file.{Files, Paths}
   * against a 10×-sf0.1 dataset without paying the full 222-entry sweep. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    val rc = run(args)
+    if (rc != 0) sys.exit(rc)
+  }
+
+  /** The whole dump as a function returning the process exit code, so
+    * VerifyHardeningSpec can drive the failure path in-process (sys.exit
+    * inside a forked test JVM would kill the suite). */
+  def run(args: Array[String]): Int = {
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
       if (args.length > 2 && args(2).nonEmpty) Some(args(2).split(',').toSet) else None
@@ -24,12 +32,26 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.parquet ts is INT64 TIMESTAMP(NANOS) — FIXTURES.md §B
+      // the driver has shipped events.ts as INT64 TIMESTAMP(NANOS) (pre-r7;
+      // this legacy flag reads it as bigint) and as TIMESTAMP(MICROS)/NTZ
+      // (since the r7 regen). Correctness across both physical spellings is
+      // owed to Tables.normalizeTs (Engine.scala) folding every variant to
+      // the epoch-nanos-bigint contract at load; the flag is only the
+      // legacy-file fallback. TsPhysicalTypeSpec pins all three spellings.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Silent-shrinkage guard (r7 postmortem: 26 entries vanished from the
+    // correctness dump because a per-query throw left NO parquet dir — the
+    // driver can't flag a row it never sees). A failed query now still dumps
+    // a one-row parquet whose single `graft_error` column carries the
+    // message: dumped count always equals registered count, and the driver's
+    // compare reports the row as a loud schema/hash mismatch instead of a
+    // silently smaller surface. The run also exits nonzero (fork=true
+    // propagates it through sbt to the driver's rc field).
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -37,6 +59,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getName}: ${e.getMessage}").toDF("graft_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name error-row dump also failed: ${e2.getMessage}")
+        }
       }
       // operators that persist intermediates (LSH, connected components)
       // must not pin storage across the remaining 80+ queries
@@ -59,5 +89,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size} queries failed: ${failed.sorted.mkString(", ")}")
+      1
+    } else 0
   }
 }

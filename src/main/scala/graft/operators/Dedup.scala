@@ -567,27 +567,49 @@ object Dedup {
 
   /** Q121 — blocked fuzzy join (entity resolution): document pairs whose
     * normalized 24-char prefixes are within edit distance 6, candidate-
-    * generated by BLOCKING on the first 4 prefix chars — the classic ER
-    * decomposition that turns an O(n²) all-pairs Levenshtein into
-    * Σ|block|² comparisons on a cheap equi-join. Complements the
-    * set-similarity dedup stack (q33 Jaccard, q34/q50 MinHash, q53 char
-    * n-grams): edit distance catches single-character typo variants that
-    * shingle overlap scores poorly. Levenshtein is the same classic DP in
-    * both engines → exact oracle, all-integer.
+    * generated by MULTI-KEY BLOCKING — the classic ER decomposition that
+    * turns an O(n²) all-pairs Levenshtein into Σ|block|² comparisons on a
+    * cheap equi-join. Complements the set-similarity dedup stack (q33
+    * Jaccard, q34/q50 MinHash, q53 char n-grams): edit distance catches
+    * single-character typo variants that shingle overlap scores poorly.
+    * Levenshtein is the same classic DP in both engines → exact oracle,
+    * all-integer. No row cap: the whole corpus participates (the r7-era
+    * `doc_id < 2000` cap is gone).
+    *
+    * Blocking key = (4-char prefix, ⌊len/8⌋ length band): two sigs at edit
+    * distance ≤6 can differ in length by ≤6, so the coarse band costs some
+    * recall at band edges — the inherent blocking trade, declared in the
+    * semantics (both engines compute the identical candidate set, so the
+    * oracle stays exact). Mega-block guard: blocks larger than
+    * [[FuzzyBlockCap]] are dropped deterministically (window count over
+    * the block key — the q34 `maxBucketSize` rule). Such blocks are
+    * near-constant boilerplate prefixes whose pairs are ER noise, and the
+    * guard bounds per-block cost at B² regardless of corpus size. At the
+    * verify SFs every block is far under the cap (max 197 at sf0.1), so
+    * the guard is observable only at drill scale.
     *
     * Scale: the block key is the join key — candidate pairs shuffle as an
-    * equi-join, never a cross join; skew = one giant block, handled like
-    * any skewed join key (salting/AQE, q100 family). At 100 TB you'd OR
-    * several complementary blocking keys and prescreen candidates with
-    * the q34 MinHash bands before paying the DP. */
+    * equi-join, never a cross join. A FIXED-cardinality blocking key makes
+    * Σ|block|² inherently superlinear in corpus size; the cap turns that
+    * into ≤ B·n comparisons (linear), at the price of dropping saturated
+    * blocks. At 100 TB you'd OR several complementary blocking keys and
+    * prescreen candidates with the q34 MinHash bands before paying the DP
+    * — q50 is the scale path for recall; this lane is the exact-oracle
+    * blocked-DP shape. */
+  val FuzzyBlockCap = 1000
   def q121FuzzyPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
-      .filter(col("text").isNotNull && col("doc_id") < 2000)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), lower(substring(trim(col("text")), 1, 24)).as("sig"))
       .withColumn("blk", substring(col("sig"), 1, 4))
-    val a = d.select(col("doc_id").as("id1"), col("sig").as("sig1"), col("blk"))
-    val b = d.select(col("doc_id").as("id2"), col("sig").as("sig2"), col("blk"))
-    a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
+      .withColumn("lb", expr("length(sig) div 8").cast("long"))
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("blk", "lb")))
+      .filter(col("bn") <= FuzzyBlockCap)
+      .drop("bn")
+    val a = d.select(col("doc_id").as("id1"), col("sig").as("sig1"), col("blk"), col("lb"))
+    val b = d.select(col("doc_id").as("id2"), col("sig").as("sig2"), col("blk"), col("lb"))
+    a.join(b, Seq("blk", "lb")).filter(col("id1") < col("id2"))
       .withColumn("lev", levenshtein(col("sig1"), col("sig2")).cast("long"))
       .filter(col("lev") <= 6)
       .select("id1", "id2", "lev")

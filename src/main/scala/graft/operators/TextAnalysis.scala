@@ -678,17 +678,42 @@ object TextAnalysis {
     * the most out-of-distribution docs. All-integer → hash-exact.
     *
     * Scale: corpus counts are a partial-agg over exploded bigrams (only
-    * (bigram, count) pairs shuffle); the doc←count join is bigram-keyed —
-    * at 100 TB the count table is Zipf-headed, so broadcast its head and
-    * shuffle only the tail (the q100 salting family applies verbatim);
+    * (bigram, count) pairs shuffle — map-side combine absorbs the Zipf
+    * head before it ever crosses the wire); the doc←count join is the
+    * skew risk, so it is a HEAD/TAIL SPLIT (the q100 salting family's
+    * broadcast leg): the top-[[HeadK]] most frequent bigrams — the Zipf
+    * head that makes a plain bigram-keyed join skewed — resolve through a
+    * broadcast hash join (zero shuffle of the exploded fact side), and
+    * only tail bigrams, whose per-key cardinality is bounded by the
+    * head cutoff, pay a shuffle join. Zipf coverage grows ~log(corpus),
+    * so a small fixed head keeps absorbing the hot keys at 100 TB.
+    * Both legs attach the SAME exact corpus count, so the split is
+    * invisible to the result (hash-identical to the naive single join);
     * bottom-k plans as TakeOrderedAndProject, no global sort. */
+  val HeadK = 1024
   def q116BigramRarity(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val db = docs(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("words"))
       .filter(size(col("words")) >= 2)
       .select(col("doc_id"), explode(bigrams(col("words"))).as("bg"))
     val c2 = db.groupBy("bg").agg(count(lit(1)).as("c2"))
-    db.join(c2, Seq("bg"))
+    // Zipf head: deterministic top-K by (count desc, bigram) — ties at the
+    // cutoff don't matter for correctness (both legs carry exact counts),
+    // the ordering only makes the PLAN deterministic across runs
+    val head = c2.orderBy(col("c2").desc, col("bg")).limit(HeadK)
+      .withColumnRenamed("c2", "c2h")
+    // One broadcast-left-join annotates every occurrence with its head
+    // count (null ⇒ tail); the fact side never shuffles here
+    val annotated = db.join(broadcast(head), Seq("bg"), "left")
+    val headLeg = annotated.filter(col("c2h").isNotNull)
+      .select(col("doc_id"), col("c2h").as("c2"))
+    // Tail counts = everything outside the head; per-key multiplicity is
+    // bounded by the head cutoff frequency, so this shuffle join is un-skewed
+    val tailC2 = c2.join(broadcast(head.select("bg")), Seq("bg"), "left_anti")
+    val tailLeg = annotated.filter(col("c2h").isNull).drop("c2h")
+      .join(tailC2, Seq("bg"))
+      .select(col("doc_id"), col("c2"))
+    headLeg.unionByName(tailLeg)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         min("c2").as("min_c2"),

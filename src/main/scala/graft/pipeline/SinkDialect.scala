@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.types._
+
+/** SQL spelling switch for [[TransactionalJdbcSink]] (r8 verdict #6).
+  *
+  * The reference pipeline is MySQL-specific in three spellings — the dynamic
+  * CREATE TABLE type switch (DataPipeline.java:173-203), the dynamic INSERT
+  * (MySQLProcessData.java:100-113), and the `ON DUPLICATE KEY UPDATE` offsets
+  * upsert (MySQLProcessData.java:66-73 in saveOffsetToDB) — while the sink's
+  * tests execute against embedded Derby, which accepts none of them verbatim
+  * (backtick quoting, FLOAT-for-REAL, ON DUPLICATE KEY). The dialect object
+  * isolates exactly those spellings:
+  *
+  *  - [[AnsiDialect]] — double-quoted identifiers, ANSI type names; what
+  *    Derby executes in every sink spec. The sink's semantic guarantees
+  *    (one txn per (batch, slot), ledger idempotence) live ABOVE the
+  *    dialect and are drill-tested there.
+  *  - [[MySqlDialect]] — the reference's own spellings, character-for-
+  *    character where the reference is dynamic: unquoted identifiers except
+  *    reserved words (the reference backticks `partition` and nothing
+  *    else), its exact Avro-type→MySQL-type switch, and the repeated-
+  *    placeholder upsert form. MySqlDialectParitySpec pins these against
+  *    the reference text; no MySQL server runs in the sandbox, so parity is
+  *    the testable half (the executable half is one `new
+  *    TransactionalJdbcSink(url, ..., dialect = MySqlDialect)` away when a
+  *    real MySQL URL exists).
+  */
+sealed trait SinkDialect extends Serializable {
+  def quote(ident: String): String
+  def typeName(dt: DataType): String
+
+  def columnDefs(schema: StructType): String =
+    schema.fields.map(f => s"${quote(f.name)} ${typeName(f.dataType)}").mkString(", ")
+  def createTable(table: String, schema: StructType): String =
+    s"CREATE TABLE ${quote(table)} (${columnDefs(schema)})"
+  def insertSql(table: String, cols: Seq[String]): String = {
+    val qs = cols.map(_ => "?").mkString(", ")
+    s"INSERT INTO ${quote(table)} (${cols.map(quote).mkString(", ")}) VALUES ($qs)"
+  }
+  /** Idempotent-write spelling; dialects that lack a native upsert return
+    * None and the caller uses its ledger-skip protocol instead (which the
+    * sink does on EVERY dialect — the upsert is the reference-parity
+    * surface, not a correctness dependency). */
+  def upsertSql(table: String, cols: Seq[String]): Option[String] = None
+}
+
+/** Derby/ANSI — the executed dialect in every test. */
+case object AnsiDialect extends SinkDialect {
+  override def quote(ident: String): String = "\"" + ident + "\""
+  /** Reference type switch DataPipeline.java:178-199, in Derby/ANSI spelling
+    * (REAL where MySQL says FLOAT). */
+  override def typeName(dt: DataType): String = dt match {
+    case BooleanType => "BOOLEAN"
+    case IntegerType => "INT"
+    case LongType    => "BIGINT"
+    case FloatType   => "REAL"
+    case DoubleType  => "DOUBLE"
+    case StringType  => "VARCHAR(255)"
+    case other       => throw new IllegalArgumentException(s"unsupported sink type $other")
+  }
+}
+
+/** The reference's own MySQL spellings. */
+case object MySqlDialect extends SinkDialect {
+  /** The reference quotes only reserved words, and only `partition` occurs
+    * (DataPipeline.java:153 kafka_offsets DDL, MySQLProcessData.java:67). */
+  private val reserved = Set("partition", "order", "group", "key", "index")
+  override def quote(ident: String): String =
+    if (reserved.contains(ident.toLowerCase)) s"`$ident`" else ident
+  /** DataPipeline.java:178-199 verbatim: BOOLEAN/INT/BIGINT/FLOAT/DOUBLE/
+    * VARCHAR(255). */
+  override def typeName(dt: DataType): String = dt match {
+    case BooleanType => "BOOLEAN"
+    case IntegerType => "INT"
+    case LongType    => "BIGINT"
+    case FloatType   => "FLOAT"
+    case DoubleType  => "DOUBLE"
+    case StringType  => "VARCHAR(255)"
+    case other       => throw new IllegalArgumentException(s"unsupported sink type $other")
+  }
+  /** MySQLProcessData.java:66-73: repeated-placeholder form (each column
+    * bound twice), not the VALUES() shorthand — parity with the reference's
+    * exact statement shape, bind order included. */
+  override def upsertSql(table: String, cols: Seq[String]): Option[String] = {
+    val q = cols.map(quote)
+    Some(s"INSERT INTO ${quote(table)} (${q.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+      s"ON DUPLICATE KEY UPDATE ${q.map(c => s"$c = ?").mkString(", ")}")
+  }
+}

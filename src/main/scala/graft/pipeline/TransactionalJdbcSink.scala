@@ -42,20 +42,12 @@ class TransactionalJdbcSink(
     dataTable: String,
     queryId: String,
     ledgerTable: String = "batch_ledger",
-    numSlots: Int = 32) extends Serializable {
+    numSlots: Int = 32,
+    dialect: SinkDialect = AnsiDialect) extends Serializable {
 
   // ---- DDL ----
 
-  /** Reference type switch DataPipeline.java:178-199, in Derby/ANSI spelling. */
-  private def jdbcType(dt: DataType): String = dt match {
-    case BooleanType => "BOOLEAN"
-    case IntegerType => "INT"
-    case LongType    => "BIGINT"
-    case FloatType   => "REAL"
-    case DoubleType  => "DOUBLE"
-    case StringType  => "VARCHAR(255)"
-    case other       => throw new IllegalArgumentException(s"unsupported sink type $other")
-  }
+  private def q(ident: String): String = dialect.quote(ident)
 
   // table-already-exists SQLStates: Derby X0Y32, MySQL 42S01, Postgres 42P07
   private val ExistsStates = Set("X0Y32", "42S01", "42P07")
@@ -70,10 +62,9 @@ class TransactionalJdbcSink(
   def ensureTables(schema: StructType): Unit = {
     val conn = DriverManager.getConnection(url)
     try {
-      val cols = schema.fields.map(f => s""""${f.name}" ${jdbcType(f.dataType)}""").mkString(", ")
-      execIgnoreExists(conn, s"""CREATE TABLE "$dataTable" ($cols)""")
+      execIgnoreExists(conn, dialect.createTable(dataTable, schema))
       execIgnoreExists(conn,
-        s"""CREATE TABLE "$ledgerTable" (
+        s"""CREATE TABLE ${q(ledgerTable)} (
            |  query_id VARCHAR(100) NOT NULL,
            |  batch_id BIGINT NOT NULL,
            |  partition_id INT NOT NULL,
@@ -85,11 +76,11 @@ class TransactionalJdbcSink(
       // here names n_slots explicitly, so a legacy table would brick the
       // sink without this
       val probe = conn.createStatement()
-      try probe.executeQuery(s"""SELECT n_slots FROM "$ledgerTable" WHERE 1=0""").close()
+      try probe.executeQuery(s"""SELECT n_slots FROM ${q(ledgerTable)} WHERE 1=0""").close()
       catch {
         case _: SQLException =>
           val alter = conn.createStatement()
-          try alter.execute(s"""ALTER TABLE "$ledgerTable" ADD COLUMN n_slots INT""")
+          try alter.execute(s"""ALTER TABLE ${q(ledgerTable)} ADD COLUMN n_slots INT""")
           finally alter.close()
       } finally probe.close()
     } finally conn.close()
@@ -99,11 +90,8 @@ class TransactionalJdbcSink(
 
   /** Dynamic INSERT from the row schema — the reference builds the same
     * statement from each record's Avro schema (MySQLProcessData.java:100-113). */
-  private def insertSql(schema: StructType): String = {
-    val cols = schema.fields.map(f => s""""${f.name}"""").mkString(", ")
-    val qs = schema.fields.map(_ => "?").mkString(", ")
-    s"""INSERT INTO "$dataTable" ($cols) VALUES ($qs)"""
-  }
+  private def insertSql(schema: StructType): String =
+    dialect.insertSql(dataTable, schema.fields.map(_.name).toSeq)
 
   private def sqlType(dt: DataType): Int = dt match {
     case IntegerType => java.sql.Types.INTEGER
@@ -136,7 +124,7 @@ class TransactionalJdbcSink(
     * surface NULL as 0 and the error would misreport "numSlots=0". */
   private def ledgerSlots(conn: Connection, batchId: Long, pid: Int): Option[Int] = {
     val ps = conn.prepareStatement(
-      s"""SELECT n_slots FROM "$ledgerTable" WHERE query_id=? AND batch_id=? AND partition_id=?""")
+      s"""SELECT n_slots FROM ${q(ledgerTable)} WHERE query_id=? AND batch_id=? AND partition_id=?""")
     try {
       ps.setString(1, queryId); ps.setLong(2, batchId); ps.setInt(3, pid)
       val rs = ps.executeQuery()
@@ -191,7 +179,7 @@ class TransactionalJdbcSink(
         ps.executeBatch()
       } finally ps.close()
       val lp = conn.prepareStatement(
-        s"""INSERT INTO "$ledgerTable" (query_id, batch_id, partition_id, row_count, n_slots) VALUES (?,?,?,?,?)""")
+        s"""INSERT INTO ${q(ledgerTable)} (query_id, batch_id, partition_id, row_count, n_slots) VALUES (?,?,?,?,?)""")
       try {
         lp.setString(1, queryId); lp.setLong(2, batchId); lp.setInt(3, pid)
         lp.setLong(4, n); lp.setInt(5, numSlots)
@@ -220,7 +208,7 @@ class TransactionalJdbcSink(
       // un-ledgered slot ids before any per-slot check could fire — the
       // exact partial-commit duplicate leak this gate exists to prevent.
       val ps = conn.prepareStatement(
-        s"""SELECT COUNT(*) FROM "$ledgerTable"
+        s"""SELECT COUNT(*) FROM ${q(ledgerTable)}
            | WHERE query_id=? AND batch_id=? AND (n_slots IS NULL OR n_slots <> ?)""".stripMargin)
       try {
         ps.setString(1, queryId); ps.setLong(2, batchId); ps.setInt(3, numSlots)
@@ -261,7 +249,7 @@ class TransactionalJdbcSink(
   def count(table: String): Long = {
     val conn = DriverManager.getConnection(url)
     try {
-      val rs = conn.createStatement().executeQuery(s"""SELECT COUNT(*) FROM "$table"""")
+      val rs = conn.createStatement().executeQuery(s"""SELECT COUNT(*) FROM ${q(table)}""")
       rs.next(); rs.getLong(1)
     } finally conn.close()
   }

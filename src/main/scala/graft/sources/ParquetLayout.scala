@@ -63,7 +63,18 @@ object ParquetLayout {
     * distribution, so z-dense regions split evenly) and a local sort per
     * file. Bucketing is min/max-normalized in DOUBLE before the 16-bit
     * quantize — value spans up to 2⁶³ cannot overflow, and layout keys
-    * need monotonicity, not exactness. */
+    * need monotonicity, not exactness.
+    *
+    * `ts` interaction (r8 verdict #8): `Tables.normalizeTs` rewrites the
+    * events `ts` column in a load-time projection, so a raw-scan predicate
+    * on the REWRITTEN `ts` does not reach parquet row-group stats — a
+    * z-order layout keyed on `ts` would silently lose its pruning for
+    * timestamp-physical files. Rule: z-order AFTER loading through
+    * `Tables` (the layout then stores the normalized bigint and min/max
+    * stats speak the same spelling queries filter on — this is what the
+    * engine's layouts do), or key on a column normalizeTs never touches.
+    * Bigint-physical events files (the engine's own written layouts) are
+    * untouched by normalizeTs and prune as usual. */
   def writeZOrdered(df: DataFrame, path: String,
       colA: String, colB: String, nFiles: Int = 0): Unit = {
     import org.apache.spark.sql.functions._
