@@ -680,40 +680,43 @@ object TextAnalysis {
     * Scale: corpus counts are a partial-agg over exploded bigrams (only
     * (bigram, count) pairs shuffle — map-side combine absorbs the Zipf
     * head before it ever crosses the wire); the doc←count join is the
-    * skew risk, so it is a HEAD/TAIL SPLIT (the q100 salting family's
-    * broadcast leg): the top-[[HeadK]] most frequent bigrams — the Zipf
-    * head that makes a plain bigram-keyed join skewed — resolve through a
-    * broadcast hash join (zero shuffle of the exploded fact side), and
-    * only tail bigrams, whose per-key cardinality is bounded by the
-    * head cutoff, pay a shuffle join. Zipf coverage grows ~log(corpus),
-    * so a small fixed head keeps absorbing the hot keys at 100 TB.
-    * Both legs attach the SAME exact corpus count, so the split is
-    * invisible to the result (hash-identical to the naive single join);
-    * bottom-k plans as TakeOrderedAndProject, no global sort. */
-  val HeadK = 1024
+    * skew risk (the hot head bigrams all hash to one reducer), fixed by
+    * SALTING the join (the q100 family): the fact side keys on
+    * (bg, hash(doc_id) mod [[SaltBuckets]]) so each hot bigram spreads
+    * over SaltBuckets reducers, and the count side — vocabulary-sized,
+    * tiny next to the corpus — replicates ×SaltBuckets to meet it. Exactly
+    * TWO passes over the exploded corpus (count build + scoring join),
+    * the 100 TB budget floor for corpus-statistics scoring.
+    *
+    * Measured alternatives (r9, at the 10× drill where the perturbed
+    * copies carry 12.2× the bigram volume — splice tokens add ~22%):
+    *  - broadcast-the-head/shuffle-the-tail: zero fact shuffle on the hot
+    *    keys, but FOUR corpus passes without caching the exploded corpus
+    *    (counts evaluated twice — top-K and tail-anti-join — plus the two
+    *    split branches): 6.2 s at 10×;
+    *  - pre-aggregating to (doc_id, bigram, k) pairs hoping both consumers
+    *    reuse one exchange: AQE re-optimizes the two subtrees independently
+    *    and ReusedExchange never fires, so it pays the pairs shuffle AND
+    *    double tokenization: 6.0 s at 10×;
+    *  - THIS spelling — two tokenization passes, one salted join (BHJ while
+    *    the vocabulary fits broadcast, evenly-spread SMJ beyond): 2.0 s at
+    *    10×, the recorded drill lane.
+    * Per-pass tokenization dominates corpus-scale text plans; the salt
+    * attaches the SAME exact count to every occurrence, so the plan choice
+    * is invisible to the result. Bottom-k plans as TakeOrderedAndProject,
+    * no global sort. */
+  val SaltBuckets = 32
   def q116BigramRarity(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val db = docs(s, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("words"))
       .filter(size(col("words")) >= 2)
       .select(col("doc_id"), explode(bigrams(col("words"))).as("bg"))
     val c2 = db.groupBy("bg").agg(count(lit(1)).as("c2"))
-    // Zipf head: deterministic top-K by (count desc, bigram) — ties at the
-    // cutoff don't matter for correctness (both legs carry exact counts),
-    // the ordering only makes the PLAN deterministic across runs
-    val head = c2.orderBy(col("c2").desc, col("bg")).limit(HeadK)
-      .withColumnRenamed("c2", "c2h")
-    // One broadcast-left-join annotates every occurrence with its head
-    // count (null ⇒ tail); the fact side never shuffles here
-    val annotated = db.join(broadcast(head), Seq("bg"), "left")
-    val headLeg = annotated.filter(col("c2h").isNotNull)
-      .select(col("doc_id"), col("c2h").as("c2"))
-    // Tail counts = everything outside the head; per-key multiplicity is
-    // bounded by the head cutoff frequency, so this shuffle join is un-skewed
-    val tailC2 = c2.join(broadcast(head.select("bg")), Seq("bg"), "left_anti")
-    val tailLeg = annotated.filter(col("c2h").isNull).drop("c2h")
-      .join(tailC2, Seq("bg"))
-      .select(col("doc_id"), col("c2"))
-    headLeg.unionByName(tailLeg)
+    // count side: vocab × SaltBuckets rows — the small side by construction
+    val c2Salted = c2.withColumn("salt",
+      explode(sequence(lit(0), lit(SaltBuckets - 1))))
+    db.withColumn("salt", pmod(hash(col("doc_id")), lit(SaltBuckets)))
+      .join(c2Salted, Seq("bg", "salt"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         min("c2").as("min_c2"),
