@@ -190,6 +190,10 @@ object SparkEntry {
     // HLL is engine-internal; s129 replays the identical statement and
     // RelationalOpsSpec pins the estimates inside lgK=12 error)
     "q129_hll_rollup"      -> (Relational.q129HllRollup _),
+    // r9: temperature-scaled source mixing; graded contamination overlap
+    "q130_source_mixing"   -> ((s, d) => TextAnalysis.q130SourceMixing(s, d)),
+    "q131_contamination_score" ->
+      ((s, d) => graft.operators.Dedup.q131ContaminationScore(s, d)),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -503,6 +507,13 @@ object SparkEntry {
       // is the same classic DP; blocking key = (prefix-4, ⌊len/8⌋ band),
       // mega-blocks (>1000 members) dropped — same guard both sides
       "WITH d AS (SELECT doc_id, lower(substring(trim(text), 1, 24)) AS sig FROM documents WHERE text IS NOT NULL), b0 AS (SELECT doc_id, sig, substring(sig, 1, 4) AS blk, CAST(length(sig) // 8 AS BIGINT) AS lb FROM d), b AS (SELECT doc_id, sig, blk, lb FROM (SELECT doc_id, sig, blk, lb, COUNT(*) OVER (PARTITION BY blk, lb) AS bn FROM b0) t WHERE bn <= 1000) SELECT a.doc_id AS id1, c.doc_id AS id2, CAST(levenshtein(a.sig, c.sig) AS BIGINT) AS lev FROM b a JOIN b c ON a.blk = c.blk AND a.lb = c.lb AND a.doc_id < c.doc_id WHERE levenshtein(a.sig, c.sig) <= 6 ORDER BY id1, id2",
+    "q130_source_mixing" -> // α=.5 temperature via sqrt (correctly-rounded
+      // IEEE both engines); weights pinned at basis-point granularity
+      // (float-sum-order note in the operator scaladoc); prop_ppm exact int
+      "WITH per AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens FROM documents WHERE text IS NOT NULL GROUP BY source), z AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens, SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS z FROM per) SELECT source, n_docs, n_tokens, CAST(n_tokens * 1000000 // tot_tokens AS BIGINT) AS prop_ppm, CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / z * 10000, 0) AS BIGINT) AS temp_bp FROM per, z ORDER BY source",
+    "q131_contamination_score" -> // q76's canary + shingle spelling, graded:
+      // per-doc shingle-occurrence overlap with the benchmark set, exact ppm
+      "WITH base AS (SELECT doc_id, concat(coalesce(text, ''), CASE WHEN doc_id % 7 = 0 OR doc_id % 100 = 0 THEN ' zq wv jk pq xy' ELSE '' END) AS text FROM documents), w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM base), shg AS (SELECT doc_id, array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i FROM w WHERE len(words) >= 5) t), b AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 100 = 0), c AS (SELECT s.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam FROM (SELECT * FROM shg WHERE doc_id % 100 <> 0) s LEFT JOIN b ON s.sh = b.sh GROUP BY s.doc_id) SELECT doc_id, n_shingles, n_contam, CAST(n_contam * 1000000 // n_shingles AS BIGINT) AS contam_ppm FROM c WHERE n_contam > 0 ORDER BY doc_id",
     "q122_retention_cohorts" -> // first-active-day cohorts × day offsets,
       // distinct-user counts; µs truncation then day bucketing
       "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events), c AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id), a AS (SELECT DISTINCT user_id, d FROM e) SELECT cohort_day, d - cohort_day AS offset, COUNT(DISTINCT a.user_id) AS n_users FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2",

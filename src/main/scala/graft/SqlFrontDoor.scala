@@ -150,6 +150,11 @@ object SqlFrontDoor {
       "WITH li AS (SELECT l_returnflag AS f, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem), med AS (SELECT f, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT) AS med_cents FROM li GROUP BY f), dev AS (SELECT li.f, c, med_cents, abs(c - med_cents) AS d FROM li JOIN med USING (f)), mad AS (SELECT f, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS BIGINT) AS mad_cents FROM dev GROUP BY f) SELECT f AS l_returnflag, MAX(med_cents) AS med_cents, MAX(mad_cents) AS mad_cents, COUNT(*) AS n, CAST(SUM(CASE WHEN d * 2 > 3 * mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers FROM dev JOIN mad USING (f) GROUP BY f ORDER BY f",
     "q121_fuzzy_pairs" -> // length(sig) // 8 -> div (Spark has no '//')
       "WITH d AS (SELECT doc_id, lower(substring(trim(text), 1, 24)) AS sig FROM documents WHERE text IS NOT NULL), b0 AS (SELECT doc_id, sig, substring(sig, 1, 4) AS blk, CAST(length(sig) div 8 AS BIGINT) AS lb FROM d), b AS (SELECT doc_id, sig, blk, lb FROM (SELECT doc_id, sig, blk, lb, COUNT(*) OVER (PARTITION BY blk, lb) AS bn FROM b0) t WHERE bn <= 1000) SELECT a.doc_id AS id1, c.doc_id AS id2, CAST(levenshtein(a.sig, c.sig) AS BIGINT) AS lev FROM b a JOIN b c ON a.blk = c.blk AND a.lb = c.lb AND a.doc_id < c.doc_id WHERE levenshtein(a.sig, c.sig) <= 6 ORDER BY id1, id2",
+    "q130_source_mixing" -> // string_split_regex/len/'//' -> split/size/div
+      "WITH per AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(size(split(trim(text), '\\\\s+'))) AS BIGINT) AS n_tokens FROM documents WHERE text IS NOT NULL GROUP BY source), z AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens, SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS z FROM per) SELECT source, n_docs, n_tokens, CAST(n_tokens * 1000000 div tot_tokens AS BIGINT) AS prop_ppm, CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / z * 10000, 0) AS BIGINT) AS temp_bp FROM per, z ORDER BY source",
+    "q131_contamination_score" -> // list_slice/array_to_string/unnest(
+      // generate_series)/len/'//' -> slice/concat_ws/explode(sequence)/size/div
+      "WITH base AS (SELECT doc_id, concat(coalesce(text, ''), CASE WHEN doc_id % 7 = 0 OR doc_id % 100 = 0 THEN ' zq wv jk pq xy' ELSE '' END) AS text FROM documents), w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM base), shg AS (SELECT doc_id, concat_ws(' ', slice(words, CAST(i AS INT), 5)) AS sh FROM (SELECT doc_id, words, explode(sequence(1, size(words) - 4)) AS i FROM w WHERE size(words) >= 5) t), b AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 100 = 0), c AS (SELECT s.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam FROM (SELECT * FROM shg WHERE doc_id % 100 <> 0) s LEFT JOIN b ON s.sh = b.sh GROUP BY s.doc_id) SELECT doc_id, n_shingles, n_contam, CAST(n_contam * 1000000 div n_shingles AS BIGINT) AS contam_ppm FROM c WHERE n_contam > 0 ORDER BY doc_id",
     "q122_retention_cohorts" -> // epoch_us(ts) // N -> ts div 1000 div N
       "WITH e AS (SELECT user_id, ts div 1000 div 86400000000 AS d FROM events), c AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id), a AS (SELECT DISTINCT user_id, d FROM e) SELECT cohort_day, d - cohort_day AS offset, COUNT(DISTINCT a.user_id) AS n_users FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2",
     "q123_tpch_q15" -> // TIMESTAMP literal vs timestamp_ntz column

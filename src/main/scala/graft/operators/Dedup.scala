@@ -335,6 +335,48 @@ object Dedup {
     * k=5 shingle. */
   val Canary = "zq wv jk pq xy"
 
+  /** Q131 — per-doc contamination overlap SCORE: where q76 answers "is this
+    * doc contaminated at all" (binary semi-join), this grades HOW MUCH —
+    * the fraction of a document's 5-shingle occurrences that land in the
+    * benchmark shingle set, in exact ppm integers. The graded signal is
+    * what a curation pipeline thresholds ("drop ≥ x% overlap, flag the
+    * rest"), and the canary injection (q76's trick: appended to every 7th
+    * corpus doc and every benchmark doc) keeps the score column
+    * non-vacuous at every scale.
+    *
+    * Counts are over shingle OCCURRENCES, not distinct shingles, by
+    * design: occurrence counting keeps the whole plan shuffle-free until
+    * the per-doc partial agg (a distinct-shingle variant would have to
+    * dedup (doc_id, shingle) — a full shuffle of the exploded corpus —
+    * for a near-identical signal).
+    *
+    * Scale: benchmark shingles broadcast (eval slices are small by
+    * definition); the corpus explodes ~50× map-side, left-joins the
+    * broadcast in place, and partial-aggregates to one row per doc before
+    * anything shuffles — only (doc_id, count, count) triples cross the
+    * wire. */
+  def q131ContaminationScore(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"),
+      concat(coalesce(col("text"), lit("")),
+        when(col("doc_id") % 7 === 0 || col("doc_id") % 100 === 0,
+          lit(" " + Canary)).otherwise(lit(""))).as("text"))
+    def sh(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= k)
+      .select(col("doc_id"), explode(shingles(col("words"), k)).as("sh"))
+    val benchSh = sh(base.filter(col("doc_id") % 100 === 0))
+      .select("sh").distinct().withColumn("hit", lit(1L))
+    sh(Scale.ensureParallel(base.filter(col("doc_id") % 100 =!= 0)))
+      .join(broadcast(benchSh), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_contam"))
+      .filter(col("n_contam") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_contam"),
+        expr("n_contam * 1000000 div n_shingles").cast("long").as("contam_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Q76 — contaminated-doc counts per language, with benchmark = every
     * 100th doc_id (a stand-in eval slice). The word-salad corpus has no
     * organic cross-doc 5-gram overlap at every scale, so contamination is

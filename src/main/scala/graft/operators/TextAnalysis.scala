@@ -726,4 +726,39 @@ object TextAnalysis {
       .orderBy(col("mean_c2_ppm"), col("doc_id"))
       .limit(k)
   }
+
+  /** Q130 — temperature-scaled source mixing weights: the data-mixture step
+    * of corpus assembly (upsample small high-quality sources, damp the web
+    * crawl) — per source, doc/token tallies, the exact proportional weight,
+    * and the α=0.5 temperature weight w_s ∝ √tokens_s (the classic
+    * temperature-sampling family t^α with the one exponent whose power
+    * function — sqrt — is correctly rounded IEEE on BOTH engines, so the
+    * weights replay bit-comparably; a general α would ride each libm's
+    * pow() and lose the exact oracle).
+    *
+    * Float note: the normalizer Σ√t is a double sum whose addition order
+    * differs between engines (±ulp); weights are therefore pinned at
+    * BASIS-POINT granularity (round ×10⁴) — a flip needs the true value
+    * within ~1e-12 of a rounding boundary. prop_ppm is pure integer
+    * (`t·10⁶ div Σt` — exact to Σt ≤ 9.2e12 tokens; beyond that spell it
+    * DECIMAL).
+    *
+    * Scale: one corpus pass (token counts are a per-source partial agg —
+    * |sources| rows shuffle, never documents), then arithmetic on the
+    * |sources|-row table with its 2-value normalizer broadcast. */
+  def q130SourceMixing(s: SparkSession, dir: String): DataFrame = {
+    val per = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("source"), wsTokens(col("text")).as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+    val z = per.agg(
+      sum("n_tokens").as("tot_tokens"),
+      sum(sqrt(col("n_tokens").cast("double"))).as("z"))
+    per.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000 div tot_tokens").cast("long").as("prop_ppm"),
+        round(sqrt(col("n_tokens").cast("double")) / col("z") * 10000.0, 0)
+          .cast("long").as("temp_bp"))
+      .orderBy("source")
+  }
 }

@@ -490,4 +490,37 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n <= 12, s"q118 shuffle count grew to $n:\n$plan")
     GraftSession.releasePersisted(spark)
   }
+
+  test("q116: scoring join is salted and the count side broadcasts at test SF") {
+    val df = graft.operators.TextAnalysis.q116BigramRarity(spark, sfDir)
+    val plan = planString(df)
+    // the fact side must carry the skew-spreading salt into the join key
+    assert(plan.contains("pmod"),
+      s"q116 scoring join lost its salt (hot bigrams re-serialize):\n$plan")
+    // vocabulary-sized count table → broadcast at any test SF (beyond the
+    // threshold it degrades to an SMJ the salt keeps even — either is
+    // acceptable; a NESTED LOOP is not)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"q116 join shape unexpected:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"q116 must stay an equi-join:\n$plan")
+    // bottom-k must not global-sort the doc scores
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q116 bottom-k regressed to a global sort:\n$plan")
+  }
+
+  test("q121: blocked fuzzy join stays an equi-join with the block-cap window") {
+    val df = graft.operators.Dedup.q121FuzzyPairs(spark, sfDir)
+    val plan = planString(df)
+    // candidate generation must be an equi-join on the blocking keys —
+    // a theta/nested-loop join here means the blocking decomposition is gone
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"q121 candidate join must be blocked, not all-pairs:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"q121 expected a hash/merge equi-join:\n$plan")
+    // the mega-block guard is a window count over the block key
+    assert(planString(df).contains("windowspecdefinition"),
+      s"q121 lost its block-size cap window:\n$plan")
+  }
 }
