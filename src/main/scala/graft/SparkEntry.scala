@@ -194,6 +194,9 @@ object SparkEntry {
     "q130_source_mixing"   -> ((s, d) => TextAnalysis.q130SourceMixing(s, d)),
     "q131_contamination_score" ->
       ((s, d) => graft.operators.Dedup.q131ContaminationScore(s, d)),
+    // r9: cross-source duplicate containment matrix (dedup diagnostics)
+    "q132_cross_source_dups" ->
+      (graft.operators.Dedup.q132CrossSourceDupMatrix _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -514,6 +517,9 @@ object SparkEntry {
     "q131_contamination_score" -> // q76's canary + shingle spelling, graded:
       // per-doc shingle-occurrence overlap with the benchmark set, exact ppm
       "WITH base AS (SELECT doc_id, concat(coalesce(text, ''), CASE WHEN doc_id % 7 = 0 OR doc_id % 100 = 0 THEN ' zq wv jk pq xy' ELSE '' END) AS text FROM documents), w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM base), shg AS (SELECT doc_id, array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i FROM w WHERE len(words) >= 5) t), b AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 100 = 0), c AS (SELECT s.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam FROM (SELECT * FROM shg WHERE doc_id % 100 <> 0) s LEFT JOIN b ON s.sh = b.sh GROUP BY s.doc_id) SELECT doc_id, n_shingles, n_contam, CAST(n_contam * 1000000 // n_shingles AS BIGINT) AS contam_ppm FROM c WHERE n_contam > 0 ORDER BY doc_id",
+    "q132_cross_source_dups" -> // md5 is the same function both engines;
+      // dup groups injected in a projection (operator scaladoc)
+      "WITH base AS (SELECT source, CASE WHEN doc_id % 7 = 0 THEN concat('dupfix ', CAST(doc_id // 70 AS VARCHAR)) ELSE text END AS text FROM documents WHERE text IS NOT NULL), fp AS (SELECT DISTINCT md5(text) AS fp, source FROM base) SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_fps FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2 ORDER BY 1, 2",
     "q122_retention_cohorts" -> // first-active-day cohorts × day offsets,
       // distinct-user counts; µs truncation then day bucketing
       "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events), c AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id), a AS (SELECT DISTINCT user_id, d FROM e) SELECT cohort_day, d - cohort_day AS offset, COUNT(DISTINCT a.user_id) AS n_users FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2",

@@ -89,7 +89,18 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
-  /** Q33 — word-set Jaccard for all pairs in a bounded subset (doc_id < 40). */
+  /** Q33 — word-set Jaccard for all pairs in a bounded subset (doc_id < 40).
+    *
+    * Why the bound stays (r9 analysis, unlike q121's lifted cap): the
+    * fixture corpus draws from a 31-word vocabulary, so document-frequency
+    * pruning cannot separate candidates — at sf0.1 every word appears in up
+    * to 3923 of 5000 docs, Σdf² ≈ 448M (≈ the complete pair graph), and a
+    * df ≤ 100 index keeps ZERO pairs. When the similarity graph is dense,
+    * exact set-Jaccard is all-pairs BY NATURE; no blocking key exists in
+    * word space. The scale path is feature-space change, not a cap lift:
+    * q50's MinHash runs on 3-word shingles whose vocabulary is large enough
+    * to band, and q53's char n-grams likewise. The bound keeps the exact
+    * oracle over a subset where all-pairs is honest. */
   def q33JaccardPairs(s: SparkSession, dir: String): DataFrame =
     jaccardFromTokens(wordSets(docs(s, dir).filter(col("doc_id") < 40)))
 
@@ -334,6 +345,37 @@ object Dedup {
   /** Canary "eval sentence" for Q76 — 5 words so it is exactly one
     * k=5 shingle. */
   val Canary = "zq wv jk pq xy"
+
+  /** Q132 — cross-source duplicate CONTAINMENT MATRIX: for every source
+    * pair, how many distinct content fingerprints appear in BOTH — the
+    * diagnostic every dedup run reports ("how much of the new crawl is
+    * already in the books corpus"), which decides whether a source earns
+    * its storage before any per-doc keep/drop runs. The fixture corpus has
+    * zero organic exact dups (500/500 unique fingerprints at sf0.01), so
+    * duplication is injected deterministically in a PROJECTION (the q76
+    * canary discipline, no join): every doc_id ≡ 0 (mod 7) replaces its
+    * text with a shared `dupfix ⌊doc_id/70⌋` string — each 70-id window
+    * yields a 10-doc duplicate group spanning 10 rotating sources, so the
+    * matrix is non-vacuous at every SF and the oracle replays it exactly
+    * (md5 is the same function on both engines).
+    *
+    * Scale: only (16-byte fingerprint, source) pairs ever shuffle — text
+    * reduces to md5 map-side, `distinct` is a partial-agg, and the self
+    * equi-join on fp explodes at most |sources|² rows per fingerprint
+    * (bounded by the source count, not the corpus). */
+  def q132CrossSourceDupMatrix(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("source"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("dupfix "), expr("doc_id div 70").cast("string")))
+          .otherwise(col("text")).as("text"))
+    val fp = base.select(md5(col("text")).as("fp"), col("source")).distinct()
+    fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .orderBy("source_a", "source_b")
+  }
 
   /** Q131 — per-doc contamination overlap SCORE: where q76 answers "is this
     * doc contaminated at all" (binary semi-join), this grades HOW MUCH —
