@@ -197,6 +197,9 @@ object SparkEntry {
     // r9: cross-source duplicate containment matrix (dedup diagnostics)
     "q132_cross_source_dups" ->
       (graft.operators.Dedup.q132CrossSourceDupMatrix _),
+    // r9: TPC-H Q5/Q7 planner-stress shapes, DataFrame-API spelled
+    "q133_tpch_q5"         -> (Relational.q133TpchQ5 _),
+    "q134_tpch_q7"         -> (Relational.q134TpchQ7 _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -520,6 +523,12 @@ object SparkEntry {
     "q132_cross_source_dups" -> // md5 is the same function both engines;
       // dup groups injected in a projection (operator scaladoc)
       "WITH base AS (SELECT source, CASE WHEN doc_id % 7 = 0 THEN concat('dupfix ', CAST(doc_id // 70 AS VARCHAR)) ELSE text END AS text FROM documents WHERE text IS NOT NULL), fp AS (SELECT DISTINCT md5(text) AS fp, source FROM base) SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_fps FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2 ORDER BY 1, 2",
+    "q133_tpch_q5" -> // 6-way join + c_nationkey=s_nationkey twist;
+      // DECIMAL-then-ROUND revenue (q123 discipline)
+      "SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue FROM customer, orders, lineitem, supplier, nation, region WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY n_name ORDER BY revenue DESC, n_name",
+    "q134_tpch_q7" -> // dual-role nation-region dim chain, symmetric OR on
+      // REGION pairs (non-vacuous at every SF — operator scaladoc)
+      "SELECT r1.r_name AS supp_region, r2.r_name AS cust_region, CAST(year(l_shipdate) AS BIGINT) AS l_year, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS volume FROM supplier, lineitem, orders, customer, nation n1, nation n2, region r1, region r2 WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey AND n1.n_regionkey = r1.r_regionkey AND n2.n_regionkey = r2.r_regionkey AND ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE') OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')) AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2, 3 ORDER BY 1, 2, 3",
     "q122_retention_cohorts" -> // first-active-day cohorts × day offsets,
       // distinct-user counts; µs truncation then day bucketing
       "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events), c AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id), a AS (SELECT DISTINCT user_id, d FROM e) SELECT cohort_day, d - cohort_day AS offset, COUNT(DISTINCT a.user_id) AS n_users FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2",

@@ -157,6 +157,10 @@ object SqlFrontDoor {
       "WITH base AS (SELECT doc_id, concat(coalesce(text, ''), CASE WHEN doc_id % 7 = 0 OR doc_id % 100 = 0 THEN ' zq wv jk pq xy' ELSE '' END) AS text FROM documents), w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM base), shg AS (SELECT doc_id, concat_ws(' ', slice(words, CAST(i AS INT), 5)) AS sh FROM (SELECT doc_id, words, explode(sequence(1, size(words) - 4)) AS i FROM w WHERE size(words) >= 5) t), b AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 100 = 0), c AS (SELECT s.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam FROM (SELECT * FROM shg WHERE doc_id % 100 <> 0) s LEFT JOIN b ON s.sh = b.sh GROUP BY s.doc_id) SELECT doc_id, n_shingles, n_contam, CAST(n_contam * 1000000 div n_shingles AS BIGINT) AS contam_ppm FROM c WHERE n_contam > 0 ORDER BY doc_id",
     "q132_cross_source_dups" -> // '//'/VARCHAR -> div/STRING
       "WITH base AS (SELECT source, CASE WHEN doc_id % 7 = 0 THEN concat('dupfix ', CAST(doc_id div 70 AS STRING)) ELSE text END AS text FROM documents WHERE text IS NOT NULL), fp AS (SELECT DISTINCT md5(text) AS fp, source FROM base) SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_fps FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2 ORDER BY 1, 2",
+    "q133_tpch_q5" -> // TIMESTAMP literal vs timestamp_ntz column
+      "SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue FROM customer, orders, lineitem, supplier, nation, region WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP_NTZ '1997-01-01 00:00:00' GROUP BY n_name ORDER BY revenue DESC, n_name",
+    "q134_tpch_q7" -> // TIMESTAMP literal vs timestamp_ntz column
+      "SELECT r1.r_name AS supp_region, r2.r_name AS cust_region, CAST(year(l_shipdate) AS BIGINT) AS l_year, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS volume FROM supplier, lineitem, orders, customer, nation n1, nation n2, region r1, region r2 WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey AND n1.n_regionkey = r1.r_regionkey AND n2.n_regionkey = r2.r_regionkey AND ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE') OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')) AND l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP_NTZ '1998-01-01 00:00:00' GROUP BY 1, 2, 3 ORDER BY 1, 2, 3",
     "q122_retention_cohorts" -> // epoch_us(ts) // N -> ts div 1000 div N
       "WITH e AS (SELECT user_id, ts div 1000 div 86400000000 AS d FROM events), c AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id), a AS (SELECT DISTINCT user_id, d FROM e) SELECT cohort_day, d - cohort_day AS offset, COUNT(DISTINCT a.user_id) AS n_users FROM a JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2",
     "q123_tpch_q15" -> // TIMESTAMP literal vs timestamp_ntz column

@@ -1609,4 +1609,76 @@ object Relational {
           .cast("long").as("err_ppt"))
       .orderBy("o_orderstatus")
   }
+
+  /** Q133 — TPC-H Q5 shape (local supplier volume): the 6-way
+    * customer×orders×lineitem×supplier×nation×region join with the classic
+    * TPC-H twist `c_nationkey = s_nationkey` (customer and supplier must
+    * share a nation — a second join condition BETWEEN two fact-side dims
+    * that the optimizer must order around). Written in the DataFrame API
+    * (q123/q124 are the SQL-text spellings of this family), so the
+    * conformance pin compares two genuinely different front doors.
+    * Revenue in DECIMAL → ROUND → DOUBLE (q123 discipline, exact oracle).
+    *
+    * Scale: region+nation broadcast (25 rows); the order-date filter
+    * reaches the orders scan BEFORE the join chain; the big
+    * lineitem⋈orders⋈customer joins shuffle on their keys; AQE picks
+    * the join order for the filtered cardinalities. */
+  def q133TpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val asia = t(s, dir, "nation").join(
+      broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+      col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").filter(
+        expr("o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+          expr("o_orderdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(expr("CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Q134 — TPC-H Q7 shape (volume shipping): the dual-role dim join — the
+    * SAME broadcast dim CHAIN (nation⋈region) joined twice under different
+    * roles (supplier side, customer side) with a symmetric OR pair
+    * predicate, plus a per-year rollup off the ship date. Exercises
+    * self-alias hygiene on broadcast dims and disjunctive filters that span
+    * both roles. The pair predicate is on REGIONS, not TPC-H's nations: the
+    * fixture's sf0.001 slice has so few suppliers that any fixed nation
+    * pair is empty at the smallest SF (the q125 non-vacuity lesson —
+    * caught by the conformance gate's rows>0 assert, 4 rows at every SF
+    * with regions). DECIMAL → ROUND → DOUBLE (q123 discipline).
+    *
+    * Scale: both dim chains broadcast; the ship-date range reaches the
+    * lineitem scan; the symmetric OR references only dim columns, so it
+    * filters the 25-row joined dim pair, never fact rows. */
+  def q134TpchQ7(s: SparkSession, dir: String): DataFrame = {
+    def natReg(keyAs: String, regAs: String) =
+      t(s, dir, "nation").join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as(keyAs), col("r_name").as(regAs))
+    val n1 = natReg("n1_key", "supp_region")
+    val n2 = natReg("n2_key", "cust_region")
+    t(s, dir, "lineitem").filter(
+        expr("l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+          expr("l_shipdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter((col("supp_region") === "ASIA" && col("cust_region") === "EUROPE") ||
+        (col("supp_region") === "EUROPE" && col("cust_region") === "ASIA"))
+      .groupBy(col("supp_region"), col("cust_region"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(expr("CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)").as("volume"))
+      .orderBy("supp_region", "cust_region", "l_year")
+  }
 }
