@@ -104,10 +104,16 @@ object Bench {
     val drillFactor = 10
     val drillDir = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_scale_drill_${drillFactor}x")
+    // a drill crash must surface in failures[] (→ nonzero rc), not just
+    // stderr: r7 shipped a green-looking artifact around a crashed drill,
+    // and an empty drill result is otherwise indistinguishable from one
+    var drillCrash: Option[String] = None
     val drill =
       try ScaleDrill.run(spark, sfDir, drillDir.toString, drillFactor)
       catch { case e: Throwable =>
-        System.err.println(s"[bench] scale drill failed: ${e.getMessage}"); Seq.empty
+        System.err.println(s"[bench] scale drill failed: ${e.getMessage}")
+        drillCrash = Some(s"scale_drill:crashed(${e.getClass.getSimpleName})")
+        Seq.empty
       } finally {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
@@ -143,7 +149,7 @@ object Bench {
       val best = secOrFail(math.min(cv, wv), cok && wok)
       "\"" + k + f"""\":{"cold":${secOrFail(cv, cok)},"warm":${secOrFail(wv, wok)},"best":$best}"""
     }.mkString("{", ",", "}")
-    val failures = queryFailures ++ drillFailures
+    val failures = queryFailures ++ drillFailures ++ drillCrash
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailPath = "bench_detail.json"
     val pw = new java.io.PrintWriter(detailPath)
@@ -159,7 +165,13 @@ object Bench {
     //     inside any tail-capture window,
     //  3. and a nonzero exit code whenever failures[] is non-empty, so a
     //     broken run can never masquerade as rc=0 green.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_summary.json"), summary + "\n")
+    // layer 1 of 3 — must not take down layers 2 (stdout) and 3 (rc) if
+    // the cwd is unwritable
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_summary.json"), summary + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] bench_summary.json write failed: ${e.getMessage}")
+    }
     spark.stop()
     println(summary)
     System.out.flush()

@@ -63,9 +63,13 @@ case object AnsiDialect extends SinkDialect {
 
 /** The reference's own MySQL spellings. */
 case object MySqlDialect extends SinkDialect {
-  /** The reference quotes only reserved words, and only `partition` occurs
-    * (DataPipeline.java:153 kafka_offsets DDL, MySQLProcessData.java:67). */
-  private val reserved = Set("partition", "order", "group", "key", "index")
+  /** The reference quotes only `partition` (DataPipeline.java:153
+    * kafka_offsets DDL, MySQLProcessData.java:67) and emits every other
+    * identifier bare — including SQL keywords, would they ever occur. The
+    * set matches that contract EXACTLY (character-for-character parity is
+    * this dialect's purpose); callers with keyword column names on a real
+    * MySQL must rename or extend the dialect deliberately. */
+  private val reserved = Set("partition")
   override def quote(ident: String): String =
     if (reserved.contains(ident.toLowerCase)) s"`$ident`" else ident
   /** DataPipeline.java:178-199 verbatim: BOOLEAN/INT/BIGINT/FLOAT/DOUBLE/

@@ -20,16 +20,24 @@ import org.apache.spark.sql.types.StructType
   *    types: an all-digit string column becomes long); TIMESTAMP_NTZ rides
   *    `timestampNTZFormat` with micros precision (the default format drops
   *    sub-second digits in CSV); CSV additionally needs a null SENTINEL
-  *    (`\N`) because its default writes null and empty string identically
-  *    — round-tripping a nullable text column without it corrupts empties
-  *    to nulls. Text formats are an EDGE format: re-encode to parquet at
-  *    ingest, never query them in place at scale.
+  *    because its default writes null and empty string identically —
+  *    round-tripping a nullable text column without one corrupts empties
+  *    to nulls. The sentinel is necessarily IN-BAND (the parser matches it
+  *    AFTER unescaping, so quoting cannot protect colliding data — probed:
+  *    a quoted field equal to the sentinel reads back null), which rules
+  *    out MySQL's conventional `\N` for a corpus bridge — dumps of MySQL
+  *    provenance plausibly CONTAIN `\N`. The token below is chosen for
+  *    vanishing collision odds instead; data that could contain it must
+  *    ride parquet/orc. CSV reads run `multiLine=true` so quoted embedded
+  *    newlines survive — which makes each file single-split: text formats
+  *    are an EDGE format, re-encode to parquet at ingest and never query
+  *    them in place at scale.
   */
 object FormatBridge {
   val Formats: Seq[String] = Seq("parquet", "orc", "csv", "json")
 
   private val NtzFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
-  private val NullSentinel = "\\N"
+  private val NullSentinel = "__graft_null_7f3a__"
 
   def write(df: DataFrame, path: String, format: String): Unit = format match {
     case "csv" =>
@@ -53,6 +61,9 @@ object FormatBridge {
         .option("header", "true")
         .option("timestampNTZFormat", NtzFormat)
         .option("nullValue", NullSentinel)
+        // quoted embedded newlines parse as one record, not split mid-field
+        // (cost: one split per file — see the edge-format scaladoc note)
+        .option("multiLine", "true")
         .csv(path)
     case "json" =>
       s.read.schema(schema)

@@ -48,4 +48,31 @@ class FormatBridgeSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(g == e, s"$table×$format row $i differs:\n got $g\n exp $e")
       }
     }
+
+  // the fixture corpus is benign ASCII; this case forces the text-format
+  // hazards the scaladoc claims to survive — embedded newlines (CSV
+  // multiLine), quotes/commas (quoting+escapes), a literal "\N" (the MySQL
+  // null convention that must round-trip as DATA, not null), empty string
+  // vs null (the sentinel's reason to exist)
+  for (format <- FormatBridge.Formats) test(s"hostile text round-trips through $format") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    val src = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "line1\nline2"),
+        Row(2L, "a,\"quoted\",b"),
+        Row(3L, "\\N"),
+        Row(4L, ""),
+        Row(5L, null)),
+      schema)
+    val path = s"$base/hostile_$format"
+    FormatBridge.write(src, path, format)
+    val back = FormatBridge.read(spark, path, format, src.schema)
+    val exp = src.collect().map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+    val got = back.collect().map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+    assert(got == exp, s"hostile×$format: $got != $exp")
+  }
 }

@@ -520,7 +520,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       || plan.contains("BroadcastHashJoin"),
       s"q121 expected a hash/merge equi-join:\n$plan")
     // the mega-block guard is a window count over the block key
-    assert(planString(df).contains("windowspecdefinition"),
+    assert(plan.contains("windowspecdefinition"),
       s"q121 lost its block-size cap window:\n$plan")
   }
 }

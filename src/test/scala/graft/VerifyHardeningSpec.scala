@@ -10,11 +10,22 @@ import java.nio.file.Files
   * one-row `graft_error` parquet (dumped count == registered count, and
   * the driver's hash compare turns the error row into a loud mismatch),
   * and the run's exit code is nonzero. */
-class VerifyHardeningSpec extends AnyFunSuite {
+class VerifyHardeningSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+  private val tmps = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def tmp(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toString; tmps += d; d
+  }
+  override def afterAll(): Unit = tmps.foreach { d =>
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(d))
+  }
 
   test("a forced failure dumps an error row per query and returns rc=1") {
-    val bad = Files.createTempDirectory("graft_verify_bad").toString // no parquet inside
-    val out = Files.createTempDirectory("graft_verify_out").toString
+    val bad = tmp("graft_verify_bad") // no parquet inside
+    val out = tmp("graft_verify_out")
     val probe = "q01_scan_filter_sort"
     val rc = Verify.run(Array(bad, out, probe))
     assert(rc == 1, "a failed query must produce a nonzero exit code")
@@ -36,7 +47,7 @@ class VerifyHardeningSpec extends AnyFunSuite {
   }
 
   test("a clean subset run returns rc=0") {
-    val out = Files.createTempDirectory("graft_verify_ok").toString
+    val out = tmp("graft_verify_ok")
     val rc = Verify.run(Array("/root/testdata/sf0.001", out, "q01_scan_filter_sort"))
     assert(rc == 0)
     assert(new java.io.File(s"$out/q01_scan_filter_sort").isDirectory)
