@@ -25,7 +25,8 @@ object Prof {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
-      if (name == "curation_flow") ScaleDrill.curationFlow else SparkEntry.queries(name)
+      if (name == "curation_flow") ScaleDrill.curationFlow
+      else ScaleDrill.extraDrillQueries.getOrElse(name, SparkEntry.queries(name))
     for (i <- 1 to runs) {
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()

@@ -56,8 +56,9 @@ object ScaleDrill {
     "q92_cdc_passages",      // documents: content-defined passage dedup
     "q97_rolling_range",     // events: RANGE-frame rolling window
     "q99_winsorized",        // lineitem: sharded two-sided percentile
-    "q107_percentile_disc",  // lineitem: built-in percentile_disc (buffer caveat)
-    "q112_percentile_disc_sharded", // lineitem: its declared 100 TB spelling
+    "q112_percentile_disc_sharded", // lineitem: the (now default) 100 TB
+                             // percentile spelling — q107 aliases to it
+                             // since r10, so one gated lane covers both
     "q116_bigram_rarity",    // documents: exploded-bigram self-join — the
                              // count-table join-back is the classic shape
                              // that blows up when the head of the Zipf
@@ -85,10 +86,12 @@ object ScaleDrill {
     * empty-unless-regression (r6 ADVICE #1; a permanently red list would
     * dilute the gate's ship-blocking signal from day one). */
   val knownSuperlinear: Map[String, String] = Map(
-    "q107_percentile_disc" ->
+    "q107_percentile_builtin_drill" ->
       ("built-in percentile buffers per-distinct-value counts per group " +
-        "(r6 measured 24.5x at 10x data); q112_percentile_disc_sharded is " +
-        "the declared 100 TB spelling of the same answer and stays gated"),
+        "(r6 measured 24.5x at 10x data); since r10 the q107 NAME resolves " +
+        "to the sharded q112 plan and this buffer spelling exists ONLY as " +
+        "this drill lane — measured so the documented caveat stays a " +
+        "number, unreachable so no user plan carries it"),
     "q121_fuzzy_pairs" ->
       ("blocked-ER comparisons cost min(Σ|block|², cap·n): fixed-cardinality " +
         "blocking keys make block sizes grow WITH the corpus, so the 1×→10× " +
@@ -96,6 +99,20 @@ object ScaleDrill {
         "1000-member cap, after which cost is linear (cap·n). The exact-oracle " +
         "lane keeps the blocked-DP shape; q50 MinHash banding is the declared " +
         "scale path for fuzzy candidates at 100 TB"))
+
+  /** The documents replication transform (shared by [[materialize]] and the
+    * [[textProbe]] documents-only materialization): ids shift by copy; a
+    * copy-specific token splices after every 4th word so cross-copy
+    * shingles break (see the object scaladoc's structure-invariance
+    * argument). Expects a `copy` column. */
+  private def spliceDocs(d: DataFrame, maxDoc: Long): DataFrame =
+    d.withColumn("doc_id", col("doc_id") + col("copy") * maxDoc)
+      .withColumn("text",
+        when(col("copy") === 0 || col("text").isNull, col("text"))
+          .otherwise(concat_ws(" ",
+            transform(split(trim(col("text")), "\\s+"),
+              (w, i) => when(i % 4 === 3,
+                concat(w, lit(" zc"), col("copy"))).otherwise(w)))))
 
   /** Write a `factor`× scale copy of the drill tables under `outDir`.
     * factor=1 writes a verbatim copy — the like-for-like base side. */
@@ -116,15 +133,7 @@ object ScaleDrill {
     }
 
     val maxDoc = Tables(s, sfDir, "documents").agg(max("doc_id")).first().getLong(0) + 1
-    scaled("documents") { d =>
-      d.withColumn("doc_id", col("doc_id") + col("copy") * maxDoc)
-        .withColumn("text",
-          when(col("copy") === 0 || col("text").isNull, col("text"))
-            .otherwise(concat_ws(" ",
-              transform(split(trim(col("text")), "\\s+"),
-                (w, i) => when(i % 4 === 3,
-                  concat(w, lit(" zc"), col("copy"))).otherwise(w)))))
-    }
+    scaled("documents")(spliceDocs(_, maxDoc))
 
     val maxVec = Tables(s, sfDir, "embeddings").agg(max("vec_id")).first().getLong(0) + 1
     scaled("embeddings") { d =>
@@ -151,20 +160,31 @@ object ScaleDrill {
     }
   }
 
+  /** Drill lanes that exist ONLY here (not in SparkEntry.queries): the
+    * buffer-based percentile built-in, kept measurable after r10 defaulted
+    * the q107 name to the sharded plan (r9 verdict #2). */
+  val extraDrillQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_percentile_builtin_drill" ->
+      (graft.operators.Relational.q107PercentileDiscBuiltin _))
+
+  /** A gated lane whose best-of-two ratio lands above this re-measures one
+    * extra interleaved pair. r9 shipped 3.12 (q112) and 3.62 (q116) drill
+    * ratios that an idle-host re-measure put at 1.7 / 1.9 — the drill runs
+    * at the END of the bench JVM, where one GC/host burst across both ×N
+    * timings fakes a superlinear lane. 2.5 is the bar the verdict holds
+    * gated lanes to, so anything above it earns the third pair BEFORE the
+    * artifact records it; a REAL superlinear lane fails the extra pair
+    * identically (r9 verdict #1). */
+  val remeasureRatio: Double = 2.5
+
   /** Run the drill: materialize a 1× and a `factor`× copy under `outDir`
     * (subdirs `base1x` / `scaled`), then time each query on both,
-    * interleaved best-of-two. Returns (name, baseSec, scaledSec) rows.
+    * interleaved best-of-two. Returns (name, baseSec, scaledSec, pairs)
+    * rows — `pairs` records how many interleaved (base, ×N) pairs the lane
+    * consumed, so a re-measured ratio is visible as such in the artifact.
     * Persisted state is swept between executions exactly like the bench
-    * passes, so one query's working set never pollutes another's ratio.
-    *
-    * Burst robustness: a query whose first two interleaved pairs land
-    * above `factor` gets ONE extra (base, ×N) pair before the ratio is
-    * final. The drill runs at the END of the bench JVM — a full-GC or host
-    * burst during both ×N timings of one query fakes a quadratic (r7
-    * observed the same q92 ×10 lane at 1.6 s and 12.9 s across two idle
-    * runs); a REAL quadratic fails the extra pair identically, so the
-    * re-measure narrows the false-red window without loosening the gate. */
-  def run(s: SparkSession, sfDir: String, outDir: String, factor: Int): Seq[(String, Double, Double)] = {
+    * passes, so one query's working set never pollutes another's ratio. */
+  def run(s: SparkSession, sfDir: String, outDir: String, factor: Int): Seq[(String, Double, Double, Int)] = {
     val baseDir = s"$outDir/base1x"
     val bigDir = s"$outDir/scaled"
     materialize(s, sfDir, baseDir, 1)
@@ -176,20 +196,22 @@ object ScaleDrill {
       GraftSession.releasePersisted(s)
       sec
     }
-    val all = drillQueries.map(n => n -> SparkEntry.baseQueries(n)) :+
-      ("curation_flow" -> curationFlow)
+    val all = drillQueries.map(n => n -> SparkEntry.baseQueries(n)) ++
+      extraDrillQueries.toSeq :+ ("curation_flow" -> curationFlow)
     all.map { case (name, fn) =>
       val b1 = once(fn, baseDir); val x1 = once(fn, bigDir)
       val b2 = once(fn, baseDir); val x2 = once(fn, bigDir)
       var (b, x) = (math.min(b1, b2), math.min(x1, x2))
+      var pairs = 2
       // known-superlinear lanes are recorded, not gated — an extra pair
       // there buys nothing and the ×N side is the drill's most expensive
       // timing, so only gated queries earn the re-measure
-      if (x > b * factor && !knownSuperlinear.contains(name)) {
+      if (x > b * remeasureRatio && !knownSuperlinear.contains(name)) {
         val b3 = once(fn, baseDir); val x3 = once(fn, bigDir)
         b = math.min(b, b3); x = math.min(x, x3)
+        pairs = 3
       }
-      (name, b, x)
+      (name, b, x, pairs)
     }
   }
 
@@ -201,5 +223,78 @@ object ScaleDrill {
     val docs = Tables(sp, d, "documents")
     val benchmark = docs.filter(col("doc_id") % 100 === 0).select("doc_id", "text")
     graft.operators.Curation.curate(docs, benchmark, quotaPerSource = 1000000)._1
+  }
+
+  // ------------------------------------------------- 30× text-stack probe
+
+  /** The corpus-statistics lanes whose 100 TB story rests on salted joins /
+    * broadcast count tables — probed at a SECOND scale point (r9 verdict
+    * #6: the 10× drill's splice tokens inflate bigram volume 12.2×, which
+    * makes a 10×-window exponent unreadable; a 30× point with the measured
+    * volume ratio beside it is). All three read ONLY the documents table. */
+  val textProbeQueries: Seq[String] =
+    Seq("q116_bigram_rarity", "q131_contamination_score", "q98_bigram_lm")
+
+  /** Exact bigram volume of a documents dir — the denominator that turns a
+    * raw time ratio into a per-volume exponent: the splice tokens that keep
+    * dedup structure scale-invariant ALSO add tokens, so `factor`× copies
+    * carry MORE than `factor`× bigrams and a linear plan legitimately
+    * shows ratio ≈ volume ratio, not ≈ factor. */
+  def bigramVolume(s: SparkSession, dir: String): Long =
+    Tables(s, dir, "documents").filter(col("text").isNotNull)
+      .select(greatest(size(split(trim(lower(col("text"))), "\\s+")) - 1, lit(0)).as("nb"))
+      .agg(sum(col("nb").cast("long"))).first().getLong(0)
+
+  /** Materialize ONLY the documents table (the probe tables' whole input)
+    * at `factor`×, with the same splice transform as the full drill. */
+  def materializeDocuments(s: SparkSession, sfDir: String, outDir: String, factor: Int): Unit = {
+    val copies = broadcast(s.range(0, factor).select(col("id").as("copy")))
+    val base = Tables(s, sfDir, "documents")
+    val maxDoc = base.agg(max("doc_id")).first().getLong(0) + 1
+    spliceDocs(base.crossJoin(copies), maxDoc).drop("copy")
+      .select(base.columns.map(col).toIndexedSeq: _*)
+      .repartition(s.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  /** Run the text probe: fresh 1× and `factor`× documents copies, each
+    * probe query timed interleaved best-of-two (plus one re-measure pair
+    * above volRatio/4 — the drill's burst logic at the probe's scale), and
+    * the bigram volume of both sides measured exactly.
+    * Returns (rows = (name, baseSec, scaledSec, pairs), baseVol, scaledVol). */
+  def textProbe(s: SparkSession, sfDir: String, outDir: String,
+                factor: Int = 30): (Seq[(String, Double, Double, Int)], Long, Long) = {
+    val baseDir = s"$outDir/base1x"
+    val bigDir = s"$outDir/scaled"
+    materializeDocuments(s, sfDir, baseDir, 1)
+    materializeDocuments(s, sfDir, bigDir, factor)
+    val volBase = bigramVolume(s, baseDir)
+    val volBig = bigramVolume(s, bigDir)
+    def once(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val t0 = System.nanoTime()
+      fn(s, dir).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      GraftSession.releasePersisted(s)
+      sec
+    }
+    // a linear-in-volume plan may cost up to ~volRatio× (not factor×), so
+    // the burst re-measure bar scales with the measured volume inflation:
+    // a quarter of the full linear-cost ratio — the same proportion as the
+    // drill's 2.5-of-10 bar
+    val volRatio = volBig.toDouble / math.max(1L, volBase)
+    val rows = textProbeQueries.map { name =>
+      val fn = SparkEntry.baseQueries(name)
+      val b1 = once(fn, baseDir); val x1 = once(fn, bigDir)
+      val b2 = once(fn, baseDir); val x2 = once(fn, bigDir)
+      var (b, x) = (math.min(b1, b2), math.min(x1, x2))
+      var pairs = 2
+      if (x > b * volRatio / 4.0) {
+        val b3 = once(fn, baseDir); val x3 = once(fn, bigDir)
+        b = math.min(b, b3); x = math.min(x, x3)
+        pairs = 3
+      }
+      (name, b, x, pairs)
+    }
+    (rows, volBase, volBig)
   }
 }

@@ -206,8 +206,12 @@ object SparkEntry {
     * json_extract_string ≡ get_json_object; epoch_ns(ts) ≡ the bigint
     * epoch-nanos Spark reads under nanosAsLong; integer-ish outputs CAST to
     * BIGINT on both sides (DuckDB LENGTH/EXTRACT/ROW_NUMBER return BIGINT,
-    * DuckDB SUM(BIGINT) returns HUGEINT). */
-  def baseOracleSql: Map[String, String] = Map(
+    * DuckDB SUM(BIGINT) returns HUGEINT). Engine-internal lanes (hash
+    * families, sketches, float argmax) append golden-VALUES oracles from
+    * [[Goldens]] — see the q34 block comment. */
+  def baseOracleSql: Map[String, String] = computedOracleSql ++ Goldens.oracle
+
+  private def computedOracleSql: Map[String, String] = Map(
     "q01_scan_filter_sort" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber",
     // Money math runs in DECIMAL on BOTH sides (then CAST back to DOUBLE):
@@ -259,8 +263,14 @@ object SparkEntry {
       "SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS s FROM events GROUP BY event_type ORDER BY event_type",
     "q24_event_tumbling" ->
       "SELECT (epoch_ns(ts) - (epoch_ns(ts) % 3600000000000)) AS hour_bucket, event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2",
-    // q25_hash_bucket: intentionally no oracle — Spark Murmur3 HASH() has no
-    // DuckDB equivalent (SURVEY §2.3.10); rows-only check.
+    "q25_hash_bucket" -> // Java String#hashCode replayed EXACTLY in DuckDB
+      // (r10: the lane moved off Murmur3 to the reference's partitioner
+      // hash — see q25HashBucket scaladoc): fold h = (31·h + code) mod 2³²
+      // over the code points, convert to signed 32-bit, then the
+      // abs-AFTER-mod partition rule (AvroProducer.java:82). Verified
+      // char-for-char vs JVM String#hashCode (scalacheck in FunctionsSpec
+      // + this cross-engine gate).
+      "SELECT c_custkey, CAST(abs(jh % 8) AS BIGINT) AS bucket FROM (SELECT c_custkey, CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END AS jh FROM (SELECT c_custkey, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(c_name) + 1), i -> CAST(unicode(substr(c_name, CAST(i AS INT), 1)) AS BIGINT))), (x, y) -> (x * 31 + y) % 4294967296) AS h FROM customer) t) u ORDER BY c_custkey",
     "q26_dedup_exact" ->
       "SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, event_type FROM events) t",
     "q27_text_stats" ->
@@ -277,16 +287,20 @@ object SparkEntry {
       "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM documents ORDER BY doc_id",
     "q33_jaccard_pairs" ->
       "WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents WHERE doc_id < 40), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
-    // q34_minhash_bands, q35_simhash: engine-internal xxhash64 — no DuckDB
-    // twin (FIXTURES §C hash quarantine); rows-only checks.
+    // q34_minhash_bands, q35_simhash, q39/q40/q48/q49/q50/q87/q113/q114/
+    // q129: engine-internal hash families / float argmax / sketches with no
+    // DuckDB twin (FIXTURES §C) — gated since r10 by GOLDEN-VALUE oracles
+    // (Goldens.scala): the outputs are deterministic (verified bit-stable
+    // across 4/8/32-core runs), so a literal VALUES oracle turns the old
+    // rows-only check into a full hash gate. A testdata regen that changes
+    // the underlying rows flips these LOUDLY — re-snapshot via
+    // scripts/gen_goldens.py (the regen changed the data, not the engine).
     "q36_cosine_topk" ->
       "WITH f0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings), f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM f0), d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot, SUM(q.v * q.v) AS qq, SUM(c.v * c.v) AS cc FROM f q JOIN f c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id GROUP BY 1, 2), r AS (SELECT qid, cid, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d), rk AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM r) SELECT qid, cid, sim, rnk FROM rk WHERE rnk <= 5 ORDER BY qid, rnk",
     "q37_neardup_embedding" ->
       "WITH f0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings WHERE vec_id < 300), f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM f0), d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, SUM(a.v * b.v) AS dot, SUM(a.v * a.v) AS qq, SUM(b.v * b.v) AS cc FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2) SELECT id1, id2, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d ORDER BY sim DESC, id1, id2 LIMIT 20",
     "q38_multimodal_bytes" ->
       "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents WHERE doc_id < 100 ORDER BY doc_id",
-    // q39_lsh_buckets, q40_winnow_fingerprint: engine-internal hash families
-    // (random-hyperplane LSH, winnowing) — rows-only checks.
     "q41_asof_join" -> // microsecond resolution both sides: DuckDB reads the
       // nanos parquet column as a µs TIMESTAMP (epoch_ns % 1000 = 0 on every
       // row — verified), so epoch_us is its native exact value; Spark
@@ -356,8 +370,10 @@ object SparkEntry {
       "WITH w AS (SELECT string_split_regex(trim(text), '\\s+') AS words FROM documents), e AS (SELECT words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT) + 1] AS bigram FROM (SELECT words, unnest(generate_series(1, len(words) - 1)) AS i FROM w WHERE len(words) >= 2) t) SELECT bigram, COUNT(*) AS n FROM e GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20",
     "q75_repetition" ->
       "SELECT lang, ROUND(AVG(rep), 4) AS rep_ratio, ROUND(MAX(rep), 4) AS max_rep, COUNT(*) AS n FROM (SELECT lang, CAST(len(words) - len(list_distinct(words)) AS DOUBLE) / len(words) AS rep FROM (SELECT lang, string_split_regex(trim(text), '\\s+') AS words FROM documents) w) t GROUP BY lang ORDER BY lang",
-    "q76_decontaminate" -> // canary injection keeps the row non-vacuous at every scale
-      "WITH base AS (SELECT doc_id, lang, concat(coalesce(text, ''), CASE WHEN doc_id % 7 = 0 OR doc_id % 100 = 0 THEN ' zq wv jk pq xy' ELSE '' END) AS text FROM documents), w AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS words FROM base), shg AS (SELECT doc_id, lang, array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh FROM (SELECT doc_id, lang, words, unnest(generate_series(1, len(words) - 4)) AS i FROM w WHERE len(words) >= 5) t), b AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 100 = 0), c AS (SELECT DISTINCT s.doc_id, s.lang FROM shg s JOIN b ON s.sh = b.sh WHERE s.doc_id % 100 <> 0) SELECT lang, COUNT(*) AS n_contaminated FROM c GROUP BY lang ORDER BY lang",
+    "q76_decontaminate" -> // canary injection keeps the row non-vacuous at
+      // every scale; the canary text interpolates from Dedup.Canary (one
+      // source of truth — r9 ADVICE)
+      s"WITH base AS (SELECT doc_id, lang, concat(coalesce(text, ''), CASE WHEN doc_id % 7 = 0 OR doc_id % 100 = 0 THEN ' ${Dedup.Canary}' ELSE '' END) AS text FROM documents), w AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS words FROM base), shg AS (SELECT doc_id, lang, array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh FROM (SELECT doc_id, lang, words, unnest(generate_series(1, len(words) - 4)) AS i FROM w WHERE len(words) >= 5) t), b AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 100 = 0), c AS (SELECT DISTINCT s.doc_id, s.lang FROM shg s JOIN b ON s.sh = b.sh WHERE s.doc_id % 100 <> 0) SELECT lang, COUNT(*) AS n_contaminated FROM c GROUP BY lang ORDER BY lang",
     "q77_embedding_norms" ->
       "SELECT label, ROUND(AVG(nrm), 4) AS avg_norm, ROUND(MIN(nrm), 4) AS min_norm, ROUND(MAX(nrm), 4) AS max_norm, COUNT(*) AS n FROM (SELECT label, SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM embeddings) t GROUP BY label ORDER BY label",
     "q78_url_domains" ->
@@ -393,9 +409,6 @@ object SparkEntry {
       // is Spark-side, values are the contract. keys/n_entries pin the map
       // shape ('k,u', 2 entries/row) so a parse regression can't hide.
       "SELECT event_type, 'k,u' AS keys, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, CAST(SUM(user_id) AS BIGINT) AS sum_u, CAST(2 * COUNT(*) AS BIGINT) AS n_entries, COUNT(*) AS n FROM events WHERE props IS NOT NULL GROUP BY event_type ORDER BY event_type, keys",
-    // q87_ann_recall: intentionally no oracle — approximate ANN candidate
-    // sets are engine-internal (hash family / float argmax); the recall
-    // floor is asserted in SimilaritySpec instead.
     "q88_range_join_binned" -> // busy-hour islands range-joined back to
       // events. The oracle states the range join DIRECTLY (ts >= start AND
       // ts < end); the engine side decomposes it into a binned equi-join
@@ -511,18 +524,20 @@ object SparkEntry {
       "WITH RECURSIVE succ AS (SELECT o_custkey AS ck, o_orderkey AS ok, LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt FROM orders), chain AS (SELECT ck, MIN(ok) AS ok, 1 AS depth FROM succ GROUP BY ck UNION ALL SELECT s.ck, s.nxt AS ok, c.depth + 1 AS depth FROM chain c JOIN succ s ON s.ck = c.ck AND s.ok = c.ok WHERE s.nxt IS NOT NULL AND c.depth < 8) SELECT depth, COUNT(*) AS n, CAST(SUM(ok) AS BIGINT) AS key_sum FROM chain GROUP BY depth ORDER BY depth",
     "q121_fuzzy_pairs" -> // identical semantics on both engines: levenshtein
       // is the same classic DP; blocking key = (prefix-4, ⌊len/8⌋ band),
-      // mega-blocks (>1000 members) dropped — same guard both sides
-      "WITH d AS (SELECT doc_id, lower(substring(trim(text), 1, 24)) AS sig FROM documents WHERE text IS NOT NULL), b0 AS (SELECT doc_id, sig, substring(sig, 1, 4) AS blk, CAST(length(sig) // 8 AS BIGINT) AS lb FROM d), b AS (SELECT doc_id, sig, blk, lb FROM (SELECT doc_id, sig, blk, lb, COUNT(*) OVER (PARTITION BY blk, lb) AS bn FROM b0) t WHERE bn <= 1000) SELECT a.doc_id AS id1, c.doc_id AS id2, CAST(levenshtein(a.sig, c.sig) AS BIGINT) AS lev FROM b a JOIN b c ON a.blk = c.blk AND a.lb = c.lb AND a.doc_id < c.doc_id WHERE levenshtein(a.sig, c.sig) <= 6 ORDER BY id1, id2",
+      // mega-blocks (>FuzzyBlockCap members) dropped — same guard both
+      // sides, cap interpolated from the ONE constant (r9 ADVICE)
+      s"WITH d AS (SELECT doc_id, lower(substring(trim(text), 1, 24)) AS sig FROM documents WHERE text IS NOT NULL), b0 AS (SELECT doc_id, sig, substring(sig, 1, 4) AS blk, CAST(length(sig) // 8 AS BIGINT) AS lb FROM d), b AS (SELECT doc_id, sig, blk, lb FROM (SELECT doc_id, sig, blk, lb, COUNT(*) OVER (PARTITION BY blk, lb) AS bn FROM b0) t WHERE bn <= ${Dedup.FuzzyBlockCap}) SELECT a.doc_id AS id1, c.doc_id AS id2, CAST(levenshtein(a.sig, c.sig) AS BIGINT) AS lev FROM b a JOIN b c ON a.blk = c.blk AND a.lb = c.lb AND a.doc_id < c.doc_id WHERE levenshtein(a.sig, c.sig) <= 6 ORDER BY id1, id2",
     "q130_source_mixing" -> // α=.5 temperature via sqrt (correctly-rounded
       // IEEE both engines); weights pinned at basis-point granularity
       // (float-sum-order note in the operator scaladoc); prop_ppm exact int
       "WITH per AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens FROM documents WHERE text IS NOT NULL GROUP BY source), z AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens, SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS z FROM per) SELECT source, n_docs, n_tokens, CAST(n_tokens * 1000000 // tot_tokens AS BIGINT) AS prop_ppm, CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / z * 10000, 0) AS BIGINT) AS temp_bp FROM per, z ORDER BY source",
     "q131_contamination_score" -> // q76's canary + shingle spelling, graded:
       // per-doc shingle-occurrence overlap with the benchmark set, exact ppm
-      "WITH base AS (SELECT doc_id, concat(coalesce(text, ''), CASE WHEN doc_id % 7 = 0 OR doc_id % 100 = 0 THEN ' zq wv jk pq xy' ELSE '' END) AS text FROM documents), w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM base), shg AS (SELECT doc_id, array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i FROM w WHERE len(words) >= 5) t), b AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 100 = 0), c AS (SELECT s.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam FROM (SELECT * FROM shg WHERE doc_id % 100 <> 0) s LEFT JOIN b ON s.sh = b.sh GROUP BY s.doc_id) SELECT doc_id, n_shingles, n_contam, CAST(n_contam * 1000000 // n_shingles AS BIGINT) AS contam_ppm FROM c WHERE n_contam > 0 ORDER BY doc_id",
+      s"WITH base AS (SELECT doc_id, concat(coalesce(text, ''), CASE WHEN doc_id % 7 = 0 OR doc_id % 100 = 0 THEN ' ${Dedup.Canary}' ELSE '' END) AS text FROM documents), w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM base), shg AS (SELECT doc_id, array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i FROM w WHERE len(words) >= 5) t), b AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 100 = 0), c AS (SELECT s.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam FROM (SELECT * FROM shg WHERE doc_id % 100 <> 0) s LEFT JOIN b ON s.sh = b.sh GROUP BY s.doc_id) SELECT doc_id, n_shingles, n_contam, CAST(n_contam * 1000000 // n_shingles AS BIGINT) AS contam_ppm FROM c WHERE n_contam > 0 ORDER BY doc_id",
     "q132_cross_source_dups" -> // md5 is the same function both engines;
-      // dup groups injected in a projection (operator scaladoc)
-      "WITH base AS (SELECT source, CASE WHEN doc_id % 7 = 0 THEN concat('dupfix ', CAST(doc_id // 70 AS VARCHAR)) ELSE text END AS text FROM documents WHERE text IS NOT NULL), fp AS (SELECT DISTINCT md5(text) AS fp, source FROM base) SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_fps FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2 ORDER BY 1, 2",
+      // dup groups injected in a projection (operator scaladoc); injection
+      // parameters interpolate from the Dedup constants (r9 ADVICE)
+      s"WITH base AS (SELECT source, CASE WHEN doc_id % ${Dedup.DupFixMod} = 0 THEN concat('${Dedup.DupFixPrefix}', CAST(doc_id // ${Dedup.DupFixWindow} AS VARCHAR)) ELSE text END AS text FROM documents WHERE text IS NOT NULL), fp AS (SELECT DISTINCT md5(text) AS fp, source FROM base) SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_fps FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2 ORDER BY 1, 2",
     "q133_tpch_q5" -> // 6-way join + c_nationkey=s_nationkey twist;
       // DECIMAL-then-ROUND revenue (q123 discipline)
       "SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue FROM customer, orders, lineitem, supplier, nation, region WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY n_name ORDER BY revenue DESC, n_name",

@@ -81,7 +81,7 @@ object SqlFrontDoor {
     "q75_repetition" -> // list_distinct/len -> array_distinct/size
       "SELECT lang, ROUND(AVG(rep), 4) AS rep_ratio, ROUND(MAX(rep), 4) AS max_rep, COUNT(*) AS n FROM (SELECT lang, CAST(size(words) - size(array_distinct(words)) AS DOUBLE) / size(words) AS rep FROM (SELECT lang, split(trim(text), '\\\\s+') AS words FROM documents) w) t GROUP BY lang ORDER BY lang",
     "q76_decontaminate" -> // list_slice/array_to_string -> slice/concat_ws
-      "WITH base AS (SELECT doc_id, lang, concat(coalesce(text, ''), CASE WHEN doc_id % 7 = 0 OR doc_id % 100 = 0 THEN ' zq wv jk pq xy' ELSE '' END) AS text FROM documents), w AS (SELECT doc_id, lang, split(trim(text), '\\\\s+') AS words FROM base), shg AS (SELECT doc_id, lang, concat_ws(' ', slice(words, CAST(i AS INT), 5)) AS sh FROM (SELECT doc_id, lang, words, explode(sequence(1, size(words) - 4)) AS i FROM w WHERE size(words) >= 5) t), b AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 100 = 0), c AS (SELECT DISTINCT s.doc_id, s.lang FROM shg s JOIN b ON s.sh = b.sh WHERE s.doc_id % 100 <> 0) SELECT lang, COUNT(*) AS n_contaminated FROM c GROUP BY lang ORDER BY lang",
+      s"WITH base AS (SELECT doc_id, lang, concat(coalesce(text, ''), CASE WHEN doc_id % 7 = 0 OR doc_id % 100 = 0 THEN ' ${graft.operators.Dedup.Canary}' ELSE '' END) AS text FROM documents), w AS (SELECT doc_id, lang, split(trim(text), '\\\\s+') AS words FROM base), shg AS (SELECT doc_id, lang, concat_ws(' ', slice(words, CAST(i AS INT), 5)) AS sh FROM (SELECT doc_id, lang, words, explode(sequence(1, size(words) - 4)) AS i FROM w WHERE size(words) >= 5) t), b AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 100 = 0), c AS (SELECT DISTINCT s.doc_id, s.lang FROM shg s JOIN b ON s.sh = b.sh WHERE s.doc_id % 100 <> 0) SELECT lang, COUNT(*) AS n_contaminated FROM c GROUP BY lang ORDER BY lang",
     "q77_embedding_norms" -> // list_sum/list_transform -> aggregate HOF
       "SELECT label, ROUND(AVG(nrm), 4) AS avg_norm, ROUND(MIN(nrm), 4) AS min_norm, ROUND(MAX(nrm), 4) AS max_norm, COUNT(*) AS n FROM (SELECT label, SQRT(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm FROM embeddings) t GROUP BY label ORDER BY label",
     "q80_pack_bins" -> // string_split_regex/len/'//' -> split/size/div
@@ -149,14 +149,14 @@ object SqlFrontDoor {
       // ordering column's type only for numeric-widened inputs)
       "WITH li AS (SELECT l_returnflag AS f, CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c FROM lineitem), med AS (SELECT f, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT) AS med_cents FROM li GROUP BY f), dev AS (SELECT li.f, c, med_cents, abs(c - med_cents) AS d FROM li JOIN med USING (f)), mad AS (SELECT f, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS BIGINT) AS mad_cents FROM dev GROUP BY f) SELECT f AS l_returnflag, MAX(med_cents) AS med_cents, MAX(mad_cents) AS mad_cents, COUNT(*) AS n, CAST(SUM(CASE WHEN d * 2 > 3 * mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers FROM dev JOIN mad USING (f) GROUP BY f ORDER BY f",
     "q121_fuzzy_pairs" -> // length(sig) // 8 -> div (Spark has no '//')
-      "WITH d AS (SELECT doc_id, lower(substring(trim(text), 1, 24)) AS sig FROM documents WHERE text IS NOT NULL), b0 AS (SELECT doc_id, sig, substring(sig, 1, 4) AS blk, CAST(length(sig) div 8 AS BIGINT) AS lb FROM d), b AS (SELECT doc_id, sig, blk, lb FROM (SELECT doc_id, sig, blk, lb, COUNT(*) OVER (PARTITION BY blk, lb) AS bn FROM b0) t WHERE bn <= 1000) SELECT a.doc_id AS id1, c.doc_id AS id2, CAST(levenshtein(a.sig, c.sig) AS BIGINT) AS lev FROM b a JOIN b c ON a.blk = c.blk AND a.lb = c.lb AND a.doc_id < c.doc_id WHERE levenshtein(a.sig, c.sig) <= 6 ORDER BY id1, id2",
+      s"WITH d AS (SELECT doc_id, lower(substring(trim(text), 1, 24)) AS sig FROM documents WHERE text IS NOT NULL), b0 AS (SELECT doc_id, sig, substring(sig, 1, 4) AS blk, CAST(length(sig) div 8 AS BIGINT) AS lb FROM d), b AS (SELECT doc_id, sig, blk, lb FROM (SELECT doc_id, sig, blk, lb, COUNT(*) OVER (PARTITION BY blk, lb) AS bn FROM b0) t WHERE bn <= ${graft.operators.Dedup.FuzzyBlockCap}) SELECT a.doc_id AS id1, c.doc_id AS id2, CAST(levenshtein(a.sig, c.sig) AS BIGINT) AS lev FROM b a JOIN b c ON a.blk = c.blk AND a.lb = c.lb AND a.doc_id < c.doc_id WHERE levenshtein(a.sig, c.sig) <= 6 ORDER BY id1, id2",
     "q130_source_mixing" -> // string_split_regex/len/'//' -> split/size/div
       "WITH per AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(size(split(trim(text), '\\\\s+'))) AS BIGINT) AS n_tokens FROM documents WHERE text IS NOT NULL GROUP BY source), z AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens, SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS z FROM per) SELECT source, n_docs, n_tokens, CAST(n_tokens * 1000000 div tot_tokens AS BIGINT) AS prop_ppm, CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / z * 10000, 0) AS BIGINT) AS temp_bp FROM per, z ORDER BY source",
     "q131_contamination_score" -> // list_slice/array_to_string/unnest(
       // generate_series)/len/'//' -> slice/concat_ws/explode(sequence)/size/div
-      "WITH base AS (SELECT doc_id, concat(coalesce(text, ''), CASE WHEN doc_id % 7 = 0 OR doc_id % 100 = 0 THEN ' zq wv jk pq xy' ELSE '' END) AS text FROM documents), w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM base), shg AS (SELECT doc_id, concat_ws(' ', slice(words, CAST(i AS INT), 5)) AS sh FROM (SELECT doc_id, words, explode(sequence(1, size(words) - 4)) AS i FROM w WHERE size(words) >= 5) t), b AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 100 = 0), c AS (SELECT s.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam FROM (SELECT * FROM shg WHERE doc_id % 100 <> 0) s LEFT JOIN b ON s.sh = b.sh GROUP BY s.doc_id) SELECT doc_id, n_shingles, n_contam, CAST(n_contam * 1000000 div n_shingles AS BIGINT) AS contam_ppm FROM c WHERE n_contam > 0 ORDER BY doc_id",
+      s"WITH base AS (SELECT doc_id, concat(coalesce(text, ''), CASE WHEN doc_id % 7 = 0 OR doc_id % 100 = 0 THEN ' ${graft.operators.Dedup.Canary}' ELSE '' END) AS text FROM documents), w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM base), shg AS (SELECT doc_id, concat_ws(' ', slice(words, CAST(i AS INT), 5)) AS sh FROM (SELECT doc_id, words, explode(sequence(1, size(words) - 4)) AS i FROM w WHERE size(words) >= 5) t), b AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 100 = 0), c AS (SELECT s.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam FROM (SELECT * FROM shg WHERE doc_id % 100 <> 0) s LEFT JOIN b ON s.sh = b.sh GROUP BY s.doc_id) SELECT doc_id, n_shingles, n_contam, CAST(n_contam * 1000000 div n_shingles AS BIGINT) AS contam_ppm FROM c WHERE n_contam > 0 ORDER BY doc_id",
     "q132_cross_source_dups" -> // '//'/VARCHAR -> div/STRING
-      "WITH base AS (SELECT source, CASE WHEN doc_id % 7 = 0 THEN concat('dupfix ', CAST(doc_id div 70 AS STRING)) ELSE text END AS text FROM documents WHERE text IS NOT NULL), fp AS (SELECT DISTINCT md5(text) AS fp, source FROM base) SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_fps FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2 ORDER BY 1, 2",
+      s"WITH base AS (SELECT source, CASE WHEN doc_id % ${graft.operators.Dedup.DupFixMod} = 0 THEN concat('${graft.operators.Dedup.DupFixPrefix}', CAST(doc_id div ${graft.operators.Dedup.DupFixWindow} AS STRING)) ELSE text END AS text FROM documents WHERE text IS NOT NULL), fp AS (SELECT DISTINCT md5(text) AS fp, source FROM base) SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_fps FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2 ORDER BY 1, 2",
     "q133_tpch_q5" -> // TIMESTAMP literal vs timestamp_ntz column
       "SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue FROM customer, orders, lineitem, supplier, nation, region WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP_NTZ '1997-01-01 00:00:00' GROUP BY n_name ORDER BY revenue DESC, n_name",
     "q134_tpch_q7" -> // TIMESTAMP literal vs timestamp_ntz column
@@ -169,6 +169,11 @@ object SqlFrontDoor {
       "SELECT c_nationkey % 10 AS code, COUNT(*) AS numcust, CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal FROM customer c WHERE c_nationkey % 10 IN (0, 1, 2, 3, 4, 5, 6) AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (0, 1, 2, 3, 4, 5, 6)) AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP_NTZ '1999-01-01 00:00:00') GROUP BY c_nationkey % 10 ORDER BY code",
     "q128_latest_per_key" -> // epoch_us(ts) -> ts div 1000 (µs contract)
       "WITH e AS (SELECT user_id, ts div 1000 AS t, event_id, event_type FROM events), r AS (SELECT user_id, t, event_id, event_type, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rn FROM e) SELECT user_id, t AS last_t_us, event_id AS last_event_id, event_type AS last_event_type FROM r WHERE rn = 1 ORDER BY user_id",
+    "q25_hash_bucket" -> // the oracle computes Java String#hashCode with a
+      // DuckDB list_reduce fold; the Spark text calls the session-extension
+      // java_string_hash (the R7 parity Expression) with the reference's
+      // abs-after-mod partition rule (AvroProducer.java:82)
+      "SELECT c_custkey, CAST(abs(java_string_hash(c_name) % 8) AS BIGINT) AS bucket FROM customer ORDER BY c_custkey",
     "q53_char_ngram_jaccard" -> // range() lateral -> explode(sequence)
       "WITH w AS (SELECT doc_id, substring(text, i, 3) AS word FROM (SELECT doc_id, text, explode(sequence(1, length(text) - 2)) AS i FROM documents WHERE doc_id < 20)), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
   )
@@ -264,7 +269,9 @@ object SqlFrontDoor {
       "d AS (SELECT COUNT(*) AS denom FROM truth) " +
       "SELECT 'pq_m8_k16_adc' AS method, round(CAST(hits AS DOUBLE) / denom, 4) AS recall, " +
       "CAST(hits AS BIGINT) AS hits, CAST(denom AS BIGINT) AS denom, " +
-      "CAST(4 AS BIGINT) AS bytes_per_vec, CAST(64 AS BIGINT) AS compression_x FROM h CROSS JOIN d"
+      "CAST(4 AS BIGINT) AS bytes_per_vec, CAST(64 AS BIGINT) AS compression_x, " +
+      "CAST(1000 AS BIGINT) AS floor_bp, hits * 10000 >= denom * 1000 AS floor_ok " +
+      "FROM h CROSS JOIN d"
   }
 
   /** IVF-PQ (q114) SQL twin — like s113, IDENTICAL math to the DataFrame
@@ -312,7 +319,9 @@ object SqlFrontDoor {
       "nq AS (SELECT COUNT(*) AS n_q FROM q) " +
       "SELECT 'ivfpq_m8_k16_nprobe4' AS method, round(CAST(hits AS DOUBLE) / denom, 4) AS recall, " +
       "CAST(hits AS BIGINT) AS hits, CAST(denom AS BIGINT) AS denom, " +
-      "CAST(scanned_pairs AS BIGINT) AS scanned_pairs, CAST(n_q * (n_corpus - 1) AS BIGINT) AS full_scan_pairs " +
+      "CAST(scanned_pairs AS BIGINT) AS scanned_pairs, CAST(n_q * (n_corpus - 1) AS BIGINT) AS full_scan_pairs, " +
+      "CAST(1000 AS BIGINT) AS floor_bp, hits * 10000 >= denom * 1000 AS floor_ok, " +
+      "scanned_pairs < n_q * (n_corpus - 1) AS prune_ok " +
       "FROM h CROSS JOIN d CROSS JOIN sc CROSS JOIN nn CROSS JOIN nq"
   }
 
@@ -322,8 +331,6 @@ object SqlFrontDoor {
       "WITH leaf AS (SELECT o_orderstatus, o_orderpriority, hll_sketch_agg(o_custkey, 12) AS sk FROM orders GROUP BY 1, 2), est AS (SELECT o_orderstatus, COUNT(*) AS n_leaves, hll_sketch_estimate(hll_union_agg(sk, false)) AS est_nd FROM leaf GROUP BY 1), exact AS (SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_nd FROM orders GROUP BY 1) SELECT est.o_orderstatus, n_leaves, est_nd, exact_nd, CAST(abs(est_nd - exact_nd) * 1000 / exact_nd AS BIGINT) AS err_ppt FROM est JOIN exact ON est.o_orderstatus = exact.o_orderstatus ORDER BY est.o_orderstatus",
     "q113_pq_recall" -> pqSql,
     "q114_ivfpq_recall" -> ivfPqSql,
-    "q25_hash_bucket" -> // Spark Murmur3 hash() — no DuckDB twin by design
-      "SELECT c_custkey, CAST(abs(hash(c_name)) % 8 AS BIGINT) AS bucket FROM customer ORDER BY c_custkey",
     "q34_minhash_bands" ->
       ("WITH w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM documents), " +
         "f AS (SELECT doc_id, words FROM w WHERE size(words) >= 3), " +
@@ -363,7 +370,7 @@ object SqlFrontDoor {
         s"b AS (SELECT doc_id, explode($bandStructsSql) AS bs FROM sig), " +
         "bb AS (SELECT doc_id, bs.band AS band, bs.sig AS sig FROM b), " +
         "bc AS (SELECT doc_id, band, sig, COUNT(*) OVER (PARTITION BY band, sig) AS bn FROM bb), " +
-        "bands AS (SELECT doc_id, band, sig FROM bc WHERE bn <= 1000), " +
+        s"bands AS (SELECT doc_id, band, sig FROM bc WHERE bn <= ${graft.operators.Dedup.MinhashBucketCap}), " +
         "cand AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2 FROM bands a JOIN bands b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id), " +
         "tok AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS word FROM d) x), " +
         "sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1), " +
@@ -385,8 +392,8 @@ object SqlFrontDoor {
         "lb1 AS (SELECT vec_id, " + lshBucketSql(5, 1) + " AS bkt FROM e), " +
         "lcand AS (SELECT DISTINCT qid, cid FROM (SELECT q.vec_id AS qid, c2.vec_id AS cid FROM lb0 q JOIN lb0 c2 ON q.bkt = c2.bkt AND q.vec_id < 20 AND q.vec_id <> c2.vec_id UNION ALL SELECT q.vec_id, c2.vec_id FROM lb1 q JOIN lb1 c2 ON q.bkt = c2.bkt AND q.vec_id < 20 AND q.vec_id <> c2.vec_id) lu), " +
         "lshc AS (SELECT qid, cid FROM (SELECT lcand.qid, lcand.cid, ROW_NUMBER() OVER (PARTITION BY lcand.qid ORDER BY ROUND(graft_cosine(qv.v, cv.v), 4) DESC, lcand.cid) AS rnk FROM lcand JOIN e qv ON qv.vec_id = lcand.qid JOIN e cv ON cv.vec_id = lcand.cid) v WHERE rnk <= 10) " +
-        "SELECT 'ivf_sqrtn_nprobe4_r0' AS method, ROUND(CAST(hits AS DOUBLE) / denom, 4) AS recall, hits, CAST(denom AS BIGINT) AS denom FROM (SELECT CAST(COUNT(*) AS BIGINT) AS hits FROM t LEFT SEMI JOIN ivfc ON t.qid = ivfc.qid AND t.cid = ivfc.cid) h1 CROSS JOIN tc " +
-        "UNION ALL SELECT 'lsh_5bit_x2' AS method, ROUND(CAST(hits AS DOUBLE) / denom, 4) AS recall, hits, CAST(denom AS BIGINT) AS denom FROM (SELECT CAST(COUNT(*) AS BIGINT) AS hits FROM t LEFT SEMI JOIN lshc ON t.qid = lshc.qid AND t.cid = lshc.cid) h2 CROSS JOIN tc " +
+        "SELECT 'ivf_sqrtn_nprobe4_r0' AS method, ROUND(CAST(hits AS DOUBLE) / denom, 4) AS recall, hits, CAST(denom AS BIGINT) AS denom, CAST(3700 AS BIGINT) AS floor_bp, hits * 10000 >= denom * 3700 AS floor_ok FROM (SELECT CAST(COUNT(*) AS BIGINT) AS hits FROM t LEFT SEMI JOIN ivfc ON t.qid = ivfc.qid AND t.cid = ivfc.cid) h1 CROSS JOIN tc " +
+        "UNION ALL SELECT 'lsh_5bit_x2' AS method, ROUND(CAST(hits AS DOUBLE) / denom, 4) AS recall, hits, CAST(denom AS BIGINT) AS denom, CAST(700 AS BIGINT) AS floor_bp, hits * 10000 >= denom * 700 AS floor_ok FROM (SELECT CAST(COUNT(*) AS BIGINT) AS hits FROM t LEFT SEMI JOIN lshc ON t.qid = lshc.qid AND t.cid = lshc.cid) h2 CROSS JOIN tc " +
         "ORDER BY method"),
   )
 
@@ -408,7 +415,9 @@ object SqlFrontDoor {
     }
 
   /** Same DuckDB oracle keyed by the lane name — the SQL-text lane must hash
-    * identically to its DataFrame sibling. */
+    * identically to its DataFrame sibling, EXCEPT where the text is a
+    * labeled divergence (s87's tuning point) and carries its own golden. */
   def laneOracle: Map[String, String] =
-    SparkEntry.baseOracleSql.map { case (name, sql) => ("s" + name.drop(1)) -> sql }
+    SparkEntry.baseOracleSql.map { case (name, sql) => ("s" + name.drop(1)) -> sql } ++
+      Goldens.laneOracleOverrides
 }

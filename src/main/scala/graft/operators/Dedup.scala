@@ -239,7 +239,9 @@ object Dedup {
     * members are by construction exact/near-exact dup clusters that the
     * cheaper exact-dedup pass (md5 / dropExactDuplicates) already collapses,
     * so skipping their pairwise expansion loses nothing at scale. */
-  def minhashCandidatePairs(d: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
+  /** Default LSH bucket cap (q34 rule) — shared with the s50 SQL spelling. */
+  val MinhashBucketCap = 1000
+  def minhashCandidatePairs(d: DataFrame, maxBucketSize: Int = MinhashBucketCap): DataFrame = {
     // bucket-size gate as a WINDOW count, not a groupBy+self-semi-join: the
     // signature pipeline upstream is the expensive part and sits under both
     // sides of the pair join already; a semi-join formulation would embed it
@@ -343,8 +345,17 @@ object Dedup {
   }
 
   /** Canary "eval sentence" for Q76 — 5 words so it is exactly one
-    * k=5 shingle. */
+    * k=5 shingle. Interpolated into the DuckDB-oracle and SqlFrontDoor
+    * spellings too (r9 ADVICE: shared literals must have ONE source of
+    * truth or the three spellings drift silently until the gate trips). */
   val Canary = "zq wv jk pq xy"
+
+  /** Q132 dup-injection parameters — every doc_id ≡ 0 (mod [[DupFixMod]])
+    * replaces its text with `DupFixPrefix ⌊doc_id/DupFixWindow⌋`. Shared
+    * by the Scala plan, the DuckDB oracle, and the s132 SQL text. */
+  val DupFixMod = 7
+  val DupFixWindow = 70
+  val DupFixPrefix = "dupfix "
 
   /** Q132 — cross-source duplicate CONTAINMENT MATRIX: for every source
     * pair, how many distinct content fingerprints appear in BOTH — the
@@ -366,8 +377,8 @@ object Dedup {
   def q132CrossSourceDupMatrix(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).filter(col("text").isNotNull)
       .select(col("source"),
-        when(col("doc_id") % 7 === 0,
-          concat(lit("dupfix "), expr("doc_id div 70").cast("string")))
+        when(col("doc_id") % DupFixMod === 0,
+          concat(lit(DupFixPrefix), expr(s"doc_id div $DupFixWindow").cast("string")))
           .otherwise(col("text")).as("text"))
     val fp = base.select(md5(col("text")).as("fp"), col("source")).distinct()
     fp.as("a").join(fp.as("b"),

@@ -310,13 +310,21 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
       .orderBy("hour_bucket", "event_type")
 
-  /** Q25 — hash bucketing (NOT oracle-comparable: Spark Murmur3 ≠ DuckDB
-    * hash; SURVEY §2.3.10). Driver records rows-only check. */
+  /** Q25 — hash bucketing with the REFERENCE's partitioner hash
+    * (`Math.abs(key.hashCode() % n)`, AvroProducer.java:82), via the
+    * codegen [[graft.functions.JavaStringHash]] Expression. r10: switched
+    * from Spark Murmur3 `hash()` (which has no DuckDB twin — the lane was
+    * rows-only for 9 rounds) to the Java polynomial hash, which DuckDB CAN
+    * replay exactly (`list_reduce` with 31·h+c mod 2³² then signed fold),
+    * so the lane is now fully oracle-gated AND showcases the R7 parity
+    * kernel on its actual job: reproducing the reference's partition
+    * assignment. scalacheck pins the Expression ≡ JVM `String#hashCode`. */
   def q25HashBucket(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
       .select(
         col("c_custkey"),
-        (abs(hash(col("c_name"))) % 8).cast("long").as("bucket"))
+        graft.functions.JavaStringHash.partition_for(col("c_name"), 8)
+          .cast("long").as("bucket"))
       .orderBy("c_custkey")
 
   /** Q26 — exact deduplication: DISTINCT on the dedup key then count.
@@ -1023,13 +1031,22 @@ object Relational {
     * aggregation buffer. On a near-unique column (prices: ~1 distinct value
     * per row) the buffer grows with the DATA, not the group count — a
     * per-task memory cliff at 100 TB that partial aggregation cannot save
-    * (the partial buffers are what grows). This built-in spelling is the
-    * CONVENIENCE form for bounded-cardinality columns; the declared 100 TB
-    * spelling is [[q112PercentileDiscSharded]], which computes the identical
-    * result with bounded memory (constant-size window/agg state per task)
-    * and shuffles only (key, value) pairs. Both are oracle-gated against the
-    * same SQL-standard rule and both run in the 10× scale drill. */
-  def q107PercentileDisc(s: SparkSession, dir: String): DataFrame = {
+    * (the partial buffers are what grows). r10 (r9 verdict #2): the NAME a
+    * user reaches — `q107_percentile_disc` — now resolves to the sharded
+    * scale-safe plan ([[q112PercentileDiscSharded]], same rows by the
+    * shared oracle), and the buffer-based built-in survives ONLY as the
+    * drill-visibility lane [[q107PercentileDiscBuiltin]] (known_superlinear
+    * in the 10× drill, never reachable from SparkEntry.queries). The s107
+    * SQL-text twin keeps the WITHIN GROUP spelling — it exists to pin the
+    * dialect surface, and the driver runs it at gate SF only. */
+  def q107PercentileDisc(s: SparkSession, dir: String): DataFrame =
+    q112PercentileDiscSharded(s, dir)
+
+  /** The buffer-based built-in spelling (see [[q107PercentileDisc]]'s scale
+    * caveat) — drill-only since r10: kept beside the sharded plan so the
+    * 10× drill keeps MEASURING the buffer growth it documents, but no
+    * registered query name reaches it. */
+  def q107PercentileDiscBuiltin(s: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerAll(s, dir)
     s.sql("""SELECT l_returnflag,
             |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
@@ -1049,12 +1066,28 @@ object Relational {
     * threshold by the q99 tie argument (a tie row qualifies iff its group's
     * last row does). Memory per task is bounded by the running window state
     * — no per-distinct-value buffer anywhere. Hash-exact against the SAME
-    * oracle as q107: the returned percentiles are actual data elements. */
+    * oracle as q107: the returned percentiles are actual data elements.
+    *
+    * Shard count SCALES WITH THE INPUT (r9 verdict #1): a fixed $1,000
+    * width gave ~105 shards at every SF — fine at the drill but ~10⁹ rows
+    * per shard sort at 100 TB. One cheap 1-column pre-pass reads
+    * (n, min c, max c) and picks the width so shards ≈
+    * max(4·parallelism, n/2M): small inputs keep ≥128-way window
+    * parallelism, big inputs cap the per-shard sort at ~2M rows however
+    * large the table grows. Sharding is parallelism-internal — the rank
+    * arithmetic and the oracle are width-invariant. */
   def q112PercentileDiscSharded(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
+    val liRaw = t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice").as("v"),
         cents(col("l_extendedprice")).as("c"))
-      .withColumn("sh", expr("c div 100000"))
+    val pre = liRaw.agg(count(lit(1)), min("c"), max("c")).first()
+    val (n, lo, hi) =
+      if (pre.isNullAt(1)) (0L, 0L, 0L)
+      else (pre.getLong(0), pre.getLong(1), pre.getLong(2))
+    val targetShards =
+      math.max(4L * s.sparkContext.defaultParallelism, n / 2000000L)
+    val width = math.max(1L, (hi - lo) / math.max(1L, targetShards) + 1L)
+    val li = liRaw.withColumn("sh", expr(s"(c - ${lo}L) div ${width}L"))
     // one exchange, shared by the stats and threshold branches (q99 shape)
     val base = li.repartition(col("l_returnflag"), col("sh"))
     val r = base.withColumn("rn", row_number().over(
@@ -1273,25 +1306,37 @@ object Relational {
     // shuffle + sort for an edge set that never changes). Materialize it
     // ONCE behind a cached view: per level the recursion is then a hash
     // join of the shrinking frontier against pinned (ck, ok, nxt) triples
-    // — 3 longs per order, released by the harness sweep
-    // (GraftSession.releasePersisted between queries).
+    // — 3 longs per order.
     // The s120 SQL-text twin keeps the inline CTE: identical rows (the
     // conformance pin), one engine-planned statement — the cache is an
     // executor-side economy, not a semantic fork.
-    s.sql("""SELECT o_custkey AS ck, o_orderkey AS ok,
-            |       LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt
-            |FROM orders""".stripMargin)
+    val succ = s.sql(
+      """SELECT o_custkey AS ck, o_orderkey AS ok,
+        |       LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt
+        |FROM orders""".stripMargin)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .createOrReplaceTempView("q120_succ")
-    s.sql("""WITH RECURSIVE chain AS (
-            |  SELECT ck, MIN(ok) AS ok, 1 AS depth FROM q120_succ GROUP BY ck
-            |  UNION ALL
-            |  SELECT s.ck, s.nxt AS ok, c.depth + 1 AS depth
-            |  FROM chain c JOIN q120_succ s ON s.ck = c.ck AND s.ok = c.ok
-            |  WHERE s.nxt IS NOT NULL AND c.depth < 8
-            |)
-            |SELECT depth, COUNT(*) AS n, CAST(SUM(ok) AS BIGINT) AS key_sum
-            |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
+    succ.createOrReplaceTempView("q120_succ")
+    val res = s.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT ck, MIN(ok) AS ok, 1 AS depth FROM q120_succ GROUP BY ck
+        |  UNION ALL
+        |  SELECT s.ck, s.nxt AS ok, c.depth + 1 AS depth
+        |  FROM chain c JOIN q120_succ s ON s.ck = c.ck AND s.ok = c.ok
+        |  WHERE s.nxt IS NOT NULL AND c.depth < 8
+        |)
+        |SELECT depth, COUNT(*) AS n, CAST(SUM(ok) AS BIGINT) AS key_sum
+        |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
+    // r10 (r9 verdict #4): release the persisted edge table INSIDE the
+    // operator (the q87/q111 lifecycle) — the per-depth histogram is ≤
+    // depth-cap rows of 3 integers, so materialize it eagerly, rebuild a
+    // local frame for the caller, and unpersist before returning. A plain
+    // library session no longer leaks cached blocks past the call
+    // (RelationalOpsSpec pins it); the harness sweep stays only as a
+    // belt-and-braces backstop.
+    val rows = res.collect().toSeq
+    val out = s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+    succ.unpersist(blocking = false)
+    out
   }
 
   /** Q122 — retention cohort matrix: cohort = each user's FIRST active

@@ -272,19 +272,25 @@ object Similarity {
     // can be released HERE — a direct library caller must not leak cached
     // blocks for the session lifetime.
     val truth = exactTopK(e, q, k = 10).persist()
-    def recallOf(method: String, approx: DataFrame): DataFrame = {
+    // r10 (r9 verdict #8): the spec-pinned recall floors ride the OUTPUT as
+    // (floor_bp, floor_ok) — integer arithmetic (hits·10⁴ ≥ denom·floor_bp,
+    // no float compare), so a recall regression flips a driver-visible
+    // column instead of drifting a number only SimilaritySpec watches.
+    def recallOf(method: String, approx: DataFrame, floorBp: Long): DataFrame = {
       val tot = truth.agg(count(lit(1)).as("tot"))
       truth.join(approx.select("qid", "cid"), Seq("qid", "cid"), "left_semi")
         .agg(count(lit(1)).as("hits"))
         .crossJoin(broadcast(tot))
         .select(lit(method).as("method"),
           round(col("hits").cast("double") / col("tot"), 4).as("recall"),
-          col("hits").cast("long").as("hits"), col("tot").cast("long").as("denom"))
+          col("hits").cast("long").as("hits"), col("tot").cast("long").as("denom"),
+          lit(floorBp).as("floor_bp"),
+          (col("hits") * 10000 >= col("tot") * floorBp).as("floor_ok"))
     }
     val ivf = ivfSearch(e, q, k = 10, stride = sqrtStride(e), nprobe = 4, refineIters = 1)
     val lsh = annSearch(e, q, k = 10, nBits = 5, nTables = 6)
-    val metric = recallOf("ivf_sqrtn_nprobe4_r1", ivf)
-      .unionAll(recallOf("lsh_5bit_x6", lsh))
+    val metric = recallOf("ivf_sqrtn_nprobe4_r1", ivf, floorBp = 4000)
+      .unionAll(recallOf("lsh_5bit_x6", lsh, floorBp = 2700))
       .orderBy("method")
     // two rows, four columns: collecting the METRIC (not data) is the price
     // of a leak-free contract — then rebuild a local frame for the caller
@@ -443,7 +449,10 @@ object Similarity {
         round(col("hits").cast("double") / col("denom"), 4).as("recall"),
         col("hits").cast("long").as("hits"), col("denom").cast("long").as("denom"),
         lit(M * 4 / 8).cast("long").as("bytes_per_vec"), // m·log2(k) bits
-        lit(Dim * 4 / (M * 4 / 8)).cast("long").as("compression_x"))
+        lit(Dim * 4 / (M * 4 / 8)).cast("long").as("compression_x"),
+        // spec floor surfaced as a driver-visible column (q87 discipline)
+        lit(1000L).as("floor_bp"),
+        (col("hits") * 10000 >= col("denom") * 1000).as("floor_ok"))
   }
 
   /** Q114 — IVF-PQ: the two scale levers COMPOSED, which is what every
@@ -501,6 +510,11 @@ object Similarity {
         round(col("hits").cast("double") / col("denom"), 4).as("recall"),
         col("hits").cast("long").as("hits"), col("denom").cast("long").as("denom"),
         col("scanned_pairs").cast("long").as("scanned_pairs"),
-        (col("n_q") * (col("n_corpus") - 1)).cast("long").as("full_scan_pairs"))
+        (col("n_q") * (col("n_corpus") - 1)).cast("long").as("full_scan_pairs"),
+        // spec floors surfaced as driver-visible columns (q87 discipline):
+        // recall collapse AND a no-longer-pruning index both flip a row
+        lit(1000L).as("floor_bp"),
+        (col("hits") * 10000 >= col("denom") * 1000).as("floor_ok"),
+        (col("scanned_pairs") < col("n_q") * (col("n_corpus") - 1)).as("prune_ok"))
   }
 }

@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, sum, when}
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** Multi-format ingest/egress bridge: the engine's native layout is parquet
   * ([[ParquetLayout]]), but a 100 TB corpus ARRIVES in whatever its
@@ -41,11 +42,29 @@ object FormatBridge {
 
   def write(df: DataFrame, path: String, format: String): Unit = format match {
     case "csv" =>
-      df.write.mode(SaveMode.Overwrite)
+      // In-band sentinel collision guard (r9 ADVICE): a data value equal to
+      // the sentinel would read back as NULL with no trace — quoting cannot
+      // protect it (scaladoc above). The guard rides the write job itself
+      // as an observe() metric (zero extra passes) and throws AFTER the
+      // write if any string cell contained the sentinel: the job fails
+      // loudly instead of handing silently-corrupted files downstream.
+      val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+      val obs = if (strCols.isEmpty) None else Some(Observation("graft_csv_sentinel_guard"))
+      val guarded = obs.fold(df)(o => df.observe(o,
+        sum(when(strCols.map(c => col(c).contains(NullSentinel)).reduce(_ || _), 1L)
+          .otherwise(0L)).as("collisions")))
+      guarded.write.mode(SaveMode.Overwrite)
         .option("header", "true")
         .option("timestampNTZFormat", NtzFormat)
         .option("nullValue", NullSentinel)
         .csv(path)
+      obs.foreach { o =>
+        val collisions = Option(o.get("collisions")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        require(collisions == 0L,
+          s"CSV write to $path aborted: $collisions string cell(s) contain the " +
+            s"in-band null sentinel '$NullSentinel' and would read back as NULL — " +
+            "route this data through parquet/orc instead (FormatBridge scaladoc)")
+      }
     case "json" =>
       df.write.mode(SaveMode.Overwrite)
         .option("timestampNTZFormat", NtzFormat)

@@ -75,4 +75,23 @@ class FormatBridgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = back.collect().map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
     assert(got == exp, s"hostile×$format: $got != $exp")
   }
+
+  test("csv write fails LOUDLY when a data value collides with the null sentinel (r9 ADVICE)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("t", StringType)))
+    def df(rows: Row*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    // a value CONTAINING the sentinel (quoting can't protect it — the
+    // parser matches after unescaping) must abort instead of silently
+    // round-tripping to NULL
+    val bad = df(Row(1L, "ok"), Row(2L, "x __graft_null_7f3a__ y"))
+    val e = intercept[Exception] {
+      FormatBridge.write(bad, s"$base/sentinel_bad", "csv")
+    }
+    assert(e.getMessage.contains("sentinel"), s"wrong failure: ${e.getMessage}")
+    // clean data still writes (guard must not false-positive on NULLs)
+    FormatBridge.write(df(Row(1L, "ok"), Row(2L, null)), s"$base/sentinel_ok", "csv")
+  }
 }

@@ -388,4 +388,123 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val key = df.columns.head
     assert(back.select(key).distinct().count() == df.select(key).distinct().count())
   }
+
+  // ------------------------------------------------- R4 topic lifecycle
+
+  /** Scripted fake broker: deletion is ASYNC (the Kafka behavior the
+    * reference's poll loop exists for) — a deleted topic stays visible for
+    * `deleteLatency` subsequent listTopics calls. Records every call. */
+  private class FakeTopicAdmin(initial: Set[String], deleteLatency: Int)
+      extends graft.pipeline.TopicAdmin {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[String]
+    private var topics = initial
+    private var pendingDelete = Map.empty[String, Int]
+    override def listTopics(): Set[String] = {
+      calls += "list"
+      pendingDelete = pendingDelete.map { case (t, n) => t -> (n - 1) }
+      val (gone, waiting) = pendingDelete.partition(_._2 <= 0)
+      topics --= gone.keySet
+      pendingDelete = waiting
+      topics ++ pendingDelete.keySet
+    }
+    override def deleteTopic(name: String): Unit = {
+      calls += s"delete:$name"
+      pendingDelete += name -> deleteLatency
+    }
+    override def createTopic(name: String, numPartitions: Int, rf: Short): Unit = {
+      calls += s"create:$name:$numPartitions:$rf"
+      topics += name
+    }
+  }
+
+  test("TopicAdmin.recreate pins the reference's delete-poll-create contract (R4)") {
+    // DataPipeline.java:80-126: existing topic -> delete, sleep 3s, poll
+    // every 3s until gone, create with n x r, sleep 3s, verify present
+    val admin = new FakeTopicAdmin(Set("dataset1"), deleteLatency = 2)
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    graft.pipeline.TopicAdmin.recreate(admin, Seq("dataset1", "dataset2"),
+      numPartitions = 3, replicationFactor = 3, sleeper = sleeps += _)
+    assert(admin.calls.toSeq == Seq(
+      "list",                     // exists check (:94)
+      "delete:dataset1",          // delete (:95)
+      "list", "list",             // poll-until-gone (latency 2 -> 2 polls)
+      "create:dataset1:3:3",      // create n x r (:108-110)
+      "list",                     // creation verify (:114)
+      "list",                     // dataset2: exists check (absent)
+      "create:dataset2:3:3",
+      "list"), s"call sequence: ${admin.calls}")
+    // cadence: every wait is the reference's 3 s (one after delete, one per
+    // extra poll, one before each creation verify)
+    assert(sleeps.toSeq == Seq.fill(sleeps.size)(3000L) && sleeps.size == 4,
+      s"sleep cadence: $sleeps")
+    // a topic that never disappears must error out, not hang
+    val stuck = new FakeTopicAdmin(Set("t"), deleteLatency = Int.MaxValue)
+    intercept[IllegalArgumentException] {
+      graft.pipeline.TopicAdmin.recreate(stuck, Seq("t"), 3, 3,
+        sleeper = _ => (), maxPolls = 5)
+    }
+  }
+
+  test("CatalogTopicAdmin: the same recreate loop runs against the Spark catalog") {
+    val db = "graft_topic_test"
+    val admin = new graft.pipeline.CatalogTopicAdmin(spark, db)
+    try {
+      graft.pipeline.TopicAdmin.recreate(admin, Seq("tp1", "tp2"), 3, 3, sleeper = _ => ())
+      assert(admin.listTopics() == Set("tp1", "tp2"))
+      // recreate over existing topics exercises the delete leg (catalog DDL
+      // is synchronous -> zero polls) and converges to the same state
+      graft.pipeline.TopicAdmin.recreate(admin, Seq("tp1"), 5, 1, sleeper = _ => ())
+      assert(admin.listTopics() == Set("tp1", "tp2"))
+      val props = spark.sql(s"SHOW TBLPROPERTIES $db.tp1").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("graft.partitions").contains("5") &&
+        props.get("graft.replication").contains("1"))
+    } finally {
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+
+  // ------------------------------------------- config-properties envelope
+
+  test("PipelineConfig round-trips the three SHIPPED reference config files (r9 verdict #7)") {
+    val refRoot = java.nio.file.Path.of("/root/reference")
+    assume(java.nio.file.Files.isDirectory(refRoot), "reference checkout absent")
+    import graft.pipeline.PipelineConfig
+    val infra = PipelineConfig.load(
+      refRoot.resolve("01-infra/src/main/resources/config.properties"))
+    val producer = PipelineConfig.load(
+      refRoot.resolve("02-producer/src/main/resources/config.properties"))
+    val consumer = PipelineConfig.load(
+      refRoot.resolve("03-consumer/src/main/resources/config.properties"))
+
+    // 01-infra -> the R4 lifecycle's n x r (DataPipeline.java:82-83)
+    assert(infra.topicPartitionCount == 3 && infra.topicReplicaFactor == 3.toShort)
+    assert(infra.mysqlUrl == "jdbc:mysql://localhost:3306/bank")
+
+    // 02-producer -> produce-side parallelism + generator volume
+    assert(producer.threadCountPerProducer == 5)
+    assert(producer.messageCountPerTopic == 300L)
+    assert(producer.schemaRegistryUrl == "http://localhost:8081")
+
+    // 03-consumer -> backpressure + trigger + sink budget
+    assert(consumer.maxPollRecords == 10L)
+    assert(consumer.pollInterval ==
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(100,
+        java.util.concurrent.TimeUnit.MILLISECONDS))
+    assert(consumer.blockingQueueSize == 300)
+    assert(consumer.mysqlMaxPoolSize == 50)
+    assert(consumer.kafkaTopics == Seq("dataset1", "dataset2", "dataset3"))
+
+    // the consumer envelope drives the R9 source seam verbatim: one spec
+    // per topic, max.poll.records as maxOffsetsPerTrigger
+    val specs = consumer.kafkaSources
+    assert(specs.map(_.options("subscribe")) == consumer.kafkaTopics)
+    specs.foreach { sp =>
+      assert(sp.format == "kafka")
+      assert(sp.options("kafka.bootstrap.servers") ==
+        "localhost:9091,localhost:9092,localhost:9093")
+      assert(sp.options("maxOffsetsPerTrigger") == "10")
+      assert(sp.options("failOnDataLoss") == "true")
+    }
+  }
 }

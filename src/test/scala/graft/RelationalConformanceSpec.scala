@@ -23,21 +23,22 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  /** Rows-only lane twins whose SQL text mirrors the DataFrame operator's
-    * hash family / algorithm EXACTLY, so row-for-row equality is asserted
-    * even without a DuckDB oracle. q87 is excluded by design: its SQL twin
-    * runs the unrefined IVF and a 2-table LSH (Lloyd refinement is
-    * imperative driver logic with no single-statement SQL spelling), so only
-    * its shape — 2 labeled recall rows — is pinned. */
-  private val rowsOnlyParity: Set[String] =
-    SqlFrontDoor.rowsOnlySql.keySet - "q87_ann_recall"
+  /** Lane twins whose SQL text mirrors the DataFrame operator's hash
+    * family / algorithm EXACTLY, so row-for-row equality is asserted.
+    * q87 is excluded by design: its SQL twin runs the unrefined IVF and a
+    * 2-table LSH (Lloyd refinement is imperative driver logic with no
+    * single-statement SQL spelling) — a LABELED divergence carrying its own
+    * golden oracle (Goldens.laneOracleOverrides), so only its shape — 2
+    * labeled recall rows — is pinned here. */
+  private val laneDivergent: Set[String] = Set("q87_ann_recall")
 
   for ((name, fn) <- SparkEntry.baseQueries.toSeq.sortBy(_._1)) {
     test(name) {
       val df = fn(spark, sfDir)
       val got = df.collect()
       assert(got.length > 0, s"$name returned no rows")
-      if (SparkEntry.baseOracleSql.contains(name) || rowsOnlyParity.contains(name)) {
+      if ((SparkEntry.baseOracleSql.contains(name) ||
+          SqlFrontDoor.rowsOnlySql.contains(name)) && !laneDivergent.contains(name)) {
         // the SAME text the sNN_ SQL-front-door lane executes: this loop IS
         // the lane-equality pin (DataFrame plan ≡ spark.sql(text), row-for-row)
         val sql = SqlFrontDoor.sqlText(name)
@@ -94,10 +95,14 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       try fn(spark, sfDir).queryExecution.analyzed
       catch { case e: Throwable => fail(s"$sName does not analyze: ${e.getMessage}") }
     }
-    // the lane oracle is the base oracle verbatim, and merging the lanes
-    // loses no entries to name collisions
+    // the lane oracle is the base oracle verbatim (labeled-divergent lanes
+    // carry their own golden override), and merging loses no entries
     SparkEntry.baseOracleSql.foreach { case (q, sql) =>
-      assert(SqlFrontDoor.laneOracle("s" + q.drop(1)) == sql, s"lane oracle drifted for $q")
+      val sName = "s" + q.drop(1)
+      if (Goldens.laneOracleOverrides.contains(sName))
+        assert(SqlFrontDoor.laneOracle(sName) == Goldens.laneOracleOverrides(sName))
+      else
+        assert(SqlFrontDoor.laneOracle(sName) == sql, s"lane oracle drifted for $q")
     }
     assert(SparkEntry.queries.size == SparkEntry.baseQueries.size + lane.size)
     assert(SparkEntry.oracleSql.size ==

@@ -110,4 +110,28 @@ class RelationalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getLong(1) > 0, "leaf count must be positive")
     }
   }
+
+  test("q120 releases its persisted edge table inside the operator (r9 verdict #4)") {
+    // plain-session contract: no harness sweep runs here — the operator
+    // itself must leave zero cached blocks behind (the q87/q111 lifecycle)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val rows = Relational.q120RecursiveChain(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"q120 left persisted RDDs behind: $leaked")
+  }
+
+  test("q107 name resolves to the sharded plan and reproduces the built-in exactly") {
+    // r9 verdict #2: the user-reachable percentile name must carry the
+    // scale-safe plan; the buffer built-in stays only as the drill lane —
+    // and both spellings must agree row-for-row (adaptive shard width is
+    // parallelism-internal, invisible to the rank arithmetic)
+    val viaName = Relational.q107PercentileDisc(spark, sfDir).collect().toSeq
+    val builtin = Relational.q107PercentileDiscBuiltin(spark, sfDir).collect().toSeq
+    assert(viaName == builtin, s"sharded plan diverged from built-in:\n$viaName\n$builtin")
+    assert(!SparkEntry.baseQueries.contains("q107_percentile_builtin_drill") &&
+      ScaleDrill.extraDrillQueries.contains("q107_percentile_builtin_drill") &&
+      ScaleDrill.knownSuperlinear.contains("q107_percentile_builtin_drill"),
+      "the built-in must be reachable ONLY as the known-superlinear drill lane")
+  }
 }

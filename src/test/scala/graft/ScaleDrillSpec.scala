@@ -54,8 +54,10 @@ class ScaleDrillSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("expensive-query runtimes stay ~linear under the scale-up (no hidden quadratic)") {
     val rows = ScaleDrill.run(spark, sfDir, outDir, factor)
     assert(rows.map(_._1).toSet ==
-      (ScaleDrill.drillQueries :+ "curation_flow").toSet)
-    rows.foreach { case (name, base, big) =>
+      (ScaleDrill.drillQueries ++ ScaleDrill.extraDrillQueries.keys :+ "curation_flow").toSet)
+    assert(rows.forall { case (_, _, _, pairs) => pairs == 2 || pairs == 3 },
+      "pairs must record 2 (clean) or 3 (burst re-measure)")
+    rows.foreach { case (name, base, big, _) =>
       val ratio = big / math.max(base, 1e-9)
       info(f"$name: base=$base%.2f s  x$factor=$big%.2f s  ratio=$ratio%.2f")
       // this in-suite assert only catches the QUADRATIC signature (~factor²
@@ -66,6 +68,21 @@ class ScaleDrillSpec extends AnyFunSuite with BeforeAndAfterAll {
       // the noise policy and the recorded artifact are.
       assert(ratio < factor.toDouble * factor,
         s"$name shows a quadratic signature: $base s -> $big s (ratio $ratio at factor $factor)")
+    }
+  }
+
+  test("text probe: documents-only materialization, exact volume ratio, probe rows") {
+    val probeDir = java.nio.file.Files.createTempDirectory("graftprobe").toString
+    val (rows, volBase, volBig) = ScaleDrill.textProbe(spark, sfDir, probeDir, factor)
+    assert(rows.map(_._1) == ScaleDrill.textProbeQueries)
+    // the splice token ADDS words, so the scaled side carries MORE than
+    // factor× bigrams — the confound the vol_ratio column exists to expose
+    assert(volBase > 0 && volBig > volBase * factor,
+      s"volume ratio must exceed the copy factor: $volBase -> $volBig at $factor")
+    rows.foreach { case (name, base, big, pairs) =>
+      assert(base > 0 && big > 0 && (pairs == 2 || pairs == 3))
+      info(f"$name: base=$base%.2f s  x$factor=$big%.2f s  " +
+        f"ratio=${big / math.max(base, 1e-9)}%.2f  vol=${volBig.toDouble / volBase}%.2f")
     }
   }
 }

@@ -148,6 +148,13 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     // cannot move recall by 0.1
     assert(ivf >= 0.40, s"IVF nprobe=4+refine recall collapsed: $ivf")
     assert(lsh >= 0.27, s"LSH 6x5-bit recall collapsed: $lsh")
+    // r10: the same floors ride the OUTPUT as (floor_bp, floor_ok) so a
+    // breach flips a driver-visible column — the emitted flag must agree
+    // with the spec's own floor arithmetic
+    rows.foreach { r =>
+      assert(r.getLong(4) == (if (r.getString(0).startsWith("ivf")) 4000L else 2700L))
+      assert(r.getBoolean(5), s"floor_ok false in emitted row: $r")
+    }
     // the r4 directive's contract: at its production probe budget the IVF
     // path is at least as good as the LSH path (and costs less — one refine
     // pass + 4/√n of the corpus reranked vs 6 signature tables)
@@ -269,6 +276,8 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     // collapse to near-zero means the LUT indexing or argmax is wrong
     assert(recall >= 0.10, s"PQ-ADC recall collapsed: $recall")
     assert(row.getLong(4) == 4L && row.getLong(5) == 64L)
+    // r10: floor surfaced as an output column (q87 discipline)
+    assert(row.getLong(6) == 1000L && row.getBoolean(7), s"floor columns wrong: $row")
   }
 
   test("q114 pins the IVF-PQ recall floor and that the index actually prunes") {
@@ -289,5 +298,8 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.10, s"IVF-PQ recall collapsed: $recall")
     assert(scanned > 0 && scanned < full / 2,
       s"IVF-PQ scanned $scanned of $full pairs - the index is not pruning")
+    // r10: floors + prune flag surfaced as output columns (q87 discipline)
+    assert(row.getLong(6) == 1000L && row.getBoolean(7) && row.getBoolean(8),
+      s"floor/prune columns wrong: $row")
   }
 }
