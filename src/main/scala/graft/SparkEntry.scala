@@ -270,6 +270,12 @@ object SparkEntry {
       // abs-AFTER-mod partition rule (AvroProducer.java:82). Verified
       // char-for-char vs JVM String#hashCode (scalacheck in FunctionsSpec
       // + this cross-engine gate).
+      // BMP-ONLY assumption (r10 ADVICE): DuckDB's unicode() yields CODE
+      // POINTS while Java folds UTF-16 CODE UNITS — identical for BMP
+      // text (all TPC-H c_name is ASCII) but divergent on supplementary
+      // characters, where Java folds the surrogate pair as two units. If
+      // testdata ever grows astral-plane names, spell the fold over
+      // surrogate pairs here instead of blaming the engine.
       "SELECT c_custkey, CAST(abs(jh % 8) AS BIGINT) AS bucket FROM (SELECT c_custkey, CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END AS jh FROM (SELECT c_custkey, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(c_name) + 1), i -> CAST(unicode(substr(c_name, CAST(i AS INT), 1)) AS BIGINT))), (x, y) -> (x * 31 + y) % 4294967296) AS h FROM customer) t) u ORDER BY c_custkey",
     "q26_dedup_exact" ->
       "SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, event_type FROM events) t",

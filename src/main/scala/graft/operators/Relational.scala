@@ -1073,9 +1073,15 @@ object Relational {
     * per shard sort at 100 TB. One cheap 1-column pre-pass reads
     * (n, min c, max c) and picks the width so shards ≈
     * max(4·parallelism, n/2M): small inputs keep ≥128-way window
-    * parallelism, big inputs cap the per-shard sort at ~2M rows however
-    * large the table grows. Sharding is parallelism-internal — the rank
-    * arithmetic and the oracle are width-invariant. */
+    * parallelism, big inputs hold the per-shard sort near ~2M rows for
+    * roughly-uniform value distributions (TPC-H extendedprice is). The
+    * bound is VALUE-RANGE based, so it is NOT a worst-case guarantee
+    * under value skew — a single cents value carrying a large fraction of
+    * the rows lands in one shard regardless of width (r10 ADVICE); a
+    * skew-proof variant would split on rank quantiles (approxQuantile
+    * pre-pass) instead of equal-width values, at the cost of a second
+    * pass. Sharding is parallelism-internal — the rank arithmetic and the
+    * oracle are width-invariant. */
   def q112PercentileDiscSharded(s: SparkSession, dir: String): DataFrame = {
     val liRaw = t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice").as("v"),

@@ -77,8 +77,13 @@ final class CatalogTopicAdmin(spark: SparkSession, database: String = "graft")
     extends TopicAdmin {
   spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
 
+  // isTemporary filter (r10 ADVICE): SHOW TABLES also lists session-local
+  // temp views; a temp view sharing a topic name would read as a phantom
+  // topic that DROP TABLE can't remove, spinning the recreate() poll loop
+  // to its maxPolls failure. Only persistent catalog tables are topics.
   override def listTopics(): Set[String] =
     spark.sql(s"SHOW TABLES IN $database").collect()
+      .filter(!_.getAs[Boolean]("isTemporary"))
       .map(_.getAs[String]("tableName")).toSet
 
   override def deleteTopic(name: String): Unit = {

@@ -44,14 +44,17 @@ object FormatBridge {
     case "csv" =>
       // In-band sentinel collision guard (r9 ADVICE): a data value equal to
       // the sentinel would read back as NULL with no trace — quoting cannot
-      // protect it (scaladoc above). The guard rides the write job itself
-      // as an observe() metric (zero extra passes) and throws AFTER the
-      // write if any string cell contained the sentinel: the job fails
-      // loudly instead of handing silently-corrupted files downstream.
+      // protect it (scaladoc above). Spark's nullValue match is WHOLE-FIELD
+      // (only a cell exactly equal to the sentinel reads back null; cells
+      // merely containing it round-trip fine), so the guard tests equality,
+      // not containment. It rides the write job itself as an observe()
+      // metric (zero extra passes); on a collision the written output is
+      // DELETED before throwing, so no corrupt artifact survives for a
+      // directory-watching consumer to pick up.
       val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
       val obs = if (strCols.isEmpty) None else Some(Observation("graft_csv_sentinel_guard"))
       val guarded = obs.fold(df)(o => df.observe(o,
-        sum(when(strCols.map(c => col(c).contains(NullSentinel)).reduce(_ || _), 1L)
+        sum(when(strCols.map(c => col(c) === NullSentinel).reduce(_ || _), 1L)
           .otherwise(0L)).as("collisions")))
       guarded.write.mode(SaveMode.Overwrite)
         .option("header", "true")
@@ -60,10 +63,15 @@ object FormatBridge {
         .csv(path)
       obs.foreach { o =>
         val collisions = Option(o.get("collisions")).map(_.asInstanceOf[Long]).getOrElse(0L)
-        require(collisions == 0L,
-          s"CSV write to $path aborted: $collisions string cell(s) contain the " +
-            s"in-band null sentinel '$NullSentinel' and would read back as NULL — " +
-            "route this data through parquet/orc instead (FormatBridge scaladoc)")
+        if (collisions > 0L) {
+          val out = new org.apache.hadoop.fs.Path(path)
+          val fs = out.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          fs.delete(out, true)
+          throw new IllegalArgumentException(
+            s"CSV write to $path aborted (output deleted): $collisions string cell(s) " +
+              s"equal the in-band null sentinel '$NullSentinel' and would read back as " +
+              "NULL — route this data through parquet/orc instead (FormatBridge scaladoc)")
+        }
       }
     case "json" =>
       df.write.mode(SaveMode.Overwrite)

@@ -83,14 +83,28 @@ class FormatBridgeSpec extends AnyFunSuite with BeforeAndAfterAll {
       StructField("id", LongType), StructField("t", StringType)))
     def df(rows: Row*) = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
-    // a value CONTAINING the sentinel (quoting can't protect it — the
-    // parser matches after unescaping) must abort instead of silently
-    // round-tripping to NULL
-    val bad = df(Row(1L, "ok"), Row(2L, "x __graft_null_7f3a__ y"))
+    // a value EQUAL to the sentinel (Spark's nullValue match is
+    // whole-field; quoting can't protect it — the parser matches after
+    // unescaping) must abort instead of silently round-tripping to NULL,
+    // and the aborted output must NOT survive on disk (r10 ADVICE: a
+    // directory-watching consumer must never see the corrupt files)
+    val bad = df(Row(1L, "ok"), Row(2L, "__graft_null_7f3a__"))
+    val badPath = s"$base/sentinel_bad"
     val e = intercept[Exception] {
-      FormatBridge.write(bad, s"$base/sentinel_bad", "csv")
+      FormatBridge.write(bad, badPath, "csv")
     }
     assert(e.getMessage.contains("sentinel"), s"wrong failure: ${e.getMessage}")
+    assert(!new java.io.File(badPath).exists(),
+      "aborted CSV output must be deleted, not left for downstream consumers")
+    // a value merely CONTAINING the sentinel round-trips fine (whole-field
+    // match) — the guard must not false-positive on it
+    val contains = df(Row(1L, "x __graft_null_7f3a__ y"), Row(2L, null))
+    val cPath = s"$base/sentinel_contains"
+    FormatBridge.write(contains, cPath, "csv")
+    val back = FormatBridge.read(spark, cPath, "csv", schema).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+    assert(back == Seq((1L, Some("x __graft_null_7f3a__ y")), (2L, None)),
+      s"substring cell must round-trip intact: $back")
     // clean data still writes (guard must not false-positive on NULLs)
     FormatBridge.write(df(Row(1L, "ok"), Row(2L, null)), s"$base/sentinel_ok", "csv")
   }
