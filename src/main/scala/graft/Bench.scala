@@ -69,8 +69,15 @@ object Bench {
     // Bench times the DataFrame lane only: the sNN_ SQL-text lane compiles to
     // the same optimized plans (RelationalConformanceSpec pins lane equality),
     // so timing it would double wall-clock without measuring anything new.
+    // benchSkip (r10 verdict #8): registered lanes whose PLAN is already
+    // timed under another name — q107_percentile_disc resolves to the same
+    // sharded plan as q112 (RelationalOpsSpec pins row equality), so timing
+    // both spends ~2.5 s/pass measuring one plan twice. Both stay registered
+    // and oracle-gated; only the duplicate timing is dropped.
+    val benchSkip = Set("q112_percentile_disc_sharded")
     def onePass(): Seq[(String, Double, Boolean)] =
-      SparkEntry.baseQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.baseQueries.toSeq.filterNot(q => benchSkip(q._1))
+        .sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -83,8 +90,8 @@ object Bench {
       }
     // pass 1 pays per-plan codegen/classload; pass 2 is steady-state — the
     // number that corresponds to sustained throughput on a long-lived cluster
-    val cold = onePass()
-    val warm = onePass()
+    val (cold, loadCold) = HostLoad.around(onePass())
+    val (warm, loadWarm) = HostLoad.around(onePass())
     val warmByName = warm.map(r => r._1 -> r).toMap
     val queryFailures = (cold ++ warm).filterNot(_._3).map(_._1).distinct.sorted
     val total = cold.filter(_._3).map(_._2).sum
@@ -108,18 +115,19 @@ object Bench {
     // stderr: r7 shipped a green-looking artifact around a crashed drill,
     // and an empty drill result is otherwise indistinguishable from one
     var drillCrash: Option[String] = None
-    val drill =
+    val (drill, loadDrill) = HostLoad.around {
       try ScaleDrill.run(spark, sfDir, drillDir.toString, drillFactor)
       catch { case e: Throwable =>
         System.err.println(s"[bench] scale drill failed: ${e.getMessage}")
         drillCrash = Some(s"scale_drill:crashed(${e.getClass.getSimpleName})")
-        Seq.empty
+        Seq.empty[(String, Double, Double, Int)]
       } finally {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
         }
         rm(drillDir)
       }
+    }
     // Known-superlinear lanes (the percentile built-in's documented buffer
     // caveat) are measured for visibility but recorded separately: the
     // failure gate and the headline max-ratio cover GATED lanes only, so
@@ -155,7 +163,7 @@ object Bench {
     val probeDir = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_text_probe_${probeFactor}x")
     var probeCrash: Option[String] = None
-    val (probeRows, probeVolBase, probeVolBig) =
+    val ((probeRows, probeVolBase, probeVolBig), loadProbe) = HostLoad.around {
       try ScaleDrill.textProbe(spark, sfDir, probeDir.toString, probeFactor)
       catch { case e: Throwable =>
         System.err.println(s"[bench] text probe failed: ${e.getMessage}")
@@ -167,6 +175,7 @@ object Bench {
         }
         rm(probeDir)
       }
+    }
     val probeVolRatio = if (probeVolBase > 0) probeVolBig.toDouble / probeVolBase else -1.0
     val probeJson = drillObj(probeRows, s"x$probeFactor")
     val probeMaxRatio =
@@ -181,12 +190,19 @@ object Bench {
     }.mkString("{", ",", "}")
     val failures = queryFailures ++ drillFailures ++ drillCrash ++ probeCrash
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // machine-weather block (r10 verdict #1): per-phase load/CPU profile so
+    // a contended recording explains itself inside the artifact
+    val loadJson =
+      s"""{"cold":${loadCold.json},"warm":${loadWarm.json},"drill":${loadDrill.json},"probe":${loadProbe.json}}"""
+    val extWorstPct = math.max(loadCold.extCpuPct, loadWarm.extCpuPct)
+    val contended = extWorstPct > HostLoad.ContendedPct
+
     val detailPath = "bench_detail.json"
     val pw = new java.io.PrintWriter(detailPath)
-    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"scale_drill":{"factor":$drillFactor,"queries":$drillJson,"known_superlinear":$drillKnownJson},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"queries":$detail,"failures":$failJson,"sf":"$sfDir"}""")
+    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"host_load":$loadJson,"scale_drill":{"factor":$drillFactor,"queries":$drillJson,"known_superlinear":$drillKnownJson},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"queries":$detail,"failures":$failJson,"sf":"$sfDir"}""")
     finally pw.close()
 
-    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"sf":"$sfDir","detail":"$detailPath"}"""
+    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"ext_cpu_cold_pct":${loadCold.extCpuPct}%.2f,"ext_cpu_warm_pct":${loadWarm.extCpuPct}%.2f,"contended":$contended,"sf":"$sfDir","detail":"$detailPath"}"""
     // The summary survives in THREE places so no capture window can lose it
     // (r8's artifact held a log-noise tail and parsed:null):
     //  1. a file the judge can always read back,
@@ -261,5 +277,76 @@ object Bench {
       "value", v2)
       .write.format("noop").mode("overwrite").save()
     n / ((System.nanoTime() - t0) / 1e9)
+  }
+}
+
+/** Machine-weather capture (r10 verdict #1): BENCH_r10 regressed 26% vs r9
+  * and the only evidence it was host contention — not a plan regression —
+  * was a human reading the cold≫warm≫best signature. This makes the
+  * contention measurable IN the artifact: around each timed phase it
+  * samples /proc/loadavg, /proc/stat (host-wide CPU jiffies) and the JVM's
+  * own process CPU time, and derives `ext_cpu_pct` — the share of TOTAL
+  * machine capacity burned by OTHER processes during the phase
+  * ((host_busy − own_cpu) / (wall × ncores)). A clean recording shows
+  * ext_cpu_pct ≈ 0; a contended one carries its own explanation and trips
+  * the summary's `contended` flag at >[[HostLoad.ContendedPct]]%.
+  *
+  * /proc jiffies are converted at USER_HZ = 100 (the Linux ABI constant
+  * exposed to userspace — `getconf CLK_TCK`); loadavg/stat reads are
+  * best-effort (-1 on a non-procfs host, never a throw: weather capture
+  * must not take down the bench). */
+object HostLoad {
+  val ContendedPct = 10.0
+
+  final case class Sample(la1: Double, busyJiffies: Long, procCpuNs: Long,
+                          wallNs: Long)
+  final case class Phase(wallSec: Double, procCpuSec: Double,
+                         extCpuPct: Double, la1Start: Double, la1End: Double) {
+    def json: String = {
+      java.util.Locale.setDefault(java.util.Locale.ROOT)
+      f"""{"wall_sec":$wallSec%.2f,"proc_cpu_sec":$procCpuSec%.2f,"ext_cpu_pct":$extCpuPct%.2f,"la1_start":$la1Start%.2f,"la1_end":$la1End%.2f}"""
+    }
+  }
+
+  private def readFirstLine(path: String): Option[String] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().nextOption() finally src.close()
+    } catch { case _: Exception => None }
+
+  private def sample(): Sample = {
+    val la1 = readFirstLine("/proc/loadavg")
+      .flatMap(_.split("\\s+").headOption).flatMap(_.toDoubleOption).getOrElse(-1.0)
+    // /proc/stat line 1: "cpu user nice system idle iowait irq softirq steal ..."
+    // busy = everything except idle+iowait, summed over all cores
+    val busy = readFirstLine("/proc/stat").map { l =>
+      val f = l.trim.split("\\s+").drop(1).flatMap(_.toLongOption)
+      if (f.length >= 5) f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+      else -1L
+    }.getOrElse(-1L)
+    val proc = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+    Sample(la1, busy, proc, System.nanoTime())
+  }
+
+  /** Run `f`, returning its result plus the load profile of the interval. */
+  def around[T](f: => T): (T, Phase) = {
+    val before = sample()
+    val r = f
+    val after = sample()
+    val wallSec = (after.wallNs - before.wallNs) / 1e9
+    val procSec =
+      if (before.procCpuNs < 0 || after.procCpuNs < 0) -1.0
+      else (after.procCpuNs - before.procCpuNs) / 1e9
+    val busySec =
+      if (before.busyJiffies < 0 || after.busyJiffies < 0) -1.0
+      else (after.busyJiffies - before.busyJiffies) / 100.0 // USER_HZ
+    val ncores = Runtime.getRuntime.availableProcessors()
+    val extPct =
+      if (busySec < 0 || procSec < 0 || wallSec <= 0) -1.0
+      else math.max(0.0, (busySec - procSec) / (wallSec * ncores) * 100.0)
+    (r, Phase(wallSec, procSec, extPct, before.la1, after.la1))
   }
 }
