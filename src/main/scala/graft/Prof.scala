@@ -33,7 +33,20 @@ object Prof {
       println(f"[prof] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       GraftSession.releasePersisted(spark)
     }
-    fn(spark, dir).explain("formatted")
+    // the plan BEFORE execution (isFinalPlan=false under AQE)...
+    val df = fn(spark, dir)
+    df.explain("formatted")
+    // ...and the plan that actually RAN: drive THIS QueryExecution to
+    // completion (a .write would build a fresh one and leave this plan
+    // unexecuted), then read it back — AQE's runtime re-plans (SMJ→BHJ
+    // flips, coalesced partitions, skew splits, reused exchanges) are only
+    // visible in the post-execution AdaptiveSparkPlan (r10 verdict #2: the
+    // q124 drill-ratio diagnosis needs the final plan, not the estimate).
+    val qe = df.queryExecution
+    qe.toRdd.count(): Unit
+    println("\n== AQE final (executed) plan ==")
+    println(qe.executedPlan.toString)
+    GraftSession.releasePersisted(spark)
     spark.stop()
   }
 }

@@ -211,6 +211,66 @@ object SparkEntry {
     * [[Goldens]] — see the q34 block comment. */
   def baseOracleSql: Map[String, String] = computedOracleSql ++ Goldens.oracle
 
+  // ---- DuckDB replay of the universal-hash family (r10 verdict #3) ----
+  // The q25 fold (Java String#hashCode mod 2³², BMP-only caveat there)
+  // reduced mod p, then the tabulated (a, b) constants interpolated from
+  // Dedup's arrays — the SAME literals the Spark operators compile in, so
+  // the engines share values, not a reimplementation.
+  private def duckFold(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length($s) + 1), j -> CAST(unicode(substr($s, CAST(j AS INT), 1)) AS BIGINT))), (x, y) -> (x * 31 + y) % 4294967296)"
+  private def duckBaseHash(s: String): String =
+    s"(${duckFold(s)} % ${Dedup.MinhashP})"
+
+  /** q34: shingle → fold → 16 universal mins → lossless band pack →
+    * bucket stats, re-derived from raw text entirely in DuckDB. */
+  private def minhashBandsOracle: String = {
+    import Dedup.{MinHashK, MinhashP, minhashA, minhashB}
+    val mins = (0 until MinHashK)
+      .map(i => s"MIN((${minhashA(i)} * x + ${minhashB(i)}) % $MinhashP) AS mh$i")
+      .mkString(", ")
+    val bandSel = (0 until 4).map { b =>
+      def mh(r: Int) = s"mh${b * 4 + r}"
+      s"SELECT doc_id, $b AS band, ${mh(0)} * 2147483648 + ${mh(1)} AS sig1, ${mh(2)} * 2147483648 + ${mh(3)} AS sig2 FROM sig"
+    }.mkString(" UNION ALL ")
+    "WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
+      "f AS (SELECT doc_id, words FROM w WHERE len(words) >= 3), " +
+      "sh AS (SELECT doc_id, unnest(list_transform(range(0, len(words) - 2), i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh FROM f), " +
+      s"hx AS (SELECT doc_id, ${duckBaseHash("sh")} AS x FROM sh), " +
+      s"sig AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id), " +
+      s"b AS ($bandSel), " +
+      "g AS (SELECT band, sig1, sig2, COUNT(*) AS bucket_n FROM b GROUP BY 1, 2, 3) " +
+      "SELECT band, CAST(COUNT(*) AS BIGINT) AS n_buckets, CAST(SUM(CASE WHEN bucket_n > 1 THEN bucket_n ELSE 0 END) AS BIGINT) AS docs_in_collisions, CAST(SUM((bucket_n * (bucket_n - 1)) // 2) AS BIGINT) AS candidate_pairs FROM g GROUP BY band ORDER BY band"
+  }
+
+  /** q35: 64 universal parity votes per word, packed as two unsigned-range
+    * halves (Dedup.simhash scaladoc on why not one 64-bit long). */
+  private def simhashOracle: String = {
+    import Dedup.{MinhashP, simhashA, simhashB}
+    val votes = (0 until 64).map(b =>
+      s"SUM(CASE WHEN ((${simhashA(b)} * x + ${simhashB(b)}) % $MinhashP) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    def pack(bits: Range, base: Int) = bits.map(b =>
+      s"(CASE WHEN v$b > 0 THEN CAST(${1L << (b - base)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    "WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS wd FROM documents WHERE doc_id < 100), " +
+      s"hx AS (SELECT doc_id, ${duckBaseHash("wd")} AS x FROM w), " +
+      s"v AS (SELECT doc_id, $votes FROM hx GROUP BY doc_id) " +
+      s"SELECT doc_id, ${pack(32 until 64, 32)} AS simhash_hi, ${pack(0 until 32, 0)} AS simhash_lo FROM v ORDER BY doc_id"
+  }
+
+  /** q40: k=4 gram hashes (one universal mix over the base fold), window-4
+    * minima, distinct count — the winnowing kernel as list arithmetic. */
+  private def winnowOracle: String = {
+    import Dedup.{MinhashP, WinnowA, WinnowB}
+    val gramHash =
+      s"($WinnowA * ${duckBaseHash("array_to_string(list_slice(words, i + 1, i + 4), ' ')")} + $WinnowB) % $MinhashP"
+    "WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents WHERE doc_id < 100), " +
+      "f AS (SELECT doc_id, words FROM d WHERE len(words) >= 7), " +
+      s"g AS (SELECT doc_id, list_transform(range(0, len(words) - 3), i -> $gramHash) AS grams FROM f), " +
+      "m AS (SELECT doc_id, list_distinct(list_transform(range(0, len(grams) - 3), i -> list_min(list_slice(grams, i + 1, i + 4)))) AS fps FROM g) " +
+      "SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp FROM m ORDER BY doc_id"
+  }
+
   private def computedOracleSql: Map[String, String] = Map(
     "q01_scan_filter_sort" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber",
@@ -293,14 +353,22 @@ object SparkEntry {
       "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM documents ORDER BY doc_id",
     "q33_jaccard_pairs" ->
       "WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents WHERE doc_id < 40), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
-    // q34_minhash_bands, q35_simhash, q39/q40/q48/q49/q50/q87/q113/q114/
-    // q129: engine-internal hash families / float argmax / sketches with no
-    // DuckDB twin (FIXTURES §C) — gated since r10 by GOLDEN-VALUE oracles
+    // q39/q48/q49/q50/q87/q113/q114/q129: engine-internal hash families /
+    // float argmax / float reductions / sketches with no DuckDB twin
+    // (FIXTURES §C) — gated since r10 by GOLDEN-VALUE oracles
     // (Goldens.scala): the outputs are deterministic (verified bit-stable
     // across 4/8/32-core runs), so a literal VALUES oracle turns the old
     // rows-only check into a full hash gate. A testdata regen that changes
     // the underlying rows flips these LOUDLY — re-snapshot via
     // scripts/gen_goldens.py (the regen changed the data, not the engine).
+    // r11: q34/q35/q40 LEFT this golden set — their operators moved to the
+    // replayable universal-hash family (Dedup.scala scaladoc), so they get
+    // INDEPENDENT computed oracles below: DuckDB re-derives minhash bands /
+    // simhash parities / winnowing minima from raw text with shared
+    // tabulated constants, replaying the engine's integer math end-to-end.
+    "q34_minhash_bands" -> minhashBandsOracle,
+    "q35_simhash" -> simhashOracle,
+    "q40_winnow_fingerprint" -> winnowOracle,
     "q36_cosine_topk" ->
       "WITH f0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings), f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM f0), d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot, SUM(q.v * q.v) AS qq, SUM(c.v * c.v) AS cc FROM f q JOIN f c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id GROUP BY 1, 2), r AS (SELECT qid, cid, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d), rk AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM r) SELECT qid, cid, sim, rnk FROM rk WHERE rnk <= 5 ORDER BY qid, rnk",
     "q37_neardup_embedding" ->

@@ -191,15 +191,26 @@ object SqlFrontDoor {
   // branch runs unrefined and its LSH branch 2 tables — the recall METRIC
   // shape is identical, the tuning point differs and is labeled as such).
 
-  /** 16 min-hash aggregates + 4 band signatures (Dedup.MinHashK/BandRows). */
+  /** The replayable-family base hash x(s) in Spark SQL text (r11: the
+    * xxhash64 family left for the universal family — Dedup's scaladoc). */
+  private[graft] def baseHashSql(s: String): String =
+    s"(CAST(java_string_hash($s) AS BIGINT) & 4294967295) % ${graft.operators.Dedup.MinhashP}"
+
+  /** 16 min-hash aggregates + 4 band signatures (Dedup.MinHashK/BandRows);
+    * constants interpolated from the SAME tabulated arrays the DataFrame
+    * lane uses. */
   private def minhashSigSql: String = {
-    val mins = (0 until 16).map(i => s"MIN(xxhash64($i, h)) AS mh$i").mkString(", ")
+    import graft.operators.Dedup.{minhashA, minhashB, MinhashP}
+    val mins = (0 until 16)
+      .map(i => s"MIN((${minhashA(i)} * h + ${minhashB(i)}) % $MinhashP) AS mh$i")
+      .mkString(", ")
     s"SELECT doc_id, $mins FROM shh GROUP BY doc_id"
   }
   private def bandStructsSql: String =
     (0 until 4).map { b =>
-      val cols = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
-      s"named_struct('band', $b, 'sig', xxhash64($cols))"
+      def mh(r: Int) = s"mh${b * 4 + r}"
+      s"named_struct('band', $b, 'sig1', ${mh(0)} * 2147483648L + ${mh(1)}, " +
+        s"'sig2', ${mh(2)} * 2147483648L + ${mh(3)})"
     }.mkString("array(", ", ", ")")
 
   /** Per-row random-hyperplane LSH bucket over `v` — the HOF spelling of
@@ -219,15 +230,18 @@ object SqlFrontDoor {
     }.mkString("(", " + ", ")")
 
   private def simhashSql: String = {
+    import graft.operators.Dedup.{simhashA, simhashB, MinhashP}
     val votes = (0 until 64).map(b =>
-      s"SUM(CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
-    val pack = (0 until 64).map(b =>
-      s"(CASE WHEN v$b > 0 THEN shiftleft(CAST(1 AS BIGINT), $b) ELSE CAST(0 AS BIGINT) END)")
+      s"SUM(CASE WHEN ((${simhashA(b)} * h + ${simhashB(b)}) % $MinhashP) % 2 = 1 " +
+        s"THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+    def pack(bits: Range, base: Int) = bits.map(b =>
+      s"(CASE WHEN v$b > 0 THEN CAST(${1L << (b - base)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
     "WITH w AS (SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS wd FROM documents WHERE doc_id < 100), " +
-      "h AS (SELECT doc_id, xxhash64(wd) AS h FROM w), " +
+      s"h AS (SELECT doc_id, ${baseHashSql("wd")} AS h FROM w), " +
       s"v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id) " +
-      s"SELECT doc_id, $pack AS simhash FROM v ORDER BY doc_id"
+      s"SELECT doc_id, ${pack(32 until 64, 32)} AS simhash_hi, " +
+      s"${pack(0 until 32, 0)} AS simhash_lo FROM v ORDER BY doc_id"
   }
 
   /** PQ-ADC (q113) SQL twin — IDENTICAL math to the DataFrame lane, so the
@@ -334,11 +348,11 @@ object SqlFrontDoor {
     "q34_minhash_bands" ->
       ("WITH w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM documents), " +
         "f AS (SELECT doc_id, words FROM w WHERE size(words) >= 3), " +
-        "shh AS (SELECT doc_id, xxhash64(sh) AS h FROM (SELECT doc_id, explode(transform(sequence(0, size(words) - 3), i -> concat_ws(' ', slice(words, i + 1, 3)))) AS sh FROM f) t), " +
+        s"shh AS (SELECT doc_id, ${baseHashSql("sh")} AS h FROM (SELECT doc_id, explode(transform(sequence(0, size(words) - 3), i -> concat_ws(' ', slice(words, i + 1, 3)))) AS sh FROM f) t), " +
         s"sig AS ($minhashSigSql), " +
         s"b AS (SELECT doc_id, explode($bandStructsSql) AS bs FROM sig), " +
-        "bb AS (SELECT doc_id, bs.band AS band, bs.sig AS sig FROM b), " +
-        "g AS (SELECT band, sig, COUNT(*) AS bucket_n FROM bb GROUP BY 1, 2) " +
+        "bb AS (SELECT doc_id, bs.band AS band, bs.sig1 AS sig1, bs.sig2 AS sig2 FROM b), " +
+        "g AS (SELECT band, sig1, sig2, COUNT(*) AS bucket_n FROM bb GROUP BY 1, 2, 3) " +
         "SELECT band, COUNT(*) AS n_buckets, CAST(SUM(CASE WHEN bucket_n > 1 THEN bucket_n ELSE 0 END) AS BIGINT) AS docs_in_collisions, CAST(SUM(bucket_n * (bucket_n - 1) / 2) AS BIGINT) AS candidate_pairs FROM g GROUP BY band ORDER BY band"),
     "q35_simhash" -> simhashSql,
     "q39_lsh_buckets" ->
@@ -348,7 +362,7 @@ object SqlFrontDoor {
     "q40_winnow_fingerprint" -> // k=4 gram hashes, window-4 minima, distinct
       ("WITH d AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM documents WHERE doc_id < 100), " +
         "f AS (SELECT doc_id, words FROM d WHERE size(words) >= 7), " +
-        "g AS (SELECT doc_id, transform(sequence(0, greatest(size(words) - 4, 0)), i -> xxhash64(concat_ws(' ', slice(words, i + 1, 4)))) AS grams FROM f), " +
+        s"g AS (SELECT doc_id, transform(sequence(0, greatest(size(words) - 4, 0)), i -> (${graft.operators.Dedup.WinnowA} * (${baseHashSql("concat_ws(' ', slice(words, i + 1, 4))")}) + ${graft.operators.Dedup.WinnowB}) % ${graft.operators.Dedup.MinhashP}) AS grams FROM f), " +
         "m AS (SELECT doc_id, array_distinct(transform(sequence(0, greatest(size(grams) - 4, 0)), i -> array_min(slice(grams, i + 1, 4)))) AS fps FROM g) " +
         "SELECT doc_id, CAST(size(fps) AS BIGINT) AS n_fp FROM m ORDER BY doc_id"),
     "q48_ivf_clusters" -> // graft_cosine extension fn; stride-seeded
@@ -365,13 +379,13 @@ object SqlFrontDoor {
       ("WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000), " +
         "w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM d), " +
         "f AS (SELECT doc_id, words FROM w WHERE size(words) >= 3), " +
-        "shh AS (SELECT doc_id, xxhash64(sh) AS h FROM (SELECT doc_id, explode(transform(sequence(0, size(words) - 3), i -> concat_ws(' ', slice(words, i + 1, 3)))) AS sh FROM f) t), " +
+        s"shh AS (SELECT doc_id, ${baseHashSql("sh")} AS h FROM (SELECT doc_id, explode(transform(sequence(0, size(words) - 3), i -> concat_ws(' ', slice(words, i + 1, 3)))) AS sh FROM f) t), " +
         s"sig AS ($minhashSigSql), " +
         s"b AS (SELECT doc_id, explode($bandStructsSql) AS bs FROM sig), " +
-        "bb AS (SELECT doc_id, bs.band AS band, bs.sig AS sig FROM b), " +
-        "bc AS (SELECT doc_id, band, sig, COUNT(*) OVER (PARTITION BY band, sig) AS bn FROM bb), " +
-        s"bands AS (SELECT doc_id, band, sig FROM bc WHERE bn <= ${graft.operators.Dedup.MinhashBucketCap}), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2 FROM bands a JOIN bands b2 ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id), " +
+        "bb AS (SELECT doc_id, bs.band AS band, bs.sig1 AS sig1, bs.sig2 AS sig2 FROM b), " +
+        "bc AS (SELECT doc_id, band, sig1, sig2, COUNT(*) OVER (PARTITION BY band, sig1, sig2) AS bn FROM bb), " +
+        s"bands AS (SELECT doc_id, band, sig1, sig2 FROM bc WHERE bn <= ${graft.operators.Dedup.MinhashBucketCap}), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2 FROM bands a JOIN bands b2 ON a.band = b2.band AND a.sig1 = b2.sig1 AND a.sig2 = b2.sig2 AND a.doc_id < b2.doc_id), " +
         "tok AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS word FROM d) x), " +
         "sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1), " +
         "inter AS (SELECT id1, id2, COUNT(*) AS inter FROM cand JOIN tok wa ON id1 = wa.doc_id JOIN tok wb ON id2 = wb.doc_id AND wa.word = wb.word GROUP BY 1, 2), " +

@@ -129,6 +129,63 @@ object Dedup {
   val BandRows = 4       // rows per band → 4 bands
   val ShingleWords = 3
 
+  // ------------------------- replayable universal-hash family (r10 #3)
+  //
+  // Through r10 the minhash / simhash / winnowing lanes ran on Spark's
+  // xxhash64 — engine-internal (DuckDB cannot replay XXH64's overflowing
+  // 64-bit multiplies in SQL), so those lanes were gated by golden-VALUES
+  // snapshots of the engine's own output. This family replaces xxhash64
+  // with textbook Carter–Wegman universal hashing over p = 2³¹ − 1:
+  //
+  //   x(s)   = (javaStringHash(s) as unsigned 32-bit) mod p
+  //   g_i(x) = (a_i · x + b_i) mod p,  a_i ∈ [1, p), b_i ∈ [0, p)
+  //
+  // Every step is BIGINT-safe in both engines (a·x < 2⁶²) and the string
+  // fold is the q25-proven DuckDB replay (list_reduce of (31h + code) mod
+  // 2³²), so the former golden lanes get INDEPENDENT computed oracles.
+  // Statistically this is the original minwise construction (Broder 1997,
+  // "On the resemblance and containment of documents"): pairwise-
+  // independent g_i is exactly what the MinHash estimator needs, and the
+  // per-pair spurious-collision probability ~|shingles|/p ≈ 10⁻⁵ at 10⁴
+  // shingles/doc is far below the estimator's 1/√K sampling noise.
+  //
+  // The (a_i, b_i) constants are TABULATED once from a fixed SplitMix64
+  // finalizer at class load; the DuckDB oracles interpolate the tabulated
+  // VALUES (single source of truth — the two engines share literals, not
+  // a reimplementation of the formula).
+  val MinhashP = 2147483647L // p = 2³¹ − 1, Mersenne prime
+  private val PackBase = 2147483648L // 2³¹ — lossless band-sig packing base
+
+  private def mixConst(i: Long): Long = {
+    var z = i + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  private[graft] def hashConstA(seed: Long): Long =
+    Math.floorMod(mixConst(seed), MinhashP - 1) + 1
+  private[graft] def hashConstB(seed: Long): Long =
+    Math.floorMod(mixConst(seed + 1000003L), MinhashP)
+  val minhashA: IndexedSeq[Long] = (0 until MinHashK).map(i => hashConstA(i.toLong))
+  val minhashB: IndexedSeq[Long] = (0 until MinHashK).map(i => hashConstB(i.toLong))
+  val simhashA: IndexedSeq[Long] = (0 until 64).map(i => hashConstA(100L + i))
+  val simhashB: IndexedSeq[Long] = (0 until 64).map(i => hashConstB(100L + i))
+  val WinnowA: Long = hashConstA(500L)
+  val WinnowB: Long = hashConstB(500L)
+
+  /** x(s): the base string hash of the family — javaStringHash folded to
+    * [0, p). Unsigned reinterpretation (& 0xFFFFFFFF) makes the Spark value
+    * equal the DuckDB fold's mod-2³² result without a sign branch. */
+  def replayableStringHash(c: Column): Column = {
+    import graft.functions.JavaStringHash.java_string_hash
+    java_string_hash(c).cast("long").bitwiseAND(lit(0xFFFFFFFFL)) % MinhashP
+  }
+
+  /** g_i(x) column spelling — shared by minhash/simhash so the oracle
+    * generator and the operators can never drift. */
+  def universalMix(x: Column, a: Long, b: Long): Column =
+    (lit(a) * x + lit(b)) % MinhashP
+
   /** Word k-shingles from an already-materialized words ARRAY column
     * (space-joined k-grams; k=2 gives bigrams — TextAnalysis reuses it so
     * there is exactly one n-gram builder).
@@ -143,17 +200,19 @@ object Dedup {
 
   /** MinHash signatures: one pass, MinHashK min-hash aggregates — partial
     * aggregation means only (doc_id, 16 longs) shuffle, never the shingles.
-    * Hash family: the shingle STRING is xxhash64'd once, then each of the K
-    * functions is a cheap long-mix xxhash64(seed, h) — hashing the variable-
-    * length string K times would cost K× the bytes for the same family
-    * quality (measured 7.6 s vs ~3 s at sf0.1). */
+    * Hash family: the shingle STRING is base-hashed once ([[replayableStringHash]]),
+    * then each of the K functions is a two-op universal mix (a_i·x + b_i) mod
+    * p — hashing the variable-length string K times would cost K× the bytes
+    * for the same family quality. Replayable end-to-end in DuckDB (the q34
+    * computed oracle), unlike the pre-r11 xxhash64 family. */
   def minhashSignatures(d: DataFrame): DataFrame = {
     val sh = d
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= ShingleWords)
       .select(col("doc_id"), explode(shingles(col("words"))).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    val aggs = (0 until MinHashK).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh$i"))
+      .select(col("doc_id"), replayableStringHash(col("sh")).as("h"))
+    val aggs = (0 until MinHashK)
+      .map(i => min(universalMix(col("h"), minhashA(i), minhashB(i))).as(s"mh$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -162,16 +221,24 @@ object Dedup {
   // HOFs don't whole-stage-codegen, and the shuffle here already moves only
   // the (doc_id, 16 longs) partial aggregates. The codegen'd shape stays.)
 
-  /** Band signatures: hash each BandRows-run of the signature. Docs agreeing
-    * on any band land in the same LSH bucket. */
+  /** Band signatures: pack each BandRows-run of the signature LOSSLESSLY
+    * into two 62-bit longs (mh < 2³¹, so sig1 = mh₀·2³¹ + mh₁ etc.) —
+    * exact bucket identity, zero band-hash collisions, and plain-arithmetic
+    * replay in DuckDB (the pre-r11 xxhash64 band hash had neither). Docs
+    * agreeing on any band land in the same LSH bucket. 16 bytes of bucket
+    * key per band vs the old 8 — still only (doc_id, band, 2 longs) ever
+    * shuffles. */
   def lshBands(sigs: DataFrame): DataFrame = {
     val nBands = MinHashK / BandRows
     val bandStructs = (0 until nBands).map { b =>
-      val cols = (0 until BandRows).map(r => col(s"mh${b * BandRows + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
+      def mh(r: Int) = col(s"mh${b * BandRows + r}")
+      struct(lit(b).as("band"),
+        (mh(0) * PackBase + mh(1)).as("sig1"),
+        (mh(2) * PackBase + mh(3)).as("sig2"))
     }
     sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.sig1").as("sig1"), col("bs.sig2").as("sig2"))
   }
 
   /** The full near-dup pipeline: LSH candidate generation → exact Jaccard
@@ -246,7 +313,7 @@ object Dedup {
     // signature pipeline upstream is the expensive part and sits under both
     // sides of the pair join already; a semi-join formulation would embed it
     // two MORE times
-    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig")
+    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("band", "sig1", "sig2")
     // persist the band table before the self-join: without it the whole
     // shingle→minhash→band pipeline is embedded under BOTH join sides and
     // re-derives signatures from raw text twice (round-1 verdict: 2× the
@@ -262,17 +329,19 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.as("a")
       .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.band") === col("b.band") && col("a.sig1") === col("b.sig1") &&
+          col("a.sig2") === col("b.sig2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
   }
 
-  /** Q34 — MinHash/LSH bucket statistics (rows-only: xxhash64 has no DuckDB
-    * twin, FIXTURES §C). Always 4 rows (one per band), deterministic. */
+  /** Q34 — MinHash/LSH bucket statistics. Since r11 the whole pipeline runs
+    * on the replayable universal-hash family, so this lane has a COMPUTED
+    * DuckDB oracle (shingle→fold→16 mins→band pack replayed in SQL) instead
+    * of the former golden snapshot. Always 4 rows (one per band). */
   def q34MinhashBands(s: SparkSession, dir: String): DataFrame =
     lshBands(minhashSignatures(docs(s, dir)))
-      .groupBy("band", "sig").agg(count(lit(1)).as("bucket_n"))
+      .groupBy("band", "sig1", "sig2").agg(count(lit(1)).as("bucket_n"))
       .groupBy("band")
       .agg(
         count(lit(1)).as("n_buckets"),
@@ -282,23 +351,36 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash per document: per-bit vote of xxhash64(word) over all
-    * words. One pass, 64 codegen'd conditional-sum aggregates; only
-    * (doc_id, 64 ints) reach the shuffle. */
+  /** 64-bit SimHash per document: bit b's vote is the parity of the
+    * pairwise-independent g_b(x(word)) = (a_b·x + b_b) mod p — 64 universal
+    * functions from the replayable family (the per-bit ±1 votes SimHash
+    * needs are exactly pairwise-independent bits, Charikar STOC'02). One
+    * pass, 64 codegen'd conditional-sum aggregates; only (doc_id, 64 ints)
+    * reach the shuffle.
+    *
+    * The fingerprint is emitted as TWO longs (hi = bits 32–63, lo = bits
+    * 0–31, both in [0, 2³²)): a single 64-bit pack would set bit 63 and the
+    * value's sign-wrap arithmetic is exactly what DuckDB's checked BIGINT
+    * rejects — two unsigned-range halves replay as plain integer sums.
+    * Hamming distance = bit_count(xor(hi)) + bit_count(xor(lo)). */
   def simhash(d: DataFrame): DataFrame = {
     val words = d.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", replayableStringHash(col("w")))
     val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b")
+      sum(when(universalMix(col("h"), simhashA(b), simhashB(b)) % 2 === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b")
     }
-    val packed = (0 until 64)
-      .map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+    def pack(bits: Range, base: Int) = bits
+      .map(b => when(col(s"v$b") > 0, lit(1L << (b - base))).otherwise(0L))
       .reduce(_ + _)
     words.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
+      .select(col("doc_id"),
+        pack(32 until 64, 32).as("simhash_hi"),
+        pack(0 until 32, 0).as("simhash_lo"))
   }
 
-  /** Q35 — SimHash fingerprints (rows-only; engine-internal hash). */
+  /** Q35 — SimHash fingerprints. Computed DuckDB oracle since r11 (the
+    * 64 universal parities replay as plain SQL arithmetic). */
   def q35Simhash(s: SparkSession, dir: String): DataFrame =
     simhash(docs(s, dir).filter(col("doc_id") < 100)).orderBy("doc_id")
 

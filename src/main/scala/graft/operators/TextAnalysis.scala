@@ -95,9 +95,11 @@ object TextAnalysis {
 
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): k-gram rolling
     * hashes, minimum per sliding window — the classic local fingerprint for
-    * near-dup/plagiarism detection. Hash = xxhash64 over word k-grams
-    * (engine-internal; no cross-engine oracle — FIXTURES §C quarantines
-    * hash functions), so Q40 gets the rows-only check.
+    * near-dup/plagiarism detection. Hash = the replayable universal family
+    * over word k-grams (Dedup.replayableStringHash + one universal mix —
+    * the mix de-correlates the low bits of adjacent overlapping grams),
+    * so since r11 Q40 carries a COMPUTED DuckDB oracle instead of a golden
+    * snapshot.
     *
     * Single pass, no shuffle until the final per-doc count: scales linearly.
     *
@@ -108,10 +110,12 @@ object TextAnalysis {
     * projections with a multiply-referenced expensive alias stay separate. */
   def winnowFingerprints(d: DataFrame, k: Int = 4, window: Int = 4): DataFrame = {
     val words = split(trim(col("text")), "\\s+")
-    // k-gram rolling hashes by index: h_i = xxhash64(words[i..i+k-1])
+    // k-gram rolling hashes by index: h_i = g(x(words[i..i+k-1] joined))
     val grams = transform(
       sequence(lit(0), greatest(size(words) - k, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(k)))))
+      i => Dedup.universalMix(
+        Dedup.replayableStringHash(concat_ws(" ", slice(words, i + 1, lit(k)))),
+        Dedup.WinnowA, Dedup.WinnowB))
     // winnow: minimum hash of each `window`-sized sliding window, dedup'd
     val g = col("grams")
     val mins = array_distinct(transform(

@@ -125,7 +125,10 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("simhash of near-identical docs differs in few bits") {
     val d = docsDf(Seq(1L -> base, 2L -> (base + " tail"),
       3L -> (200 until 280).map(i => s"zzz$i").mkString(" ")))
-    val h = Dedup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r11 schema: (simhash_hi, simhash_lo) unsigned-range halves — see the
+    // Dedup.simhash scaladoc; recombine for the hamming check
+    val h = Dedup.simhash(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1) << 32) | r.getLong(2))).toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(h(1L), h(2L)) <= 8, s"near-dups too far: ${hamming(h(1L), h(2L))}")
     assert(hamming(h(1L), h(3L)) > 8, s"unrelated too close: ${hamming(h(1L), h(3L))}")
