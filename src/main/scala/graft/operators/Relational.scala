@@ -1489,14 +1489,34 @@ object Relational {
     * by l_orderkey to |orders| rows, filtered to the rare heavy tail BEFORE
     * the semi join — so the expensive 3-way join runs only over qualifying
     * orders (84 of 15k at sf0.01). Top-k is TakeOrderedAndProject (no
-    * global sort). */
+    * global sort).
+    *
+    * SHUFFLE_HASH hint + the ×10 regime (r10 verdict #2, measured from the
+    * AQE-final plans): the semi join's build side is the HAVING aggregate,
+    * whose SIZE ESTIMATE is the pre-filter |orders| key count — the HAVING
+    * selectivity is invisible to the planner AND to AQE (the filter sits
+    * above the aggregate inside one stage, so no runtime stat exists for
+    * it). That estimate crosses autoBroadcastJoinThreshold between drill
+    * 1× and 10× (~2.4 MB → ~24 MB vs the 10 MB default), flipping the 1×
+    * all-broadcast plan to SMJ semi joins that SORT the full probe sides
+    * (orders + lineitem) — the r10-recorded 3.63 drill ratio was this plan
+    * boundary, not superlinearity. The subquery hint pins the semi joins
+    * to ShuffledHashJoin instead: the tiny post-HAVING build hashes per
+    * partition, the probe streams with NO sort, and — unlike a BROADCAST
+    * hint, which at 100 TB would ship the ~0.5% heavy-order tail (~GBs)
+    * to every executor — the per-partition build stays bounded at any
+    * scale as long as partition counts scale with data. Measured at
+    * sf0.1: 1× 1.03 s / 10× 1.49 s (ratio 1.45, was 0.83 s/2.25 s = 2.71
+    * unhinted); AQE still freely broadcasts the OUTER joins when their
+    * runtime sizes permit (hint scope is the subquery only), which is the
+    * observed final plan at 1×. PlanAuditSpec pins semi-join-never-sorts. */
   def q124TpchQ18(s: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerAll(s, dir)
     s.sql("""SELECT c.c_custkey, o.o_orderkey,
             |       CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_qty
             |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
             |     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-            |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+            |WHERE o.o_orderkey IN (SELECT /*+ SHUFFLE_HASH */ l_orderkey FROM lineitem
             |                       GROUP BY l_orderkey HAVING SUM(l_quantity) > 280)
             |GROUP BY c.c_custkey, o.o_orderkey
             |ORDER BY total_qty DESC, o.o_orderkey LIMIT 50""".stripMargin)

@@ -447,6 +447,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"IN over the HAVING aggregate must plan as a semi join:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"ORDER BY+LIMIT must plan as top-k, not a global sort:\n$plan")
+    // r11: the SHUFFLE_HASH subquery hint must hold at EVERY size estimate —
+    // an SMJ semi here sorts the full orders/lineitem probe sides the
+    // moment the pre-HAVING size estimate outgrows the broadcast threshold
+    // (the r10 3.63 drill-ratio mechanism; q124 scaladoc regime note)
+    assert(!plan.contains("SortMergeJoin LeftSemi"),
+      s"the HAVING semi join must never sort its probe side:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected a hash semi join:\n$plan")
   }
 
   test("q126 multi-DISTINCT: one Expand, hash aggregation throughout") {
