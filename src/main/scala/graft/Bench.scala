@@ -134,14 +134,20 @@ object Bench {
     // failures[] is empty-unless-regression (r6 ADVICE #1). `pairs` carries
     // how many interleaved pairs the lane consumed (3 = the >2.5 burst
     // re-measure fired — r9 verdict #1's in-artifact annotation).
+    // curation stage-attribution rows (r10 verdict #6) ride the drill
+    // result under a name prefix: diagnostic only — separate JSON key,
+    // never in the gate or the headline max ratio
+    val (drillStages, drillLanes) =
+      drill.partition { case (k, _, _, _) => k.startsWith("curation_stage:") }
     val (drillKnown, drillGated) =
-      drill.partition { case (k, _, _, _) => ScaleDrill.knownSuperlinear.contains(k) }
+      drillLanes.partition { case (k, _, _, _) => ScaleDrill.knownSuperlinear.contains(k) }
     def drillObj(rows: Seq[(String, Double, Double, Int)], xKey: String): String =
       rows.map { case (k, b, x, p) =>
         "\"" + k + f"""\":{"base":$b%.2f,"$xKey":$x%.2f,"ratio":${x / math.max(b, 1e-9)}%.2f,"pairs":$p}"""
       }.mkString("{", ",", "}")
     val drillJson = drillObj(drillGated, s"x$drillFactor")
     val drillKnownJson = drillObj(drillKnown, s"x$drillFactor")
+    val drillStagesJson = drillObj(drillStages, s"x$drillFactor")
     val drillMaxRatio =
       if (drillGated.isEmpty) -1.0
       else drillGated.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max
@@ -199,7 +205,7 @@ object Bench {
 
     val detailPath = "bench_detail.json"
     val pw = new java.io.PrintWriter(detailPath)
-    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"host_load":$loadJson,"scale_drill":{"factor":$drillFactor,"queries":$drillJson,"known_superlinear":$drillKnownJson},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"queries":$detail,"failures":$failJson,"sf":"$sfDir"}""")
+    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"host_load":$loadJson,"scale_drill":{"factor":$drillFactor,"queries":$drillJson,"known_superlinear":$drillKnownJson,"curation_stage_attribution":$drillStagesJson},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"queries":$detail,"failures":$failJson,"sf":"$sfDir"}""")
     finally pw.close()
 
     val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"ext_cpu_cold_pct":${loadCold.extCpuPct}%.2f,"ext_cpu_warm_pct":${loadWarm.extCpuPct}%.2f,"contended":$contended,"sf":"$sfDir","detail":"$detailPath"}"""
@@ -302,9 +308,15 @@ object HostLoad {
                           wallNs: Long)
   final case class Phase(wallSec: Double, procCpuSec: Double,
                          extCpuPct: Double, la1Start: Double, la1End: Double) {
+    // explicit-locale formatting, NEVER Locale.setDefault: this is library
+    // code reachable from the test suite, and flipping the JVM default to
+    // ROOT (empty language tag) broke every later Derby CREATE DATABASE in
+    // the same JVM ("Supplied locale description '' is invalid") — 5
+    // txn-sink tests red purely by suite ordering
     def json: String = {
-      java.util.Locale.setDefault(java.util.Locale.ROOT)
-      f"""{"wall_sec":$wallSec%.2f,"proc_cpu_sec":$procCpuSec%.2f,"ext_cpu_pct":$extCpuPct%.2f,"la1_start":$la1Start%.2f,"la1_end":$la1End%.2f}"""
+      def n(d: Double) =
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+      s"""{"wall_sec":${n(wallSec)},"proc_cpu_sec":${n(procCpuSec)},"ext_cpu_pct":${n(extCpuPct)},"la1_start":${n(la1Start)},"la1_end":${n(la1End)}}"""
     }
   }
 

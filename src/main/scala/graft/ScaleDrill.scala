@@ -198,7 +198,7 @@ object ScaleDrill {
     }
     val all = drillQueries.map(n => n -> SparkEntry.baseQueries(n)) ++
       extraDrillQueries.toSeq :+ ("curation_flow" -> curationFlow)
-    all.map { case (name, fn) =>
+    val rows = all.map { case (name, fn) =>
       val b1 = once(fn, baseDir); val x1 = once(fn, bigDir)
       val b2 = once(fn, baseDir); val x2 = once(fn, bigDir)
       var (b, x) = (math.min(b1, b2), math.min(x1, x2))
@@ -213,6 +213,60 @@ object ScaleDrill {
       }
       (name, b, x, pairs)
     }
+    // Stage attribution (r10 verdict #6): when the composed curation lane
+    // still exceeds the re-measure bar after its third pair, time its
+    // cumulative stage prefixes once per side so the artifact says WHICH of
+    // the 5 composed stages carries the ratio instead of shipping a bare
+    // 2.5+ number. One interleaved pair per prefix (pairs=1 marks the
+    // weaker evidence): attribution, not a gate — Bench records these
+    // under a separate key and excludes them from failure math.
+    val attribution = rows.find(_._1 == "curation_flow").toSeq.flatMap {
+      case (_, b, x, _) if x > b * remeasureRatio =>
+        curationStagePrefixes.map { case (stage, fn) =>
+          val pb = once(fn, baseDir); val px = once(fn, bigDir)
+          (s"curation_stage:$stage", pb, px, 1)
+        }
+      case _ => Seq.empty
+    }
+    rows ++ attribution
+  }
+
+  /** Cumulative stage prefixes of [[curationFlow]] (same operators, same
+    * constants as Curation.curate with the drill's quota) — timed only when
+    * the composed lane's drill ratio exceeds [[remeasureRatio]], so the
+    * recorded number arrives stage-attributed. Ratios are cumulative: the
+    * stage that JUMPS relative to its predecessor is the carrier. */
+  private[graft] val curationStagePrefixes: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    def passers(sp: SparkSession, d: String): DataFrame = {
+      val input = graft.operators.Scale.ensureParallel(Tables(sp, d, "documents"))
+      val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+        .cast("double") / length(col("text"))
+      input.filter(col("text").isNotNull && length(trim(col("text"))) > 0 &&
+        alpha >= 0.45)
+    }
+    def deduped(sp: SparkSession, d: String): DataFrame = {
+      val q = passers(sp, d)
+      val keepers = q
+        .select(graft.operators.Dedup.contentFp(col("text")).as("__fp"), col("doc_id"))
+        .groupBy("__fp").agg(min("doc_id").as("doc_id"))
+      q.withColumn("__fp", graft.operators.Dedup.contentFp(col("text")))
+        .join(keepers, Seq("__fp", "doc_id"), "left_semi").drop("__fp")
+    }
+    def clean(sp: SparkSession, d: String): DataFrame = {
+      val benchmark = Tables(sp, d, "documents")
+        .filter(col("doc_id") % 100 === 0).select("doc_id", "text")
+      deduped(sp, d).join(
+        graft.operators.Dedup.contaminatedIds(passers(sp, d), benchmark)
+          .select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    }
+    Seq(
+      "quality"  -> ((sp: SparkSession, d: String) => passers(sp, d)),
+      "dedup"    -> ((sp: SparkSession, d: String) => deduped(sp, d)),
+      "decontam" -> ((sp: SparkSession, d: String) => clean(sp, d)),
+      "quota"    -> ((sp: SparkSession, d: String) =>
+        graft.operators.TextAnalysis.quotaCap(
+          clean(sp, d), "source", "doc_id", "curate", 1000000)))
   }
 
   /** The composed curation flow as a (session, dir) => frame lambda — the

@@ -200,6 +200,11 @@ object SparkEntry {
     // r9: TPC-H Q5/Q7 planner-stress shapes, DataFrame-API spelled
     "q133_tpch_q5"         -> (Relational.q133TpchQ5 _),
     "q134_tpch_q7"         -> (Relational.q134TpchQ7 _),
+    // r11: TPC-H Q13/Q16/Q19 rewrite-path stress (r10 verdict #5) —
+    // COUNT-bug decorrelation, null-aware anti join, disjunctive pushdown
+    "q135_tpch_q13"        -> (Relational.q135TpchQ13 _),
+    "q136_tpch_q16"        -> (Relational.q136TpchQ16 _),
+    "q137_tpch_q19"        -> (Relational.q137TpchQ19 _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -639,6 +644,17 @@ object SparkEntry {
     "q127_snapshot_diff" -> // full-outer reconciliation of two deterministic
       // snapshot slices; drift injected on 11Z so 'changed' is non-empty
       "WITH a AS (SELECT o_orderkey AS k, CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 100, 0) AS BIGINT) AS ca FROM orders WHERE o_orderkey % 7 <> 0), b AS (SELECT o_orderkey AS k, CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * 100, 0) AS BIGINT) + CASE WHEN o_orderkey % 11 = 0 THEN 1000 ELSE 0 END AS cb FROM orders WHERE o_orderkey % 5 <> 0), j AS (SELECT COALESCE(a.k, b.k) AS k, ca, cb FROM a FULL JOIN b ON a.k = b.k), c AS (SELECT k, CASE WHEN ca IS NULL THEN 'added' WHEN cb IS NULL THEN 'removed' WHEN ca <> cb THEN 'changed' ELSE 'same' END AS status FROM j) SELECT status, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum FROM c GROUP BY status ORDER BY status",
+    "q135_tpch_q13" -> // identical text on both engines: the correlated
+      // scalar COUNT is what's under test (COUNT-bug decorrelation) —
+      // both engines must produce the zero-order class
+      "SELECT c_count, COUNT(*) AS custdist FROM (SELECT c.c_custkey, (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT') AS c_count FROM customer c) t GROUP BY c_count ORDER BY custdist DESC, c_count DESC",
+    "q136_tpch_q16" -> // identical text on both engines: NOT IN (null-aware
+      // anti join) + COUNT(DISTINCT) over join output; the excluded set is
+      // derived (s_suppkey % 7) — non-empty at every SF (operator scaladoc)
+      "SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt FROM part JOIN lineitem ON p_partkey = l_partkey WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'MEDIUM%' AND p_size IN (1, 4, 9, 16, 25, 36, 49) AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0) GROUP BY p_brand, p_type, p_size ORDER BY supplier_cnt DESC, p_brand, p_type, p_size",
+    "q137_tpch_q19" -> // OR-of-ANDs mixing both join sides per disjunct;
+      // DECIMAL-then-ROUND revenue (q123 discipline)
+      "SELECT COUNT(*) AS n_items, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue FROM lineitem JOIN part ON l_partkey = p_partkey WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)",
     "q128_latest_per_key" -> // the oracle spells ROW_NUMBER()=1; the engine
       // lane is max(struct) partial-agg — same semantics, fewer shuffled
       // bytes (see the operator's scale note); µs truncation contract

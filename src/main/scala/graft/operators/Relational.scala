@@ -1752,4 +1752,91 @@ object Relational {
         "(1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)").as("volume"))
       .orderBy("supp_region", "cust_region", "l_year")
   }
+
+  /** Q135 — TPC-H Q13 shape (customer order distribution): a CORRELATED
+    * scalar COUNT subquery per customer, histogrammed. This is the classic
+    * COUNT-bug decorrelation case (Kim '82; the hardest path in
+    * `RewriteCorrelatedScalarSubquery`): the rewrite must plan the count
+    * as orders pre-aggregated by o_custkey, LEFT-OUTER-joined to customer,
+    * with the missing-group NULL coalesced to 0 — an inner-join rewrite
+    * (or a naive COUNT over the outer join without the null patch)
+    * silently drops/miscounts the zero-order class. The '1-URGENT'-only
+    * predicate keeps that class non-vacuous at every fixture SF (18
+    * customers at sf0.001, 203 at sf0.01 — verified against DuckDB).
+    * PlanAuditSpec pins the outer join + the zero bucket.
+    *
+    * Scale: the subquery side partial-aggregates orders map-side to
+    * |customers| (custkey, cnt) rows before one key shuffle; the outer
+    * join shuffles customer once on the same key; the final histogram
+    * aggregate's domain is max-orders-per-customer (tiny). No per-row
+    * subquery execution anywhere. */
+  def q135TpchQ13(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""SELECT c_count, COUNT(*) AS custdist
+            |FROM (SELECT c.c_custkey,
+            |             (SELECT COUNT(*) FROM orders o
+            |              WHERE o.o_custkey = c.c_custkey
+            |                AND o.o_orderpriority = '1-URGENT') AS c_count
+            |      FROM customer c) t
+            |GROUP BY c_count
+            |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
+  /** Q136 — TPC-H Q16 shape (supplier relationship count): COUNT(DISTINCT)
+    * over a join, filtered by NOT IN against a subquery. Two rewrite paths
+    * q102–q134 never touch: (a) NOT IN plans as a NULL-AWARE anti join —
+    * Spark builds the (broadcast) hash relation with an extra
+    * "any null key?" bit because one NULL in the subquery must empty the
+    * whole result (SQL three-valued logic); PlanAuditSpec pins the
+    * `NullAwareAnti` build; (b) COUNT(DISTINCT l_suppkey) under a
+    * multi-column GROUP BY — the two-phase distinct-aggregate rewrite over
+    * join output rather than a base table. The excluded-supplier predicate
+    * is derived (`s_suppkey % 7 = 0` — the fixture has no s_comment, and
+    * acctbal<0 suppliers don't exist at sf0.001), non-empty at every SF.
+    *
+    * Scale: supplier is dim-sized → the anti join broadcasts its ~14%
+    * slice; part joins lineitem on partkey after both scan filters push
+    * down (p_size IN-list reaches the part scan); the distinct aggregate
+    * dedups (brand,type,size,suppkey) map-side before the final count. */
+  def q136TpchQ16(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            |FROM part JOIN lineitem ON p_partkey = l_partkey
+            |WHERE p_brand <> 'Brand#1'
+            |  AND p_type NOT LIKE 'MEDIUM%'
+            |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+            |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+            |GROUP BY p_brand, p_type, p_size
+            |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
+  /** Q137 — TPC-H Q19 shape (discounted revenue): one equi-join under an
+    * OR-of-ANDs predicate mixing both sides' columns per disjunct. The
+    * planner stress is disjunctive pushdown: no single disjunct can move
+    * below the join whole, but `PushExtraPredicateThroughJoin` extracts
+    * the per-side convertible OR (brand/size combos for part, the
+    * quantity-range union for lineitem) and pushes BOTH to the scans, so
+    * the join sees pre-filtered inputs while the exact mixed predicate
+    * still runs above. PlanAuditSpec pins an Or(...) inside each scan's
+    * PushedFilters. Revenue in DECIMAL → ROUND → DOUBLE (q123 discipline);
+    * an n_items count keeps the single-row output self-describing.
+    *
+    * Scale: part prunes to 3 brands × bounded sizes (dim-sized →
+    * broadcast); lineitem's pushed quantity-union skips row groups at the
+    * scan; one aggregate row out — no post-join shuffle at all beyond the
+    * final 1-row combine. */
+  def q137TpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val b1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+    val b2 = col("p_brand") === "Brand#23" &&
+      col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+    val b3 = col("p_brand") === "Brand#3" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(b1 || b2 || b3)
+      .agg(count(lit(1)).as("n_items"),
+        expr("CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+          "(1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)").as("revenue"))
+  }
 }

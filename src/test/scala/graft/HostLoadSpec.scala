@@ -33,4 +33,21 @@ class HostLoadSpec extends AnyFunSuite {
     // must parse as JSON — the driver tail-captures the summary line
     assert(j.startsWith("{") && j.endsWith("}") && !j.contains("Infinity") && !j.contains("NaN"))
   }
+
+  test("json rendering never mutates the JVM default locale") {
+    // regression pin (r11): Phase.json once called Locale.setDefault(ROOT);
+    // Derby CREATE DATABASE rejects the empty ROOT language tag, so every
+    // txn-sink test that ran after this suite failed — library code must
+    // format with an explicit locale, not flip process-global state
+    val before = java.util.Locale.getDefault()
+    val tr = new java.util.Locale("tr", "TR") // the classic casing landmine
+    java.util.Locale.setDefault(tr)
+    try {
+      val ((), p) = HostLoad.around(())
+      assert(":-?\\d+,\\d".r.findFirstIn(p.json).isEmpty && p.json.contains("."),
+        s"json must be dot-decimal under any default locale: ${p.json}")
+      assert(java.util.Locale.getDefault() == tr,
+        "Phase.json mutated the JVM default locale")
+    } finally java.util.Locale.setDefault(before)
+  }
 }

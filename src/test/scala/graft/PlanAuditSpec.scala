@@ -531,4 +531,47 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("windowspecdefinition"),
       s"q121 lost its block-size cap window:\n$plan")
   }
+
+  test("q135 TPC-H Q13: correlated COUNT decorrelates with the COUNT-bug patch") {
+    val df = graft.operators.Relational.q135TpchQ13(spark, sfDir)
+    val plan = planString(df)
+    assert(!plan.toLowerCase.contains("subquery"),
+      s"residual per-row subquery in plan:\n$plan")
+    // the decorrelated shape: orders pre-aggregated, LEFT OUTER join to
+    // customer, and the null patch (`if (isnull(alwaysTrue)) 0 else count`)
+    // that keeps the zero-order class — an inner rewrite drops it silently
+    assert(plan.contains("LeftOuter"),
+      s"COUNT decorrelation must keep the outer join:\n$plan")
+    assert(plan.contains("alwaysTrue"),
+      s"missing the COUNT-bug null patch:\n$plan")
+    // and the zero class itself must surface (18 customers at sf0.001)
+    val zero = df.collect().find(_.getLong(0) == 0L)
+    assert(zero.exists(_.getLong(1) > 0L),
+      "the zero-order customer bucket vanished — the COUNT bug is back")
+  }
+
+  test("q136 TPC-H Q16: NOT IN plans as a null-aware anti join") {
+    val plan = planString(graft.operators.Relational.q136TpchQ16(spark, sfDir))
+    // isNullAwareAntiJoin=true prints as the trailing flag on the BHJ node
+    assert("BroadcastHashJoin \\[l_suppkey#\\d+L\\], \\[s_suppkey#\\d+L\\], LeftAnti, BuildRight, true".r
+      .findFirstIn(plan).isDefined,
+      s"NOT IN must plan as a null-aware broadcast anti join:\n$plan")
+    // the IN-list + brand/type predicates filter part BEFORE its join
+    assert("p_size#\\d+ IN \\(1,4,9,16,25,36,49\\)".r.findFirstIn(plan).isDefined,
+      s"p_size IN-list must filter the part side below the join:\n$plan")
+  }
+
+  test("q137 TPC-H Q19: the OR-of-ANDs pushes per-side disjuncts to both scans") {
+    val plan = planString(graft.operators.Relational.q137TpchQ19(spark, sfDir))
+    // PushExtraPredicateThroughJoin: the quantity-range union reaches the
+    // lineitem scan, the brand/size union reaches the part scan — neither
+    // side scans rows only the joined predicate could reject
+    assert(plan.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      s"quantity disjunct union not pushed to the lineitem scan:\n$plan")
+    assert(plan.contains("Or(Or(And(EqualTo(p_brand"),
+      s"brand/size disjunct union not pushed to the part scan:\n$plan")
+    // part prunes to 3 brands -> dim-sized -> broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"filtered part side should broadcast:\n$plan")
+  }
 }

@@ -415,11 +415,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // -------------------------------- end-to-end exactly-once restart drill
 
-  test("scale drill: 1M rows through content-dedup -> txn sink, kill + restart, bounded state") {
+  test("scale drill: 1M rows through content-dedup -> txn sink, kill + restart, " +
+      "bounded state, on RocksDB") {
     // the restart drill at production-like volume (r03 verdict #5): ≥1M rows
     // with dedupByContent AND the exactly-once sink in the same loop, killed
     // mid-stream, resumed from checkpoint — and the dedup state store must
     // stay bounded by the WATERMARK HORIZON, not grow with the corpus.
+    // r11 (r10 verdict #7): the drill runs under the RocksDB state store —
+    // the provider the 100 TB bounded-state claim depends on (the default
+    // HDFS-backed store holds state on-heap and can't spill a production
+    // dedup horizon). Same operator code, conf only; the kill+resume leg
+    // now also exercises RocksDB snapshot load from the checkpoint.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
     val tmp = java.nio.file.Files.createTempDirectory("graftscale")
     val srcDir = s"$tmp/src"; val ckpt = s"$tmp/ckpt"
     val url = s"jdbc:derby:$tmp/db;create=true"
@@ -482,7 +491,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stateRows.get <= 2 * distinctPerFile,
       s"dedup state grew past the watermark horizon: ${stateRows.get} rows " +
         s"(horizon holds $distinctPerFile)")
+    // and RocksDB must have actually carried that state (conf typos fall
+    // back silently to the default provider — the metric names prove it)
+    val rocksMetrics = q2.recentProgress.reverse
+      .flatMap(p => Option(p.stateOperators)).find(_.nonEmpty)
+      .map(_.head.customMetrics.keySet.toArray(Array.empty[String])
+        .filter(_.startsWith("rocksdb")))
+    assert(rocksMetrics.exists(_.nonEmpty),
+      "RocksDB state store did not engage in the restart drill")
     info(s"landed=$landed stateRows=${stateRows.get} (horizon=$distinctPerFile)")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("file stream -> txn sink: restart from checkpoint lands every row exactly once") {
