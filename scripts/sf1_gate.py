@@ -73,6 +73,20 @@ def main():
     oracle = json.load(open(f"{voutdir}/oracle_sql.json"))
     out = {}
     for name in sorted(oracle):
+        # Golden-VALUES oracles are literal snapshots of the engine's
+        # sf0.01 output (Goldens.scala) -- by construction SF-BOUND, so
+        # replaying them against a 10x dataset would false-fail. Record
+        # the exclusion explicitly: the full-surface claim is "every
+        # COMPUTED oracle holds at the next decade", and the artifact
+        # says which lanes are gated elsewhere (driver gate at sf0.01 +
+        # bit-stability across core counts).
+        if "FROM (VALUES" in oracle[name]:
+            out[name] = {"rows_match": None, "schema_match": None,
+                         "hash_match": None, "spark_rows": None,
+                         "oracle_rows": None, "err": None,
+                         "excluded": "golden-snapshot oracle (sf0.01-bound)"}
+            print(name, "excluded: golden snapshot")
+            continue
         try:
             exp = con.execute(oracle[name]).fetchdf()
             got = con.execute(
@@ -95,7 +109,10 @@ def main():
         print(name, out[name]["hash_match"], out[name].get("err") or "")
     json.dump(out, open(outjson, "w"), indent=1)
     ok = sum(1 for v in out.values() if v["hash_match"])
-    print(f"[sf1-gate] {ok}/{len(out)} hash-green -> {outjson}")
+    excl = sum(1 for v in out.values() if v.get("excluded"))
+    gated = len(out) - excl
+    print(f"[sf1-gate] {ok}/{gated} hash-green ({excl} golden-snapshot "
+          f"exclusions) -> {outjson}")
 
 
 if __name__ == "__main__":

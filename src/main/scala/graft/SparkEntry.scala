@@ -247,6 +247,39 @@ object SparkEntry {
       "SELECT band, CAST(COUNT(*) AS BIGINT) AS n_buckets, CAST(SUM(CASE WHEN bucket_n > 1 THEN bucket_n ELSE 0 END) AS BIGINT) AS docs_in_collisions, CAST(SUM((bucket_n * (bucket_n - 1)) // 2) AS BIGINT) AS candidate_pairs FROM g GROUP BY band ORDER BY band"
   }
 
+  /** q50: the FULL LSH→exact-Jaccard pipeline re-derived from raw text in
+    * DuckDB (r11 — q50 leaves the golden set): q34's shingle→fold→16
+    * mins→lossless band pack, then the bucket cap as a window count, the
+    * in-bucket candidate self-join, and the exact-Jaccard confirm at the
+    * production threshold. Constants (family tabulation, cap, threshold)
+    * interpolate from the same Scala values the operators compile in. */
+  private def neardupConfirmedOracle: String = {
+    import Dedup.{MinHashK, MinhashP, minhashA, minhashB}
+    val mins = (0 until MinHashK)
+      .map(i => s"MIN((${minhashA(i)} * x + ${minhashB(i)}) % $MinhashP) AS mh$i")
+      .mkString(", ")
+    val bandSel = (0 until 4).map { b =>
+      def mh(r: Int) = s"mh${b * 4 + r}"
+      s"SELECT doc_id, $b AS band, ${mh(0)} * 2147483648 + ${mh(1)} AS sig1, ${mh(2)} * 2147483648 + ${mh(3)} AS sig2 FROM sig"
+    }.mkString(" UNION ALL ")
+    "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000), " +
+      "w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM d), " +
+      "f AS (SELECT doc_id, words FROM w WHERE len(words) >= 3), " +
+      "sh AS (SELECT doc_id, unnest(list_transform(range(0, len(words) - 2), i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh FROM f), " +
+      s"hx AS (SELECT doc_id, ${duckBaseHash("sh")} AS x FROM sh), " +
+      s"sig AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id), " +
+      s"b AS ($bandSel), " +
+      "bc AS (SELECT doc_id, band, sig1, sig2, COUNT(*) OVER (PARTITION BY band, sig1, sig2) AS bn FROM b), " +
+      s"bands AS (SELECT doc_id, band, sig1, sig2 FROM bc WHERE bn <= ${Dedup.MinhashBucketCap}), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2 FROM bands a JOIN bands b2 ON a.band = b2.band AND a.sig1 = b2.sig1 AND a.sig2 = b2.sig2 AND a.doc_id < b2.doc_id), " +
+      "tok AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word FROM d) x), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1), " +
+      "inter AS (SELECT id1, id2, COUNT(*) AS inter FROM cand JOIN tok wa ON id1 = wa.doc_id JOIN tok wb ON id2 = wb.doc_id AND wa.word = wb.word GROUP BY 1, 2), " +
+      "sc AS (SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2), " +
+      "p AS (SELECT * FROM sc WHERE jaccard >= 0.6) " +
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, COALESCE(ROUND(AVG(jaccard), 4), 0.0) AS avg_jaccard, COALESCE(ROUND(MAX(jaccard), 4), 0.0) AS max_jaccard FROM p"
+  }
+
   /** q35: 64 universal parity votes per word, packed as two unsigned-range
     * halves (Dedup.simhash scaladoc on why not one 64-bit long). */
   private def simhashOracle: String = {
@@ -358,22 +391,24 @@ object SparkEntry {
       "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM documents ORDER BY doc_id",
     "q33_jaccard_pairs" ->
       "WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents WHERE doc_id < 40), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
-    // q39/q48/q49/q50/q87/q113/q114/q129: engine-internal hash families /
-    // float argmax / float reductions / sketches with no DuckDB twin
-    // (FIXTURES §C) — gated since r10 by GOLDEN-VALUE oracles
-    // (Goldens.scala): the outputs are deterministic (verified bit-stable
-    // across 4/8/32-core runs), so a literal VALUES oracle turns the old
-    // rows-only check into a full hash gate. A testdata regen that changes
-    // the underlying rows flips these LOUDLY — re-snapshot via
-    // scripts/gen_goldens.py (the regen changed the data, not the engine).
-    // r11: q34/q35/q40 LEFT this golden set — their operators moved to the
-    // replayable universal-hash family (Dedup.scala scaladoc), so they get
-    // INDEPENDENT computed oracles below: DuckDB re-derives minhash bands /
-    // simhash parities / winnowing minima from raw text with shared
-    // tabulated constants, replaying the engine's integer math end-to-end.
+    // q39/q48/q49/q87/q113/q114/q129: engine-internal float argmax / float
+    // reductions / sketches with no DuckDB twin (FIXTURES §C) — gated
+    // since r10 by GOLDEN-VALUE oracles (Goldens.scala): the outputs are
+    // deterministic (verified bit-stable across 4/8/32-core runs), so a
+    // literal VALUES oracle turns the old rows-only check into a full hash
+    // gate. A testdata regen that changes the underlying rows flips these
+    // LOUDLY — re-snapshot via scripts/gen_goldens.py (the regen changed
+    // the data, not the engine).
+    // r11: q34/q35/q40/q50 LEFT this golden set — their operators moved to
+    // the replayable universal-hash family (Dedup.scala scaladoc), so they
+    // get INDEPENDENT computed oracles below: DuckDB re-derives minhash
+    // bands / simhash parities / winnowing minima / the full LSH→Jaccard
+    // near-dup pipeline from raw text with shared tabulated constants,
+    // replaying the engine's integer math end-to-end.
     "q34_minhash_bands" -> minhashBandsOracle,
     "q35_simhash" -> simhashOracle,
     "q40_winnow_fingerprint" -> winnowOracle,
+    "q50_neardup_confirmed" -> neardupConfirmedOracle,
     "q36_cosine_topk" ->
       "WITH f0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings), f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM f0), d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot, SUM(q.v * q.v) AS qq, SUM(c.v * c.v) AS cc FROM f q JOIN f c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id GROUP BY 1, 2), r AS (SELECT qid, cid, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d), rk AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM r) SELECT qid, cid, sim, rnk FROM rk WHERE rnk <= 5 ORDER BY qid, rnk",
     "q37_neardup_embedding" ->

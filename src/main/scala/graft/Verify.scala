@@ -84,8 +84,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // ALWAYS the full oracle map, even for a dev-subset run: a subset
+    // re-dump into an existing out dir must not shrink oracle_sql.json
+    // under the other queries' parquet (r11: the full-surface sf1 gate
+    // re-dumped q50 after an oracle conversion and the filtered write
+    // left a 2-entry oracle file beside 274 results)
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
