@@ -115,12 +115,12 @@ object Bench {
     // stderr: r7 shipped a green-looking artifact around a crashed drill,
     // and an empty drill result is otherwise indistinguishable from one
     var drillCrash: Option[String] = None
-    val (drill, loadDrill) = HostLoad.around {
+    val ((drill, drillVolBase, drillVolBig), loadDrill) = HostLoad.around {
       try ScaleDrill.run(spark, sfDir, drillDir.toString, drillFactor)
       catch { case e: Throwable =>
         System.err.println(s"[bench] scale drill failed: ${e.getMessage}")
         drillCrash = Some(s"scale_drill:crashed(${e.getClass.getSimpleName})")
-        Seq.empty[(String, Double, Double, Int)]
+        (Seq.empty[(String, Double, Double, Int)], 0L, 0L)
       } finally {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
@@ -205,10 +205,10 @@ object Bench {
 
     val detailPath = "bench_detail.json"
     val pw = new java.io.PrintWriter(detailPath)
-    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"host_load":$loadJson,"scale_drill":{"factor":$drillFactor,"queries":$drillJson,"known_superlinear":$drillKnownJson,"curation_stage_attribution":$drillStagesJson},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"queries":$detail,"failures":$failJson,"sf":"$sfDir"}""")
+    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"host_load":$loadJson,"scale_drill":{"factor":$drillFactor,"queries":$drillJson,"known_superlinear":$drillKnownJson,"curation_stage_attribution":$drillStagesJson,"bigram_vol_base":$drillVolBase,"bigram_vol_scaled":$drillVolBig,"bigram_vol_ratio":${if (drillVolBase > 0) drillVolBig.toDouble / drillVolBase else -1.0}%.2f},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"queries":$detail,"failures":$failJson,"sf":"$sfDir"}""")
     finally pw.close()
 
-    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"ext_cpu_cold_pct":${loadCold.extCpuPct}%.2f,"ext_cpu_warm_pct":${loadWarm.extCpuPct}%.2f,"contended":$contended,"sf":"$sfDir","detail":"$detailPath"}"""
+    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_vol_ratio":${if (drillVolBase > 0) drillVolBig.toDouble / drillVolBase else -1.0}%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"ext_cpu_cold_pct":${loadCold.extCpuPct}%.2f,"ext_cpu_warm_pct":${loadWarm.extCpuPct}%.2f,"contended":$contended,"sf":"$sfDir","detail":"$detailPath"}"""
     // The summary survives in THREE places so no capture window can lose it
     // (r8's artifact held a log-noise tail and parsed:null):
     //  1. a file the judge can always read back,

@@ -184,11 +184,19 @@ object ScaleDrill {
     * consumed, so a re-measured ratio is visible as such in the artifact.
     * Persisted state is swept between executions exactly like the bench
     * passes, so one query's working set never pollutes another's ratio. */
-  def run(s: SparkSession, sfDir: String, outDir: String, factor: Int): Seq[(String, Double, Double, Int)] = {
+  def run(s: SparkSession, sfDir: String, outDir: String, factor: Int): (Seq[(String, Double, Double, Int)], Long, Long) = {
     val baseDir = s"$outDir/base1x"
     val bigDir = s"$outDir/scaled"
     materialize(s, sfDir, baseDir, 1)
     materialize(s, sfDir, bigDir, factor)
+    // Measured denominator for the text lanes (r10 verdict #6): the splice
+    // tokens that keep near-dup structure scale-invariant also ADD tokens,
+    // so the ×N documents side carries MORE than N× bigrams (12.2× at N=10
+    // per the r9 probe) — without this number in the artifact, q116's
+    // reproducible ~3.2 reads as 'above the 2.5 bar' instead of '~0.26× of
+    // linear in its true input volume'. Two cheap aggregations.
+    val volBase = bigramVolume(s, baseDir)
+    val volBig = bigramVolume(s, bigDir)
     def once(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()
       fn(s, dir).write.format("noop").mode("overwrite").save()
@@ -228,7 +236,7 @@ object ScaleDrill {
         }
       case _ => Seq.empty
     }
-    rows ++ attribution
+    (rows ++ attribution, volBase, volBig)
   }
 
   /** Cumulative stage prefixes of [[curationFlow]] (same operators, same
