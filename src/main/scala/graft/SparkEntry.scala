@@ -205,6 +205,8 @@ object SparkEntry {
     "q135_tpch_q13"        -> (Relational.q135TpchQ13 _),
     "q136_tpch_q16"        -> (Relational.q136TpchQ16 _),
     "q137_tpch_q19"        -> (Relational.q137TpchQ19 _),
+    "q138_tpch_q2"         -> (Relational.q138TpchQ2 _),
+    "q139_tpch_q11"        -> (Relational.q139TpchQ11 _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -309,6 +311,118 @@ object SparkEntry {
       "SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp FROM m ORDER BY doc_id"
   }
 
+  // ---- DuckDB replay of the float ANN lanes (r11 — q39/q48/q113/q114
+  // leave the golden set). The kernels (AnnKernels.scala) accumulate dot
+  // products and norms as LEFT-ASSOCIATIVE index-order double sums; SQL's
+  // `a + b + c` parses left-associative and both engines read the same
+  // float32 parquet values cast exactly to double, so every intermediate is
+  // bit-identical and sign/argmax decisions replay exactly — no rounding
+  // tolerance needed anywhere before the final display ROUND. Plane/stride/
+  // codebook constants interpolate from the same Scala values the operators
+  // compile in (the q34 discipline). Data caveat (checked, like q25's BMP
+  // note): exactness of the argmax replay assumes no all-zero vectors (a
+  // zero norm makes Spark's x/0 a NaN the kernels skip, while DuckDB's
+  // float division by zero yields NULL) — the embeddings fixture has none.
+
+  /** Left-associative explicit dot `a[f+1]*b[f+1] + ... + a[f+len]*b[f+len]`
+    * (1-based SQL indexing; `f` offsets into a subspace). */
+  private def sqlDot(a: String, b: String, len: Int, from: Int = 0): String =
+    (1 to len).map(t => s"$a[${from + t}]*$b[${from + t}]").mkString(" + ")
+
+  /** The kernels' similarity spelling: dot / (SQRT(na) * SQRT(nb)). */
+  private def sqlCosine(a: String, b: String, len: Int, from: Int = 0): String =
+    s"(${sqlDot(a, b, len, from)}) / (SQRT(${sqlDot(a, a, len, from)}) * SQRT(${sqlDot(b, b, len, from)}))"
+
+  /** Shared CTE prefix: embeddings cast to double lists (exact), plus the
+    * √n stride and the stride-sampled centroid table q48/q114 assign to. */
+  private val sqlEmb =
+    "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+  private val sqlCentroids =
+    "st AS (SELECT GREATEST(2, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS stride FROM e), " +
+      "c AS (SELECT vec_id AS cent_id, v AS cv FROM e, st WHERE vec_id % stride = 0)"
+
+  /** Argmax-cosine assignment (BestCentroid replay): strict `>` over a
+    * cent_id-sorted table ≡ rank by (sim DESC, cent_id). */
+  private val sqlAssign =
+    s"sim AS (SELECT e.vec_id AS vid, c.cent_id, ${sqlCosine("e.v", "c.cv", 64)} AS sim FROM e CROSS JOIN c), " +
+      "asg AS (SELECT vid, cent_id AS cluster FROM (SELECT vid, cent_id, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY sim DESC, cent_id) AS rk FROM sim) r WHERE rk = 1)"
+
+  /** q39: 8-bit random-hyperplane signature histogram — the plane matrix
+    * (a pure function of (table, bit, dim), [[Similarity.hyperplanes]])
+    * interpolates as 512 double literals; bit b is the SIGN of a
+    * left-associative 64-term dot, replayed term-for-term. */
+  private def lshBucketsOracle: String = {
+    val bits = Similarity.hyperplanes(nBits = 8, table = 0, dim = 64).zipWithIndex.map {
+      case (p, b) =>
+        val dot = p.zipWithIndex.map { case (c, i) => s"v[${i + 1}]*($c)" }.mkString(" + ")
+        s"(CASE WHEN ($dot) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"WITH $sqlEmb " +
+      s"SELECT CAST($bits AS BIGINT) AS lsh_bucket, COUNT(*) AS n FROM e GROUP BY 1 ORDER BY 1"
+  }
+
+  /** q48: IVF inverted-list histogram — √n-stride centroids re-derived by
+    * the oracle itself (stride = GREATEST(2, ROUND(SQRT(n))) replays
+    * Similarity.sqrtStride's half-up rounding), assignment replayed as the
+    * exact argmax-cosine. */
+  private def ivfClustersOracle: String =
+    s"WITH $sqlEmb, $sqlCentroids, $sqlAssign " +
+      "SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n FROM asg GROUP BY 1 ORDER BY 1"
+
+  /** Subspace-m (a SQL column, 0-based) 8-term dot over 64-dim lists. */
+  private def sqlSubDot(a: String, b: String): String =
+    (1 to 8).map(t => s"$a[m*8+$t]*$b[m*8+$t]").mkString(" + ")
+
+  /** Shared PQ pipeline CTEs (q113/q114): the 20-query set, the k=16
+    * lowest-id codebook, per-subspace codes (BestCentroid replay on 8-dim
+    * slices), the flat ADC lookup tables (lut = dot(q_m, cb_m[j]),
+    * nlut = |cb_m[j]|²), query norms, and the exact ROUND(sim,4) top-10
+    * truth. Codes of -1 (all-NaN subspace, impossible without zero
+    * subvectors — none in the fixture) would drop from the lut join where
+    * Spark's adcFold contributes 0; the block comment above records the
+    * assumption. */
+  private val sqlPq: String =
+    "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20), " +
+      "cbt AS (SELECT vec_id AS cent_id, v AS cbv FROM e WHERE vec_id < 16), " +
+      "ms AS (SELECT unnest(range(0, 8)) AS m), " +
+      s"ss AS (SELECT e.vec_id AS scid, m, cent_id, (${sqlSubDot("e.v", "cbv")}) / (SQRT(${sqlSubDot("e.v", "e.v")}) * SQRT(${sqlSubDot("cbv", "cbv")})) AS ssim FROM e CROSS JOIN cbt CROSS JOIN ms), " +
+      "codes AS (SELECT scid, m, cent_id AS code FROM (SELECT scid, m, cent_id, ROW_NUMBER() OVER (PARTITION BY scid, m ORDER BY ssim DESC, cent_id) AS rk FROM ss) r WHERE rk = 1), " +
+      s"lut AS (SELECT qid, m, cent_id AS code, (${sqlSubDot("qv", "cbv")}) AS lv, (${sqlSubDot("cbv", "cbv")}) AS nv FROM q CROSS JOIN cbt CROSS JOIN ms), " +
+      s"qn AS (SELECT qid, SQRT(${sqlDot("qv", "qv", 64)}) AS qn FROM q), " +
+      s"tr AS (SELECT qid, cid FROM (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY tsim DESC, cid) AS rk FROM (SELECT q.qid, e.vec_id AS cid, ROUND(${sqlCosine("qv", "v", 64)}, 4) AS tsim FROM q CROSS JOIN e WHERE qid <> vec_id) s) r WHERE rk <= 10), " +
+      "d AS (SELECT COUNT(*) AS denom FROM tr)"
+
+  /** ADC fold + rank: sum lut/nlut entries over subspaces in ASCENDING m
+    * (list(... ORDER BY m) then a 0.0-seeded left fold — the adcFold
+    * grouping order), sim = lsum/(qn·√nsum) with the NaN→-2 sentinel,
+    * top-10 by (sim DESC, cid). `parts` must provide (qid, cid, m, lv, nv). */
+  private val sqlAdcRank: String =
+    "folds AS (SELECT qid, cid, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lv ORDER BY m)), (a, b) -> a + b) AS lsum, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(nv ORDER BY m)), (a, b) -> a + b) AS nsum FROM parts GROUP BY qid, cid), " +
+      "scored AS (SELECT f.qid, f.cid, CASE WHEN isnan(f.lsum / (qn.qn * SQRT(f.nsum))) THEN -2.0 ELSE f.lsum / (qn.qn * SQRT(f.nsum)) END AS sim FROM folds f JOIN qn USING (qid)), " +
+      "approx AS (SELECT qid, cid FROM (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM scored) r WHERE rk <= 10), " +
+      "h AS (SELECT COUNT(*) AS hits FROM tr JOIN approx USING (qid, cid))"
+
+  /** q113: the full PQ-ADC recall pipeline re-derived in DuckDB — codes,
+    * LUT folds, approximate ranking, exact truth, and the recall/compression
+    * accounting, every double bit-identical to the engine's. */
+  private def pqRecallOracle: String =
+    s"WITH $sqlEmb, $sqlPq, " +
+      "parts AS (SELECT l.qid, c.scid AS cid, l.m, l.lv, l.nv FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code WHERE l.qid <> c.scid), " +
+      s"$sqlAdcRank " +
+      "SELECT 'pq_m8_k16_adc' AS method, ROUND(CAST(hits AS DOUBLE) / denom, 4) AS recall, CAST(hits AS BIGINT) AS hits, CAST(denom AS BIGINT) AS denom, CAST(4 AS BIGINT) AS bytes_per_vec, CAST(64 AS BIGINT) AS compression_x, CAST(1000 AS BIGINT) AS floor_bp, (hits * 10000 >= denom * 1000) AS floor_ok FROM h, d"
+
+  /** q114: IVF-PQ composed — stride centroids + argmax assignment (the q48
+    * replay), nprobe=4 probes ranked by full-dim cosine, ADC scoring
+    * restricted to probed clusters, plus the scanned/full accounting. */
+  private def ivfpqRecallOracle: String =
+    s"WITH $sqlEmb, $sqlCentroids, $sqlAssign, $sqlPq, " +
+      s"pr AS (SELECT qid, cluster FROM (SELECT qid, cent_id AS cluster, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY csim DESC, cent_id) AS rk FROM (SELECT q.qid, c.cent_id, ${sqlCosine("qv", "cv", 64)} AS csim FROM q CROSS JOIN c) s) r WHERE rk <= 4), " +
+      "parts AS (SELECT l.qid, cd.scid AS cid, l.m, l.lv, l.nv FROM codes cd JOIN asg ON asg.vid = cd.scid JOIN pr ON pr.cluster = asg.cluster JOIN lut l ON l.qid = pr.qid AND l.m = cd.m AND l.code = cd.code WHERE l.qid <> cd.scid), " +
+      s"$sqlAdcRank, " +
+      "sc AS (SELECT COUNT(*) AS scanned FROM scored), " +
+      "nn AS (SELECT (SELECT COUNT(*) FROM q) AS n_q, (SELECT COUNT(*) FROM e) AS n_corpus) " +
+      "SELECT 'ivfpq_m8_k16_nprobe4' AS method, ROUND(CAST(hits AS DOUBLE) / denom, 4) AS recall, CAST(hits AS BIGINT) AS hits, CAST(denom AS BIGINT) AS denom, CAST(scanned AS BIGINT) AS scanned_pairs, CAST(n_q * (n_corpus - 1) AS BIGINT) AS full_scan_pairs, CAST(1000 AS BIGINT) AS floor_bp, (hits * 10000 >= denom * 1000) AS floor_ok, (scanned < n_q * (n_corpus - 1)) AS prune_ok FROM h, d, sc, nn"
+
   private def computedOracleSql: Map[String, String] = Map(
     "q01_scan_filter_sort" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber",
@@ -409,6 +523,13 @@ object SparkEntry {
     "q35_simhash" -> simhashOracle,
     "q40_winnow_fingerprint" -> winnowOracle,
     "q50_neardup_confirmed" -> neardupConfirmedOracle,
+    // r11 (2nd half): the float ANN lanes join them — the kernels' index-
+    // order double folds replay exactly in DuckDB (see the sqlDot block
+    // comment), so sign/argmax decisions carry no engine freedom either.
+    "q39_lsh_buckets" -> lshBucketsOracle,
+    "q48_ivf_clusters" -> ivfClustersOracle,
+    "q113_pq_recall" -> pqRecallOracle,
+    "q114_ivfpq_recall" -> ivfpqRecallOracle,
     "q36_cosine_topk" ->
       "WITH f0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings), f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM f0), d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot, SUM(q.v * q.v) AS qq, SUM(c.v * c.v) AS cc FROM f q JOIN f c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id GROUP BY 1, 2), r AS (SELECT qid, cid, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d), rk AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM r) SELECT qid, cid, sim, rnk FROM rk WHERE rnk <= 5 ORDER BY qid, rnk",
     "q37_neardup_embedding" ->
@@ -690,6 +811,17 @@ object SparkEntry {
     "q137_tpch_q19" -> // OR-of-ANDs mixing both join sides per disjunct;
       // DECIMAL-then-ROUND revenue (q123 discipline)
       "SELECT COUNT(*) AS n_items, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue FROM lineitem JOIN part ON l_partkey = p_partkey WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)",
+    "q138_tpch_q2" -> // identical text on both engines: the correlated
+      // scalar MIN in a WHERE equality is what's under test (the
+      // aggregate-join decorrelation with no COUNT bug); MIN compares
+      // stored doubles — no arithmetic, exact cross-engine
+      "SELECT p_partkey, p_brand, s_name, n_name, CAST(l_extendedprice AS DOUBLE) AS min_price FROM lineitem JOIN part ON p_partkey = l_partkey JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON s_nationkey = n_nationkey WHERE p_size <= 5 AND l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2 WHERE l2.l_partkey = p_partkey) ORDER BY p_partkey, s_name",
+    "q139_tpch_q11" -> // identical text on both engines: GROUP BY + HAVING
+      // vs GLOBAL scalar aggregate subqueries (computed once, never
+      // decorrelated into a join); above-average threshold spelled
+      // multiplicatively in exact integer cents (operator scaladoc on why
+      // not TPC-H's SF-bound fraction or a decimal division)
+      "SELECT l_partkey, CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS part_cents FROM lineitem GROUP BY l_partkey HAVING SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) * CAST(l_quantity AS BIGINT)) * (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) > (SELECT SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) * CAST(l_quantity AS BIGINT)) FROM lineitem) ORDER BY part_cents DESC, l_partkey",
     "q128_latest_per_key" -> // the oracle spells ROW_NUMBER()=1; the engine
       // lane is max(struct) partial-agg — same semantics, fewer shuffled
       // bytes (see the operator's scale note); µs truncation contract

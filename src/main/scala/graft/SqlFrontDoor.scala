@@ -179,17 +179,20 @@ object SqlFrontDoor {
   )
 
   // ---------------------------------------------------------------------
-  // Rows-only lane (r5 verdict #7): the 9 queries with no DuckDB oracle
-  // (engine-internal hash families / sketches / float argmax) get SQL-text
-  // twins too — the driver records the same rows-only check as their qNN
-  // siblings, and the SQL dialect surface (xxhash64 families, HOF lambdas,
-  // the graft_cosine extension function, window group-limits) is exercised
-  // exactly where the plans are most custom. Wide spellings are generated
-  // programmatically below; they mirror the DataFrame operators' hash
-  // families bit-for-bit except where noted (s87's Lloyd refinement is
-  // imperative driver logic with no single-statement SQL form, so its IVF
-  // branch runs unrefined and its LSH branch 2 tables — the recall METRIC
-  // shape is identical, the tuning point differs and is labeled as such).
+  // Spark-dialect twins for the engine-internal lanes (historically the
+  // "rows-only" lane, r5 verdict #7 — since r10 every lane is oracle-gated:
+  // these entries carry GOLDEN oracles where the output is genuinely
+  // engine-internal (q49/q87/q129: sketches, Lloyd-refined recall) and
+  // COMPUTED DuckDB replays since r11 for the rest (q39/q48/q113/q114 +
+  // the q34/q35/q40/q50 hash family). The SQL dialect surface (hash
+  // families, HOF lambdas, the graft_cosine extension function, window
+  // group-limits) is exercised exactly where the plans are most custom.
+  // Wide spellings are generated programmatically below; they mirror the
+  // DataFrame operators' hash families bit-for-bit except where noted
+  // (s87's Lloyd refinement is imperative driver logic with no
+  // single-statement SQL form, so its IVF branch runs unrefined and its
+  // LSH branch 2 tables — the recall METRIC shape is identical, the tuning
+  // point differs and is labeled as such).
 
   /** The replayable-family base hash x(s) in Spark SQL text (r11: the
     * xxhash64 family left for the universal family — Dedup's scaladoc). */

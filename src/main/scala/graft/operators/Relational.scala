@@ -1839,4 +1839,67 @@ object Relational {
         expr("CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
           "(1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE)").as("revenue"))
   }
+
+  /** Q138 — TPC-H Q2 shape (minimum-cost supplier): a CORRELATED scalar
+    * MIN subquery in a WHERE EQUALITY, over a 4-table join. The rewrite
+    * path q135's COUNT shape does NOT cover: MIN has no COUNT bug (a
+    * missing group compares NULL = NULL → false, correctly empty), so
+    * `RewriteCorrelatedScalarSubquery` may plan the per-partkey MIN as a
+    * plain Aggregate JOINED back on the correlation key — the pin is that
+    * NO per-row subquery survives in the physical plan. Adapted to the
+    * fixture (no partsupp table): lineitem plays the supply side, "cost"
+    * is l_extendedprice; MIN compares STORED doubles (no arithmetic), so
+    * the equality is exact on both engines.
+    *
+    * Scale: the subquery side partial-aggregates lineitem map-side to
+    * |parts| (partkey, min) rows before one key shuffle; the outer
+    * join reuses the same key; supplier/nation broadcast. Ties at the
+    * minimum keep every qualifying (supplier, lineitem) row —
+    * deterministic, engine-independent. */
+  def q138TpchQ2(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""SELECT p_partkey, p_brand, s_name, n_name,
+            |       CAST(l_extendedprice AS DOUBLE) AS min_price
+            |FROM lineitem
+            |  JOIN part ON p_partkey = l_partkey
+            |  JOIN supplier ON s_suppkey = l_suppkey
+            |  JOIN nation ON s_nationkey = n_nationkey
+            |WHERE p_size <= 5
+            |  AND l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+            |                         FROM lineitem l2
+            |                         WHERE l2.l_partkey = p_partkey)
+            |ORDER BY p_partkey, s_name""".stripMargin)
+  }
+
+  /** Q139 — TPC-H Q11 shape (important stock): GROUP BY + HAVING against
+    * GLOBAL (uncorrelated) scalar aggregate subqueries — the one subquery
+    * class the planner must NOT decorrelate into a join: each is computed
+    * ONCE as a broadcast scalar (`Subquery` exec node) and folded into the
+    * HAVING predicate, so the fact table is read again but never joined.
+    * TPC-H's FRACTION·total threshold is SF-bound (any fixed fraction
+    * empties as |parts| grows — 0.001 selected 200 parts at sf0.001 and
+    * ZERO at sf0.01), so the threshold is the scale-free "above average
+    * part value", spelled MULTIPLICATIVELY (part·count > total) in exact
+    * integer cents (the q126/q127 discipline; decimal DIVISION scale rules
+    * differ cross-engine, integer products don't). Two scalars, one
+    * predicate.
+    *
+    * Scale: three lineitem scans, each column-pruned and
+    * partial-aggregated map-side (the scalar sides all the way to ONE
+    * row); no repeated evaluation, no join. Non-empty at every SF: some
+    * part is always above average unless all are exactly equal. */
+  def q139TpchQ11(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""SELECT l_partkey,
+            |       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+            |                CAST(l_quantity AS BIGINT)) AS BIGINT) AS part_cents
+            |FROM lineitem
+            |GROUP BY l_partkey
+            |HAVING SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+            |           CAST(l_quantity AS BIGINT))
+            |     * (SELECT COUNT(DISTINCT l_partkey) FROM lineitem)
+            |     > (SELECT SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) *
+            |                   CAST(l_quantity AS BIGINT)) FROM lineitem)
+            |ORDER BY part_cents DESC, l_partkey""".stripMargin)
+  }
 }

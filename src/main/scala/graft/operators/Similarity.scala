@@ -104,10 +104,12 @@ object Similarity {
     * children, default seed) — driver-side, zero Spark jobs, bit-for-bit
     * identical signatures (SimilaritySpec pins the parity). Memoized: the
     * matrix is a pure function of (nBits, table, dim), and annSearch asks
-    * for it 2·nTables times per call. */
+    * for it 2·nTables times per call. Package-visible since r11: the q39
+    * computed DuckDB oracle interpolates THESE doubles into its SQL (the
+    * engines share the literal plane values, not a reimplementation). */
   private val planeCache =
     scala.collection.concurrent.TrieMap.empty[(Int, Int, Int), Seq[Seq[Double]]]
-  private def hyperplanes(nBits: Int, table: Int, dim: Int): Seq[Seq[Double]] =
+  private[graft] def hyperplanes(nBits: Int, table: Int, dim: Int): Seq[Seq[Double]] =
     planeCache.getOrElseUpdate((nBits, table, dim),
       (0 until nBits).map { b =>
         (0 until dim).map { i =>
@@ -118,9 +120,13 @@ object Similarity {
         }
       })
 
-  /** Q39 — LSH bucket histogram (rows-only: engine-internal hash family).
-    * The candidate-generation stage of ANN at scale: corpus bucketed once,
-    * queries probe matching buckets only. */
+  /** Q39 — LSH bucket histogram. The candidate-generation stage of ANN at
+    * scale: corpus bucketed once, queries probe matching buckets only.
+    * Oracle-gated since r11 by a computed DuckDB replay: the plane matrix
+    * interpolates into the oracle SQL and each bit's 64-term dot is
+    * re-summed in the kernel's exact left-associative order
+    * (SparkEntry.lshBucketsOracle), so the signature carries no engine
+    * freedom. */
   def q39LshCosineBuckets(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
     lshSignature(e, "v", nBits = 8)
@@ -194,9 +200,12 @@ object Similarity {
     math.max(2, math.round(math.sqrt(n.toDouble)).toInt)
   }
 
-  /** Q48 — IVF cluster histogram (rows-only: float argmax ties are engine-
-    * internal). The inverted-list size distribution is the health metric of
-    * the index — skewed lists mean skewed probe cost. */
+  /** Q48 — IVF cluster histogram. The inverted-list size distribution is
+    * the health metric of the index — skewed lists mean skewed probe cost.
+    * Oracle-gated since r11 by a computed DuckDB replay (stride, argmax
+    * cosine, and tie-break all re-derived — SparkEntry.ivfClustersOracle):
+    * with no Lloyd refinement the assignment is a pure function of the
+    * data, bit-replayable fold-for-fold. */
   def q48IvfClusters(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
     ivfAssign(e, sqrtStride(e)).groupBy("cluster")
@@ -428,11 +437,15 @@ object Similarity {
       .select("qid", "cid")
   }
 
-  /** Q113 — PQ-ADC recall@10 plus the compression accounting, rows-only
-    * like q87 (float argmax rankings have no DuckDB twin; the s113 SQL-text
-    * twin replays the identical math with graft_cosine + HOF folds and the
-    * conformance loop pins row-for-row parity). One row:
-    * (method, recall, hits, denom, bytes_per_vec, compression_x). */
+  /** Q113 — PQ-ADC recall@10 plus the compression accounting. One row:
+    * (method, recall, hits, denom, bytes_per_vec, compression_x).
+    * Oracle-gated since r11 by a computed DuckDB replay of the WHOLE
+    * pipeline — codebook, per-subspace argmax codes, ADC LUT folds,
+    * approximate ranking, exact truth, recall (SparkEntry.pqRecallOracle):
+    * every float decision is an index-order double fold both engines
+    * compute bit-identically. The s113 SQL-text twin replays the identical
+    * math with graft_cosine + HOF folds and the conformance loop pins
+    * row-for-row parity. */
   def q113PqRecall(s: SparkSession, dir: String): DataFrame = {
     val M = 8; val K = 16; val Dim = 64
     val e = emb(s, dir).select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
@@ -465,8 +478,11 @@ object Similarity {
     * so the s114 SQL twin replays the index EXACTLY; the recall/scan
     * accounting is the contract: (method, recall@10, hits, denom,
     * scanned_pairs, full_scan_pairs) — scanned_pairs/full_scan_pairs is the
-    * measured pruning factor. Rows-only like q87/q113 (float argmax has no
-    * DuckDB twin); SimilaritySpec pins the recall floor and that
+    * measured pruning factor. Oracle-gated since r11 by a computed DuckDB
+    * replay of the composed index (SparkEntry.ivfpqRecallOracle — stride
+    * centroids, argmax assignment, nprobe ranking, ADC folds, truth, and
+    * the scanned/full accounting all re-derived bit-identically);
+    * SimilaritySpec additionally pins the recall floor and that
     * scanned_pairs < full_scan_pairs actually holds. */
   def q114IvfPqRecall(s: SparkSession, dir: String): DataFrame = {
     val M = 8; val K = 16; val Dim = 64; val NProbe = 4

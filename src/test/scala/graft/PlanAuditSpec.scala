@@ -574,4 +574,32 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"),
       s"filtered part side should broadcast:\n$plan")
   }
+
+  test("q138 TPC-H Q2: correlated MIN decorrelates to an aggregate join, no per-row subquery") {
+    val df = graft.operators.Relational.q138TpchQ2(spark, sfDir)
+    val plan = planString(df)
+    // the rewrite must leave NO subquery node anywhere in the physical
+    // plan: the per-partkey MIN becomes a pre-aggregated join input
+    assert(!plan.toLowerCase.contains("subquery"),
+      s"residual per-row subquery in plan:\n$plan")
+    assert("HashAggregate.*functions=\\[(partial_)?min\\(l_extendedprice".r
+      .findFirstIn(plan).isDefined,
+      s"the correlated MIN must plan as a pre-aggregated min per partkey:\n$plan")
+    // and ties at the minimum survive: the result is non-empty at sf0.001
+    assert(df.limit(1).count() == 1L, "q138 returned no rows at sf0.001")
+  }
+
+  test("q139 TPC-H Q11: the HAVING's global scalars run as once-computed subqueries, not joins") {
+    val df = graft.operators.Relational.q139TpchQ11(spark, sfDir)
+    val plan = planString(df)
+    // BOTH scalar aggregates must survive as Subquery exec nodes (computed
+    // once, broadcast into the filter) — a decorrelation into a join here
+    // would re-shuffle the fact table against a one-row side
+    assert("Subquery subquery".r.findAllIn(plan).size >= 2,
+      s"expected two once-computed scalar subqueries in the HAVING:\n$plan")
+    // the HAVING filter sits ABOVE the partkey aggregate (it references the
+    // group's sum), never below it
+    assert(plan.contains("HashAggregate"),
+      s"missing the partkey aggregate:\n$plan")
+  }
 }
