@@ -1072,16 +1072,23 @@ object Relational {
     * width gave ~105 shards at every SF — fine at the drill but ~10⁹ rows
     * per shard sort at 100 TB. One cheap 1-column pre-pass reads
     * (n, min c, max c) and picks the width so shards ≈
-    * max(4·parallelism, n/2M): small inputs keep ≥128-way window
-    * parallelism, big inputs hold the per-shard sort near ~2M rows for
-    * roughly-uniform value distributions (TPC-H extendedprice is). The
-    * bound is VALUE-RANGE based, so it is NOT a worst-case guarantee
-    * under value skew — a single cents value carrying a large fraction of
-    * the rows lands in one shard regardless of width (r10 ADVICE); a
-    * skew-proof variant would split on rank quantiles (approxQuantile
-    * pre-pass) instead of equal-width values, at the cost of a second
-    * pass. Sharding is parallelism-internal — the rank arithmetic and the
-    * oracle are width-invariant. */
+    * max(4·parallelism, n/2M).
+    *
+    * VALUE-SKEW-PROOF since r11 (closing the r10 ADVICE caveat): rows
+    * collapse to DISTINCT-CENTS groups `(flag, sh, c) → (count, value)`
+    * before any window runs, so the per-shard sorted row count is bounded
+    * by min(width, rows-in-range) — width is an INTEGER cents range, so a
+    * hot value carrying any fraction of the rows contributes exactly ONE
+    * sorted row, and the rank arithmetic runs on count-weighted cumulative
+    * sums (the cume_dist numerator directly). The collapse is FREE on the
+    * shuffle plan: partial aggregation folds duplicates map-side, and the
+    * final aggregate reuses the (flag, sh) exchange — HashPartitioning on
+    * a subset of the grouping key satisfies the clustered distribution, so
+    * the plan still carries exactly one exchange. Degenerate all-distinct
+    * inputs (no duplicates to collapse) pay one aggregation over the same
+    * cardinality and keep the old width bound. Sharding remains
+    * parallelism-internal — the rank arithmetic and the oracle are
+    * width-invariant. */
   def q112PercentileDiscSharded(s: SparkSession, dir: String): DataFrame = {
     val liRaw = t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice").as("v"),
@@ -1096,17 +1103,22 @@ object Relational {
     val li = liRaw.withColumn("sh", expr(s"(c - ${lo}L) div ${width}L"))
     // one exchange, shared by the stats and threshold branches (q99 shape)
     val base = li.repartition(col("l_returnflag"), col("sh"))
-    val r = base.withColumn("rn", row_number().over(
-      Window.partitionBy("l_returnflag", "sh").orderBy("c")).cast("long"))
+    // the skew collapse: one sorted row per distinct cents value, counts
+    // carried beside it (duplicates fold map-side; no new exchange)
+    val g = base.groupBy(col("l_returnflag"), col("sh"), col("c"))
+      .agg(count(lit(1)).as("cnt"), min("v").as("v"))
+    val r = g.withColumn("wcum", sum("cnt").over(
+      Window.partitionBy("l_returnflag", "sh").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val stats = r.groupBy(col("l_returnflag"), col("sh"))
-      .agg(max("rn").as("shCnt"))
+      .agg(max("wcum").as("shCnt"))
       .withColumn("shPrefix",
         coalesce(sum("shCnt").over(Window.partitionBy("l_returnflag").orderBy("sh")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("n", sum("shCnt").over(Window.partitionBy("l_returnflag")))
       .select(col("l_returnflag"), col("sh"), col("shPrefix"), col("n"))
     r.join(broadcast(stats), Seq("l_returnflag", "sh"))
-      .withColumn("cum", col("rn") + col("shPrefix"))
+      .withColumn("cum", col("wcum") + col("shPrefix"))
       .groupBy("l_returnflag")
       .agg(
         min(when(col("cum") * 4 >= col("n"), col("v"))).as("p25"),

@@ -589,6 +589,25 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.limit(1).count() == 1L, "q138 returned no rows at sf0.001")
   }
 
+  test("q112: the skew collapse aggregates distinct cents BELOW the window, reusing the shard exchange") {
+    val df = graft.operators.Relational.q112PercentileDiscSharded(spark, sfDir)
+    val plan = planString(df)
+    // the value collapse: a hash aggregate keyed (flag, sh, c) with a
+    // partial map-side phase — duplicates fold before anything sorts
+    assert("HashAggregate\\(keys=\\[l_returnflag#\\d+, sh#\\d+L, c#\\d+L\\], functions=\\[partial_count".r
+      .findFirstIn(plan).isDefined,
+      s"missing the map-side distinct-cents collapse:\n$plan")
+    // ranks run on count-weighted cumulative sums now — no row_number over
+    // raw rows anywhere
+    assert(!plan.contains("row_number"),
+      s"raw-row ranking crept back into the sharded percentile:\n$plan")
+    // the collapse must NOT add an exchange: partitioning on (flag, sh)
+    // satisfies grouping on (flag, sh, c). Budget: the shard repartition +
+    // the two tiny post-collapse aggregations (per-shard stats, final
+    // per-flag row) — fact rows cross exactly the first one
+    assert(countShuffles(df) <= 3, s"exchange crept in:\n$plan")
+  }
+
   test("q139 TPC-H Q11: the HAVING's global scalars run as once-computed subqueries, not joins") {
     val df = graft.operators.Relational.q139TpchQ11(spark, sfDir)
     val plan = planString(df)
