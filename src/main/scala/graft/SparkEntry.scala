@@ -207,6 +207,7 @@ object SparkEntry {
     "q137_tpch_q19"        -> (Relational.q137TpchQ19 _),
     "q138_tpch_q2"         -> (Relational.q138TpchQ2 _),
     "q139_tpch_q11"        -> (Relational.q139TpchQ11 _),
+    "q140_tpch_q8"         -> (Relational.q140TpchQ8 _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -822,6 +823,11 @@ object SparkEntry {
       // multiplicatively in exact integer cents (operator scaladoc on why
       // not TPC-H's SF-bound fraction or a decimal division)
       "SELECT l_partkey, CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS part_cents FROM lineitem GROUP BY l_partkey HAVING SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) * CAST(l_quantity AS BIGINT)) * (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) > (SELECT SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) * CAST(l_quantity AS BIGINT)) FROM lineitem) ORDER BY part_cents DESC, l_partkey",
+    "q140_tpch_q8" -> // the 8-table galaxy join + share-of-group CASE
+      // ratio; TIMESTAMP literal is the one dialect split (sparkDialect
+      // carries the TIMESTAMP_NTZ twin, the q08 pattern); cents exact,
+      // share a ratio of identical integers on both engines
+      "SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year, CAST(SUM(CASE WHEN ns.n_name = 'NATION_3' THEN vc ELSE 0 END) AS BIGINT) AS nation_cents, CAST(SUM(vc) AS BIGINT) AS total_cents, ROUND(CAST(SUM(CASE WHEN ns.n_name = 'NATION_3' THEN vc ELSE 0 END) AS DOUBLE) / SUM(vc), 4) AS share FROM (SELECT l_orderkey, l_suppkey, l_partkey, CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * 100, 0) AS BIGINT) AS vc FROM lineitem) l JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO' JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey JOIN nation nc ON nc.n_nationkey = c_nationkey JOIN region ON r_regionkey = nc.n_regionkey AND r_name = 'ASIA' JOIN supplier ON s_suppkey = l_suppkey JOIN nation ns ON ns.n_nationkey = s_nationkey WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1 ORDER BY 1",
     "q128_latest_per_key" -> // the oracle spells ROW_NUMBER()=1; the engine
       // lane is max(struct) partial-agg — same semantics, fewer shuffled
       // bytes (see the operator's scale note); µs truncation contract

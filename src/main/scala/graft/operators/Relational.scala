@@ -1914,4 +1914,43 @@ object Relational {
             |                   CAST(l_quantity AS BIGINT)) FROM lineitem)
             |ORDER BY part_cents DESC, l_partkey""".stripMargin)
   }
+
+  /** Q140 — TPC-H Q8 shape (national market share): the GALAXY join — the
+    * fact table against SEVEN dimension hops (part, orders, customer,
+    * nation×2 under different aliases, region, supplier) — feeding
+    * share-of-group arithmetic (a CASE-conditional sum over the same rows
+    * as the unconditional sum, ratioed per group). Planner stress nothing
+    * else covers at this width: self-joined dimension aliases must resolve
+    * independently, every dim predicate (p_type, r_name) must reach its
+    * OWN scan, and the join order must leave the fact table shuffling at
+    * most once (for orders) while all six dim sides broadcast — 8 tables,
+    * one shuffle. Volume in exact integer cents (DECIMAL product then
+    * ROUND — the q126 discipline), the share a double RATIO of those
+    * exact integers (identical int inputs ⇒ identical doubles ⇒ identical
+    * ROUND on both engines).
+    *
+    * Scale: part/customer/nation/region/supplier are dim-sized at every
+    * SF → broadcast; lineitem keeps only 4 columns past the scan; the
+    * date window prunes orders before its join. Output is |years| rows. */
+  def q140TpchQ8(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+            |       CAST(SUM(CASE WHEN ns.n_name = 'NATION_3' THEN vc ELSE 0 END) AS BIGINT) AS nation_cents,
+            |       CAST(SUM(vc) AS BIGINT) AS total_cents,
+            |       ROUND(CAST(SUM(CASE WHEN ns.n_name = 'NATION_3' THEN vc ELSE 0 END) AS DOUBLE) / SUM(vc), 4) AS share
+            |FROM (SELECT l_orderkey, l_suppkey, l_partkey,
+            |             CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) *
+            |                        (1 - CAST(l_discount AS DECIMAL(12,2))) * 100, 0) AS BIGINT) AS vc
+            |      FROM lineitem) l
+            |JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+            |JOIN orders ON o_orderkey = l_orderkey
+            |JOIN customer ON c_custkey = o_custkey
+            |JOIN nation nc ON nc.n_nationkey = c_nationkey
+            |JOIN region ON r_regionkey = nc.n_regionkey AND r_name = 'ASIA'
+            |JOIN supplier ON s_suppkey = l_suppkey
+            |JOIN nation ns ON ns.n_nationkey = s_nationkey
+            |WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+            |  AND o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'
+            |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
 }

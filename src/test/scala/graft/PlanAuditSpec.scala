@@ -608,6 +608,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(countShuffles(df) <= 3, s"exchange crept in:\n$plan")
   }
 
+  test("q140 TPC-H Q8: the 8-table galaxy join broadcasts every dim and shuffles the fact once") {
+    val df = graft.operators.Relational.q140TpchQ8(spark, sfDir)
+    val plan = planString(df)
+    // six dimension hops (part, customer, nation x2, region, supplier) ride
+    // broadcast joins; only the lineitem-orders edge may shuffle
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 6, s"expected >=6 broadcast joins, got $bhj:\n$plan")
+    assert(countShuffles(df) <= 3,
+      s"the fact table must shuffle at most once (plus the final agg):\n$plan")
+    // each dim predicate reaches its OWN scan
+    assert(plan.contains("EqualTo(p_type,PROMO)"),
+      s"p_type must push to the part scan:\n$plan")
+    assert(plan.contains("EqualTo(r_name,ASIA)"),
+      s"r_name must push to the region scan:\n$plan")
+  }
+
   test("q139 TPC-H Q11: the HAVING's global scalars run as once-computed subqueries, not joins") {
     val df = graft.operators.Relational.q139TpchQ11(spark, sfDir)
     val plan = planString(df)
