@@ -52,17 +52,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Artifact-vs-session reconciliation (r11 verdict #3): the recorded
+    // headline drifted 19% above a same-day in-session measurement on a
+    // host_load-clean run. Record what the old instruments missed — the
+    // JVM-age-at-main (sbt fork + classloading before any query), every
+    // phase's wall clock, and per-phase GC seconds + host iowait (via
+    // HostLoad) — so a gap between two artifacts is attributable from the
+    // artifacts alone.
+    val jvmPreMainSec =
+      (System.currentTimeMillis() -
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime) / 1000.0
+
     // JVM + parquet-footer warmup so the first measured query isn't charged
     // for classloading/codegen infrastructure.
-    Tables.names.foreach(n => Tables(spark, sfDir, n).count())
+    val (_, loadWarmup) = HostLoad.around {
+      Tables.names.foreach(n => Tables(spark, sfDir, n).count())
+    }
 
     // Clean-engine pipeline number, measured before any query can leak state
-    val pipelineRps = benchPipeline(spark)
-    // Version-mixed lane: half the stream on schema v1, half on v2 —
-    // registry-resolved decodeAuto must not regress vs the single-version
-    // decode path (the per-id reader is memoized per partition, so the mix
-    // costs one extra Schema.parse per (partition, id), not per row)
-    val pipelineRpsMixed = benchPipelineMixedVersions(spark)
+    val ((pipelineRps, pipelineRpsMixed), loadPipeline) = HostLoad.around {
+      val a = benchPipeline(spark)
+      // Version-mixed lane: half the stream on schema v1, half on v2 —
+      // registry-resolved decodeAuto must not regress vs the single-version
+      // decode path (the per-id reader is memoized per partition, so the mix
+      // costs one extra Schema.parse per (partition, id), not per row)
+      val b = benchPipelineMixedVersions(spark)
+      (a, b)
+    }
 
     // (name, seconds, ok) — failed queries carry their elapsed-until-throw
     // but are marked and excluded from totals
@@ -132,31 +148,47 @@ object Bench {
     // caveat) are measured for visibility but recorded separately: the
     // failure gate and the headline max-ratio cover GATED lanes only, so
     // failures[] is empty-unless-regression (r6 ADVICE #1). `pairs` carries
-    // how many interleaved pairs the lane consumed (3 = the >2.5 burst
+    // how many interleaved pairs the lane consumed (3 = the burst
     // re-measure fired — r9 verdict #1's in-artifact annotation).
-    // curation stage-attribution rows (r10 verdict #6) ride the drill
-    // result under a name prefix: diagnostic only — separate JSON key,
-    // never in the gate or the headline max ratio
+    // Operator/stage attribution rows (r11 verdict #6 — any over-bar gated
+    // lane, not just curation) ride the drill result under the "attr:"
+    // prefix: diagnostic only — separate JSON key, never in the gate or
+    // the headline max ratio.
     val (drillStages, drillLanes) =
-      drill.partition { case (k, _, _, _) => k.startsWith("curation_stage:") }
+      drill.partition { case (k, _, _, _) => k.startsWith("attr:") }
     val (drillKnown, drillGated) =
       drillLanes.partition { case (k, _, _, _) => ScaleDrill.knownSuperlinear.contains(k) }
+    val drillVolRatio = if (drillVolBase > 0) drillVolBig.toDouble / drillVolBase else -1.0
     def drillObj(rows: Seq[(String, Double, Double, Int)], xKey: String): String =
       rows.map { case (k, b, x, p) =>
         "\"" + k + f"""\":{"base":$b%.2f,"$xKey":$x%.2f,"ratio":${x / math.max(b, 1e-9)}%.2f,"pairs":$p}"""
       }.mkString("{", ",", "}")
-    val drillJson = drillObj(drillGated, s"x$drillFactor")
+    // Gated lanes carry their SELF-ADJUDICATING pass bar in the artifact
+    // (r11 verdict #2): text lanes (ScaleDrill.textLanes) gate on
+    // time-ratio ≤ measured bigram-volume ratio — linear-in-true-input —
+    // row lanes on the verdict's 2.5; `gate_ok` is computed, not argued.
+    def gatedObj(rows: Seq[(String, Double, Double, Int)], xKey: String): String =
+      rows.map { case (k, b, x, p) =>
+        val ratio = x / math.max(b, 1e-9)
+        val bar = ScaleDrill.gateBar(k, drillVolRatio)
+        "\"" + k + f"""\":{"base":$b%.2f,"$xKey":$x%.2f,"ratio":$ratio%.2f,"pairs":$p,"bar":$bar%.2f,"vol_normalized":${ScaleDrill.textLanes(k)},"gate_ok":${ratio <= bar}}"""
+      }.mkString("{", ",", "}")
+    val drillJson = gatedObj(drillGated, s"x$drillFactor")
     val drillKnownJson = drillObj(drillKnown, s"x$drillFactor")
     val drillStagesJson = drillObj(drillStages, s"x$drillFactor")
     val drillMaxRatio =
       if (drillGated.isEmpty) -1.0
       else drillGated.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max
+    val drillAllGatedOk = drillGated.forall { case (k, b, x, _) =>
+      x / math.max(b, 1e-9) <= ScaleDrill.gateBar(k, drillVolRatio)
+    }
     // superlinear = FAILURE, not a buried ratio (r5 verdict #3: a 28.59
     // shipped as a green bench line). `factor`× data on fixed cores may
-    // legitimately cost up to ~factor×; above that something scales worse
-    // than the data.
+    // legitimately cost up to ~factor× (the measured VOLUME ratio for text
+    // lanes); above that something scales worse than the data.
     val drillFailures = drillGated.collect {
-      case (k, b, x, _) if x / math.max(b, 1e-9) > drillFactor =>
+      case (k, b, x, _)
+        if x / math.max(b, 1e-9) > ScaleDrill.failBar(k, drillFactor, drillVolRatio) =>
         f"scale_drill:$k(ratio=${x / math.max(b, 1e-9)}%.1f)"
     }
 
@@ -196,19 +228,20 @@ object Bench {
     }.mkString("{", ",", "}")
     val failures = queryFailures ++ drillFailures ++ drillCrash ++ probeCrash
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // machine-weather block (r10 verdict #1): per-phase load/CPU profile so
-    // a contended recording explains itself inside the artifact
+    // machine-weather block (r10 verdict #1, widened r12): per-phase
+    // load/CPU/GC/iowait profile so a contended OR overhead-heavy recording
+    // explains itself inside the artifact
     val loadJson =
-      s"""{"cold":${loadCold.json},"warm":${loadWarm.json},"drill":${loadDrill.json},"probe":${loadProbe.json}}"""
+      s"""{"warmup":${loadWarmup.json},"pipeline":${loadPipeline.json},"cold":${loadCold.json},"warm":${loadWarm.json},"drill":${loadDrill.json},"probe":${loadProbe.json}}"""
     val extWorstPct = math.max(loadCold.extCpuPct, loadWarm.extCpuPct)
     val contended = extWorstPct > HostLoad.ContendedPct
 
     val detailPath = "bench_detail.json"
     val pw = new java.io.PrintWriter(detailPath)
-    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"host_load":$loadJson,"scale_drill":{"factor":$drillFactor,"queries":$drillJson,"known_superlinear":$drillKnownJson,"curation_stage_attribution":$drillStagesJson,"bigram_vol_base":$drillVolBase,"bigram_vol_scaled":$drillVolBig,"bigram_vol_ratio":${if (drillVolBase > 0) drillVolBig.toDouble / drillVolBase else -1.0}%.2f},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"queries":$detail,"failures":$failJson,"sf":"$sfDir"}""")
+    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"host_load":$loadJson,"scale_drill":{"factor":$drillFactor,"all_gated_ok":$drillAllGatedOk,"queries":$drillJson,"known_superlinear":$drillKnownJson,"stage_attribution":$drillStagesJson,"bigram_vol_base":$drillVolBase,"bigram_vol_scaled":$drillVolBig,"bigram_vol_ratio":$drillVolRatio%.2f},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"queries":$detail,"failures":$failJson,"sf":"$sfDir"}""")
     finally pw.close()
 
-    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_vol_ratio":${if (drillVolBase > 0) drillVolBig.toDouble / drillVolBase else -1.0}%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"ext_cpu_cold_pct":${loadCold.extCpuPct}%.2f,"ext_cpu_warm_pct":${loadWarm.extCpuPct}%.2f,"contended":$contended,"sf":"$sfDir","detail":"$detailPath"}"""
+    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_all_gated_ok":$drillAllGatedOk,"scale_drill_vol_ratio":$drillVolRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"ext_cpu_cold_pct":${loadCold.extCpuPct}%.2f,"ext_cpu_warm_pct":${loadWarm.extCpuPct}%.2f,"gc_cold_sec":${loadCold.gcSec}%.2f,"gc_warm_sec":${loadWarm.gcSec}%.2f,"iowait_cold_pct":${loadCold.ioWaitPct}%.2f,"iowait_warm_pct":${loadWarm.ioWaitPct}%.2f,"contended":$contended,"sf":"$sfDir","detail":"$detailPath"}"""
     // The summary survives in THREE places so no capture window can lose it
     // (r8's artifact held a log-noise tail and parsed:null):
     //  1. a file the judge can always read back,
@@ -304,10 +337,11 @@ object Bench {
 object HostLoad {
   val ContendedPct = 10.0
 
-  final case class Sample(la1: Double, busyJiffies: Long, procCpuNs: Long,
-                          wallNs: Long)
+  final case class Sample(la1: Double, busyJiffies: Long, iowaitJiffies: Long,
+                          procCpuNs: Long, gcMs: Long, wallNs: Long)
   final case class Phase(wallSec: Double, procCpuSec: Double,
-                         extCpuPct: Double, la1Start: Double, la1End: Double) {
+                         extCpuPct: Double, la1Start: Double, la1End: Double,
+                         gcSec: Double, ioWaitPct: Double) {
     // explicit-locale formatting, NEVER Locale.setDefault: this is library
     // code reachable from the test suite, and flipping the JVM default to
     // ROOT (empty language tag) broke every later Derby CREATE DATABASE in
@@ -316,7 +350,7 @@ object HostLoad {
     def json: String = {
       def n(d: Double) =
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-      s"""{"wall_sec":${n(wallSec)},"proc_cpu_sec":${n(procCpuSec)},"ext_cpu_pct":${n(extCpuPct)},"la1_start":${n(la1Start)},"la1_end":${n(la1End)}}"""
+      s"""{"wall_sec":${n(wallSec)},"proc_cpu_sec":${n(procCpuSec)},"ext_cpu_pct":${n(extCpuPct)},"la1_start":${n(la1Start)},"la1_end":${n(la1End)},"gc_sec":${n(gcSec)},"iowait_pct":${n(ioWaitPct)}}"""
     }
   }
 
@@ -330,17 +364,28 @@ object HostLoad {
     val la1 = readFirstLine("/proc/loadavg")
       .flatMap(_.split("\\s+").headOption).flatMap(_.toDoubleOption).getOrElse(-1.0)
     // /proc/stat line 1: "cpu user nice system idle iowait irq softirq steal ..."
-    // busy = everything except idle+iowait, summed over all cores
-    val busy = readFirstLine("/proc/stat").map { l =>
-      val f = l.trim.split("\\s+").drop(1).flatMap(_.toLongOption)
-      if (f.length >= 5) f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+    // busy = everything except idle+iowait, summed over all cores; iowait
+    // kept separately (r11 verdict #3: name the overhead a clean-ext_cpu
+    // recording still carries — I/O stall is the page-cache-state suspect)
+    val fields = readFirstLine("/proc/stat")
+      .map(_.trim.split("\\s+").drop(1).flatMap(_.toLongOption)).getOrElse(Array.empty[Long])
+    val busy =
+      if (fields.length >= 5)
+        fields.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
       else -1L
-    }.getOrElse(-1L)
+    val iowait = if (fields.length >= 5) fields(4) else -1L
     val proc = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
       case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
       case _ => -1L
     }
-    Sample(la1, busy, proc, System.nanoTime())
+    // cumulative stop-the-world GC time across all collectors — the other
+    // named suspect for artifact-vs-session drift on a host-clean run
+    val gc = try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum
+    } catch { case _: Exception => -1L }
+    Sample(la1, busy, iowait, proc, gc, System.nanoTime())
   }
 
   /** Run `f`, returning its result plus the load profile of the interval. */
@@ -359,6 +404,12 @@ object HostLoad {
     val extPct =
       if (busySec < 0 || procSec < 0 || wallSec <= 0) -1.0
       else math.max(0.0, (busySec - procSec) / (wallSec * ncores) * 100.0)
-    (r, Phase(wallSec, procSec, extPct, before.la1, after.la1))
+    val gcSec =
+      if (before.gcMs < 0 || after.gcMs < 0) -1.0
+      else (after.gcMs - before.gcMs) / 1000.0
+    val ioWaitPct =
+      if (before.iowaitJiffies < 0 || after.iowaitJiffies < 0 || wallSec <= 0) -1.0
+      else (after.iowaitJiffies - before.iowaitJiffies) / 100.0 / (wallSec * ncores) * 100.0
+    (r, Phase(wallSec, procSec, extPct, before.la1, after.la1, gcSec, ioWaitPct))
   }
 }

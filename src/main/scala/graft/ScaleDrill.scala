@@ -177,6 +177,40 @@ object ScaleDrill {
     * identically (r9 verdict #1). */
   val remeasureRatio: Double = 2.5
 
+  /** Gated lanes whose drill input is the DOCUMENTS table: the splice
+    * tokens that keep near-dup structure scale-invariant also ADD tokens,
+    * so the ×N side carries MORE than N× text volume (12.2× bigrams at
+    * N=10) and a perfectly linear plan legitimately shows a time ratio up
+    * to the VOLUME ratio, not the row factor. Their gate therefore
+    * compares the time ratio to the measured volume ratio — in the
+    * artifact, not in prose (r11 verdict #2: q116 sat above the 2.5 bar
+    * three recorded rounds running with the vol-ratio division left to a
+    * human). */
+  val textLanes: Set[String] =
+    Set("q50_neardup_confirmed", "q92_cdc_passages", "q116_bigram_rarity",
+      "curation_flow")
+
+  /** The self-adjudicating PASS bar per gated lane: sublinear-per-input.
+    * Text lanes pass while time ratio ≤ the measured bigram-volume ratio
+    * (linear in true input volume); row-factor lanes keep the verdict's
+    * 2.5 bar. Recorded per lane in bench_detail as `bar` + `gate_ok`. */
+  def gateBar(name: String, volRatio: Double): Double =
+    if (textLanes(name) && volRatio > 0) volRatio else remeasureRatio
+
+  /** The rc-failure bar (Bench exits nonzero above it): the full
+    * linear-cost ratio — the row factor for row lanes, the measured
+    * volume ratio for text lanes (for text lanes the pass bar and the
+    * failure bar coincide: superlinear-in-volume at 10× IS a scale bug). */
+  def failBar(name: String, factor: Int, volRatio: Double): Double =
+    if (textLanes(name) && volRatio > 0) volRatio else factor.toDouble
+
+  /** Burst re-measure trigger: a quarter of the linear-cost bar (2.5-of-10
+    * for row lanes — unchanged; volRatio/4 for text lanes, the probe's
+    * proportion) so a contention burst earns a third pair well before the
+    * pass bar is at stake. */
+  def remeasureBar(name: String, volRatio: Double): Double =
+    if (textLanes(name) && volRatio > 0) volRatio / 4.0 else remeasureRatio
+
   /** Run the drill: materialize a 1× and a `factor`× copy under `outDir`
     * (subdirs `base1x` / `scaled`), then time each query on both,
     * interleaved best-of-two. Returns (name, baseSec, scaledSec, pairs)
@@ -204,6 +238,7 @@ object ScaleDrill {
       GraftSession.releasePersisted(s)
       sec
     }
+    val volRatio = if (volBase > 0) volBig.toDouble / volBase else -1.0
     val all = drillQueries.map(n => n -> SparkEntry.baseQueries(n)) ++
       extraDrillQueries.toSeq :+ ("curation_flow" -> curationFlow)
     val rows = all.map { case (name, fn) =>
@@ -214,29 +249,77 @@ object ScaleDrill {
       // known-superlinear lanes are recorded, not gated — an extra pair
       // there buys nothing and the ×N side is the drill's most expensive
       // timing, so only gated queries earn the re-measure
-      if (x > b * remeasureRatio && !knownSuperlinear.contains(name)) {
+      if (x > b * remeasureBar(name, volRatio) && !knownSuperlinear.contains(name)) {
         val b3 = once(fn, baseDir); val x3 = once(fn, bigDir)
         b = math.min(b, b3); x = math.min(x, x3)
         pairs = 3
       }
       (name, b, x, pairs)
     }
-    // Stage attribution (r10 verdict #6): when the composed curation lane
-    // still exceeds the re-measure bar after its third pair, time its
-    // cumulative stage prefixes once per side so the artifact says WHICH of
-    // the 5 composed stages carries the ratio instead of shipping a bare
-    // 2.5+ number. One interleaved pair per prefix (pairs=1 marks the
-    // weaker evidence): attribution, not a gate — Bench records these
+    // Stage attribution, GENERALIZED to every gated lane (r11 verdict #6:
+    // q99 recorded 5.11 with no attribution because the old hook was
+    // curation-specific): any gated lane whose post-re-measure ratio stays
+    // above its PASS bar earns one extra pair driven through the executed
+    // plan with SQL timing metrics aggregated per physical operator — the
+    // artifact then names WHICH operator carries the ratio. curation_flow
+    // additionally keeps its composed-stage prefix timings (the operator
+    // metrics of a multi-query funnel attribute less cleanly than its
+    // stage cut). pairs=1 marks the weaker evidence; Bench records these
     // under a separate key and excludes them from failure math.
-    val attribution = rows.find(_._1 == "curation_flow").toSeq.flatMap {
-      case (_, b, x, _) if x > b * remeasureRatio =>
-        curationStagePrefixes.map { case (stage, fn) =>
-          val pb = once(fn, baseDir); val px = once(fn, bigDir)
-          (s"curation_stage:$stage", pb, px, 1)
+    val attribution = rows.filterNot(r => knownSuperlinear.contains(r._1)).flatMap {
+      case (name, b, x, _) if x > b * gateBar(name, volRatio) =>
+        val fn = if (name == "curation_flow") curationFlow
+          else SparkEntry.baseQueries.getOrElse(name, extraDrillQueries(name))
+        val baseProf = planTimeProfile(s, fn, baseDir)
+        val bigProf = planTimeProfile(s, fn, bigDir)
+        val top = bigProf.toSeq.sortBy(-_._2).take(6)
+        val opRows = top.map { case (node, xs) =>
+          (s"attr:$name:$node", baseProf.getOrElse(node, 0.0), xs, 1)
         }
+        val curRows = if (name == "curation_flow")
+          curationStagePrefixes.map { case (stage, pfn) =>
+            val pb = once(pfn, baseDir); val px = once(pfn, bigDir)
+            (s"attr:$name:stage_$stage", pb, px, 1)
+          } else Seq.empty
+        opRows ++ curRows
       case _ => Seq.empty
     }
     (rows ++ attribution, volBase, volBig)
+  }
+
+  /** Operator-level time profile of one lane on one dataset: drive the
+    * lane's OWN QueryExecution to completion (the Prof trick — a .write
+    * would build a fresh one and leave this plan's metrics empty), then
+    * walk the adaptive executed plan — through AQE wrapper and query-stage
+    * nodes — summing each node's SQL TIMING metrics per node name.
+    * Seconds per operator kind; diagnostic only (metric coverage varies by
+    * operator — scan/sort/agg/exchange all carry timings). */
+  private[graft] def planTimeProfile(s: SparkSession,
+      fn: (SparkSession, String) => DataFrame, dir: String): Map[String, Double] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val qe = fn(s, dir).queryExecution
+    qe.toRdd.foreach(_ => ())
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case q: QueryStageExec => p +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val prof = walk(qe.executedPlan)
+      .map { p =>
+        val sec = p.metrics.values.map { m =>
+          m.metricType match {
+            case "timing" => m.value / 1000.0
+            case "nsTiming" => m.value / 1e9
+            case _ => 0.0
+          }
+        }.sum
+        p.nodeName -> sec
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      .filter(_._2 > 0.0)
+    GraftSession.releasePersisted(s)
+    prof
   }
 
   /** Cumulative stage prefixes of [[curationFlow]] (same operators, same

@@ -208,6 +208,11 @@ object SparkEntry {
     "q138_tpch_q2"         -> (Relational.q138TpchQ2 _),
     "q139_tpch_q11"        -> (Relational.q139TpchQ11 _),
     "q140_tpch_q8"         -> (Relational.q140TpchQ8 _),
+    // r12: the two remaining TPC-H rewrite shapes (r11 verdict #5) —
+    // Q9 join-order stress under a selective dim filter, Q12 fact-fact
+    // CASE-conditional counts
+    "q141_tpch_q9"         -> (Relational.q141TpchQ9 _),
+    "q142_tpch_q12"        -> (Relational.q142TpchQ12 _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -424,7 +429,108 @@ object SparkEntry {
       "nn AS (SELECT (SELECT COUNT(*) FROM q) AS n_q, (SELECT COUNT(*) FROM e) AS n_corpus) " +
       "SELECT 'ivfpq_m8_k16_nprobe4' AS method, ROUND(CAST(hits AS DOUBLE) / denom, 4) AS recall, CAST(hits AS BIGINT) AS hits, CAST(denom AS BIGINT) AS denom, CAST(scanned AS BIGINT) AS scanned_pairs, CAST(n_q * (n_corpus - 1) AS BIGINT) AS full_scan_pairs, CAST(1000 AS BIGINT) AS floor_bp, (hits * 10000 >= denom * 1000) AS floor_ok, (scanned < n_q * (n_corpus - 1)) AS prune_ok FROM h, d, sc, nn"
 
+  /** Per-table `nBits`-bit LSH bucket over list column `v` — the plane
+    * matrix ([[Similarity.hyperplanes]]) interpolated as double literals,
+    * each bit the SIGN of a left-associative 64-term dot (the q39
+    * technique, parametrized by table for OR-amplified multi-table q87). */
+  private def sqlLshBucket(nBits: Int, table: Int): String =
+    Similarity.hyperplanes(nBits, table, dim = 64).zipWithIndex.map {
+      case (p, b) =>
+        val dot = p.zipWithIndex.map { case (c, i) => s"v[${i + 1}]*($c)" }.mkString(" + ")
+        s"(CASE WHEN ($dot) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Exact ROUND(cos,4) top-10 truth + the 20-query set — shared by the
+    * two ANN-recall oracles. */
+  private val sqlAnnTruth: String =
+    "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20), " +
+      s"tr AS (SELECT qid, cid FROM (SELECT q.qid, e2.vec_id AS cid, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY ROUND(${sqlCosine("qv", "e2.v", 64)}, 4) DESC, e2.vec_id) AS rk FROM q CROSS JOIN e e2 WHERE q.qid <> e2.vec_id) s WHERE rk <= 10), " +
+      "d AS (SELECT COUNT(*) AS denom FROM tr)"
+
+  /** Mark the named CTEs `AS MATERIALIZED` (DuckDB planner hint; the
+    * oracle SQL never runs on Spark, so dialect-specific hints are safe).
+    * The two ANN-recall oracles reference their expensive subtrees (truth,
+    * refined centroids, signatures) from BOTH recall branches — without
+    * the hint DuckDB inlines and recomputes each, doubling time AND
+    * allocator pressure (measured 5.8 s → 2.4 s at sf0.01). */
+  private def materializeCtes(sql: String, names: Seq[String]): String =
+    names.foldLeft(sql)((s, n) => s.replaceFirst(
+      java.util.regex.Pattern.quote(s"$n AS ("), s"$n AS MATERIALIZED ("))
+
+  /** The recall-row SELECT shared by both ANN oracles: one UNION ALL arm
+    * per (method, hits-CTE, floor) triple, ordered by method. */
+  private def sqlRecallRows(arms: Seq[(String, String, Long)]): String =
+    arms.map { case (method, hitsCte, floorBp) =>
+      s"SELECT '$method' AS method, ROUND(CAST(hits AS DOUBLE) / denom, 4) AS recall, " +
+        "CAST(hits AS BIGINT) AS hits, CAST(denom AS BIGINT) AS denom, " +
+        s"CAST($floorBp AS BIGINT) AS floor_bp, (hits * 10000 >= denom * $floorBp) AS floor_ok " +
+        s"FROM $hitsCte, d"
+    }.mkString("SELECT * FROM (", " UNION ALL ", ") u ORDER BY method")
+
+  /** q87: the FULL ANN-recall pipeline re-derived in DuckDB — computed
+    * oracle since r12 (r11 verdict #4). The one Lloyd refinement pass is
+    * replayable now that [[Similarity.ivfCentroids]] sums each
+    * per-(cluster, dim) mean in canonical vec_id order: the oracle folds
+    * `list(x ORDER BY vid)` from 0.0 (the exact left-associative adds),
+    * divides by the member count, re-assigns the corpus to the refined
+    * centroids by the same strict-argmax rule, probes nprobe=4 by
+    * UNROUNDED cosine, and reranks candidates by ROUND(sim,4) — every
+    * double bit-identical to the engine's. The LSH branch replays 6
+    * OR-amplified 5-bit tables with interpolated plane literals. */
+  private def annRecallOracle: String = {
+    val sigCols = (0 until 6).map(t => s"(${sqlLshBucket(5, t)}) AS b$t").mkString(", ")
+    val orCond = (0 until 6).map(t => s"sq.b$t = s.b$t").mkString(" OR ")
+    materializeCtes(
+    s"WITH $sqlEmb, $sqlCentroids, $sqlAssign, $sqlAnnTruth, " +
+      // one Lloyd pass over the seed assignment: canonical-order means
+      "px AS (SELECT a.cluster, ms.i, e2.v[ms.i + 1] AS x, a.vid FROM asg a JOIN e e2 ON e2.vec_id = a.vid CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ms), " +
+      "rc AS (SELECT cluster, i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x ORDER BY vid)), (acc, t) -> acc + t) / COUNT(*) AS m FROM px GROUP BY cluster, i), " +
+      "rcent AS (SELECT cluster AS cent_id, list(m ORDER BY i) AS cv FROM rc GROUP BY cluster), " +
+      // corpus re-assigned to the REFINED centroids (BestCentroid replay)
+      s"sim1 AS (SELECT e.vec_id AS vid, r.cent_id, ${sqlCosine("e.v", "r.cv", 64)} AS sim FROM e CROSS JOIN rcent r), " +
+      "asg1 AS (SELECT vid, cent_id AS cluster FROM (SELECT vid, cent_id, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY sim DESC, cent_id) AS rk FROM sim1) r WHERE rk = 1), " +
+      // nprobe=4 probes ranked by UNROUNDED cosine vs refined centroids
+      s"pr AS (SELECT qid, cluster FROM (SELECT q.qid, r.cent_id AS cluster, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY ${sqlCosine("qv", "r.cv", 64)} DESC, r.cent_id) AS rk FROM q CROSS JOIN rcent r) z WHERE rk <= 4), " +
+      s"ivfa AS (SELECT qid, cid FROM (SELECT pr.qid, a.vid AS cid, ROW_NUMBER() OVER (PARTITION BY pr.qid ORDER BY ROUND(${sqlCosine("q.qv", "e2.v", 64)}, 4) DESC, a.vid) AS rk FROM pr JOIN asg1 a ON a.cluster = pr.cluster JOIN q ON q.qid = pr.qid JOIN e e2 ON e2.vec_id = a.vid WHERE pr.qid <> a.vid) u2 WHERE rk <= 10), " +
+      // 6 OR-amplified 5-bit LSH tables: per-vector signatures once, any-
+      // table collision makes a candidate, exact ROUND(sim,4) rerank
+      s"sigs AS (SELECT vec_id, v, $sigCols FROM e), " +
+      "sq AS (SELECT * FROM sigs WHERE vec_id < 20), " +
+      s"lc AS (SELECT DISTINCT sq.vec_id AS qid, s.vec_id AS cid FROM sq JOIN sigs s ON sq.vec_id <> s.vec_id AND ($orCond)), " +
+      s"lsha AS (SELECT qid, cid FROM (SELECT lc.qid, lc.cid, ROW_NUMBER() OVER (PARTITION BY lc.qid ORDER BY ROUND(${sqlCosine("q.qv", "e2.v", 64)}, 4) DESC, lc.cid) AS rk FROM lc JOIN q ON q.qid = lc.qid JOIN e e2 ON e2.vec_id = lc.cid) w WHERE rk <= 10), " +
+      "hi AS (SELECT COUNT(*) AS hits FROM tr JOIN ivfa USING (qid, cid)), " +
+      "hl AS (SELECT COUNT(*) AS hits FROM tr JOIN lsha USING (qid, cid)) " +
+      sqlRecallRows(Seq(
+        ("ivf_sqrtn_nprobe4_r1", "hi", 4000L),
+        ("lsh_5bit_x6", "hl", 2700L))),
+      Seq("e", "c", "asg", "q", "tr", "rcent", "asg1", "sigs"))
+  }
+
+  /** s87: the SQL-text lane's LABELED divergence (IVF unrefined, LSH 2
+    * tables — SqlFrontDoor's scaladoc) replayed as a computed oracle: with
+    * no Lloyd pass the whole pipeline is stride seeds + strict argmax +
+    * ROUND(sim,4) reranks, nothing engine-internal left. */
+  private[graft] def s87AnnRecallOracle: String = {
+    val sigCols = (0 until 2).map(t => s"(${sqlLshBucket(5, t)}) AS b$t").mkString(", ")
+    val orCond = (0 until 2).map(t => s"sq.b$t = s.b$t").mkString(" OR ")
+    materializeCtes(
+    s"WITH $sqlEmb, $sqlCentroids, $sqlAssign, $sqlAnnTruth, " +
+      s"pr AS (SELECT qid, cluster FROM (SELECT q.qid, c.cent_id AS cluster, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY ${sqlCosine("qv", "c.cv", 64)} DESC, c.cent_id) AS rk FROM q CROSS JOIN c) z WHERE rk <= 4), " +
+      s"ivfa AS (SELECT qid, cid FROM (SELECT pr.qid, a.vid AS cid, ROW_NUMBER() OVER (PARTITION BY pr.qid ORDER BY ROUND(${sqlCosine("q.qv", "e2.v", 64)}, 4) DESC, a.vid) AS rk FROM pr JOIN asg a ON a.cluster = pr.cluster JOIN q ON q.qid = pr.qid JOIN e e2 ON e2.vec_id = a.vid WHERE pr.qid <> a.vid) u2 WHERE rk <= 10), " +
+      s"sigs AS (SELECT vec_id, v, $sigCols FROM e), " +
+      "sq AS (SELECT * FROM sigs WHERE vec_id < 20), " +
+      s"lc AS (SELECT DISTINCT sq.vec_id AS qid, s.vec_id AS cid FROM sq JOIN sigs s ON sq.vec_id <> s.vec_id AND ($orCond)), " +
+      s"lsha AS (SELECT qid, cid FROM (SELECT lc.qid, lc.cid, ROW_NUMBER() OVER (PARTITION BY lc.qid ORDER BY ROUND(${sqlCosine("q.qv", "e2.v", 64)}, 4) DESC, lc.cid) AS rk FROM lc JOIN q ON q.qid = lc.qid JOIN e e2 ON e2.vec_id = lc.cid) w WHERE rk <= 10), " +
+      "hi AS (SELECT COUNT(*) AS hits FROM tr JOIN ivfa USING (qid, cid)), " +
+      "hl AS (SELECT COUNT(*) AS hits FROM tr JOIN lsha USING (qid, cid)) " +
+      sqlRecallRows(Seq(
+        ("ivf_sqrtn_nprobe4_r0", "hi", 3700L),
+        ("lsh_5bit_x2", "hl", 700L))),
+      Seq("e", "c", "asg", "q", "tr", "sigs"))
+  }
+
   private def computedOracleSql: Map[String, String] = Map(
+    "q87_ann_recall" -> annRecallOracle,
     "q01_scan_filter_sort" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber",
     // Money math runs in DECIMAL on BOTH sides (then CAST back to DOUBLE):
@@ -828,6 +934,15 @@ object SparkEntry {
       // carries the TIMESTAMP_NTZ twin, the q08 pattern); cents exact,
       // share a ratio of identical integers on both engines
       "SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year, CAST(SUM(CASE WHEN ns.n_name = 'NATION_3' THEN vc ELSE 0 END) AS BIGINT) AS nation_cents, CAST(SUM(vc) AS BIGINT) AS total_cents, ROUND(CAST(SUM(CASE WHEN ns.n_name = 'NATION_3' THEN vc ELSE 0 END) AS DOUBLE) / SUM(vc), 4) AS share FROM (SELECT l_orderkey, l_suppkey, l_partkey, CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * 100, 0) AS BIGINT) AS vc FROM lineitem) l JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO' JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey JOIN nation nc ON nc.n_nationkey = c_nationkey JOIN region ON r_regionkey = nc.n_regionkey AND r_name = 'ASIA' JOIN supplier ON s_suppkey = l_suppkey JOIN nation ns ON ns.n_nationkey = s_nationkey WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1 ORDER BY 1",
+    "q141_tpch_q9" -> // identical text on both engines: profit in exact
+      // integer cents (revenue ROUND·100 minus ROUND(retail·100)·qty —
+      // integer products, no decimal division); no timestamp literal, so
+      // no dialect split; the join-order stress is the plan, not the text
+      "SELECT n_name AS nation, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year, CAST(SUM(amount_cents) AS BIGINT) AS profit_cents FROM (SELECT l_orderkey, l_suppkey, CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * 100, 0) AS BIGINT) - CAST(ROUND(CAST(p_retailprice AS DECIMAL(12,2)) * 100, 0) AS BIGINT) * CAST(l_quantity AS BIGINT) AS amount_cents FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_name LIKE '%ol%') l JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON n_nationkey = s_nationkey JOIN orders ON o_orderkey = l_orderkey GROUP BY 1, 2 ORDER BY nation, o_year",
+    "q142_tpch_q12" -> // fact-fact join + complementary CASE counts;
+      // TIMESTAMP literal is the one dialect split (sparkDialect carries
+      // the TIMESTAMP_NTZ twin, the q08/q140 pattern); pure counts
+      "SELECT l_returnflag, CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count FROM lineitem JOIN orders ON o_orderkey = l_orderkey WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1 ORDER BY 1",
     "q128_latest_per_key" -> // the oracle spells ROW_NUMBER()=1; the engine
       // lane is max(struct) partial-agg — same semantics, fewer shuffled
       // bytes (see the operator's scale note); µs truncation contract

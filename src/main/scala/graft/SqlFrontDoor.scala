@@ -32,6 +32,8 @@ object SqlFrontDoor {
       "SELECT event_type, CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS s FROM events GROUP BY event_type ORDER BY event_type",
     "q140_tpch_q8" -> // TIMESTAMP literal vs timestamp_ntz column (q08 pattern)
       "SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year, CAST(SUM(CASE WHEN ns.n_name = 'NATION_3' THEN vc ELSE 0 END) AS BIGINT) AS nation_cents, CAST(SUM(vc) AS BIGINT) AS total_cents, ROUND(CAST(SUM(CASE WHEN ns.n_name = 'NATION_3' THEN vc ELSE 0 END) AS DOUBLE) / SUM(vc), 4) AS share FROM (SELECT l_orderkey, l_suppkey, l_partkey, CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * 100, 0) AS BIGINT) AS vc FROM lineitem) l JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO' JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey JOIN nation nc ON nc.n_nationkey = c_nationkey JOIN region ON r_regionkey = nc.n_regionkey AND r_name = 'ASIA' JOIN supplier ON s_suppkey = l_suppkey JOIN nation ns ON ns.n_nationkey = s_nationkey WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00' GROUP BY 1 ORDER BY 1",
+    "q142_tpch_q12" -> // TIMESTAMP literal vs timestamp_ntz column (q08 pattern)
+      "SELECT l_returnflag, CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count FROM lineitem JOIN orders ON o_orderkey = l_orderkey WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00' GROUP BY 1 ORDER BY 1",
     "q24_event_tumbling" -> // ts already bigint epoch-nanos under nanosAsLong
       "SELECT (ts - (ts % 3600000000000)) AS hour_bucket, event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2",
     // DuckDB string_split_regex/len(regexp_extract_all) -> Spark split/regexp_count
@@ -435,8 +437,11 @@ object SqlFrontDoor {
 
   /** Same DuckDB oracle keyed by the lane name — the SQL-text lane must hash
     * identically to its DataFrame sibling, EXCEPT where the text is a
-    * labeled divergence (s87's tuning point) and carries its own golden. */
+    * labeled divergence (s87's tuning point), which carries its own
+    * COMPUTED oracle since r12 (unrefined IVF + 2 LSH tables are fully
+    * replayable — SparkEntry.s87AnnRecallOracle). */
   def laneOracle: Map[String, String] =
     SparkEntry.baseOracleSql.map { case (name, sql) => ("s" + name.drop(1)) -> sql } ++
+      Map("s87_ann_recall" -> SparkEntry.s87AnnRecallOracle) ++
       Goldens.laneOracleOverrides
 }

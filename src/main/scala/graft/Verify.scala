@@ -43,6 +43,34 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fixture-invariant guard (r11 ADVICE #3): the bit-exact ANN oracle
+    // replays (q39/q48/q87/q113/q114) assume the embeddings fixture has
+    // dim=64 and no all-zero 8-dim PQ subvector (a zero subspace norm makes
+    // Spark's x/0 a NaN the kernels skip while DuckDB's division yields
+    // NULL/Inf — divergent sorts). Assert them HERE, cheaply, so a testdata
+    // regen that breaks one fails with a NAMED message instead of an opaque
+    // hash mismatch on five lanes.
+    try {
+      import org.apache.spark.sql.functions._
+      val inv = Tables(spark, sfDir, "embeddings").agg(
+        min(size(col("embedding"))).as("dmin"),
+        max(size(col("embedding"))).as("dmax"),
+        min(expr("""array_min(transform(sequence(0, 7), m ->
+          aggregate(slice(embedding, m * 8 + 1, 8), CAST(0.0 AS DOUBLE),
+            (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""")).as("minSubNorm2"))
+        .first()
+      require(inv.getInt(0) == 64 && inv.getInt(1) == 64,
+        s"embeddings fixture dim changed: size range [${inv.getInt(0)}, ${inv.getInt(1)}], " +
+          "oracle replays hardcode 64 (SparkEntry.sqlDot family)")
+      require(inv.getDouble(2) > 0.0,
+        "embeddings fixture has an all-zero 8-dim PQ subvector: the " +
+          "NaN-skip vs NULL-sort divergence documented at SparkEntry.sqlDot applies")
+    } catch {
+      case e: IllegalArgumentException => throw e // the named guard itself
+      case e: Throwable =>
+        // a missing/corrupt table surfaces per-query below; don't die here
+        System.err.println(s"[verify] fixture-invariant probe skipped: ${e.getMessage}")
+    }
     // Silent-shrinkage guard (r7 postmortem: 26 entries vanished from the
     // correctness dump because a per-query throw left NO parquet dir — the
     // driver can't flag a row it never sees). A failed query now still dumps

@@ -930,40 +930,51 @@ object Relational {
     * money runs in exact integer cents end-to-end, so the whole result
     * hash-matches without a single ROUND.
     *
-    * Scale shape: cents are high-cardinality (≈ one distinct value per
-    * row), so the monolithic per-flag cumulative window the oracle states
-    * would serialize each flag through one task — the q56 trap. Instead
-    * the rank is SHARDED (the q81 decomposition): one repartition by
-    * (flag, price-shard of $1,000), a per-shard row_number, per-shard
-    * counts (Catalyst prunes the window from that branch and plans a
-    * partial agg — only ~|shards| rows shuffle), a tiny per-flag window
-    * for shard prefix offsets, and cum = prefix + rn. Per-row cum differs from the oracle's per-distinct-
-    * value cum only WITHIN a tie group, and a tie row passes `20·cum ≥ n`
-    * iff its group's last row does — so min(c) over passing rows is
-    * EXACTLY the oracle's threshold (conformance proves it). Both
-    * thresholds come from one conditional-min pass; the clip+total is a
-    * scan-side projection under broadcast thresholds — the fact table
-    * crosses the wire once. */
+    * Scale shape (VALUE-SKEW-PROOF since r12, the q112 collapse ported per
+    * the r11 verdict — the previous spelling ranked EVERY fact row per
+    * shard, so per-shard sort input grew linearly with rows and the 10×
+    * drill measured 5.11×): rows collapse to DISTINCT-CENTS groups
+    * `(flag, sh, c) → cnt` before any window runs — duplicates fold
+    * map-side under partial aggregation, the final aggregate reuses the
+    * (flag, sh) exchange, and the per-shard sorted row count is bounded by
+    * the integer cents range of the shard, never by the row count. The
+    * count-weighted cumulative sum over distinct values IS the oracle's
+    * `cum` verbatim (its own CTE `g` groups by (flag, c) first), so the
+    * thresholds need no tie argument at all: `min(c | 20·cum ≥ n)` matches
+    * term-for-term. Shard width SCALES WITH THE INPUT (the q112 pre-pass):
+    * one cheap (n, min c, max c) aggregation picks width so shards ≈
+    * max(4·parallelism, n/2M) — a fixed $1,000 width froze shard count at
+    * every SF. Even the clip+total runs on the collapsed frame
+    * (winsorized sum = Σ cnt·clip(c)): after the single fact exchange,
+    * nothing per-row is ever touched again. */
   def q99Winsorized(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
+    val liRaw = t(s, dir, "lineitem")
       .select(col("l_returnflag"), cents(col("l_extendedprice")).as("c"))
-      .withColumn("sh", expr("c div 100000"))
-    // ONE exchange under every branch: the ranked subtree `r` is the shared
-    // parent of the shard-stats branch (shCnt = max(rn) — derived FROM the
-    // window so Catalyst cannot prune it back to a separate scan+agg), the
-    // threshold branch, and the clip branch (window pruned there, exchange
-    // kept). All three canonically share the (flag, shard) exchange, so AQE
-    // stage reuse materializes the fact scan+shuffle once. The r5 spelling
-    // planted four independent scan branches; with an unsplittable source
-    // layout each was a serial scan, and the drill measured all four.
+    val pre = liRaw.agg(count(lit(1)), min("c"), max("c")).first()
+    val (n0, lo, hi) =
+      if (pre.isNullAt(1)) (0L, 0L, 0L)
+      else (pre.getLong(0), pre.getLong(1), pre.getLong(2))
+    val targetShards =
+      math.max(4L * s.sparkContext.defaultParallelism, n0 / 2000000L)
+    val width = math.max(1L, (hi - lo) / math.max(1L, targetShards) + 1L)
+    val li = liRaw.withColumn("sh", expr(s"(c - ${lo}L) div ${width}L"))
+    // ONE exchange under every branch: the collapsed subtree `g` is the
+    // shared parent of the shard-stats branch, the threshold branch, and
+    // the clip branch — all reuse the (flag, shard) exchange via AQE stage
+    // reuse, so the fact table crosses the wire exactly once.
     val base = li.repartition(col("l_returnflag"), col("sh"))
-    val r = base
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("l_returnflag", "sh").orderBy("c")).cast("long"))
+    // the skew collapse: one sorted row per distinct cents value, counts
+    // carried beside it (duplicates fold map-side; no new exchange —
+    // HashPartitioning on (flag, sh) satisfies the (flag, sh, c) grouping)
+    val g = base.groupBy(col("l_returnflag"), col("sh"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val r = g.withColumn("wcum", sum("cnt").over(
+      Window.partitionBy("l_returnflag", "sh").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // per-shard counts, prefix offsets, and per-flag totals in ONE tiny
     // broadcast frame (≈ |flags|·|shards| rows)
     val stats = r.groupBy(col("l_returnflag"), col("sh"))
-      .agg(max("rn").as("shCnt"))
+      .agg(max("wcum").as("shCnt"))
       .withColumn("shPrefix",
         coalesce(sum("shCnt").over(Window.partitionBy("l_returnflag").orderBy("sh")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -971,16 +982,19 @@ object Relational {
       .select(col("l_returnflag"), col("sh"), col("shPrefix"), col("n"))
     val thresholds = r
       .join(broadcast(stats), Seq("l_returnflag", "sh"))
-      .withColumn("cum", col("rn") + col("shPrefix"))
+      .withColumn("cum", col("wcum") + col("shPrefix"))
       .groupBy("l_returnflag")
       .agg(
         min(when(col("cum") * 20 >= col("n"), col("c"))).as("p05_cents"),
         min(when(col("cum") * 20 >= col("n") * 19, col("c"))).as("p95_cents"))
-    base.join(broadcast(thresholds), Seq("l_returnflag"))
-      .select(col("l_returnflag"), col("p05_cents"), col("p95_cents"),
+    // clip+total on the COLLAPSED frame: Σ cnt·clip(c) — per-row data is
+    // never revisited after the single exchange
+    g.join(broadcast(thresholds), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p05_cents"), col("p95_cents"), col("cnt"),
         greatest(col("p05_cents"), least(col("p95_cents"), col("c"))).as("wc"))
       .groupBy("l_returnflag", "p05_cents", "p95_cents")
-      .agg(count(lit(1)).as("n"), sum("wc").cast("long").as("winsorized_total_cents"))
+      .agg(sum("cnt").cast("long").as("n"),
+        sum(col("wc") * col("cnt")).cast("long").as("winsorized_total_cents"))
       .orderBy("l_returnflag")
   }
 
@@ -1951,6 +1965,77 @@ object Relational {
             |JOIN nation ns ON ns.n_nationkey = s_nationkey
             |WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
             |  AND o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'
+            |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Q141 — TPC-H Q9 shape (product-type profit): the join-ORDER stress
+    * the r11 verdict named as the one classic absent from q54–q140 — the
+    * fact table against a selectively LIKE-filtered part (a filter the
+    * planner only exploits by pushing it to the part SCAN and joining part
+    * BEFORE anything wide), plus supplier, nation, orders, with profit
+    * arithmetic grouped by nation×year. Q9 is the largest-intermediate
+    * classic: join orders first and every lineitem row rides through the
+    * whole plan; join the filtered part first and the fact stream is cut
+    * to ~1/3 at the door. The testdata model carries no partsupp, so the
+    * per-unit cost rides the part dimension itself (p_retailprice replaces
+    * ps_supplycost — the same lookup shape: a cost attribute keyed by the
+    * fact's part key). Profit in exact integer cents (the q126/q140
+    * discipline): revenue ROUND(price·(1−disc)·100) minus
+    * ROUND(retail·100)·qty — integer products only, no decimal division,
+    * so both engines agree bit-for-bit.
+    *
+    * Scale: part/supplier/nation are dim-sized at every SF → broadcast;
+    * lineitem keeps 5 columns past the scan and shuffles at most once
+    * (for the orders equi-join — orders outgrows broadcast at real SF);
+    * PlanAuditSpec pins the LIKE reaching part's own scan and the
+    * ≤-two-fact-exchange contract. Output is |nations|·|years| rows. */
+  def q141TpchQ9(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""SELECT n_name AS nation,
+            |       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+            |       CAST(SUM(amount_cents) AS BIGINT) AS profit_cents
+            |FROM (SELECT l_orderkey, l_suppkey,
+            |             CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) *
+            |                        (1 - CAST(l_discount AS DECIMAL(12,2))) * 100, 0) AS BIGINT)
+            |             - CAST(ROUND(CAST(p_retailprice AS DECIMAL(12,2)) * 100, 0) AS BIGINT)
+            |               * CAST(l_quantity AS BIGINT) AS amount_cents
+            |      FROM lineitem
+            |      JOIN part ON p_partkey = l_partkey
+            |      WHERE p_name LIKE '%ol%') l
+            |JOIN supplier ON s_suppkey = l_suppkey
+            |JOIN nation ON n_nationkey = s_nationkey
+            |JOIN orders ON o_orderkey = l_orderkey
+            |GROUP BY 1, 2
+            |ORDER BY nation, o_year""".stripMargin)
+  }
+
+  /** Q142 — TPC-H Q12 shape (shipping-priority classes): the two-table
+    * FACT-FACT join feeding complementary CASE-conditional counts — the
+    * plan class with no dimension to broadcast at real SF (lineitem and
+    * orders both grow with the data), so the join must shuffle BOTH sides
+    * on the order key and the whole aggregate must fold map-side into
+    * |group| rows. The testdata model has no l_shipmode/l_commitdate, so
+    * the group key is l_returnflag and the selective window rides
+    * l_shipdate — the same shape: a fact-side filter cutting the join
+    * input, a join, and a CASE split on the OTHER table's column
+    * (o_orderpriority's urgent/non-urgent classes, TPC-H Q12 verbatim).
+    * Counts are integers; nothing to round.
+    *
+    * Scale: the l_shipdate window prunes lineitem before the exchange
+    * (one year ≈ 1/7 of rows); only (l_orderkey, l_returnflag) survive
+    * the scan; AQE handles the two-big-sides join. Output is |flags|
+    * rows. */
+  def q142TpchQ12(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""SELECT l_returnflag,
+            |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+            |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+            |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+            |FROM lineitem
+            |JOIN orders ON o_orderkey = l_orderkey
+            |WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+            |  AND l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'
             |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 }

@@ -164,24 +164,35 @@ object Similarity {
     * `refineIters` Lloyd (k-means) iterations — assign every vector to its
     * nearest centroid by cosine, recompute centroids as element-wise means.
     * No RNG anywhere: seeds are fixed by id stride and the iteration count
-    * is fixed (results are stable up to float-sum ordering — the per-
-    * dimension means merge partial double sums in shuffle order, so
-    * last-ULP wobble near an assignment tie is possible). Each iteration
-    * costs one
-    * broadcast-assign pass (n × √n cosines) plus one (cluster, dim)-grouped
-    * mean — linear in the corpus, never quadratic. A seed whose cluster
-    * empties simply drops out (it was redundant). Refinement moves centroids
-    * from arbitrary corpus points to density centers, which balances the
-    * inverted lists and lifts probe recall (SimilaritySpec measures
-    * recall@10 refined vs stride-only). */
+    * is fixed. ORDER-CANONICAL means since r12 (r11 verdict #4 — the exact
+    * q113/q114 technique): each per-(cluster, dim) mean is a
+    * LEFT-ASSOCIATIVE double sum in ascending vec_id order (collect the
+    * member values sorted by id, fold from 0.0, divide by the count) — not
+    * a shuffle-arrival-order `avg` merge — so refined centroids are
+    * bit-identical across runs AND bit-replayable by a DuckDB
+    * `list_reduce(list(x ORDER BY vid))` fold: q87 carries a COMPUTED
+    * oracle now, no golden snapshot. Cost of the canonical order: the
+    * aggregation buffers cluster-member values per (cluster, dim) group —
+    * O(cluster size) ≈ O(√n) doubles per group with √n-stride seeding,
+    * bounded the same way the inverted lists themselves are. Each
+    * iteration costs one broadcast-assign pass (n × √n cosines) plus one
+    * (cluster, dim)-grouped fold — linear in the corpus, never quadratic.
+    * A seed whose cluster empties simply drops out (it was redundant).
+    * Refinement moves centroids from arbitrary corpus points to density
+    * centers, which balances the inverted lists and lifts probe recall
+    * (SimilaritySpec measures recall@10 refined vs stride-only). */
   def ivfCentroids(corpus: DataFrame, stride: Int, refineIters: Int = 0): DataFrame = {
     var cents = corpus.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("centv"))
     for (_ <- 0 until refineIters) {
       cents = assignTo(corpus, cents)
-        .select(col("cluster"), posexplode(col("v")))
-        .toDF("cluster", "i", "x")
-        .groupBy("cluster", "i").agg(avg("x").as("m"))
+        .select(col("vec_id"), col("cluster"), posexplode(col("v")))
+        .toDF("vec_id", "cluster", "i", "x")
+        .groupBy("cluster", "i")
+        .agg((aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("x")))),
+            s => s.getField("x")),
+          lit(0.0), (a, x) => a + x) / count(lit(1))).as("m"))
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
           s => s.getField("m")).as("centv"))

@@ -25,10 +25,11 @@ class HostLoadSpec extends AnyFunSuite {
     assert(p.la1Start >= 0.0, s"loadavg ${p.la1Start} — /proc/loadavg must be readable here")
   }
 
-  test("phase json is a flat numeric object with the five contract keys") {
+  test("phase json is a flat numeric object with the seven contract keys") {
     val ((), p) = HostLoad.around(())
     val j = p.json
-    for (k <- Seq("wall_sec", "proc_cpu_sec", "ext_cpu_pct", "la1_start", "la1_end"))
+    for (k <- Seq("wall_sec", "proc_cpu_sec", "ext_cpu_pct", "la1_start", "la1_end",
+        "gc_sec", "iowait_pct"))
       assert(j.contains("\"" + k + "\""), s"missing $k in $j")
     // must parse as JSON — the driver tail-captures the summary line
     assert(j.startsWith("{") && j.endsWith("}") && !j.contains("Infinity") && !j.contains("NaN"))

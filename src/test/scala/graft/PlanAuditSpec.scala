@@ -624,6 +624,36 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"r_name must push to the region scan:\n$plan")
   }
 
+  test("q141 TPC-H Q9: the part LIKE reaches its scan and the fact shuffles at most twice") {
+    val df = graft.operators.Relational.q141TpchQ9(spark, sfDir)
+    val plan = planString(df)
+    // the selective dim filter must push to the part SCAN — exploiting it
+    // is the whole point of Q9's join-order stress
+    assert(plan.contains("StringContains(p_name,ol)"),
+      s"p_name LIKE must push to the part scan:\n$plan")
+    // part/supplier/nation broadcast; only the lineitem-orders edge may
+    // shuffle the fact (orders outgrows broadcast at real SF) — budget:
+    // that join's two exchanges + the final nation×year agg
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 3, s"expected >=3 broadcast dim joins, got $bhj:\n$plan")
+    assert(countShuffles(df) <= 3,
+      s"fact may shuffle at most twice (orders join + final agg):\n$plan")
+  }
+
+  test("q142 TPC-H Q12: the shipdate window prunes the fact before the join") {
+    val df = graft.operators.Relational.q142TpchQ12(spark, sfDir)
+    val plan = planString(df)
+    // the selective fact filter must reach the lineitem scan, not sit
+    // above the join — at real SF it cuts the shuffled bytes ~7x
+    assert("PushedFilters:.*GreaterThanOrEqual\\(l_shipdate".r
+      .findFirstIn(plan).isDefined,
+      s"l_shipdate window must push to the lineitem scan:\n$plan")
+    // the CASE split folds map-side: a partial aggregate below the final
+    // |flags|-row exchange
+    assert(plan.contains("partial_sum"),
+      s"missing the map-side partial CASE-count aggregation:\n$plan")
+  }
+
   test("q139 TPC-H Q11: the HAVING's global scalars run as once-computed subqueries, not joins") {
     val df = graft.operators.Relational.q139TpchQ11(spark, sfDir)
     val plan = planString(df)

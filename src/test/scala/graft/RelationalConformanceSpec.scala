@@ -96,11 +96,14 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       catch { case e: Throwable => fail(s"$sName does not analyze: ${e.getMessage}") }
     }
     // the lane oracle is the base oracle verbatim (labeled-divergent lanes
-    // carry their own golden override), and merging loses no entries
+    // carry their own override — s87's computed divergence oracle since
+    // r12, plus any golden overrides), and merging loses no entries
     SparkEntry.baseOracleSql.foreach { case (q, sql) =>
       val sName = "s" + q.drop(1)
       if (Goldens.laneOracleOverrides.contains(sName))
         assert(SqlFrontDoor.laneOracle(sName) == Goldens.laneOracleOverrides(sName))
+      else if (sName == "s87_ann_recall")
+        assert(SqlFrontDoor.laneOracle(sName) == SparkEntry.s87AnnRecallOracle)
       else
         assert(SqlFrontDoor.laneOracle(sName) == sql, s"lane oracle drifted for $q")
     }

@@ -111,6 +111,35 @@ class RelationalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q49: HLL++ and t-digest estimates land within their error bands of exact") {
+    // second witness beside the golden snapshot (r11 verdict #8): the
+    // golden pins the exact bits; this pins the STATISTICS, so a regen or
+    // sketch-library change that shifts bits but stays sound is
+    // distinguishable from a real merge/accuracy bug
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+    val got = Relational.q49ApproxSketches(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val exact = Tables(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("nd"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == exact.keySet, "priority groups diverged")
+    exact.foreach { case (pri, (nd, n)) =>
+      val (estNd, p50, gotN) = got(pri)
+      assert(gotN == n, s"$pri: row count $gotN vs $n")
+      // HLL++ at rsd=0.01: 3σ = 3%
+      assert(math.abs(estNd - nd) <= math.max(3, (nd * 0.03).toLong),
+        s"$pri: distinct estimate $estNd vs exact $nd outside the 3% band")
+      // accuracy=10000 > group size ⇒ the approx median is a real data
+      // point at the exact discrete rank; allow 2% for rank-rule slack
+      val med = Tables(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === pri)
+        .stat.approxQuantile("o_totalprice", Array(0.5), 0.0).head
+      assert(math.abs(p50 - med) <= med * 0.02,
+        s"$pri: approx p50 $p50 vs exact-rank $med outside the 2% band")
+    }
+  }
+
   test("q120 releases its persisted edge table inside the operator (r9 verdict #4)") {
     // plain-session contract: no harness sweep runs here — the operator
     // itself must leave zero cached blocks behind (the q87/q111 lifecycle)

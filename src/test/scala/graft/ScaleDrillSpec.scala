@@ -53,9 +53,10 @@ class ScaleDrillSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("expensive-query runtimes stay ~linear under the scale-up (no hidden quadratic)") {
     val (allRows, volBase, volBig) = ScaleDrill.run(spark, sfDir, outDir, factor)
-    // stage-attribution rows appear only when curation_flow trips the
-    // re-measure bar — tolerated, not required, at the spec's tiny SF
-    val rows = allRows.filterNot(_._1.startsWith("curation_stage:"))
+    // attribution rows ("attr:<lane>:<operator>") appear only when a gated
+    // lane trips its pass bar — tolerated, not required, at the spec's
+    // tiny SF
+    val rows = allRows.filterNot(_._1.startsWith("attr:"))
     assert(rows.map(_._1).toSet ==
       (ScaleDrill.drillQueries ++ ScaleDrill.extraDrillQueries.keys :+ "curation_flow").toSet)
     // the measured bigram-volume denominator must ship with the drill:
@@ -76,6 +77,32 @@ class ScaleDrillSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ratio < factor.toDouble * factor,
         s"$name shows a quadratic signature: $base s -> $big s (ratio $ratio at factor $factor)")
     }
+  }
+
+  test("gate bars: text lanes adjudicate against the measured volume ratio, row lanes against 2.5/factor") {
+    val vol = 12.2
+    // text lanes: pass bar = fail bar = vol ratio; re-measure at a quarter
+    assert(ScaleDrill.gateBar("q116_bigram_rarity", vol) == vol)
+    assert(ScaleDrill.failBar("q116_bigram_rarity", 10, vol) == vol)
+    assert(ScaleDrill.remeasureBar("q116_bigram_rarity", vol) == vol / 4.0)
+    assert(ScaleDrill.textLanes("curation_flow") && ScaleDrill.textLanes("q50_neardup_confirmed"))
+    // row lanes: the historical bars, volume-independent
+    assert(ScaleDrill.gateBar("q99_winsorized", vol) == ScaleDrill.remeasureRatio)
+    assert(ScaleDrill.failBar("q99_winsorized", 10, vol) == 10.0)
+    assert(ScaleDrill.remeasureBar("q99_winsorized", vol) == ScaleDrill.remeasureRatio)
+    // a missing volume measurement (-1) must fall back to row-lane bars,
+    // never gate against a negative
+    assert(ScaleDrill.gateBar("q116_bigram_rarity", -1.0) == ScaleDrill.remeasureRatio)
+    assert(ScaleDrill.failBar("q116_bigram_rarity", 10, -1.0) == 10.0)
+  }
+
+  test("planTimeProfile names operators with positive timing seconds") {
+    val prof = ScaleDrill.planTimeProfile(spark,
+      (sp, d) => SparkEntry.baseQueries("q08_agg_tpch_q1")(sp, d), sfDir)
+    assert(prof.nonEmpty, "expected at least one timed operator")
+    assert(prof.values.forall(_ > 0.0), s"non-positive timings: $prof")
+    assert(prof.keys.exists(_.toLowerCase.contains("aggregate")),
+      s"an aggregation query should time an aggregate operator: ${prof.keys}")
   }
 
   test("text probe: documents-only materialization, exact volume ratio, probe rows") {
