@@ -608,6 +608,25 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(countShuffles(df) <= 3, s"exchange crept in:\n$plan")
   }
 
+  test("q99: the skew collapse aggregates distinct cents BELOW the window (the q112 port, r11 verdict #1)") {
+    val df = graft.operators.Relational.q99Winsorized(spark, sfDir)
+    val plan = planString(df)
+    // the value collapse: a map-side partial aggregate keyed (flag, sh, c)
+    // — duplicates fold before anything sorts, so per-shard sort input is
+    // bounded by the cents domain, never the row count
+    assert("HashAggregate\\(keys=\\[l_returnflag#\\d+, sh#\\d+L, c#\\d+L\\], functions=\\[partial_count".r
+      .findFirstIn(plan).isDefined,
+      s"missing the map-side distinct-cents collapse:\n$plan")
+    // ranks run on count-weighted cumulative sums — no per-row ranking
+    assert(!plan.contains("row_number"),
+      s"raw-row ranking crept back into the winsorized stats:\n$plan")
+    // the clip total runs on the COLLAPSED frame too: fact rows cross the
+    // wire exactly once (the shard repartition); everything after is
+    // |distinct-cents|-sized. Budget: shard exchange + the tiny post-
+    // collapse stats/threshold/final aggregations
+    assert(countShuffles(df) <= 4, s"exchange crept in:\n$plan")
+  }
+
   test("q140 TPC-H Q8: the 8-table galaxy join broadcasts every dim and shuffles the fact once") {
     val df = graft.operators.Relational.q140TpchQ8(spark, sfDir)
     val plan = planString(df)
