@@ -957,7 +957,14 @@ object Relational {
     val targetShards =
       math.max(4L * s.sparkContext.defaultParallelism, n0 / 2000000L)
     val width = math.max(1L, (hi - lo) / math.max(1L, targetShards) + 1L)
+    // the explicit isNotNull MATCHES the IsNotNull(sh) the threshold
+    // branch's (flag, sh) equi-join infers and pushes below its exchange —
+    // without it the two branches' exchanges differ by that one inferred
+    // filter, ReuseExchange can't fire, and the fact table scans AND
+    // shuffles twice (caught by the r12 bench: q99 was the suite's
+    // slowest lane at 3.27 s with two FileScans in the AQE final plan)
     val li = liRaw.withColumn("sh", expr(s"(c - ${lo}L) div ${width}L"))
+      .filter(col("sh").isNotNull)
     // ONE exchange under every branch: the collapsed subtree `g` is the
     // shared parent of the shard-stats branch, the threshold branch, and
     // the clip branch — all reuse the (flag, shard) exchange via AQE stage
@@ -1114,7 +1121,11 @@ object Relational {
     val targetShards =
       math.max(4L * s.sparkContext.defaultParallelism, n / 2000000L)
     val width = math.max(1L, (hi - lo) / math.max(1L, targetShards) + 1L)
+    // explicit isNotNull matches the IsNotNull(sh) the threshold join
+    // infers — without it the branches' exchanges differ by that inferred
+    // filter and the fact scans+shuffles twice (the q99 r12 finding)
     val li = liRaw.withColumn("sh", expr(s"(c - ${lo}L) div ${width}L"))
+      .filter(col("sh").isNotNull)
     // one exchange, shared by the stats and threshold branches (q99 shape)
     val base = li.repartition(col("l_returnflag"), col("sh"))
     // the skew collapse: one sorted row per distinct cents value, counts
@@ -1124,12 +1135,22 @@ object Relational {
     val r = g.withColumn("wcum", sum("cnt").over(
       Window.partitionBy("l_returnflag", "sh").orderBy("c")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // the min("v") is a PRUNE GUARD, not data the stats need: without it
+    // Catalyst prunes `v` out of this branch's collapse aggregate, the two
+    // branches' subtrees stop being identical, ReuseExchange can't fire,
+    // and the fact table scans AND shuffles twice (the q99 r12 finding —
+    // at 100 TB the duplicated scan is the dominant cost of the query).
+    // The guard must be CONSUMED to survive the optimizer: `+ vg*0` is an
+    // exact no-op on the integer n (v is finite non-null post-collapse)
+    // that Catalyst cannot fold away (column*0 is null/NaN-sensitive), so
+    // the column stays required and the subtrees stay byte-identical.
     val stats = r.groupBy(col("l_returnflag"), col("sh"))
-      .agg(max("wcum").as("shCnt"))
+      .agg(max("wcum").as("shCnt"), min("v").as("__vg"))
       .withColumn("shPrefix",
         coalesce(sum("shCnt").over(Window.partitionBy("l_returnflag").orderBy("sh")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("n", sum("shCnt").over(Window.partitionBy("l_returnflag")))
+      .withColumn("n", sum("shCnt").over(Window.partitionBy("l_returnflag"))
+        + (col("__vg") * 0).cast("long"))
       .select(col("l_returnflag"), col("sh"), col("shPrefix"), col("n"))
     r.join(broadcast(stats), Seq("l_returnflag", "sh"))
       .withColumn("cum", col("wcum") + col("shPrefix"))

@@ -426,10 +426,14 @@ object TextAnalysis {
       .select(col("lang"), score.as("score"))
     val wcum = Window.partitionBy("lang").orderBy("score")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+    // per-lang totals as a SECOND WINDOW over the same aggregated frame —
+    // not a separate corpus scan: the r12 scan audit caught the old
+    // totals branch re-reading (and re-scoring) every document just to
+    // count them, when n = Σcnt over the distinct-score frame already in
+    // hand (the q99/q112 stats discipline); one corpus scan eliminated
     val thresholds = scored.groupBy("lang", "score").agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum("cnt").over(wcum))
-      .join(broadcast(totals), Seq("lang"))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("lang")))
       .filter(col("cum") * 4 >= col("n"))
       .groupBy("lang").agg(min("score").as("thr"))
     scored.join(broadcast(thresholds), Seq("lang"))
@@ -474,8 +478,15 @@ object TextAnalysis {
       .filter(length(col("term")) >= 3)
     // one row per (lang, doc, term): partial agg collapses repeats map-side
     val tf = toks.groupBy("lang", "doc_id", "term").agg(count(lit(1)).as("tf"))
-    // a doc has exactly one lang, so tf rows are distinct per (doc, term)
-    val termDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // a doc has exactly one lang, so tf rows are distinct per (doc, term).
+    // `+ min(tf)*0` is the q112 prune guard: df doesn't need tf's count,
+    // so Catalyst would prune it from THIS branch's copy of the tf
+    // subtree, the two consumers' subtrees would differ, and the corpus
+    // would be tokenized+exploded TWICE (the r12 scan audit caught it);
+    // the exact no-op keeps both subtrees byte-identical so the tf
+    // exchange is computed once and reused
+    val termDf = tf.groupBy("term")
+      .agg((count(lit(1)) + min("tf") * 0).as("df"))
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     val scored = tf.groupBy("lang", "term").agg(sum("tf").as("ttf"))
       .join(termDf, Seq("term"))

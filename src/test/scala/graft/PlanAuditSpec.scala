@@ -627,6 +627,32 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(countShuffles(df) <= 4, s"exchange crept in:\n$plan")
   }
 
+  test("q99/q112: the fact table SCANS once — every branch reuses the shard exchange (executed plan)") {
+    // the pre-AQE shuffle count above cannot see this: the r12 bench found
+    // both percentile-family lanes scanning AND shuffling lineitem twice
+    // because an inferred IsNotNull(sh) (q99) / a pruned min(v) (q112)
+    // made the branches' subtrees differ and ReuseExchange never fired.
+    // Drive the executed plan and assert the final AQE tree carries
+    // exactly ONE live FileScan plus reused exchanges.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case q: QueryStageExec => p +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    for (name <- Seq("q99_winsorized", "q112_percentile_disc_sharded")) {
+      val qe = SparkEntry.baseQueries(name)(spark, sfDir).queryExecution
+      qe.toRdd.foreach(_ => ())
+      val nodes = walk(qe.executedPlan)
+      val scans = nodes.count(_.isInstanceOf[FileSourceScanExec])
+      val reused = nodes.count(_.isInstanceOf[ReusedExchangeExec])
+      assert(scans == 1, s"$name: expected ONE live fact scan, got $scans")
+      assert(reused >= 1, s"$name: expected the shard exchange to be reused")
+    }
+  }
+
   test("q140 TPC-H Q8: the 8-table galaxy join broadcasts every dim and shuffles the fact once") {
     val df = graft.operators.Relational.q140TpchQ8(spark, sfDir)
     val plan = planString(df)
