@@ -362,10 +362,12 @@ object Relational {
     * purchase are genuinely NULL; -1 is out-of-band for epoch-micros. */
   def q41AsofJoin(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
-    val u = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts_us"), lit(1).as("is_click"))
-      .unionByName(e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_us"), lit(0).as("is_click")))
+    // ONE scan with an IN filter + CASE tag — the earlier union of two
+    // separately-filtered branches read the events table twice (r12 scan
+    // audit); the IN pushes to the scan and the tag is a projection
+    val u = e.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts_us"),
+        when(col("event_type") === "click", 1).otherwise(0).as("is_click"))
     val w = Window.partitionBy("user_id").orderBy("ts_us", "is_click")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("last_purchase_ts",
@@ -1400,15 +1402,21 @@ object Relational {
     * exhibits. Timestamps µs-truncated then day-bucketed (86,400,000,000
     * µs), all-integer → hash-exact.
     *
-    * Scale: ONE shuffle by user_id serves both the cohort min and the
-    * distinct-activity dedup (same key, partial-agg'd map-side); the
-    * (cohort, offset) matrix aggregate is over |users|·|active days| rows
-    * of 3 integers, and the matrix itself is tiny (days × days). */
+    * Scale: the cohort min is WRITTEN over the deduped frame (min over a
+    * user's distinct days = min over their raw days), and Catalyst then
+    * eliminates the dedup under the MIN — so the executed plan carries
+    * two 2-column scans, each partial-aggregated map-side: only
+    * |users|·|active days| dedup rows and |users| min rows ever shuffle.
+    * That is the cheaper plan at 100 TB (a second pruned columnar scan
+    * beats forcing the cohort branch through the dedup exchange); the r12
+    * scan audit is what surfaced the original spelling's second FULL
+    * shuffle. The (cohort, offset) matrix aggregate is over the deduped
+    * rows of 3 integers, and the matrix itself is tiny (days × days). */
   def q122RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
       .select(col("user_id"), expr("ts div 1000 div 86400000000").as("d"))
-    val cohort = e.groupBy("user_id").agg(min("d").as("cohort_day"))
     val active = e.distinct()
+    val cohort = active.groupBy("user_id").agg(min("d").as("cohort_day"))
     active.join(cohort, Seq("user_id"))
       .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("offset"))
       .agg(countDistinct("user_id").as("n_users"))

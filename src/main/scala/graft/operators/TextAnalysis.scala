@@ -766,8 +766,14 @@ object TextAnalysis {
       .select(col("source"), wsTokens(col("text")).as("toks"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+    // `+ min(n_docs)*0` is the q112 prune guard: the normalizer doesn't
+    // need n_docs, so Catalyst would prune it from this branch's copy of
+    // `per`, the two consumers' subtrees would differ, and the corpus
+    // would be scanned+tokenized twice (r12 scan audit); the exact no-op
+    // keeps the subtrees identical so the per-source aggregate computes
+    // once and its exchange is reused
     val z = per.agg(
-      sum("n_tokens").as("tot_tokens"),
+      (sum(col("n_tokens")) + min(col("n_docs")) * 0).as("tot_tokens"),
       sum(sqrt(col("n_tokens").cast("double"))).as("z"))
     per.crossJoin(broadcast(z))
       .select(col("source"), col("n_docs"), col("n_tokens"),

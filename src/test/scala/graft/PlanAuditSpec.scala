@@ -651,6 +651,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(scans == 1, s"$name: expected ONE live fact scan, got $scans")
       assert(reused >= 1, s"$name: expected the shard exchange to be reused")
     }
+    // the other r12 scan-audit fixes, pinned at their new scan budgets:
+    // q41 (IN-filter + tag replaced a two-branch union), q130 (prune guard
+    // shares the per-source aggregate), q85/q89 (window-derived totals /
+    // guarded tf exchange — one corpus pass each plus the documented
+    // second pass)
+    for ((name, budget) <- Seq("q41_asof_join" -> 1, "q130_source_mixing" -> 1,
+        "q85_quality_gate" -> 2, "q89_tfidf_top_terms" -> 2)) {
+      val qe = SparkEntry.baseQueries(name)(spark, sfDir).queryExecution
+      qe.toRdd.foreach(_ => ())
+      val scans = walk(qe.executedPlan).count(_.isInstanceOf[FileSourceScanExec])
+      assert(scans <= budget, s"$name: expected <= $budget live scans, got $scans")
+    }
   }
 
   test("q140 TPC-H Q8: the 8-table galaxy join broadcasts every dim and shuffles the fact once") {
