@@ -833,25 +833,33 @@ object Relational {
     * parquet column at timestamp precision, so comparing or summing raw
     * nanos would diverge in the sub-µs digits.
     *
-    * Scale shape: each stage aggregates a type-filtered slice (the filter
-    * reaches the scan; event_type could be a partition column at 100 TB)
-    * and joins on user_id — three hash-partitioned stage tables, each a
-    * fraction of the corpus, never a per-user sort of all events. The
-    * streaming twin is graft.streaming.StreamOps.funnelPerUser (same
-    * stage rules as per-user state). */
+    * Scale shape (r12 — the scan audit caught the old stage-join spelling
+    * reading events FOUR times and running three user-keyed join
+    * shuffles): ONE IN-filtered scan, ONE exchange on user_id, then three
+    * CHAINED whole-partition windows — vt = min(view t), ct = min(click t
+    * AFTER vt), pt = min(purchase t AFTER ct). Each window references the
+    * previous one's result, all three share the user_id partitioning, so
+    * WindowExec sorts once and evaluates the chain in a single stage; the
+    * per-user stage scalars then fold to one row per user on the same
+    * exchange. Null propagation IS the funnel rule: no view ⇒ vt null ⇒
+    * `t > vt` null ⇒ ct null ⇒ pt null — exactly the oracle's sequential
+    * LEFT JOIN semantics. The streaming twin is
+    * graft.streaming.StreamOps.funnelPerUser (same stage rules as
+    * per-user state). */
   def q96Funnel(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
+    val w = Window.partitionBy("user_id")
+    val perUser = t(s, dir, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), expr("ts div 1000").as("t"), col("event_type"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("t").as("vt"))
-    val c = e.filter(col("event_type") === "click")
-      .join(v, Seq("user_id")).filter(col("t") > col("vt"))
-      .groupBy("user_id").agg(min("t").as("ct"))
-    val p = e.filter(col("event_type") === "purchase")
-      .join(c, Seq("user_id")).filter(col("t") > col("ct"))
-      .groupBy("user_id").agg(min("t").as("pt"))
-    v.join(c, Seq("user_id"), "left")
-      .join(p, Seq("user_id"), "left")
+      .withColumn("vt",
+        min(when(col("event_type") === "view", col("t"))).over(w))
+      .withColumn("ct",
+        min(when(col("event_type") === "click" && col("t") > col("vt"), col("t"))).over(w))
+      .withColumn("pt",
+        min(when(col("event_type") === "purchase" && col("t") > col("ct"), col("t"))).over(w))
+      .groupBy("user_id")
+      .agg(min("vt").as("vt"), min("ct").as("ct"), min("pt").as("pt"))
+    perUser.filter(col("vt").isNotNull)
       .groupBy((col("user_id") % 10).as("bucket"))
       .agg(
         count(lit(1)).as("n_view"),
