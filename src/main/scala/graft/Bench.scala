@@ -159,9 +159,13 @@ object Bench {
     val (drillKnown, drillGated) =
       drillLanes.partition { case (k, _, _, _) => ScaleDrill.knownSuperlinear.contains(k) }
     val drillVolRatio = if (drillVolBase > 0) drillVolBig.toDouble / drillVolBase else -1.0
+    // base <= 0 marks "not comparable" (an attribution node AQE only
+    // planned on the scaled side): render ratio -1, never a
+    // divide-by-epsilon garbage number
+    def ratioOf(b: Double, x: Double): Double = if (b > 0) x / b else -1.0
     def drillObj(rows: Seq[(String, Double, Double, Int)], xKey: String): String =
       rows.map { case (k, b, x, p) =>
-        "\"" + k + f"""\":{"base":$b%.2f,"$xKey":$x%.2f,"ratio":${x / math.max(b, 1e-9)}%.2f,"pairs":$p}"""
+        "\"" + k + f"""\":{"base":$b%.2f,"$xKey":$x%.2f,"ratio":${ratioOf(b, x)}%.2f,"pairs":$p}"""
       }.mkString("{", ",", "}")
     // Gated lanes carry their SELF-ADJUDICATING pass bar in the artifact
     // (r11 verdict #2): text lanes (ScaleDrill.textLanes) gate on
@@ -171,7 +175,11 @@ object Bench {
       rows.map { case (k, b, x, p) =>
         val ratio = x / math.max(b, 1e-9)
         val bar = ScaleDrill.gateBar(k, drillVolRatio)
-        "\"" + k + f"""\":{"base":$b%.2f,"$xKey":$x%.2f,"ratio":$ratio%.2f,"pairs":$p,"bar":$bar%.2f,"vol_normalized":${ScaleDrill.textLanes(k)},"gate_ok":${ratio <= bar}}"""
+        // vol_normalized reports whether the volume bar was ACTUALLY
+        // applied — a failed volume measurement falls back to the row bar
+        // and must not be recorded as volume-adjudicated
+        val volApplied = ScaleDrill.textLanes(k) && drillVolRatio > 0
+        "\"" + k + f"""\":{"base":$b%.2f,"$xKey":$x%.2f,"ratio":$ratio%.2f,"pairs":$p,"bar":$bar%.2f,"vol_normalized":$volApplied,"gate_ok":${ratio <= bar}}"""
       }.mkString("{", ",", "}")
     val drillJson = gatedObj(drillGated, s"x$drillFactor")
     val drillKnownJson = drillObj(drillKnown, s"x$drillFactor")

@@ -266,22 +266,35 @@ object ScaleDrill {
     // metrics of a multi-query funnel attribute less cleanly than its
     // stage cut). pairs=1 marks the weaker evidence; Bench records these
     // under a separate key and excludes them from failure math.
+    // attribution is DIAGNOSTIC ONLY: a throw here (the profile re-runs
+    // the lane's most expensive execution) must not discard the completed
+    // drill measurements or trip Bench's crash path — degrade to
+    // no-attribution and note it on stderr
     val attribution = rows.filterNot(r => knownSuperlinear.contains(r._1)).flatMap {
       case (name, b, x, _) if x > b * gateBar(name, volRatio) =>
-        val fn = if (name == "curation_flow") curationFlow
-          else SparkEntry.baseQueries.getOrElse(name, extraDrillQueries(name))
-        val baseProf = planTimeProfile(s, fn, baseDir)
-        val bigProf = planTimeProfile(s, fn, bigDir)
-        val top = bigProf.toSeq.sortBy(-_._2).take(6)
-        val opRows = top.map { case (node, xs) =>
-          (s"attr:$name:$node", baseProf.getOrElse(node, 0.0), xs, 1)
+        try {
+          val fn = if (name == "curation_flow") curationFlow
+            else SparkEntry.baseQueries.getOrElse(name, extraDrillQueries(name))
+          val baseProf = planTimeProfile(s, fn, baseDir)
+          val bigProf = planTimeProfile(s, fn, bigDir)
+          val top = bigProf.toSeq.sortBy(-_._2).take(6)
+          // a node absent from the 1x profile (AQE picked a different
+          // operator at 10x, or its base timing was 0) records base -1 —
+          // Bench renders its ratio as -1 instead of a divide-by-epsilon
+          val opRows = top.map { case (node, xs) =>
+            (s"attr:$name:$node", baseProf.getOrElse(node, -1.0), xs, 1)
+          }
+          val curRows = if (name == "curation_flow")
+            curationStagePrefixes.map { case (stage, pfn) =>
+              val pb = once(pfn, baseDir); val px = once(pfn, bigDir)
+              (s"attr:$name:stage_$stage", pb, px, 1)
+            } else Seq.empty
+          opRows ++ curRows
+        } catch { case e: Throwable =>
+          System.err.println(s"[drill] attribution for $name failed: ${e.getMessage}")
+          GraftSession.releasePersisted(s)
+          Seq.empty
         }
-        val curRows = if (name == "curation_flow")
-          curationStagePrefixes.map { case (stage, pfn) =>
-            val pb = once(pfn, baseDir); val px = once(pfn, bigDir)
-            (s"attr:$name:stage_$stage", pb, px, 1)
-          } else Seq.empty
-        opRows ++ curRows
       case _ => Seq.empty
     }
     (rows ++ attribution, volBase, volBig)
@@ -296,30 +309,23 @@ object ScaleDrill {
     * operator — scan/sort/agg/exchange all carry timings). */
   private[graft] def planTimeProfile(s: SparkSession,
       fn: (SparkSession, String) => DataFrame, dir: String): Map[String, Double] = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    val qe = fn(s, dir).queryExecution
-    qe.toRdd.foreach(_ => ())
-    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
-      case q: QueryStageExec => p +: walk(q.plan)
-      case other => other +: other.children.flatMap(walk)
-    }
-    val prof = walk(qe.executedPlan)
-      .map { p =>
-        val sec = p.metrics.values.map { m =>
-          m.metricType match {
-            case "timing" => m.value / 1000.0
-            case "nsTiming" => m.value / 1e9
-            case _ => 0.0
-          }
-        }.sum
-        p.nodeName -> sec
-      }
-      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-      .filter(_._2 > 0.0)
-    GraftSession.releasePersisted(s)
-    prof
+    try {
+      val qe = fn(s, dir).queryExecution
+      qe.toRdd.foreach(_ => ())
+      ScanAudit.walk(qe.executedPlan)
+        .map { p =>
+          val sec = p.metrics.values.map { m =>
+            m.metricType match {
+              case "timing" => m.value / 1000.0
+              case "nsTiming" => m.value / 1e9
+              case _ => 0.0
+            }
+          }.sum
+          p.nodeName -> sec
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        .filter(_._2 > 0.0)
+    } finally GraftSession.releasePersisted(s)
   }
 
   /** Cumulative stage prefixes of [[curationFlow]] (same operators, same

@@ -43,13 +43,14 @@ object ScanAudit {
             s.relation.location.rootPaths.headOption.map(_.getName).getOrElse("?")
           }.groupBy(identity).view.mapValues(_.size).toMap
           val reused = nodes.count(_.isInstanceOf[ReusedExchangeExec])
-          GraftSession.releasePersisted(spark)
           if (scansByTable.isEmpty) None
           else Some((name, scansByTable, reused))
         } catch { case e: Throwable =>
           System.err.println(s"[scan-audit] $name failed: ${e.getMessage}")
           None
-        }
+          // sweep in finally: a lane that persists then THROWS must not
+          // leak cached blocks into every later lane's audit
+        } finally GraftSession.releasePersisted(spark)
       }
     rows.sortBy { case (_, byTable, _) => -byTable.values.max }.foreach {
       case (name, byTable, reused) =>

@@ -634,14 +634,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // made the branches' subtrees differ and ReuseExchange never fired.
     // Drive the executed plan and assert the final AQE tree carries
     // exactly ONE live FileScan plus reused exchanges.
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
-      case q: QueryStageExec => p +: walk(q.plan)
-      case other => other +: other.children.flatMap(walk)
-    }
+    import ScanAudit.walk // the one shared AQE-aware traversal
     for (name <- Seq("q99_winsorized", "q112_percentile_disc_sharded")) {
       val qe = SparkEntry.baseQueries(name)(spark, sfDir).queryExecution
       qe.toRdd.foreach(_ => ())
