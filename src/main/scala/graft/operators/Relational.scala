@@ -723,9 +723,14 @@ object Relational {
   def q69Union(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
     val p = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
-    val u = c.unionByName(p)
-    u.distinct().agg(count(lit(1)).as("n_union"))
-      .crossJoin(u.agg(count(lit(1)).as("n_union_all")))
+    // BOTH counts from one aggregation over one union pass — the earlier
+    // distinct-branch + all-branch spelling scanned both tables twice
+    // (r12 scan audit). UNION keeps one NULL row, COUNT(DISTINCT) skips
+    // NULLs, so the max-flag term restores SQL UNION's NULL-row exactly.
+    c.unionByName(p).agg(
+      (countDistinct(col("k")) +
+        max(when(col("k").isNull, 1L).otherwise(0L))).as("n_union"),
+      count(lit(1)).as("n_union_all"))
   }
 
   /** Q70 — HAVING (post-aggregation filter): customers with ≥10 orders.

@@ -568,12 +568,23 @@ object TextAnalysis {
     val td = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf_d"))
     val stats = td.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf_d").cast("long").as("tf"))
+    // tf_d rides the collected STRUCT as a prune guard: the posting list
+    // doesn't need the in-doc count, so Catalyst would prune it from this
+    // branch's copy of td, the subtrees would differ, and the corpus
+    // would be tokenized+exploded twice (r12 scan audit). An arithmetic
+    // `+ tf_d*0` no-op gets constant-folded here because count() is
+    // NON-nullable (the nullable-min guards elsewhere survive precisely
+    // because the optimizer can't rule out null) — a struct field inside
+    // collect_list is beyond nested-field pruning, so this one sticks.
+    // array_sort on (doc_id, tf_d) structs orders by doc_id first ≡ the
+    // old doc_id sort (doc_id is unique per term after td).
     val top5 = td
       .withColumn("rn", row_number().over(Window.partitionBy("term").orderBy("doc_id")))
       .filter(col("rn") <= 5)
       .groupBy("term")
       .agg(concat_ws(",",
-        transform(array_sort(collect_list(col("doc_id"))), x => x.cast("string"))).as("posting"))
+        transform(array_sort(collect_list(struct(col("doc_id"), col("tf_d")))),
+          x => x.getField("doc_id").cast("string"))).as("posting"))
     stats.join(top5, Seq("term"))
       .select("term", "df", "tf", "posting")
       .orderBy(desc("df"), asc("term"))
