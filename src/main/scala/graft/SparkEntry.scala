@@ -213,6 +213,11 @@ object SparkEntry {
     // CASE-conditional counts
     "q141_tpch_q9"         -> (Relational.q141TpchQ9 _),
     "q142_tpch_q12"        -> (Relational.q142TpchQ12 _),
+    // r12 (2nd batch): Q4/Q6/Q14 — with these every one of TPC-H's 22
+    // query classes has a covering rewrite shape in the registry
+    "q143_tpch_q4"         -> (Relational.q143TpchQ4 _),
+    "q144_tpch_q6"         -> (Relational.q144TpchQ6 _),
+    "q145_tpch_q14"        -> (Relational.q145TpchQ14 _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -943,6 +948,16 @@ object SparkEntry {
       // TIMESTAMP literal is the one dialect split (sparkDialect carries
       // the TIMESTAMP_NTZ twin, the q08/q140 pattern); pure counts
       "SELECT l_returnflag, CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count FROM lineitem JOIN orders ON o_orderkey = l_orderkey WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1 ORDER BY 1",
+    "q143_tpch_q4" -> // EXISTS with a non-equi correlated date predicate;
+      // TIMESTAMP literals are the dialect split (sparkDialect twin);
+      // INTERVAL 60 DAY parses identically on both engines; pure counts
+      "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00' AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY) GROUP BY 1 ORDER BY 1",
+    "q144_tpch_q6" -> // scan-filter-agg to one row; per-row DECIMAL
+      // ROUND cents; discount band compares identical stored doubles
+      "SELECT CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents, COUNT(*) AS n FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+    "q145_tpch_q14" -> // global CASE-share ratio in exact cents; the
+      // percentage a double ratio of identical ints (q140 discipline)
+      "SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vc ELSE 0 END) AS BIGINT) AS promo_cents, CAST(SUM(vc) AS BIGINT) AS total_cents, ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vc ELSE 0 END) AS DOUBLE) * 100 / SUM(vc), 4) AS promo_pct FROM (SELECT l_partkey, CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * 100, 0) AS BIGINT) AS vc FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00') l JOIN part ON p_partkey = l_partkey",
     "q128_latest_per_key" -> // the oracle spells ROW_NUMBER()=1; the engine
       // lane is max(struct) partial-agg — same semantics, fewer shuffled
       // bytes (see the operator's scale note); µs truncation contract

@@ -34,6 +34,12 @@ object SqlFrontDoor {
       "SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year, CAST(SUM(CASE WHEN ns.n_name = 'NATION_3' THEN vc ELSE 0 END) AS BIGINT) AS nation_cents, CAST(SUM(vc) AS BIGINT) AS total_cents, ROUND(CAST(SUM(CASE WHEN ns.n_name = 'NATION_3' THEN vc ELSE 0 END) AS DOUBLE) / SUM(vc), 4) AS share FROM (SELECT l_orderkey, l_suppkey, l_partkey, CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * 100, 0) AS BIGINT) AS vc FROM lineitem) l JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO' JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey JOIN nation nc ON nc.n_nationkey = c_nationkey JOIN region ON r_regionkey = nc.n_regionkey AND r_name = 'ASIA' JOIN supplier ON s_suppkey = l_suppkey JOIN nation ns ON ns.n_nationkey = s_nationkey WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00' GROUP BY 1 ORDER BY 1",
     "q142_tpch_q12" -> // TIMESTAMP literal vs timestamp_ntz column (q08 pattern)
       "SELECT l_returnflag, CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count FROM lineitem JOIN orders ON o_orderkey = l_orderkey WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00' GROUP BY 1 ORDER BY 1",
+    "q143_tpch_q4" -> // TIMESTAMP literal vs timestamp_ntz column (q08 pattern)
+      "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o WHERE o_orderdate >= TIMESTAMP_NTZ '1996-07-01 00:00:00' AND o_orderdate < TIMESTAMP_NTZ '1996-10-01 00:00:00' AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY) GROUP BY 1 ORDER BY 1",
+    "q144_tpch_q6" -> // TIMESTAMP literal vs timestamp_ntz column (q08 pattern)
+      "SELECT CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents, COUNT(*) AS n FROM lineitem WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00' AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+    "q145_tpch_q14" -> // TIMESTAMP literal vs timestamp_ntz column (q08 pattern)
+      "SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vc ELSE 0 END) AS BIGINT) AS promo_cents, CAST(SUM(vc) AS BIGINT) AS total_cents, ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vc ELSE 0 END) AS DOUBLE) * 100 / SUM(vc), 4) AS promo_pct FROM (SELECT l_partkey, CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * 100, 0) AS BIGINT) AS vc FROM lineitem WHERE l_shipdate >= TIMESTAMP_NTZ '1996-09-01 00:00:00' AND l_shipdate < TIMESTAMP_NTZ '1996-10-01 00:00:00') l JOIN part ON p_partkey = l_partkey",
     "q24_event_tumbling" -> // ts already bigint epoch-nanos under nanosAsLong
       "SELECT (ts - (ts % 3600000000000)) AS hour_bucket, event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2",
     // DuckDB string_split_regex/len(regexp_extract_all) -> Spark split/regexp_count

@@ -2080,4 +2080,76 @@ object Relational {
             |  AND l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'
             |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
+
+  /** Q143 — TPC-H Q4 shape (order priority checking): an EXISTS whose
+    * correlated predicate compares COLUMNS OF BOTH TABLES with arithmetic
+    * (`l_shipdate ≥ o_orderdate + 60 days` — the data model has no
+    * l_commitdate/l_receiptdate, so "late lineitem" is shipped ≥60 days
+    * after the order; the ship-lag distribution averages 39 days, so the
+    * predicate is selective, not vacuous). The rewrite class q05's plain
+    * EXISTS does not cover: the semi-join condition is orderkey equality
+    * PLUS a non-equi date comparison, so the planner must carry the extra
+    * predicate INTO the left-semi join rather than pre-filter either side.
+    * Counts by priority over a one-quarter order window. */
+  def q143TpchQ4(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""SELECT o_orderpriority, COUNT(*) AS order_count
+            |FROM orders o
+            |WHERE o_orderdate >= TIMESTAMP_NTZ '1996-07-01 00:00:00'
+            |  AND o_orderdate < TIMESTAMP_NTZ '1996-10-01 00:00:00'
+            |  AND EXISTS (SELECT 1 FROM lineitem l
+            |              WHERE l.l_orderkey = o.o_orderkey
+            |                AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+            |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Q144 — TPC-H Q6 shape (forecast revenue change): the pure
+    * scan-filter-aggregate with a THREE-predicate conjunction (date
+    * window + discount band + quantity cap) collapsing the fact table to
+    * one row — the query class where the entire cost IS the scan, so
+    * every predicate must reach PushedFilters and the aggregate must fold
+    * map-side to a single partial row per task (PlanAuditSpec pins both).
+    * Revenue = Σ ROUND(price·discount·100) per row in exact DECIMAL-then-
+    * integer cents; the discount band compares the stored doubles against
+    * the same literals in both engines (identical bits ⇒ identical
+    * inclusion). */
+  def q144TpchQ6(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""SELECT CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) *
+            |                          CAST(l_discount AS DECIMAL(12,2)) * 100, 0)
+            |                AS BIGINT)) AS BIGINT) AS revenue_cents,
+            |       COUNT(*) AS n
+            |FROM lineitem
+            |WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+            |  AND l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'
+            |  AND l_discount BETWEEN 0.05 AND 0.07
+            |  AND l_quantity < 24""".stripMargin)
+  }
+
+  /** Q145 — TPC-H Q14 shape (promotion effect): a date-windowed fact
+    * slice joined to its part dimension feeding a CONDITIONAL-share
+    * single-row answer — promo revenue as a percentage of total. Rounds
+    * out the share-arithmetic family: q140 shares per GROUP, q142 counts
+    * complementary classes, this one ratios a CASE-sum against the
+    * unconditional sum in ONE global aggregate. Cents exact (the q140 vc
+    * spelling); the percentage a double ratio of identical integers ×100,
+    * ROUND(4) — bit-stable cross-engine.
+    *
+    * Scale: the one-month l_shipdate window prunes the fact at the scan;
+    * part broadcasts; output is a single row — partial aggregation
+    * reduces each task to one row before the 1-row exchange. */
+  def q145TpchQ14(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vc ELSE 0 END) AS BIGINT) AS promo_cents,
+            |       CAST(SUM(vc) AS BIGINT) AS total_cents,
+            |       ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vc ELSE 0 END) AS DOUBLE)
+            |             * 100 / SUM(vc), 4) AS promo_pct
+            |FROM (SELECT l_partkey,
+            |             CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) *
+            |                        (1 - CAST(l_discount AS DECIMAL(12,2))) * 100, 0) AS BIGINT) AS vc
+            |      FROM lineitem
+            |      WHERE l_shipdate >= TIMESTAMP_NTZ '1996-09-01 00:00:00'
+            |        AND l_shipdate < TIMESTAMP_NTZ '1996-10-01 00:00:00') l
+            |JOIN part ON p_partkey = l_partkey""".stripMargin)
+  }
 }

@@ -706,6 +706,34 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing the map-side partial CASE-count aggregation:\n$plan")
   }
 
+  test("q143 TPC-H Q4: the non-equi EXISTS plans as a left semi join carrying the date predicate") {
+    val df = graft.operators.Relational.q143TpchQ4(spark, sfDir)
+    val plan = planString(df)
+    assert(plan.contains("LeftSemi"),
+      s"the EXISTS must decorrelate to a left semi join:\n$plan")
+    // the ship-lag comparison is part of the JOIN, not a pre-filter on
+    // either side (it references both tables)
+    assert("LeftSemi.*l_shipdate|l_shipdate.*LeftSemi".r.findFirstIn(
+      plan.replaceAll("\n", " ")).isDefined,
+      s"the correlated date predicate must ride the semi join:\n$plan")
+  }
+
+  test("q144 TPC-H Q6: every predicate reaches the scan and the aggregate folds map-side") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = graft.operators.Relational.q144TpchQ6(spark, sfDir)
+    // the formatted plan string TRUNCATES long PushedFilters lists — read
+    // the scan node's metadata, which carries the full set
+    val pushed = ScanAudit.walk(df.queryExecution.sparkPlan)
+      .collectFirst { case f: FileSourceScanExec => f.metadata("PushedFilters") }
+      .getOrElse(fail("no file scan in the q144 plan"))
+    for (p <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity"))
+      assert(pushed.contains(p), s"predicate $p must push to the lineitem scan: $pushed")
+    assert(planString(df).contains("partial_sum"),
+      s"the one-row answer must partial-aggregate map-side")
+  }
+
   test("q139 TPC-H Q11: the HAVING's global scalars run as once-computed subqueries, not joins") {
     val df = graft.operators.Relational.q139TpchQ11(spark, sfDir)
     val plan = planString(df)
