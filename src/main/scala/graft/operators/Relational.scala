@@ -726,10 +726,12 @@ object Relational {
     // BOTH counts from one aggregation over one union pass — the earlier
     // distinct-branch + all-branch spelling scanned both tables twice
     // (r12 scan audit). UNION keeps one NULL row, COUNT(DISTINCT) skips
-    // NULLs, so the max-flag term restores SQL UNION's NULL-row exactly.
+    // NULLs, so the max-flag term restores SQL UNION's NULL-row exactly;
+    // coalesce keeps n_union 0 (not NULL) on EMPTY input, where max()
+    // over zero rows is NULL — matching COUNT(*) over an empty union.
     c.unionByName(p).agg(
       (countDistinct(col("k")) +
-        max(when(col("k").isNull, 1L).otherwise(0L))).as("n_union"),
+        coalesce(max(when(col("k").isNull, 1L).otherwise(0L)), lit(0L))).as("n_union"),
       count(lit(1)).as("n_union_all"))
   }
 

@@ -711,11 +711,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = planString(df)
     assert(plan.contains("LeftSemi"),
       s"the EXISTS must decorrelate to a left semi join:\n$plan")
-    // the ship-lag comparison is part of the JOIN, not a pre-filter on
-    // either side (it references both tables)
-    assert("LeftSemi.*l_shipdate|l_shipdate.*LeftSemi".r.findFirstIn(
-      plan.replaceAll("\n", " ")).isDefined,
-      s"the correlated date predicate must ride the semi join:\n$plan")
+    // the ship-lag comparison is part of the JOIN's own condition — the
+    // simple plan string renders it inline on the join node's line; match
+    // both on ONE line (the earlier anywhere-in-plan regex was vacuous:
+    // l_shipdate always appears in the scan's ReadSchema)
+    assert("(?m)^.*LeftSemi.*l_shipdate.*>=.*o_orderdate.*$".r
+      .findFirstIn(plan).isDefined,
+      s"the correlated date predicate must ride the semi join's condition:\n$plan")
   }
 
   test("q144 TPC-H Q6: every predicate reaches the scan and the aggregate folds map-side") {
@@ -732,6 +734,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(pushed.contains(p), s"predicate $p must push to the lineitem scan: $pushed")
     assert(planString(df).contains("partial_sum"),
       s"the one-row answer must partial-aggregate map-side")
+  }
+
+  test("q145 TPC-H Q14: the month window prunes the fact scan and part broadcasts") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = graft.operators.Relational.q145TpchQ14(spark, sfDir)
+    val plan = planString(df)
+    val pushed = ScanAudit.walk(df.queryExecution.sparkPlan)
+      .collect { case f: FileSourceScanExec => f.metadata("PushedFilters") }
+      .mkString(" ")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate"),
+      s"the one-month window must push to the lineitem scan: $pushed")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part must broadcast against the windowed fact slice:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"the one-row answer must partial-aggregate map-side:\n$plan")
   }
 
   test("q139 TPC-H Q11: the HAVING's global scalars run as once-computed subqueries, not joins") {
