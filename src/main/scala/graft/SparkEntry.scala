@@ -459,8 +459,16 @@ object SparkEntry {
     * the hint DuckDB inlines and recomputes each, doubling time AND
     * allocator pressure (measured 5.8 s → 2.4 s at sf0.01). */
   private def materializeCtes(sql: String, names: Seq[String]): String =
-    names.foldLeft(sql)((s, n) => s.replaceFirst(
-      java.util.regex.Pattern.quote(s"$n AS ("), s"$n AS MATERIALIZED ("))
+    names.foldLeft(sql) { (s, n) =>
+      // anchor at a CTE-clause boundary: a raw substring match on
+      // "<name> AS (" can land INSIDE a longer CTE name (`c AS (` inside
+      // `rc AS (`) and silently materialize the wrong CTE (r12 ADVICE #2)
+      val out = s.replaceFirst(
+        "(?<=WITH |, )" + java.util.regex.Pattern.quote(s"$n AS ("),
+        java.util.regex.Matcher.quoteReplacement(s"$n AS MATERIALIZED ("))
+      require(out != s, s"materializeCtes: CTE '$n' not found at a clause boundary")
+      out
+    }
 
   /** The recall-row SELECT shared by both ANN oracles: one UNION ALL arm
     * per (method, hits-CTE, floor) triple, ordered by method. */

@@ -67,6 +67,17 @@ object Verify {
           "NaN-skip vs NULL-sort divergence documented at SparkEntry.sqlDot applies")
     } catch {
       case e: IllegalArgumentException => throw e // the named guard itself
+      // A SCHEMA-level AnalysisException (renamed/retyped `embedding` after
+      // a fixture regen) is exactly the drift this guard exists to name —
+      // swallowing it would re-open the opaque five-lane hash mismatch
+      // (r12 ADVICE #1). Only a genuinely missing table (surfaces per-query
+      // below with its own message) may degrade to a stderr note.
+      case e: org.apache.spark.sql.AnalysisException
+          if !e.getMessage.contains("PATH_NOT_FOUND") &&
+            !e.getMessage.contains("Path does not exist") =>
+        throw new IllegalArgumentException(
+          "embeddings fixture schema drifted (the ANN oracle replays " +
+            s"hardcode dim-64 float arrays — SparkEntry.sqlDot family): ${e.getMessage}", e)
       case e: Throwable =>
         // a missing/corrupt table surfaces per-query below; don't die here
         System.err.println(s"[verify] fixture-invariant probe skipped: ${e.getMessage}")

@@ -979,7 +979,13 @@ object Relational {
     // without it the two branches' exchanges differ by that one inferred
     // filter, ReuseExchange can't fire, and the fact table scans AND
     // shuffles twice (caught by the r12 bench: q99 was the suite's
-    // slowest lane at 3.27 s with two FileScans in the AQE final plan)
+    // slowest lane at 3.27 s with two FileScans in the AQE final plan).
+    // ASSUMES non-null l_extendedprice (sh is null iff c is): a NULL price
+    // would now be dropped from n/totals where the pre-r12 clip branch
+    // counted it. The oracle's rank arithmetic makes the same assumption;
+    // the fixture carries no NULL prices (sf1 hash-verified) — if a regen
+    // introduces them, add the matching IS NOT NULL to the oracle SQL so
+    // both sides agree by construction (r12 ADVICE #3).
     val li = liRaw.withColumn("sh", expr(s"(c - ${lo}L) div ${width}L"))
       .filter(col("sh").isNotNull)
     // ONE exchange under every branch: the collapsed subtree `g` is the
@@ -1140,7 +1146,8 @@ object Relational {
     val width = math.max(1L, (hi - lo) / math.max(1L, targetShards) + 1L)
     // explicit isNotNull matches the IsNotNull(sh) the threshold join
     // infers — without it the branches' exchanges differ by that inferred
-    // filter and the fact scans+shuffles twice (the q99 r12 finding)
+    // filter and the fact scans+shuffles twice (the q99 r12 finding).
+    // Assumes non-null l_extendedprice — see the q99 twin's note.
     val li = liRaw.withColumn("sh", expr(s"(c - ${lo}L) div ${width}L"))
       .filter(col("sh").isNotNull)
     // one exchange, shared by the stats and threshold branches (q99 shape)
