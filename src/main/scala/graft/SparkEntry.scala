@@ -218,6 +218,11 @@ object SparkEntry {
     "q143_tpch_q4"         -> (Relational.q143TpchQ4 _),
     "q144_tpch_q6"         -> (Relational.q144TpchQ6 _),
     "q145_tpch_q14"        -> (Relational.q145TpchQ14 _),
+    // r13: the multimodal pillar's gated lanes (r12 verdict #1) — binary
+    // payload dedup, frame-sample fingerprints, modality-mix accounting
+    "q146_payload_dedup"   -> (Multimodal.q146PayloadDedup _),
+    "q147_frame_fingerprints" -> (Multimodal.q147FrameFingerprints _),
+    "q148_modality_mix"    -> (Multimodal.q148ModalityMix _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -970,5 +975,18 @@ object SparkEntry {
       // lane is max(struct) partial-agg — same semantics, fewer shuffled
       // bytes (see the operator's scale note); µs truncation contract
       "WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events), r AS (SELECT user_id, t, event_id, event_type, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rn FROM e) SELECT user_id, t AS last_t_us, event_id AS last_event_id, event_type AS last_event_type FROM r WHERE rn = 1 ORDER BY user_id",
+    // q146–q148 (r13 multimodal pillar): md5/substring over the SAME BYTES
+    // both engines — documents is pure ASCII at every SF (octet_length ==
+    // length, verified r13), so DuckDB's varchar md5/substring replays
+    // Spark's binary payload ops exactly; sparkDialect carries the
+    // CAST(text AS BINARY) twins
+    "q146_payload_dedup" ->
+      "WITH fp AS (SELECT source, doc_id, md5(text) AS fp, octet_length(encode(text)) AS nb FROM documents WHERE text IS NOT NULL), g AS (SELECT source, fp, MIN(doc_id) AS keeper, COUNT(*) AS copies, MIN(nb) AS nb FROM fp GROUP BY 1, 2) SELECT source, COUNT(*) AS n_unique, CAST(SUM(copies) AS BIGINT) AS n_total, CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_dupes, CAST(SUM(nb) AS BIGINT) AS bytes_unique, CAST(SUM(keeper) AS BIGINT) AS keeper_sum FROM g GROUP BY source ORDER BY source",
+    "q147_frame_fingerprints" -> // 4 evenly-spaced 32-byte frames; stride
+      // clamped to >=1 so the negative-division semantics split (trunc vs
+      // floor) can never surface
+      "WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS total FROM documents WHERE doc_id < 200 AND text IS NOT NULL), f AS (SELECT doc_id, i, substring(text, CAST(i * GREATEST((total - 32) // 3, 1) + 1 AS BIGINT), 32) AS frame FROM d, (SELECT unnest(range(0, 4)) AS i) ii) SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, md5(frame) AS frame_md5, CAST(length(frame) AS BIGINT) AS frame_len FROM f ORDER BY doc_id, frame_idx",
+    "q148_modality_mix" ->
+      "WITH p AS (SELECT source, doc_id, octet_length(encode(text)) AS nb, ['image/png','audio/wav','video/mp4','text/plain'][CAST(doc_id % 4 AS INT) + 1] AS mime FROM documents WHERE text IS NOT NULL), g AS (SELECT source, mime, COUNT(*) AS n_docs, SUM(nb) AS bytes FROM p GROUP BY 1, 2), t AS (SELECT source, SUM(bytes) AS src_bytes FROM g GROUP BY 1), a AS (SELECT SUM(bytes) AS all_bytes FROM g) SELECT g.source, mime, n_docs, CAST(bytes AS BIGINT) AS total_bytes, CAST(bytes * 1000000 // src_bytes AS BIGINT) AS share_ppm, CAST(src_bytes * 1000000 // all_bytes AS BIGINT) AS src_weight_ppm FROM g JOIN t USING (source) CROSS JOIN a ORDER BY source, mime",
   )
 }

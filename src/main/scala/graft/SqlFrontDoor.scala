@@ -59,6 +59,15 @@ object SqlFrontDoor {
       "WITH f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM embeddings LATERAL VIEW posexplode(embedding) t AS i, v WHERE vec_id < 300), d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, SUM(a.v * b.v) AS dot, SUM(a.v * a.v) AS qq, SUM(b.v * b.v) AS cc FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2) SELECT id1, id2, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d ORDER BY sim DESC, id1, id2 LIMIT 20",
     "q38_multimodal_bytes" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes FROM documents WHERE doc_id < 100 ORDER BY doc_id",
+    // q146–q148 (r13): encode() -> CAST(text AS BINARY); Spark's md5/
+    // substring operate on the binary payload directly; `//` -> div;
+    // list literal indexing -> element_at(array(...))
+    "q146_payload_dedup" ->
+      "WITH fp AS (SELECT source, doc_id, md5(CAST(text AS BINARY)) AS fp, octet_length(CAST(text AS BINARY)) AS nb FROM documents WHERE text IS NOT NULL), g AS (SELECT source, fp, MIN(doc_id) AS keeper, COUNT(*) AS copies, MIN(nb) AS nb FROM fp GROUP BY 1, 2) SELECT source, COUNT(*) AS n_unique, CAST(SUM(copies) AS BIGINT) AS n_total, CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_dupes, CAST(SUM(nb) AS BIGINT) AS bytes_unique, CAST(SUM(keeper) AS BIGINT) AS keeper_sum FROM g GROUP BY source ORDER BY source",
+    "q147_frame_fingerprints" ->
+      "WITH d AS (SELECT doc_id, CAST(text AS BINARY) AS payload, octet_length(CAST(text AS BINARY)) AS total FROM documents WHERE doc_id < 200 AND text IS NOT NULL), f AS (SELECT doc_id, i, substring(payload, CAST(i * GREATEST((total - 32) div 3, 1) + 1 AS INT), 32) AS frame FROM d LATERAL VIEW explode(sequence(0, 3)) t AS i) SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, md5(frame) AS frame_md5, CAST(octet_length(frame) AS BIGINT) AS frame_len FROM f ORDER BY doc_id, frame_idx",
+    "q148_modality_mix" ->
+      "WITH p AS (SELECT source, doc_id, octet_length(CAST(text AS BINARY)) AS nb, element_at(array('image/png','audio/wav','video/mp4','text/plain'), CAST(doc_id % 4 AS INT) + 1) AS mime FROM documents WHERE text IS NOT NULL), g AS (SELECT source, mime, COUNT(*) AS n_docs, SUM(nb) AS bytes FROM p GROUP BY 1, 2), t AS (SELECT source, SUM(bytes) AS src_bytes FROM g GROUP BY 1), a AS (SELECT SUM(bytes) AS all_bytes FROM g) SELECT g.source, mime, n_docs, CAST(bytes AS BIGINT) AS total_bytes, CAST(bytes * 1000000 div src_bytes AS BIGINT) AS share_ppm, CAST(src_bytes * 1000000 div all_bytes AS BIGINT) AS src_weight_ppm FROM g JOIN t USING (source) CROSS JOIN a ORDER BY source, mime",
     "q88_range_join_binned" -> // epoch_ns(ts) -> raw ts (bigint under nanosAsLong)
       "WITH hrs AS (SELECT ts - (ts % 3600000000000) AS hb, COUNT(*) AS c FROM events GROUP BY 1), st AS (SELECT SUM(c) AS total, COUNT(*) AS n_hours FROM hrs), busy AS (SELECT hb FROM hrs, st WHERE 10 * c * n_hours > 11 * total), isl AS (SELECT MIN(hb) AS start_ns, MAX(hb) + 3600000000000 AS end_ns, COUNT(*) AS island_hours FROM (SELECT hb, hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM busy) g GROUP BY grp) SELECT i.start_ns AS island_start, CAST(i.island_hours AS BIGINT) AS island_hours, COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users, CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value FROM events e JOIN isl i ON e.ts >= i.start_ns AND e.ts < i.end_ns GROUP BY 1, 2 ORDER BY 1",
     "q89_tfidf_top_terms" -> // string_split_regex -> split, unnest -> explode, // -> div

@@ -77,16 +77,19 @@ object Multimodal {
 
   /** Frame sampling: n evenly-spaced fixed-size byte slices of the payload
     * (the video-frame-sample access pattern; binary substring is codegen'd
-    * and never copies the full payload off-executor). */
+    * and never copies the full payload off-executor). Stride arithmetic is
+    * ALL-INTEGER (`div`, clamped to ≥1) so the sampled offsets replay
+    * exactly in the DuckDB oracle — the old `/` spelling produced a double
+    * stride whose positions no integer SQL could reproduce. */
   def frameSample(d: DataFrame, payloadCol: String = "payload",
                   n: Int = 4, frameBytes: Int = 32): DataFrame = {
-    val total = octet_length(col(payloadCol))
+    val stride = greatest(
+      expr(s"(octet_length($payloadCol) - $frameBytes) div ${math.max(n - 1, 1)}"),
+      lit(1))
     // substring with a computed start needs Column-typed substr
     val frameArr = transform(
       sequence(lit(0), lit(n - 1)),
-      i => col(payloadCol).substr(
-        (i * greatest((total - frameBytes) / math.max(n - 1, 1), lit(1))) + 1,
-        lit(frameBytes)))
+      i => col(payloadCol).substr(i * stride + 1, lit(frameBytes)))
     d.withColumn("frames", frameArr)
   }
 
@@ -96,4 +99,83 @@ object Multimodal {
     withPayload(Tables(s, dir, "documents").filter(col("doc_id") < 100))
       .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"))
       .orderBy("doc_id")
+
+  /** Q146 — binary-payload exact dedup with keeper selection: md5 over the
+    * payload BYTES (not the text column — the q28 contract re-expressed on
+    * the opaque-binary plumbing), grouped per (source, fingerprint), keeper
+    * = min doc_id, then per-source accounting of unique payloads / dropped
+    * copies / retained bytes. The DuckDB oracle replays md5 over the same
+    * bytes because the documents fixture is pure ASCII (octet_length ==
+    * length at every SF — verified r13; a regen that adds multi-byte text
+    * flips q38 first).
+    *
+    * Scale (the pillar's core property, plan-pinned in MultimodalSpec):
+    * the 16-byte fingerprint and the byte COUNT are computed map-side and
+    * ONLY THEY cross the exchange — the payload itself never shuffles. At
+    * 100 TB of media that is the difference between shuffling 100 TB and
+    * shuffling ~|docs|·24 bytes. */
+  def q146PayloadDedup(s: SparkSession, dir: String): DataFrame = {
+    val p = withPayload(Tables(s, dir, "documents").filter(col("text").isNotNull))
+    val fp = p.select(col("source"), col("doc_id"),
+      md5(col("payload")).as("fp"), col("media_meta.n_bytes").as("nb"))
+    val g = fp.groupBy("source", "fp")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("copies"), min("nb").as("nb"))
+    g.groupBy("source")
+      .agg(count(lit(1)).as("n_unique"),
+        sum("copies").cast("long").as("n_total"),
+        (sum("copies") - count(lit(1))).cast("long").as("n_dupes"),
+        sum("nb").cast("long").as("bytes_unique"),
+        sum("keeper").cast("long").as("keeper_sum"))
+      .orderBy("source")
+  }
+
+  /** Q147 — frame-sample fingerprinting: [[frameSample]]'s 4 evenly-spaced
+    * 32-byte slices per payload, each fingerprinted with md5 — the
+    * video-keyframe dedup access pattern (sample frames, hash frames,
+    * never move the video). Offsets are all-integer so the oracle replays
+    * them; ASCII fixture ⇒ DuckDB's varchar substring/md5 sees the same
+    * bytes as Spark's binary substr.
+    *
+    * Scale: slicing and hashing are codegen'd map-side projections; the
+    * only shuffled rows are (doc_id, frame_idx, md5-hex, len) — the
+    * payload stays columnar in the scan and is pruned before the sort
+    * exchange (plan-pinned). */
+  def q147FrameFingerprints(s: SparkSession, dir: String): DataFrame = {
+    val p = withPayload(Tables(s, dir, "documents")
+      .filter(col("doc_id") < 200 && col("text").isNotNull))
+    frameSample(p, n = 4, frameBytes = 32)
+      .select(col("doc_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(col("frame")).as("frame_md5"),
+        octet_length(col("frame")).cast("long").as("frame_len"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Q148 — modality-mix accounting: each doc carries a deterministic mime
+    * tag (doc_id mod 4 over a 4-entry modality table — the fixture has no
+    * real media types; the JOIN SHAPE is what this lane gates), and the
+    * lane folds media_meta byte totals into the q130-family source-mixing
+    * view: per (source, mime) doc/byte counts, the mime's byte share
+    * within its source, and the source's byte-weighted mixing share of the
+    * whole corpus — the table a training-mix planner reads to balance
+    * modalities per source. Integer ppm spellings → hash-exact.
+    *
+    * Scale: one corpus pass folds to |sources|×|mimes| rows; both shares
+    * are windows over that metadata-sized frame. */
+  def q148ModalityMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mimes = array(lit("image/png"), lit("audio/wav"), lit("video/mp4"), lit("text/plain"))
+    val p = withPayload(Tables(s, dir, "documents").filter(col("text").isNotNull))
+      .withColumn("mime", element_at(mimes, (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
+    val g = p.groupBy("source", "mime")
+      .agg(count(lit(1)).as("n_docs"), sum(col("media_meta.n_bytes")).as("bytes"))
+    g.withColumn("src_bytes", sum("bytes").over(Window.partitionBy("source")))
+      .withColumn("all_bytes", sum("bytes").over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("source"), col("mime"), col("n_docs"),
+        col("bytes").cast("long").as("total_bytes"),
+        expr("bytes * 1000000 div src_bytes").as("share_ppm"),
+        expr("src_bytes * 1000000 div all_bytes").as("src_weight_ppm"))
+      .orderBy("source", "mime")
+  }
 }

@@ -1446,40 +1446,42 @@ object Relational {
   }
 
   /** Exact discrete median (= quantile_disc(0.5): the value at global rank
-    * ⌈n/2⌉ ascending) of integer column `x` per `key`, by HISTOGRAM
-    * REFINEMENT: count rows per $1,000 bin (map-side partial agg — only
-    * ~|keys|·|bins| count rows ever shuffle), locate the bin where the
-    * cumulative count crosses the target rank, rebase the rank into that
-    * bin, and resolve with an exact-value histogram of the crossing bin
-    * only. Two linear scans, two count-row cum windows, ZERO full-data
-    * shuffles and no row-level sort anywhere — at 100 TB this is the
-    * exact-quantile plan of record: the q112 full-rank spelling computes
-    * EVERY order statistic (right when many percentiles are needed at
-    * once) at the price of repartitioning the fact table; a single
-    * quantile only needs the crossing bin. Per-task state is bounded by
-    * the VALUE DOMAIN (≤10³ coarse bins, ≤10⁵ exact cents inside one bin),
-    * never by the data (q107's buffer caveat). */
-  private def histDiscMedian(data: DataFrame, key: String, x: String): DataFrame = {
-    def crossing(counts: DataFrame, bin: String, tgt: Column): DataFrame = {
+    * ⌈n/2⌉ ascending) over a WEIGHTED value histogram `(key, x, cnt)` — the
+    * input is already the q112/q99 distinct-value collapse, so every stage
+    * here touches count rows only — by HISTOGRAM REFINEMENT: roll the value
+    * rows up to $1,000 bins, locate the bin where the cumulative weight
+    * crosses the target rank, rebase the rank into that bin, and resolve on
+    * the crossing bin's value rows alone. ZERO full-data work anywhere —
+    * at 100 TB this is the exact-quantile plan of record: the q112
+    * full-rank spelling computes EVERY order statistic (right when many
+    * percentiles are needed at once) at the price of repartitioning the
+    * fact table; a single quantile only needs the crossing bin. Per-task
+    * state is bounded by the VALUE DOMAIN (≤10³ coarse bins, ≤10⁵ exact
+    * cents inside one bin), never by the data (q107's buffer caveat).
+    * r13 (r12 verdict #4, the collapse's third application): through r12
+    * the level-2 histogram aggregated RAW rows ((key, x, t1, n) groupBy
+    * over the re-scanned fact) — feeding both levels from one collapsed
+    * frame cut the drill ratio's closest-to-bar lane (2.45 vs 2.5) loose
+    * from the data entirely and dropped q118 to ONE fact scan. */
+  private def histDiscMedianW(counts: DataFrame, key: String, x: String): DataFrame = {
+    def crossing(cs: DataFrame, bin: String, tgt: Column): DataFrame = {
       val w = Window.partitionBy(key).orderBy(bin)
-      counts
+      cs
         .withColumn("cum", sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)))
         .filter(col("cum") - col("cnt") < tgt && tgt <= col("cum"))
         .withColumn("tin", tgt - (col("cum") - col("cnt")))
     }
     // two resolutions suffice BECAUSE the bins are value-domain-bounded:
-    // the level-2 exact-value histogram inside the crossing $1,000 bin has
-    // ≤ 10⁵ rows per key however large the data (bin width in cents), so
-    // both cum windows run over count rows, never data rows
-    val l1 = data.groupBy(col(key), expr(s"$x div 100000").as("b1"))
-      .agg(count(lit(1)).as("cnt"))
+    // the level-2 histogram inside the crossing $1,000 bin has ≤ 10⁵ value
+    // rows per key however large the data (bin width in cents)
+    val l1 = counts.groupBy(col(key), expr(s"$x div 100000").as("b1"))
+      .agg(sum("cnt").as("cnt"))
       .withColumn("n", sum("cnt").over(Window.partitionBy(key)))
     val m1 = crossing(l1, "b1", expr("(n + 1) div 2"))
       .select(col(key), col("b1"), col("tin").as("t1"), col("n"))
-    val l2 = data.withColumn("b1", expr(s"$x div 100000"))
+    val l2 = counts.withColumn("b1", expr(s"$x div 100000"))
       .join(broadcast(m1), Seq(key, "b1"))
-      .groupBy(col(key), col(x), col("t1"), col("n"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(col(key), col(x), col("cnt"), col("t1"), col("n"))
     crossing(l2, x, col("t1"))
       .select(col(key), col(x).as("med"), col("n"))
   }
@@ -1490,37 +1492,46 @@ object Relational {
     * near-uniform prices put every row inside 2·MAD, so a 3·MAD gate would
     * count nothing and the hash would never catch a broken gate) (the standard robust z-score gate a
     * curation pipeline runs where mean/stddev would be dragged by the very
-    * outliers it hunts). Both medians run as [[histDiscMedian]] — the
+    * outliers it hunts). Both medians run as [[histDiscMedianW]] — the
     * shuffle-free refinement plan; `min(c | 2·cum ≥ n)` ≡ rank ⌈n/2⌉ ≡
     * quantile_disc(0.5) by the q99 tie argument. All-integer output →
     * hash-exact.
     *
-    * Scale: the MAD median's input |c − med| cannot exist before the first
-    * median resolves — a true data dependency, not a plan defect; each
-    * median is scans + broadcast-size aggs, and the final outlier count is
-    * one more scan under a ~|flags|-row broadcast of (med, mad). Nothing
-    * in the whole query shuffles the fact table. */
+    * Scale (r13): ONE fact scan total. The scan folds immediately to the
+    * (flag, cents) → cnt value histogram — the q112/q99 distinct-value
+    * collapse, bounded by the VALUE DOMAIN, not the data — and everything
+    * downstream (both median refinements, the deviation frame |c − med|,
+    * the outlier count) is arithmetic over that persisted count frame: the
+    * deviation of a VALUE stands for all `cnt` rows carrying it. The MAD
+    * median's input still cannot exist before the first median resolves (a
+    * true data dependency), but resolving it now costs count-row work, not
+    * a second fact pass. */
   def q118MadOutliers(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_returnflag").as("f"), cents(col("l_extendedprice")).as("c"))
-    // the ~|flags|-row median/MAD frames are referenced by every
-    // downstream level — persist them (metadata-sized) or each reference
-    // re-derives the whole refinement cascade multiplicatively (measured
-    // 5.3 s vs 1.4 s at sf0.1); released via GraftSession.releasePersisted,
-    // which Bench/Verify sweep between queries
-    val med = histDiscMedian(li, "f", "c")
-      .select(col("f"), col("med").as("med_cents"), col("n"))
+    // the skew collapse: ONE fact scan → one value row per distinct cents
+    // (duplicates fold map-side); persisted because the median cascade,
+    // the deviation frame, and the final count all read it — released via
+    // GraftSession.releasePersisted, which Bench/Verify sweep per query
+    val byVal = li.groupBy("f", "c").agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dev = li.join(broadcast(med), Seq("f"))
-      .withColumn("d", abs(col("c") - col("med_cents")))
-    val mad = histDiscMedian(dev.select(col("f"), col("d")), "f", "d")
+    val med = histDiscMedianW(byVal, "f", "c")
+      .select(col("f"), col("med").as("med_cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deviations over the COLLAPSED frame: |c − med| of a value row covers
+    // its cnt duplicates; re-collapse on d (distinct |c − med| can only
+    // shrink the frame — two values can share a deviation)
+    val devVal = byVal.join(broadcast(med), Seq("f"))
+      .select(col("f"), abs(col("c") - col("med_cents")).as("d"), col("cnt"))
+      .groupBy("f", "d").agg(sum("cnt").as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mad = histDiscMedianW(devVal, "f", "d")
       .select(col("f"), col("med").as("mad_cents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    dev.join(broadcast(mad), Seq("f"))
+    devVal.join(broadcast(mad), Seq("f")).join(broadcast(med), Seq("f"))
       .groupBy(col("f").as("l_returnflag"))
       .agg(max("med_cents").as("med_cents"), max("mad_cents").as("mad_cents"),
-        count(lit(1)).as("n"),
-        sum(when(col("d") * 2 > col("mad_cents") * 3, 1L).otherwise(0L))
+        sum("cnt").cast("long").as("n"),
+        sum(when(col("d") * 2 > col("mad_cents") * 3, col("cnt")).otherwise(0L))
           .cast("long").as("n_outliers"))
       .orderBy("l_returnflag")
   }

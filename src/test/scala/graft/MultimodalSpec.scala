@@ -54,4 +54,26 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (r.getInt(2) >= 64) frames.foreach(f => assert(f.length == 16))
     }
   }
+
+  test("q146/q147/q148: the payload NEVER crosses an exchange (executed plan)") {
+    // the pillar's scale property (r12 verdict #1): fingerprints and
+    // metadata shuffle, the opaque binary stays on its executor — at
+    // 100 TB of media the difference between shuffling hashes and
+    // shuffling the corpus. Walk every exchange in the EXECUTED plan and
+    // assert no shuffled attribute is binary-typed.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.BinaryType
+    for (name <- Seq("q146_payload_dedup", "q147_frame_fingerprints", "q148_modality_mix")) {
+      val qe = SparkEntry.baseQueries(name)(spark, sfDir).queryExecution
+      qe.toRdd.foreach(_ => ())
+      val exchanges = ScanAudit.walk(qe.executedPlan)
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, s"$name: expected at least one exchange (agg/sort)")
+      exchanges.foreach { e =>
+        val binCols = e.output.filter(_.dataType == BinaryType).map(_.name)
+        assert(binCols.isEmpty,
+          s"$name: binary payload columns $binCols crossed an exchange:\n$e")
+      }
+    }
+  }
 }
