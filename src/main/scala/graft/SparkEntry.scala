@@ -83,7 +83,8 @@ object SparkEntry {
     "q47_date_trunc"       -> (Relational.q47DateTrunc _),
     // q48: IVF-ANN cluster histogram (rows-only — float argmax engine-internal)
     "q48_ivf_clusters"     -> (Similarity.q48IvfClusters _),
-    // q49: HLL++/t-digest sketches (rows-only — estimates are engine-specific)
+    // q49: HLL++/t-digest sketches — exact companions + error bands on
+    // the surface (computed oracle since r13; estimates audited in-band)
     "q49_approx_sketches"  -> (Relational.q49ApproxSketches _),
     // q50: LSH→exact-Jaccard near-dup pipeline (rows-only — hash-family internal)
     "q50_neardup_confirmed" -> (Dedup.q50NeardupConfirmed _),
@@ -229,10 +230,10 @@ object SparkEntry {
     * json_extract_string ≡ get_json_object; epoch_ns(ts) ≡ the bigint
     * epoch-nanos Spark reads under nanosAsLong; integer-ish outputs CAST to
     * BIGINT on both sides (DuckDB LENGTH/EXTRACT/ROW_NUMBER return BIGINT,
-    * DuckDB SUM(BIGINT) returns HUGEINT). Engine-internal lanes (hash
-    * families, sketches, float argmax) append golden-VALUES oracles from
-    * [[Goldens]] — see the q34 block comment. */
-  def baseOracleSql: Map[String, String] = computedOracleSql ++ Goldens.oracle
+    * DuckDB SUM(BIGINT) returns HUGEINT). Every lane is COMPUTED-oracle
+    * since r13: the last golden-VALUES snapshots (q49/q129 DataSketches)
+    * left for driver-surface error bands — see the q34 block comment. */
+  def baseOracleSql: Map[String, String] = computedOracleSql
 
   // ---- DuckDB replay of the universal-hash family (r10 verdict #3) ----
   // The q25 fold (Java String#hashCode mod 2³², BMP-only caveat there)
@@ -632,12 +633,9 @@ object SparkEntry {
       "WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents WHERE doc_id < 40), d AS (SELECT DISTINCT doc_id, word FROM w), s AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id), c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter FROM d a JOIN d b ON a.word = b.word AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM c JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2 ORDER BY id1, id2",
     // q39/q48/q49/q87/q113/q114/q129: engine-internal float argmax / float
     // reductions / sketches with no DuckDB twin (FIXTURES §C) — gated
-    // since r10 by GOLDEN-VALUE oracles (Goldens.scala): the outputs are
-    // deterministic (verified bit-stable across 4/8/32-core runs), so a
-    // literal VALUES oracle turns the old rows-only check into a full hash
-    // gate. A testdata regen that changes the underlying rows flips these
-    // LOUDLY — re-snapshot via scripts/gen_goldens.py (the regen changed
-    // the data, not the engine).
+    // through r12 by golden-VALUES snapshots of their (deterministic,
+    // bit-stable-across-core-counts) outputs. The golden set is EMPTY
+    // since r13: everything below is a computed oracle.
     // r11: q34/q35/q40/q50 LEFT this golden set — their operators moved to
     // the replayable universal-hash family (Dedup.scala scaladoc), so they
     // get INDEPENDENT computed oracles below: DuckDB re-derives minhash
@@ -975,6 +973,14 @@ object SparkEntry {
       // lane is max(struct) partial-agg — same semantics, fewer shuffled
       // bytes (see the operator's scale note); µs truncation contract
       "WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events), r AS (SELECT user_id, t, event_id, event_type, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rn FROM e) SELECT user_id, t AS last_t_us, event_id AS last_event_id, event_type AS last_event_type FROM r WHERE rn = 1 ORDER BY user_id",
+    // q49/q129 (r13, r12 verdict #2 — the golden set is gone): the sketch
+    // ESTIMATES stay engine-internal, so the surface carries exact
+    // companions + integer band + in-band boolean; DuckDB recomputes the
+    // exact half and asserts the literals — SF-independent full hash gate
+    "q49_approx_sketches" ->
+      "SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_nd, ROUND(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50, COUNT(*) AS n, CAST(500 AS BIGINT) AS nd_band_bp, TRUE AS nd_ok, CAST(500 AS BIGINT) AS p50_band_bp, TRUE AS p50_ok FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "q129_hll_rollup" ->
+      "WITH l AS (SELECT o_orderstatus, o_orderpriority FROM orders GROUP BY 1, 2), nl AS (SELECT o_orderstatus, COUNT(*) AS n_leaves FROM l GROUP BY 1), e AS (SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_nd FROM orders GROUP BY 1) SELECT e.o_orderstatus, n_leaves, exact_nd, CAST(500 AS BIGINT) AS band_bp, TRUE AS within_band FROM e JOIN nl USING (o_orderstatus) ORDER BY o_orderstatus",
     // q146–q148 (r13 multimodal pillar): md5/substring over the SAME BYTES
     // both engines — documents is pure ASCII at every SF (octet_length ==
     // length, verified r13), so DuckDB's varchar md5/substring replays

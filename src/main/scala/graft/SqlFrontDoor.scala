@@ -79,6 +79,13 @@ object SqlFrontDoor {
       "WITH u AS (SELECT user_id, ts div 1000 AS ts, 1 AS is_click FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, ts div 1000 AS ts, 0 AS is_click FROM events WHERE event_type = 'purchase') SELECT user_id, ts, COALESCE(last_purchase_ts, -1) AS last_purchase_ts FROM (SELECT user_id, ts, is_click, MAX(CASE WHEN is_click = 0 THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, is_click ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts FROM u) w WHERE is_click = 1 ORDER BY user_id, ts",
     "q42_percentiles" -> // quantile_cont -> percentile (both exact interpolated)
       "SELECT l_returnflag, ROUND(percentile(l_quantity, 0.25), 2) AS p25, ROUND(percentile(l_quantity, 0.5), 2) AS p50, ROUND(percentile(l_quantity, 0.75), 2) AS p75, ROUND(percentile(l_quantity, 0.99), 2) AS p99 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q49_approx_sketches" -> // the Spark text replays the SKETCH half the
+      // oracle can't (approx_count_distinct rsd / percentile_approx) and
+      // derives the same in-band booleans the oracle asserts as TRUE
+      "SELECT o_orderpriority, exact_nd, exact_p50, n, CAST(500 AS BIGINT) AS nd_band_bp, (abs(est_nd - exact_nd) * 10000 <= exact_nd * 500) AS nd_ok, CAST(500 AS BIGINT) AS p50_band_bp, (abs(est_p50 - exact_p50) * 10000 <= exact_p50 * 500) AS p50_ok FROM (SELECT o_orderpriority, approx_count_distinct(o_custkey, 0.01) AS est_nd, COUNT(DISTINCT o_custkey) AS exact_nd, percentile_approx(o_totalprice, 0.5, 10000) AS est_p50, ROUND(percentile(o_totalprice, 0.5), 2) AS exact_p50, COUNT(*) AS n FROM orders GROUP BY o_orderpriority) t ORDER BY o_orderpriority",
+    "q129_hll_rollup" -> // full DataSketches statement on the Spark side;
+      // the oracle recomputes the exact half and asserts within_band
+      "WITH leaf AS (SELECT o_orderstatus, o_orderpriority, hll_sketch_agg(o_custkey, 12) AS sk FROM orders GROUP BY 1, 2), est AS (SELECT o_orderstatus, COUNT(*) AS n_leaves, hll_sketch_estimate(hll_union_agg(sk, false)) AS est_nd FROM leaf GROUP BY 1), exact AS (SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_nd FROM orders GROUP BY 1) SELECT est.o_orderstatus, n_leaves, exact_nd, CAST(500 AS BIGINT) AS band_bp, (abs(est_nd - exact_nd) * 10000 <= exact_nd * 500) AS within_band FROM est JOIN exact ON est.o_orderstatus = exact.o_orderstatus ORDER BY o_orderstatus",
     "q44_explode_tokens" -> // unnest/string_split_regex -> explode/split
       "SELECT doc_id, word, COUNT(*) AS n FROM (SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS word FROM documents WHERE doc_id < 10) t GROUP BY doc_id, word ORDER BY doc_id, word",
     "q46_string_more" -> // VARCHAR -> STRING cast spelling
@@ -362,9 +369,6 @@ object SqlFrontDoor {
   }
 
   val rowsOnlySql: Map[String, String] = Map(
-    "q129_hll_rollup" -> // DataSketches HLL: identical statement both
-      // lanes (deterministic — register-max updates are commutative)
-      "WITH leaf AS (SELECT o_orderstatus, o_orderpriority, hll_sketch_agg(o_custkey, 12) AS sk FROM orders GROUP BY 1, 2), est AS (SELECT o_orderstatus, COUNT(*) AS n_leaves, hll_sketch_estimate(hll_union_agg(sk, false)) AS est_nd FROM leaf GROUP BY 1), exact AS (SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_nd FROM orders GROUP BY 1) SELECT est.o_orderstatus, n_leaves, est_nd, exact_nd, CAST(abs(est_nd - exact_nd) * 1000 / exact_nd AS BIGINT) AS err_ppt FROM est JOIN exact ON est.o_orderstatus = exact.o_orderstatus ORDER BY est.o_orderstatus",
     "q113_pq_recall" -> pqSql,
     "q114_ivfpq_recall" -> ivfPqSql,
     "q34_minhash_bands" ->
@@ -395,8 +399,6 @@ object SqlFrontDoor {
         "a AS (SELECT e.vec_id, c.cent_id, graft_cosine(e.v, c.centv) AS sim FROM e CROSS JOIN c), " +
         "r AS (SELECT vec_id, cent_id, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rnk FROM a) " +
         "SELECT cent_id AS cluster, COUNT(*) AS n FROM r WHERE rnk = 1 GROUP BY 1 ORDER BY 1"),
-    "q49_approx_sketches" -> // HLL++ / GK-sketch estimates are engine-internal
-      "SELECT o_orderpriority, approx_count_distinct(o_custkey, 0.01) AS nd_custkey, ROUND(percentile_approx(o_totalprice, 0.5, 10000), 2) AS p50_price, COUNT(*) AS n FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "q50_neardup_confirmed" -> // the full LSH→exact-Jaccard pipeline as text
       ("WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000), " +
         "w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM d), " +
@@ -457,6 +459,5 @@ object SqlFrontDoor {
     * replayable — SparkEntry.s87AnnRecallOracle). */
   def laneOracle: Map[String, String] =
     SparkEntry.baseOracleSql.map { case (name, sql) => ("s" + name.drop(1)) -> sql } ++
-      Map("s87_ann_recall" -> SparkEntry.s87AnnRecallOracle) ++
-      Goldens.laneOracleOverrides
+      Map("s87_ann_recall" -> SparkEntry.s87AnnRecallOracle)
 }

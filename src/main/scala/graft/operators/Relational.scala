@@ -795,15 +795,36 @@ object Relational {
   /** Q49 — sketch aggregates: HyperLogLog++ distinct count and t-digest
     * percentile. THE single-pass mergeable shapes for 100 TB (exact
     * DISTINCT shuffles every key; a sketch shuffles ~KB per partition).
-    * Rows-only check: sketch estimates are engine-specific by design
-    * (SURVEY §2.3.4 quarantines approx_count_distinct from the oracle). */
+    *
+    * Oracle contract (r13, r12 verdict #2 — the golden snapshots are
+    * gone): the raw estimates are engine-internal, so the DRIVER SURFACE
+    * carries the error-band audit instead — exact companions (exact
+    * distinct count; exact interpolated median, the q42 cross-engine
+    * ROUND(·,2) contract), the integer band in basis points, and a
+    * `*_ok` boolean holding the estimate inside it. DuckDB recomputes the
+    * exact columns and asserts the literals/booleans, so the lane is a
+    * full hash gate at ANY SF. Bands: HLL++ rsd=0.01 ⇒ 500 bp = 5σ;
+    * percentile_approx accuracy=10⁴ ⇒ rank error ≤ n/10⁴, but the
+    * approx value is a DATA POINT while the exact companion interpolates,
+    * so the band must cover one value spacing ≈ range/(n·median) — 1.1%
+    * measured at the sf0.001 group-size floor (n≈300), shrinking as 1/n;
+    * 500 bp holds it with >4× margin at every SF. The EXACT companions
+    * are the audit's cost (a distinct shuffle + the q42 percentile
+    * buffer) — a production rollup ships only the sketch half. */
   def q49ApproxSketches(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy("o_orderpriority")
       .agg(
-        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("nd_custkey"),
-        round(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)), 2).as("p50_price"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("est_nd"),
+        countDistinct(col("o_custkey")).as("exact_nd"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("est_p50"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_p50"),
         count(lit(1)).as("n"))
+      .select(col("o_orderpriority"), col("exact_nd"), col("exact_p50"), col("n"),
+        lit(500L).as("nd_band_bp"),
+        (abs(col("est_nd") - col("exact_nd")) * 10000 <= col("exact_nd") * 500).as("nd_ok"),
+        lit(500L).as("p50_band_bp"),
+        (abs(col("est_p50") - col("exact_p50")) * 10000 <= col("exact_p50") * 500).as("p50_ok"))
       .orderBy("o_orderpriority")
 
   /** Q94 — batch hopping (sliding) windows: 2h windows advancing every 1h,
@@ -1741,11 +1762,13 @@ object Relational {
     * partial merges distribute freely. q09/q122's exact distincts re-scan
     * per grain; q49's approx_count_distinct estimates one grain and can't
     * roll up. The estimate is deterministic (register-max updates are
-    * commutative; the sketch is a pure function of the key SET), so the
-    * error column is hash-stable — but engine-internal (DuckDB carries no
-    * compatible sketch), hence rows-only with the s129 twin replaying the
-    * identical statement, and RelationalOpsSpec asserting the estimates
-    * land within HLL lgK=12 theoretical error of exact.
+    * commutative; the sketch is a pure function of the key SET) but
+    * engine-internal (DuckDB carries no compatible sketch) — so since r13
+    * the DRIVER SURFACE carries the audit instead of a golden snapshot
+    * (r12 verdict #2): the output is the exact companions + the lgK=12
+    * error band (500 bp = 3σ of rsd ≈ 1.6%, rounded up) + a
+    * `within_band` boolean, all of which DuckDB recomputes/asserts — a
+    * full hash gate at ANY SF, estimates audited in-band on every run.
     *
     * Scale: leaf sketching is a partial-aggregable shuffle of (status,
     * priority, key) — and the rollup merge moves ~|leaf groups| sketches
@@ -1762,10 +1785,10 @@ object Relational {
     val exact = o.groupBy("o_orderstatus")
       .agg(countDistinct("o_custkey").as("exact_nd"))
     est.join(exact, Seq("o_orderstatus"))
-      .select(col("o_orderstatus"), col("n_leaves"), col("est_nd"),
-        col("exact_nd"),
-        (abs(col("est_nd") - col("exact_nd")) * 1000 / col("exact_nd"))
-          .cast("long").as("err_ppt"))
+      .select(col("o_orderstatus"), col("n_leaves"), col("exact_nd"),
+        lit(500L).as("band_bp"),
+        (abs(col("est_nd") - col("exact_nd")) * 10000 <= col("exact_nd") * 500)
+          .as("within_band"))
       .orderBy("o_orderstatus")
   }
 

@@ -28,7 +28,7 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     * q87 is excluded by design: its SQL twin runs the unrefined IVF and a
     * 2-table LSH (Lloyd refinement is imperative driver logic with no
     * single-statement SQL spelling) — a LABELED divergence carrying its own
-    * golden oracle (Goldens.laneOracleOverrides), so only its shape — 2
+    * computed divergence oracle (SparkEntry.s87AnnRecallOracle), so only its shape — 2
     * labeled recall rows — is pinned here. */
   private val laneDivergent: Set[String] = Set("q87_ann_recall")
 
@@ -95,14 +95,12 @@ class RelationalConformanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       try fn(spark, sfDir).queryExecution.analyzed
       catch { case e: Throwable => fail(s"$sName does not analyze: ${e.getMessage}") }
     }
-    // the lane oracle is the base oracle verbatim (labeled-divergent lanes
-    // carry their own override — s87's computed divergence oracle since
-    // r12, plus any golden overrides), and merging loses no entries
+    // the lane oracle is the base oracle verbatim (the one labeled-divergent
+    // lane — s87 — carries its own computed oracle), and merging loses no
+    // entries
     SparkEntry.baseOracleSql.foreach { case (q, sql) =>
       val sName = "s" + q.drop(1)
-      if (Goldens.laneOracleOverrides.contains(sName))
-        assert(SqlFrontDoor.laneOracle(sName) == Goldens.laneOracleOverrides(sName))
-      else if (sName == "s87_ann_recall")
+      if (sName == "s87_ann_recall")
         assert(SqlFrontDoor.laneOracle(sName) == SparkEntry.s87AnnRecallOracle)
       else
         assert(SqlFrontDoor.laneOracle(sName) == sql, s"lane oracle drifted for $q")

