@@ -119,6 +119,24 @@ object Bench {
     // suite left the session clean; collapsed in r02 (persist leak).
     val pipelineRpsAfter = benchPipeline(spark)
 
+    // Scan-budget gate (r12 verdict #3): every lane's EXECUTED plan at
+    // sf0.001 vs the checked-in per-table live-scan budgets — the r12
+    // double-scan bug class (split exchange → silent second fact read) is
+    // now a bench failure, not a human eyeballing an audit listing. Plan
+    // structure doesn't depend on SF, so the small fixture keeps the gate
+    // to ~a minute. A missing budget file fails loudly: the gate existing
+    // but silently skipping is how fences rot.
+    val scanGateDir = sys.env.getOrElse("SPARK_GRAFT_SCAN_DIR", "/root/testdata/sf0.001")
+    val ((scanViolations, scanLanes), loadScanGate) = HostLoad.around {
+      ScanAudit.loadBudgets(ScanAudit.DefaultBudgetPath) match {
+        case Some(budgets) =>
+          val rows = ScanAudit.collect(spark, scanGateDir)
+          (ScanAudit.violations(rows, budgets), rows.size)
+        case None => (Seq(s"scan_budget:missing(${ScanAudit.DefaultBudgetPath})"), 0)
+      }
+    }
+    scanViolations.foreach(v => System.err.println(s"[bench] scan gate: $v"))
+
     // 10× scale drill (r4 directive #4): rerun the most expensive queries on
     // freshly materialized like-for-like 1× and 10× datasets (interleaved
     // best-of-two — see ScaleDrill's measurement-design scaladoc) — the only
@@ -234,13 +252,13 @@ object Bench {
       val best = secOrFail(math.min(cv, wv), cok && wok)
       "\"" + k + f"""\":{"cold":${secOrFail(cv, cok)},"warm":${secOrFail(wv, wok)},"best":$best}"""
     }.mkString("{", ",", "}")
-    val failures = queryFailures ++ drillFailures ++ drillCrash ++ probeCrash
+    val failures = queryFailures ++ drillFailures ++ drillCrash ++ probeCrash ++ scanViolations
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     // machine-weather block (r10 verdict #1, widened r12): per-phase
     // load/CPU/GC/iowait profile so a contended OR overhead-heavy recording
     // explains itself inside the artifact
     val loadJson =
-      s"""{"warmup":${loadWarmup.json},"pipeline":${loadPipeline.json},"cold":${loadCold.json},"warm":${loadWarm.json},"drill":${loadDrill.json},"probe":${loadProbe.json}}"""
+      s"""{"warmup":${loadWarmup.json},"pipeline":${loadPipeline.json},"cold":${loadCold.json},"warm":${loadWarm.json},"scan_gate":${loadScanGate.json},"drill":${loadDrill.json},"probe":${loadProbe.json}}"""
     val extWorstPct = math.max(loadCold.extCpuPct, loadWarm.extCpuPct)
     val contended = extWorstPct > HostLoad.ContendedPct
 
@@ -249,7 +267,7 @@ object Bench {
     try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"host_load":$loadJson,"scale_drill":{"factor":$drillFactor,"all_gated_ok":$drillAllGatedOk,"queries":$drillJson,"known_superlinear":$drillKnownJson,"stage_attribution":$drillStagesJson,"bigram_vol_base":$drillVolBase,"bigram_vol_scaled":$drillVolBig,"bigram_vol_ratio":$drillVolRatio%.2f},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"queries":$detail,"failures":$failJson,"sf":"$sfDir"}""")
     finally pw.close()
 
-    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_all_gated_ok":$drillAllGatedOk,"scale_drill_vol_ratio":$drillVolRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"ext_cpu_cold_pct":${loadCold.extCpuPct}%.2f,"ext_cpu_warm_pct":${loadWarm.extCpuPct}%.2f,"gc_cold_sec":${loadCold.gcSec}%.2f,"gc_warm_sec":${loadWarm.gcSec}%.2f,"iowait_cold_pct":${loadCold.ioWaitPct}%.2f,"iowait_warm_pct":${loadWarm.ioWaitPct}%.2f,"contended":$contended,"sf":"$sfDir","detail":"$detailPath"}"""
+    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scan_gate_lanes":$scanLanes,"scan_gate_violations":${scanViolations.size},"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_all_gated_ok":$drillAllGatedOk,"scale_drill_vol_ratio":$drillVolRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"ext_cpu_cold_pct":${loadCold.extCpuPct}%.2f,"ext_cpu_warm_pct":${loadWarm.extCpuPct}%.2f,"gc_cold_sec":${loadCold.gcSec}%.2f,"gc_warm_sec":${loadWarm.gcSec}%.2f,"iowait_cold_pct":${loadCold.ioWaitPct}%.2f,"iowait_warm_pct":${loadWarm.ioWaitPct}%.2f,"contended":$contended,"sf":"$sfDir","detail":"$detailPath"}"""
     // The summary survives in THREE places so no capture window can lose it
     // (r8's artifact held a log-noise tail and parsed:null):
     //  1. a file the judge can always read back,

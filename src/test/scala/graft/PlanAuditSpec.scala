@@ -785,4 +785,29 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("HashAggregate"),
       s"missing the partkey aggregate:\n$plan")
   }
+
+  test("scan gate: budget file parses, and the gate fires both ways (r12 verdict #3)") {
+    // the checked-in budget file must load and cover the documented
+    // multi-scan lanes with explicit budgets >1
+    val budgets = ScanAudit.loadBudgets("scan_budgets.json")
+      .getOrElse(fail("scan_budgets.json missing from the repo root"))
+    assert(budgets.nonEmpty)
+    assert(budgets.get("q114_ivfpq_recall").exists(_.getOrElse("embeddings", 0) > 1),
+      "the ANN truth-pass lane must carry its documented multi-scan budget")
+    // violation math, both ways: within budget → empty; over → named;
+    // unknown lane/table → strict default of 1
+    val rows = Seq(
+      ("q_ok",   Map("lineitem" -> 1), 2),
+      ("q_over", Map("lineitem" -> 2), 0),
+      ("q_new",  Map("orders" -> 2), 0))
+    val b = Map("q_ok" -> Map("lineitem" -> 1), "q_over" -> Map("lineitem" -> 1))
+    val v = ScanAudit.violations(rows, b)
+    assert(v == Seq("scan_budget:q_over:lineitem(2>1)", "scan_budget:q_new:orders(2>1)"),
+      s"unexpected violations: $v")
+    // a fixed lane's budget must never silently loosen: the two r12
+    // headline fixes stay at ONE fact scan in the file itself
+    for (lane <- Seq("q99_winsorized", "q112_percentile_disc_sharded"))
+      assert(budgets.get(lane).forall(_.values.forall(_ == 1)),
+        s"$lane budget loosened beyond one scan")
+  }
 }
