@@ -246,28 +246,127 @@ object Bench {
       if (probeRows.isEmpty) -1.0
       else probeRows.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max
 
+    // Linear-volume TEXT GATE (r12 verdict #5): the splice transform that
+    // keeps near-dup structure scale-invariant inflates bigram volume
+    // superlinearly (12.2× at factor 10), so the drill's text lanes gate
+    // against a measured volume bar — correct but leaning on the splice
+    // artifact. Replacement-mode copies carry EXACTLY factor× volume
+    // (verified in-artifact via text_gate_vol_ratio ≈ factor), so the
+    // corpus-statistics lanes are ALSO gated here at the plain 2.5 bar —
+    // the unarguable number. rc-failure bar stays the row-lane convention
+    // (the factor = fully-linear cost).
+    val textGateFactor = 10
+    val textGateDir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_text_gate_${textGateFactor}x")
+    var textGateCrash: Option[String] = None
+    val ((tgRows, tgVolBase, tgVolBig), loadTextGate) = HostLoad.around {
+      try ScaleDrill.textProbe(spark, sfDir, textGateDir.toString, textGateFactor, linear = true)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] text gate failed: ${e.getMessage}")
+        textGateCrash = Some(s"text_gate:crashed(${e.getClass.getSimpleName})")
+        (Seq.empty[(String, Double, Double, Int)], 0L, 0L)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(textGateDir)
+      }
+    }
+    val tgVolRatio = if (tgVolBase > 0) tgVolBig.toDouble / tgVolBase else -1.0
+    val textGateJson = tgRows.map { case (k, b, x, p) =>
+      val ratio = x / math.max(b, 1e-9)
+      "\"" + k + f"""\":{"base":$b%.2f,"x$textGateFactor":$x%.2f,"ratio":$ratio%.2f,"pairs":$p,"bar":${ScaleDrill.remeasureRatio}%.2f,"gate_ok":${ratio <= ScaleDrill.remeasureRatio}}"""
+    }.mkString("{", ",", "}")
+    val textGateMaxRatio =
+      if (tgRows.isEmpty) -1.0
+      else tgRows.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max
+    val textGateAllOk = tgRows.nonEmpty && tgRows.forall { case (_, b, x, _) =>
+      x / math.max(b, 1e-9) <= ScaleDrill.remeasureRatio
+    }
+    val textGateFailures = tgRows.collect {
+      case (k, b, x, _) if x / math.max(b, 1e-9) > textGateFactor =>
+        f"text_gate:$k(ratio=${x / math.max(b, 1e-9)}%.1f)"
+    }
+
     def secOrFail(t: Double, ok: Boolean): String = if (ok) f"$t%.2f" else "-1"
     val detail = cold.map { case (k, cv, cok) =>
       val (_, wv, wok) = warmByName(k)
       val best = secOrFail(math.min(cv, wv), cok && wok)
       "\"" + k + f"""\":{"cold":${secOrFail(cv, cok)},"warm":${secOrFail(wv, wok)},"best":$best}"""
     }.mkString("{", ",", "}")
-    val failures = queryFailures ++ drillFailures ++ drillCrash ++ probeCrash ++ scanViolations
+
+    // Round-over-round per-lane regression diff (r12 verdict #7): the
+    // artifact compared only totals, so one lane regressing 3× inside a
+    // flat total was invisible. bench_lane_baseline.json (committed with
+    // the round) keeps each lane's best-ever seconds; any lane >1.5× its
+    // recorded best ON A CLEAN HOST (ext_cpu under the contended bar —
+    // contention fakes regressions) is named in `regressed[]`. The
+    // baseline absorbs the round's bests via min(), so it only ratchets
+    // down; a data regen that legitimately slows lanes shows up once as a
+    // flagged round and the judge adjudicates with the regen in hand.
+    val lanePath = "bench_lane_baseline.json"
+    val curBest: Map[String, Double] = cold.collect {
+      case (k, cv, true) if warmByName(k)._3 => k -> math.min(cv, warmByName(k)._2)
+    }.toMap
+    val prevBest: Map[String, Double] =
+      try {
+        val f = new java.io.File(lanePath)
+        if (!f.isFile) Map.empty
+        else {
+          import org.json4s._
+          jackson.JsonMethods.parse(f).asInstanceOf[JObject].obj.map {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+            case (k, v) => throw new IllegalArgumentException(s"bad baseline $k: $v")
+          }.toMap
+        }
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] lane baseline unreadable (${e.getMessage}) — starting fresh")
+        Map.empty
+      }
+    val hostCleanForDiff =
+      math.max(loadCold.extCpuPct, loadWarm.extCpuPct) <= HostLoad.ContendedPct
+    val regressed: Seq[(String, Double, Double)] =
+      if (!hostCleanForDiff) Seq.empty
+      else curBest.toSeq.sorted.collect {
+        case (k, now) if prevBest.get(k).exists(prev => now > prev * 1.5) =>
+          (k, prevBest(k), now)
+      }
+    regressed.foreach { case (k, prev, now) =>
+      System.err.println(f"[bench] lane regression: $k $prev%.2f s -> $now%.2f s")
+    }
+    val regressedJson = regressed.map { case (k, prev, now) =>
+      f"""{"lane":"$k","prev":$prev%.2f,"now":$now%.2f}"""
+    }.mkString("[", ",", "]")
+    // ratchet the baseline down with this round's bests
+    try {
+      val merged = (prevBest.keySet ++ curBest.keySet).toSeq.sorted.map { k =>
+        val v = math.min(prevBest.getOrElse(k, Double.MaxValue),
+          curBest.getOrElse(k, Double.MaxValue))
+        f""" "$k": $v%.3f"""
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(lanePath),
+        merged.mkString("{\n", ",\n", "\n}\n"))
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] lane baseline write failed: ${e.getMessage}")
+    }
+    val failures = queryFailures ++ drillFailures ++ drillCrash ++ probeCrash ++
+      textGateFailures ++ textGateCrash ++ scanViolations
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     // machine-weather block (r10 verdict #1, widened r12): per-phase
     // load/CPU/GC/iowait profile so a contended OR overhead-heavy recording
     // explains itself inside the artifact
     val loadJson =
-      s"""{"warmup":${loadWarmup.json},"pipeline":${loadPipeline.json},"cold":${loadCold.json},"warm":${loadWarm.json},"scan_gate":${loadScanGate.json},"drill":${loadDrill.json},"probe":${loadProbe.json}}"""
+      s"""{"warmup":${loadWarmup.json},"pipeline":${loadPipeline.json},"cold":${loadCold.json},"warm":${loadWarm.json},"scan_gate":${loadScanGate.json},"drill":${loadDrill.json},"probe":${loadProbe.json},"text_gate":${loadTextGate.json}}"""
     val extWorstPct = math.max(loadCold.extCpuPct, loadWarm.extCpuPct)
     val contended = extWorstPct > HostLoad.ContendedPct
 
     val detailPath = "bench_detail.json"
     val pw = new java.io.PrintWriter(detailPath)
-    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"host_load":$loadJson,"scale_drill":{"factor":$drillFactor,"all_gated_ok":$drillAllGatedOk,"queries":$drillJson,"known_superlinear":$drillKnownJson,"stage_attribution":$drillStagesJson,"bigram_vol_base":$drillVolBase,"bigram_vol_scaled":$drillVolBig,"bigram_vol_ratio":$drillVolRatio%.2f},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"queries":$detail,"failures":$failJson,"sf":"$sfDir"}""")
+    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"host_load":$loadJson,"scale_drill":{"factor":$drillFactor,"all_gated_ok":$drillAllGatedOk,"queries":$drillJson,"known_superlinear":$drillKnownJson,"stage_attribution":$drillStagesJson,"bigram_vol_base":$drillVolBase,"bigram_vol_scaled":$drillVolBig,"bigram_vol_ratio":$drillVolRatio%.2f},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"text_gate":{"factor":$textGateFactor,"mode":"linear-replacement","bigram_vol_base":$tgVolBase,"bigram_vol_scaled":$tgVolBig,"vol_ratio":$tgVolRatio%.2f,"all_ok":$textGateAllOk,"queries":$textGateJson},"queries":$detail,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"failures":$failJson,"sf":"$sfDir"}""")
     finally pw.close()
 
-    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scan_gate_lanes":$scanLanes,"scan_gate_violations":${scanViolations.size},"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_all_gated_ok":$drillAllGatedOk,"scale_drill_vol_ratio":$drillVolRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"ext_cpu_cold_pct":${loadCold.extCpuPct}%.2f,"ext_cpu_warm_pct":${loadWarm.extCpuPct}%.2f,"gc_cold_sec":${loadCold.gcSec}%.2f,"gc_warm_sec":${loadWarm.gcSec}%.2f,"iowait_cold_pct":${loadCold.ioWaitPct}%.2f,"iowait_warm_pct":${loadWarm.ioWaitPct}%.2f,"contended":$contended,"sf":"$sfDir","detail":"$detailPath"}"""
+    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scan_gate_lanes":$scanLanes,"scan_gate_violations":${scanViolations.size},"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_all_gated_ok":$drillAllGatedOk,"scale_drill_vol_ratio":$drillVolRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"text_gate_factor":$textGateFactor,"text_gate_max_ratio":$textGateMaxRatio%.2f,"text_gate_all_ok":$textGateAllOk,"text_gate_vol_ratio":$tgVolRatio%.2f,"ext_cpu_cold_pct":${loadCold.extCpuPct}%.2f,"ext_cpu_warm_pct":${loadWarm.extCpuPct}%.2f,"gc_cold_sec":${loadCold.gcSec}%.2f,"gc_warm_sec":${loadWarm.gcSec}%.2f,"iowait_cold_pct":${loadCold.ioWaitPct}%.2f,"iowait_warm_pct":${loadWarm.ioWaitPct}%.2f,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"contended":$contended,"sf":"$sfDir","detail":"$detailPath"}"""
     // The summary survives in THREE places so no capture window can lose it
     // (r8's artifact held a log-noise tail and parsed:null):
     //  1. a file the judge can always read back,

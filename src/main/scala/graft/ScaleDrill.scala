@@ -114,6 +114,26 @@ object ScaleDrill {
               (w, i) => when(i % 4 === 3,
                 concat(w, lit(" zc"), col("copy"))).otherwise(w)))))
 
+  /** LINEAR-VOLUME documents transform (r12 verdict #5): REPLACE every 4th
+    * word with the copy token instead of splicing one in beside it. Token
+    * and bigram COUNTS are preserved exactly, so a `factor`× copy carries
+    * exactly `factor`× text volume — the corpus-statistics lanes can then
+    * be gated at the plain 2.5 bar instead of leaning on the measured
+    * splice-volume ratio. Cross-copy near-dup structure degrades the same
+    * way splice's does (any 5 consecutive words contain a replaced
+    * position, so 5-shingles break across copies; the surviving ~1/4 of
+    * 3-shingles put cross-copy Jaccard at ≈0.14, far under the 0.6
+    * confirm threshold), and within-copy duplicate pairs transform
+    * identically on both sides so they stay duplicates. */
+  private def replaceDocs(d: DataFrame, maxDoc: Long): DataFrame =
+    d.withColumn("doc_id", col("doc_id") + col("copy") * maxDoc)
+      .withColumn("text",
+        when(col("copy") === 0 || col("text").isNull, col("text"))
+          .otherwise(concat_ws(" ",
+            transform(split(trim(col("text")), "\\s+"),
+              (w, i) => when(i % 4 === 3,
+                concat(lit("zc"), col("copy"))).otherwise(w)))))
+
   /** Write a `factor`× scale copy of the drill tables under `outDir`.
     * factor=1 writes a verbatim copy — the like-for-like base side. */
   def materialize(s: SparkSession, sfDir: String, outDir: String, factor: Int): Unit = {
@@ -397,12 +417,15 @@ object ScaleDrill {
       .agg(sum(col("nb").cast("long"))).first().getLong(0)
 
   /** Materialize ONLY the documents table (the probe tables' whole input)
-    * at `factor`×, with the same splice transform as the full drill. */
-  def materializeDocuments(s: SparkSession, sfDir: String, outDir: String, factor: Int): Unit = {
+    * at `factor`× — splice transform by default (the full drill's mode);
+    * `linear = true` uses [[replaceDocs]] for exactly-linear volume. */
+  def materializeDocuments(s: SparkSession, sfDir: String, outDir: String,
+                           factor: Int, linear: Boolean = false): Unit = {
     val copies = broadcast(s.range(0, factor).select(col("id").as("copy")))
     val base = Tables(s, sfDir, "documents")
     val maxDoc = base.agg(max("doc_id")).first().getLong(0) + 1
-    spliceDocs(base.crossJoin(copies), maxDoc).drop("copy")
+    val xform = if (linear) replaceDocs _ else spliceDocs _
+    xform(base.crossJoin(copies), maxDoc).drop("copy")
       .select(base.columns.map(col).toIndexedSeq: _*)
       .repartition(s.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
@@ -411,14 +434,17 @@ object ScaleDrill {
   /** Run the text probe: fresh 1× and `factor`× documents copies, each
     * probe query timed interleaved best-of-two (plus one re-measure pair
     * above volRatio/4 — the drill's burst logic at the probe's scale), and
-    * the bigram volume of both sides measured exactly.
+    * the bigram volume of both sides measured exactly. With
+    * `linear = true` the copies are replacement-mode (exactly `factor`×
+    * volume) — the r13 TEXT GATE mode: Bench gates those ratios at the
+    * plain 2.5 bar, no volume normalization needed (r12 verdict #5).
     * Returns (rows = (name, baseSec, scaledSec, pairs), baseVol, scaledVol). */
   def textProbe(s: SparkSession, sfDir: String, outDir: String,
-                factor: Int = 30): (Seq[(String, Double, Double, Int)], Long, Long) = {
+                factor: Int = 30, linear: Boolean = false): (Seq[(String, Double, Double, Int)], Long, Long) = {
     val baseDir = s"$outDir/base1x"
     val bigDir = s"$outDir/scaled"
-    materializeDocuments(s, sfDir, baseDir, 1)
-    materializeDocuments(s, sfDir, bigDir, factor)
+    materializeDocuments(s, sfDir, baseDir, 1, linear)
+    materializeDocuments(s, sfDir, bigDir, factor, linear)
     val volBase = bigramVolume(s, baseDir)
     val volBig = bigramVolume(s, bigDir)
     def once(fn: (SparkSession, String) => DataFrame, dir: String): Double = {

@@ -503,6 +503,149 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("scale drill: 1M-row funnel + admission kill/restart — bounded state, " +
+      "exact resume, RocksDB (r12 verdict #6)") {
+    // Extends the content-dedup kill drill to the OTHER two stateful
+    // operators whose 100 TB story is bounded per-key state: funnelPerUser
+    // (3 longs/user) and admitPerKey (1 long/key). Each runs ~1M rows as
+    // 8 file micro-batches on the RocksDB store, is killed after the first
+    // batch lands, resumes from checkpoint, and must show (a) final state
+    // EXACTLY matching an independent driver-side replay of the same fold
+    // (kill+resume lost or doubled nothing) and (b) state rows bounded by
+    // the key set, not the event count.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sp = spark
+      import sp.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graftsc2")
+      val nFiles = 8
+
+      // ---- funnelPerUser: 125k users × 1 event per file = 1M events.
+      // etype cycles with (user+file) so users complete the funnel in
+      // different orders (some never: purchase arriving before click is
+      // correctly ignored by the stage rules).
+      val users = 125000L
+      val funSrc = s"$tmp/funnel_src"
+      (0 until nFiles).foreach { f =>
+        spark.range(users).select(
+          col("id").as("user_id"),
+          (lit(f * 1000000L) + col("id") % 997).as("tUs"),
+          element_at(
+            array(lit("view"), lit("click"), lit("purchase"), lit("noise")),
+            ((col("id") + f) % 4 + 1).cast("int")).as("etype"))
+          .coalesce(1).write.mode("append").parquet(funSrc)
+      }
+      // driver-side replay: each file is one micro-batch, one event per
+      // user per batch, batches in file order — the operator's own rules
+      val expected = new scala.collection.mutable.HashMap[Long, (Long, Long, Long)]
+      (0 until nFiles).foreach { f =>
+        (0L until users).foreach { u =>
+          val tUs = f * 1000000L + u % 997
+          val etype = Seq("view", "click", "purchase", "noise")(((u + f) % 4).toInt)
+          val (vt, ct, pt) = expected.getOrElse(u, (-1L, -1L, -1L))
+          val next = etype match {
+            case "view" if vt < 0 => (tUs, ct, pt)
+            case "click" if vt >= 0 && ct < 0 && tUs > vt => (vt, tUs, pt)
+            case "purchase" if ct >= 0 && pt < 0 && tUs > ct => (vt, ct, tUs)
+            case _ => (vt, ct, pt)
+          }
+          expected.update(u, next)
+        }
+      }
+      val funSchema = spark.read.parquet(funSrc).schema
+      val funnelState = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Long)]
+      def funnelStream(trigger: Trigger) =
+        StreamOps.funnelPerUser(
+          StreamingPipeline.fileSource(spark, funSrc, funSchema, maxFilesPerTrigger = 1)
+            .as[FunnelEvent])
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.FunnelProgress], _: Long) =>
+            // latest emission per user wins; stages only fill forward and
+            // replayed batches re-emit identical states, so the merge is
+            // idempotent across the kill
+            b.collect().foreach(p => funnelState.put(p.user_id, (p.vt, p.ct, p.pt)))
+          }
+          .option("checkpointLocation", s"$tmp/funnel_ckpt")
+          .trigger(trigger).start()
+      val fq1 = funnelStream(Trigger.ProcessingTime(100))
+      try {
+        val deadline = System.currentTimeMillis() + 120000
+        while (funnelState.isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+      } finally fq1.stop()
+      assert(!funnelState.isEmpty, "no funnel batch landed before the kill")
+      val fq2 = funnelStream(Trigger.AvailableNow())
+      fq2.awaitTermination(300000)
+      assert(funnelState.size == users,
+        s"funnel resume lost users: ${funnelState.size} != $users")
+      var funnelDiverged = 0
+      expected.foreach { case (u, exp) =>
+        if (funnelState.get(u) != exp) funnelDiverged += 1
+      }
+      assert(funnelDiverged == 0,
+        s"$funnelDiverged users' funnel stages diverged from the driver replay after kill+resume")
+      val funnelStateRows = fq2.recentProgress.reverse
+        .flatMap(p => Option(p.stateOperators)).find(_.nonEmpty)
+        .map(_.head.numRowsTotal)
+      assert(funnelStateRows.exists(_ <= users),
+        s"funnel state grew past the user set: $funnelStateRows > $users")
+
+      // ---- admitPerKey: 10k keys × 16 events per file × 8 files = 1.28M
+      // events, cap k=7 — the first batch fills every key's quota, so
+      // kill+resume must show EXACTLY 7 admitted per key (a naive
+      // reprocess would admit 14).
+      val keys = 10000L
+      val cap = 7L
+      val admSrc = s"$tmp/admit_src"
+      (0 until nFiles).foreach { f =>
+        spark.range(keys * 16).select(
+          concat(lit("k"), col("id") % keys).as("key"),
+          (lit(1704067200L) + lit(f * 3600L) + col("id") / keys).cast("timestamp").as("ts"),
+          (lit(f * 1000000.0) + col("id")).as("value"))
+          .coalesce(1).write.mode("append").parquet(admSrc)
+      }
+      val admSchema = spark.read.parquet(admSrc).schema
+      val admitted = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Double)]
+      def admitStream(trigger: Trigger) =
+        StreamOps.admitPerKey(
+          StreamingPipeline.fileSource(spark, admSrc, admSchema, maxFilesPerTrigger = 1)
+            .as[KeyedEvent], cap)
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[KeyedEvent], _: Long) =>
+            // admission decisions are a pure function of restored state, so
+            // a replayed batch re-emits the SAME events; the set dedups them
+            b.collect().foreach(e => admitted.add((e.key, e.value)))
+          }
+          .option("checkpointLocation", s"$tmp/admit_ckpt")
+          .trigger(trigger).start()
+      val aq1 = admitStream(Trigger.ProcessingTime(100))
+      try {
+        val deadline = System.currentTimeMillis() + 120000
+        while (admitted.isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+      } finally aq1.stop()
+      assert(!admitted.isEmpty, "no admission batch landed before the kill")
+      val aq2 = admitStream(Trigger.AvailableNow())
+      aq2.awaitTermination(300000)
+      val perKey = new scala.collection.mutable.HashMap[String, Long]
+      admitted.forEach { e =>
+        perKey.update(e._1, perKey.getOrElse(e._1, 0L) + 1L): Unit
+      }
+      assert(perKey.size == keys, s"admission lost keys: ${perKey.size} != $keys")
+      val wrong = perKey.filter(_._2 != cap)
+      assert(wrong.isEmpty,
+        s"${wrong.size} keys admitted != $cap after kill+resume (e.g. ${wrong.take(3)})")
+      val admitStateRows = aq2.recentProgress.reverse
+        .flatMap(p => Option(p.stateOperators)).find(_.nonEmpty)
+        .map(_.head.numRowsTotal)
+      assert(admitStateRows.exists(_ <= keys),
+        s"admission state grew past the key set: $admitStateRows > $keys")
+      info(s"funnel users=$users stateRows=$funnelStateRows; " +
+        s"admitted keys=${perKey.size} stateRows=$admitStateRows")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("file stream -> txn sink: restart from checkpoint lands every row exactly once") {
     val tmp = java.nio.file.Files.createTempDirectory("graftstream")
     val srcDir = s"$tmp/src"; val ckpt = s"$tmp/ckpt"
