@@ -224,6 +224,7 @@ object SparkEntry {
     "q146_payload_dedup"   -> (Multimodal.q146PayloadDedup _),
     "q147_frame_fingerprints" -> (Multimodal.q147FrameFingerprints _),
     "q148_modality_mix"    -> (Multimodal.q148ModalityMix _),
+    "q149_decode_features" -> (Multimodal.q149DecodeFeatures _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -994,5 +995,9 @@ object SparkEntry {
       "WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS total FROM documents WHERE doc_id < 200 AND text IS NOT NULL), f AS (SELECT doc_id, i, substring(text, CAST(i * GREATEST((total - 32) // 3, 1) + 1 AS BIGINT), 32) AS frame FROM d, (SELECT unnest(range(0, 4)) AS i) ii) SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, md5(frame) AS frame_md5, CAST(length(frame) AS BIGINT) AS frame_len FROM f ORDER BY doc_id, frame_idx",
     "q148_modality_mix" ->
       "WITH p AS (SELECT source, doc_id, octet_length(encode(text)) AS nb, ['image/png','audio/wav','video/mp4','text/plain'][CAST(doc_id % 4 AS INT) + 1] AS mime FROM documents WHERE text IS NOT NULL), g AS (SELECT source, mime, COUNT(*) AS n_docs, SUM(nb) AS bytes FROM p GROUP BY 1, 2), t AS (SELECT source, SUM(bytes) AS src_bytes FROM g GROUP BY 1), a AS (SELECT SUM(bytes) AS all_bytes FROM g) SELECT g.source, mime, n_docs, CAST(bytes AS BIGINT) AS total_bytes, CAST(bytes * 1000000 // src_bytes AS BIGINT) AS share_ppm, CAST(src_bytes * 1000000 // all_bytes AS BIGINT) AS src_weight_ppm FROM g JOIN t USING (source) CROSS JOIN a ORDER BY source, mime",
+    "q149_decode_features" -> // the batched-decode stub's per-dim byte fold
+      // replayed as an ORDERED list_reduce (left fold, bit-identical
+      // before the round); unicode(char) = the byte on the ASCII fixture
+      "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300 AND text IS NOT NULL AND length(text) > 0), f AS (SELECT doc_id, j, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_filter(range(1, length(text) + 1), i -> (i - 1) % 8 = j), i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS DOUBLE) / 255.0)), (a, x) -> a + x) AS v FROM d, (SELECT unnest(range(0, 8)) AS j) jj) SELECT doc_id, CAST(j AS BIGINT) AS dim, ROUND(v, 4) AS v FROM f ORDER BY doc_id, dim",
   )
 }

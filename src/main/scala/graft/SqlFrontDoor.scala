@@ -68,6 +68,9 @@ object SqlFrontDoor {
       "WITH d AS (SELECT doc_id, CAST(text AS BINARY) AS payload, octet_length(CAST(text AS BINARY)) AS total FROM documents WHERE doc_id < 200 AND text IS NOT NULL), f AS (SELECT doc_id, i, substring(payload, CAST(i * GREATEST((total - 32) div 3, 1) + 1 AS INT), 32) AS frame FROM d LATERAL VIEW explode(sequence(0, 3)) t AS i) SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, md5(frame) AS frame_md5, CAST(octet_length(frame) AS BIGINT) AS frame_len FROM f ORDER BY doc_id, frame_idx",
     "q148_modality_mix" ->
       "WITH p AS (SELECT source, doc_id, octet_length(CAST(text AS BINARY)) AS nb, element_at(array('image/png','audio/wav','video/mp4','text/plain'), CAST(doc_id % 4 AS INT) + 1) AS mime FROM documents WHERE text IS NOT NULL), g AS (SELECT source, mime, COUNT(*) AS n_docs, SUM(nb) AS bytes FROM p GROUP BY 1, 2), t AS (SELECT source, SUM(bytes) AS src_bytes FROM g GROUP BY 1), a AS (SELECT SUM(bytes) AS all_bytes FROM g) SELECT g.source, mime, n_docs, CAST(bytes AS BIGINT) AS total_bytes, CAST(bytes * 1000000 div src_bytes AS BIGINT) AS share_ppm, CAST(src_bytes * 1000000 div all_bytes AS BIGINT) AS src_weight_ppm FROM g JOIN t USING (source) CROSS JOIN a ORDER BY source, mime",
+    "q149_decode_features" -> // ordered `aggregate` HOF = the stub codec's
+      // left fold; ascii() of the 1-byte binary slice = the byte (ASCII)
+      "WITH d AS (SELECT doc_id, CAST(text AS BINARY) AS payload FROM documents WHERE doc_id < 300 AND text IS NOT NULL AND length(text) > 0), f AS (SELECT doc_id, j, aggregate(filter(sequence(1, octet_length(payload)), i -> (i - 1) % 8 = j), CAST(0.0 AS DOUBLE), (a, i) -> a + CAST(ascii(CAST(substring(payload, i, 1) AS STRING)) AS DOUBLE) / 255.0) AS v FROM d LATERAL VIEW explode(sequence(0, 7)) t AS j) SELECT doc_id, CAST(j AS BIGINT) AS dim, ROUND(v, 4) AS v FROM f ORDER BY doc_id, dim",
     "q88_range_join_binned" -> // epoch_ns(ts) -> raw ts (bigint under nanosAsLong)
       "WITH hrs AS (SELECT ts - (ts % 3600000000000) AS hb, COUNT(*) AS c FROM events GROUP BY 1), st AS (SELECT SUM(c) AS total, COUNT(*) AS n_hours FROM hrs), busy AS (SELECT hb FROM hrs, st WHERE 10 * c * n_hours > 11 * total), isl AS (SELECT MIN(hb) AS start_ns, MAX(hb) + 3600000000000 AS end_ns, COUNT(*) AS island_hours FROM (SELECT hb, hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM busy) g GROUP BY grp) SELECT i.start_ns AS island_start, CAST(i.island_hours AS BIGINT) AS island_hours, COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users, CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value FROM events e JOIN isl i ON e.ts >= i.start_ns AND e.ts < i.end_ns GROUP BY 1, 2 ORDER BY 1",
     "q89_tfidf_top_terms" -> // string_split_regex -> split, unnest -> explode, // -> div

@@ -151,6 +151,28 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Q149 — the BATCHED DECODE PATH as a gated lane: [[decodeBatched]]'s
+    * mapPartitions stub (per-partition codec init, binary in → fixed-dim
+    * features out) is the production shape for real media codecs, and
+    * through r12 it was only spec-tested. Its byte-sum stub is a
+    * deterministic left fold per dim-stripe — replayable: DuckDB folds the
+    * same byte sequence with an ordered list_reduce (ASCII fixture ⇒
+    * unicode(char) IS the byte), the Spark SQL twin with an ordered
+    * `aggregate` HOF, all three bit-identical before the ROUND(·,4).
+    *
+    * Scale: the decode is map-side per partition (codec init amortized
+    * over the partition, payload never shuffles); only (doc_id, dim,
+    * rounded feature) rows reach the sort. */
+  def q149DecodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    val p = withPayload(Tables(s, dir, "documents")
+      .filter(col("doc_id") < 300 && col("text").isNotNull && length(col("text")) > 0))
+    decodeBatched(p, dim = 8)
+      .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "v")))
+      .select(col("doc_id"), col("dim").cast("long").as("dim"),
+        round(col("v"), 4).as("v"))
+      .orderBy("doc_id", "dim")
+  }
+
   /** Q148 — modality-mix accounting: each doc carries a deterministic mime
     * tag (doc_id mod 4 over a 4-entry modality table — the fixture has no
     * real media types; the JOIN SHAPE is what this lane gates), and the

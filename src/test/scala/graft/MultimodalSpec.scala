@@ -63,7 +63,8 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // assert no shuffled attribute is binary-typed.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.BinaryType
-    for (name <- Seq("q146_payload_dedup", "q147_frame_fingerprints", "q148_modality_mix")) {
+    for (name <- Seq("q146_payload_dedup", "q147_frame_fingerprints", "q148_modality_mix",
+        "q149_decode_features")) {
       val qe = SparkEntry.baseQueries(name)(spark, sfDir).queryExecution
       qe.toRdd.foreach(_ => ())
       val exchanges = ScanAudit.walk(qe.executedPlan)
