@@ -84,8 +84,10 @@ object SqlFrontDoor {
       "SELECT l_returnflag, ROUND(percentile(l_quantity, 0.25), 2) AS p25, ROUND(percentile(l_quantity, 0.5), 2) AS p50, ROUND(percentile(l_quantity, 0.75), 2) AS p75, ROUND(percentile(l_quantity, 0.99), 2) AS p99 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q49_approx_sketches" -> // the Spark text replays the SKETCH half the
       // oracle can't (approx_count_distinct rsd / percentile_approx) and
-      // derives the same in-band booleans the oracle asserts as TRUE
-      "SELECT o_orderpriority, exact_nd, exact_p50, n, CAST(500 AS BIGINT) AS nd_band_bp, (abs(est_nd - exact_nd) * 10000 <= exact_nd * 500) AS nd_ok, CAST(500 AS BIGINT) AS p50_band_bp, (abs(est_p50 - exact_p50) * 10000 <= exact_p50 * 500) AS p50_ok FROM (SELECT o_orderpriority, approx_count_distinct(o_custkey, 0.01) AS est_nd, COUNT(DISTINCT o_custkey) AS exact_nd, percentile_approx(o_totalprice, 0.5, 10000) AS est_p50, ROUND(percentile(o_totalprice, 0.5), 2) AS exact_p50, COUNT(*) AS n FROM orders GROUP BY o_orderpriority) t ORDER BY o_orderpriority",
+      // derives the same in-band booleans the oracle asserts as TRUE;
+      // exact distinct spelled as its own two-level collapse, NOT a
+      // COUNT(DISTINCT) beside the buffer aggs (see the operator note)
+      "WITH sk AS (SELECT o_orderpriority, approx_count_distinct(o_custkey, 0.01) AS est_nd, percentile_approx(o_totalprice, 0.5, 10000) AS est_p50, ROUND(percentile(o_totalprice, 0.5), 2) AS exact_p50, COUNT(*) AS n FROM orders GROUP BY o_orderpriority), nd AS (SELECT o_orderpriority, COUNT(*) AS exact_nd FROM (SELECT o_orderpriority, o_custkey FROM orders GROUP BY 1, 2) t GROUP BY 1) SELECT sk.o_orderpriority, exact_nd, exact_p50, n, CAST(500 AS BIGINT) AS nd_band_bp, (abs(est_nd - exact_nd) * 10000 <= exact_nd * 500) AS nd_ok, CAST(500 AS BIGINT) AS p50_band_bp, (abs(est_p50 - exact_p50) * 10000 <= exact_p50 * 500) AS p50_ok FROM sk JOIN nd ON sk.o_orderpriority = nd.o_orderpriority ORDER BY sk.o_orderpriority",
     "q129_hll_rollup" -> // full DataSketches statement on the Spark side;
       // the oracle recomputes the exact half and asserts within_band
       "WITH leaf AS (SELECT o_orderstatus, o_orderpriority, hll_sketch_agg(o_custkey, 12) AS sk FROM orders GROUP BY 1, 2), est AS (SELECT o_orderstatus, COUNT(*) AS n_leaves, hll_sketch_estimate(hll_union_agg(sk, false)) AS est_nd FROM leaf GROUP BY 1), exact AS (SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_nd FROM orders GROUP BY 1) SELECT est.o_orderstatus, n_leaves, exact_nd, CAST(500 AS BIGINT) AS band_bp, (abs(est_nd - exact_nd) * 10000 <= exact_nd * 500) AS within_band FROM est JOIN exact ON est.o_orderstatus = exact.o_orderstatus ORDER BY o_orderstatus",
