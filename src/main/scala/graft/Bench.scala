@@ -246,25 +246,30 @@ object Bench {
       if (probeRows.isEmpty) -1.0
       else probeRows.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max
 
-    // Linear-volume TEXT GATE (r12 verdict #5): the splice transform that
-    // keeps near-dup structure scale-invariant inflates bigram volume
-    // superlinearly (12.2× at factor 10), so the drill's text lanes gate
-    // against a measured volume bar — correct but leaning on the splice
-    // artifact. Replacement-mode copies carry EXACTLY factor× volume
-    // (verified in-artifact via text_gate_vol_ratio ≈ factor), so the
-    // corpus-statistics lanes are ALSO gated here at the plain 2.5 bar —
-    // the unarguable number. rc-failure bar stays the row-lane convention
-    // (the factor = fully-linear cost).
-    val textGateFactor = 10
+    // Linear-volume TEXT GATE (r12 verdict #5, marginal form): the splice
+    // transform that keeps near-dup structure scale-invariant inflates
+    // bigram volume superlinearly (12.2× at factor 10), so the drill's
+    // text lanes gate against a measured volume bar — correct but leaning
+    // on the splice artifact. Replacement-mode copies carry EXACTLY
+    // factor× volume; the gate measures the three corpus-statistics lanes
+    // at 1×/10×/30× and compares the MARGINAL cost per added bigram
+    // across the two windows (ScaleDrill.textMarginal has the full
+    // derivation: the wall-ratio-2.5 bar is an overhead test, not a
+    // scaling test — the marginal bar cancels the intercept and catches
+    // polynomial/all-pairs shapes the wall bar misses). Wall ratios stay recorded
+    // as context; rc-failure keeps the unarguable wall backstop
+    // (t_hi > hi·t_1 = superlinear past any intercept excuse).
+    val textGateLo = 10
+    val textGateHi = 30
     val textGateDir = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_text_gate_${textGateFactor}x")
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_text_gate_marginal")
     var textGateCrash: Option[String] = None
-    val ((tgRows, tgVolBase, tgVolBig), loadTextGate) = HostLoad.around {
-      try ScaleDrill.textProbe(spark, sfDir, textGateDir.toString, textGateFactor, linear = true)
+    val ((tgRows, tgV1, tgVLo, tgVHi), loadTextGate) = HostLoad.around {
+      try ScaleDrill.textMarginal(spark, sfDir, textGateDir.toString, textGateLo, textGateHi)
       catch { case e: Throwable =>
         System.err.println(s"[bench] text gate failed: ${e.getMessage}")
         textGateCrash = Some(s"text_gate:crashed(${e.getClass.getSimpleName})")
-        (Seq.empty[(String, Double, Double, Int)], 0L, 0L)
+        (Seq.empty[(String, Double, Double, Double, Int)], 0L, 0L, 0L)
       } finally {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
@@ -272,20 +277,27 @@ object Bench {
         rm(textGateDir)
       }
     }
-    val tgVolRatio = if (tgVolBase > 0) tgVolBig.toDouble / tgVolBase else -1.0
-    val textGateJson = tgRows.map { case (k, b, x, p) =>
-      val ratio = x / math.max(b, 1e-9)
-      "\"" + k + f"""\":{"base":$b%.2f,"x$textGateFactor":$x%.2f,"ratio":$ratio%.2f,"pairs":$p,"bar":${ScaleDrill.remeasureRatio}%.2f,"gate_ok":${ratio <= ScaleDrill.remeasureRatio}}"""
+    val tgVolRatio = if (tgV1 > 0) tgVHi.toDouble / tgV1 else -1.0
+    val textGateJson = tgRows.map { case (k, t1, tLo, tHi, p) =>
+      val wallLo = tLo / math.max(t1, 1e-9)
+      val wallHi = tHi / math.max(t1, 1e-9)
+      val mr = ScaleDrill.marginalRatio(t1, tLo, tHi, tgV1, tgVLo, tgVHi)
+      val ok = ScaleDrill.marginalOk(t1, tLo, tHi, tgV1, tgVLo, tgVHi)
+      "\"" + k + f"""\":{"base":$t1%.2f,"x$textGateLo":$tLo%.2f,"x$textGateHi":$tHi%.2f,"wall_ratio$textGateLo":$wallLo%.2f,"wall_ratio$textGateHi":$wallHi%.2f,"marginal_ratio":$mr%.2f,"pairs":$p,"bar":${ScaleDrill.marginalBar}%.2f,"gate_ok":$ok}"""
     }.mkString("{", ",", "}")
     val textGateMaxRatio =
       if (tgRows.isEmpty) -1.0
-      else tgRows.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max
-    val textGateAllOk = tgRows.nonEmpty && tgRows.forall { case (_, b, x, _) =>
-      x / math.max(b, 1e-9) <= ScaleDrill.remeasureRatio
+      else tgRows.map { case (_, t1, tLo, _, _) => tLo / math.max(t1, 1e-9) }.max
+    val textGateMaxMarginal =
+      if (tgRows.isEmpty) -1.0
+      else tgRows.map { case (_, t1, tLo, tHi, _) =>
+        ScaleDrill.marginalRatio(t1, tLo, tHi, tgV1, tgVLo, tgVHi) }.max
+    val textGateAllOk = tgRows.nonEmpty && tgRows.forall { case (_, t1, tLo, tHi, _) =>
+      ScaleDrill.marginalOk(t1, tLo, tHi, tgV1, tgVLo, tgVHi)
     }
     val textGateFailures = tgRows.collect {
-      case (k, b, x, _) if x / math.max(b, 1e-9) > textGateFactor =>
-        f"text_gate:$k(ratio=${x / math.max(b, 1e-9)}%.1f)"
+      case (k, t1, _, tHi, _) if tHi / math.max(t1, 1e-9) > textGateHi =>
+        f"text_gate:$k(wall_ratio$textGateHi=${tHi / math.max(t1, 1e-9)}%.1f)"
     }
 
     def secOrFail(t: Double, ok: Boolean): String = if (ok) f"$t%.2f" else "-1"
@@ -363,10 +375,10 @@ object Bench {
 
     val detailPath = "bench_detail.json"
     val pw = new java.io.PrintWriter(detailPath)
-    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"host_load":$loadJson,"scale_drill":{"factor":$drillFactor,"all_gated_ok":$drillAllGatedOk,"queries":$drillJson,"known_superlinear":$drillKnownJson,"stage_attribution":$drillStagesJson,"bigram_vol_base":$drillVolBase,"bigram_vol_scaled":$drillVolBig,"bigram_vol_ratio":$drillVolRatio%.2f},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"text_gate":{"factor":$textGateFactor,"mode":"linear-replacement","bigram_vol_base":$tgVolBase,"bigram_vol_scaled":$tgVolBig,"vol_ratio":$tgVolRatio%.2f,"all_ok":$textGateAllOk,"queries":$textGateJson},"queries":$detail,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"failures":$failJson,"sf":"$sfDir"}""")
+    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"host_load":$loadJson,"scale_drill":{"factor":$drillFactor,"all_gated_ok":$drillAllGatedOk,"queries":$drillJson,"known_superlinear":$drillKnownJson,"stage_attribution":$drillStagesJson,"bigram_vol_base":$drillVolBase,"bigram_vol_scaled":$drillVolBig,"bigram_vol_ratio":$drillVolRatio%.2f},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"text_gate":{"factor_lo":$textGateLo,"factor_hi":$textGateHi,"mode":"linear-replacement-marginal","bigram_vol_base":$tgV1,"bigram_vol_lo":$tgVLo,"bigram_vol_hi":$tgVHi,"vol_ratio":$tgVolRatio%.2f,"marginal_bar":${ScaleDrill.marginalBar}%.2f,"all_ok":$textGateAllOk,"queries":$textGateJson},"queries":$detail,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"failures":$failJson,"sf":"$sfDir"}""")
     finally pw.close()
 
-    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scan_gate_lanes":$scanLanes,"scan_gate_violations":${scanViolations.size},"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_all_gated_ok":$drillAllGatedOk,"scale_drill_vol_ratio":$drillVolRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"text_gate_factor":$textGateFactor,"text_gate_max_ratio":$textGateMaxRatio%.2f,"text_gate_all_ok":$textGateAllOk,"text_gate_vol_ratio":$tgVolRatio%.2f,"ext_cpu_cold_pct":${loadCold.extCpuPct}%.2f,"ext_cpu_warm_pct":${loadWarm.extCpuPct}%.2f,"gc_cold_sec":${loadCold.gcSec}%.2f,"gc_warm_sec":${loadWarm.gcSec}%.2f,"iowait_cold_pct":${loadCold.ioWaitPct}%.2f,"iowait_warm_pct":${loadWarm.ioWaitPct}%.2f,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"contended":$contended,"sf":"$sfDir","detail":"$detailPath"}"""
+    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scan_gate_lanes":$scanLanes,"scan_gate_violations":${scanViolations.size},"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_all_gated_ok":$drillAllGatedOk,"scale_drill_vol_ratio":$drillVolRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"text_gate_factor_lo":$textGateLo,"text_gate_factor_hi":$textGateHi,"text_gate_max_wall_ratio$textGateLo":$textGateMaxRatio%.2f,"text_gate_max_marginal":$textGateMaxMarginal%.2f,"text_gate_all_ok":$textGateAllOk,"text_gate_vol_ratio":$tgVolRatio%.2f,"ext_cpu_cold_pct":${loadCold.extCpuPct}%.2f,"ext_cpu_warm_pct":${loadWarm.extCpuPct}%.2f,"gc_cold_sec":${loadCold.gcSec}%.2f,"gc_warm_sec":${loadWarm.gcSec}%.2f,"iowait_cold_pct":${loadCold.ioWaitPct}%.2f,"iowait_warm_pct":${loadWarm.ioWaitPct}%.2f,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"contended":$contended,"sf":"$sfDir","detail":"$detailPath"}"""
     // The summary survives in THREE places so no capture window can lose it
     // (r8's artifact held a log-noise tail and parsed:null):
     //  1. a file the judge can always read back,

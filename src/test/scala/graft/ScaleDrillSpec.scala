@@ -119,4 +119,56 @@ class ScaleDrillSpec extends AnyFunSuite with BeforeAndAfterAll {
         f"ratio=${big / math.max(base, 1e-9)}%.2f  vol=${volBig.toDouble / volBase}%.2f")
     }
   }
+
+  test("marginal gate math: linear passes at any intercept, convex shapes fail") {
+    val (v1, vLo, vHi) = (100L, 1000L, 3000L)
+    def t(c: Double, cost: Long => Double) =
+      (c + cost(v1), c + cost(vLo), c + cost(vHi))
+    // linear cost, intercepts from 0 to 100× the 1× marginal: ratio ≈ 1
+    for (c <- Seq(0.0, 1.0, 10.0)) {
+      val (t1, tLo, tHi) = t(c, v => v * 0.01)
+      assert(ScaleDrill.marginalOk(t1, tLo, tHi, v1, vLo, vHi),
+        s"linear plan with intercept $c must pass")
+      val r = ScaleDrill.marginalRatio(t1, tLo, tHi, v1, vLo, vHi)
+      assert(math.abs(r - 1.0) < 1e-9, s"linear marginal ratio must be 1, got $r")
+    }
+    // n² fails REGARDLESS of intercept — the wall-ratio bar's blind spot
+    // (an n² lane with c ≥ 20m shows wall ratio < 6 at 10× and passes);
+    // the marginal ratio is (v_hi+v_lo)/(v_lo+v_1) ≈ 3.6, intercept-free
+    for (c <- Seq(0.0, 10.0, 100.0)) {
+      val (q1, qLo, qHi) = t(c, v => v.toDouble * v * 1e-5)
+      val r = ScaleDrill.marginalRatio(q1, qLo, qHi, v1, vLo, vHi)
+      assert(math.abs(r - (vHi + vLo).toDouble / (vLo + v1)) < 1e-9)
+      assert(!ScaleDrill.marginalOk(q1, qLo, qHi, v1, vLo, vHi),
+        s"n^2 with intercept $c must fail")
+    }
+    // n·log n at corpus n is LOCALLY near-linear (marginal ratio ≈
+    // ln-growth over one 3× window ≈ 1.1–1.2) — deliberately inside the
+    // bar: sort-shaped cost is not a polynomial scale-killer, and the bar
+    // sits just above it so measurement noise (≲1.2) doesn't flap
+    val (nl1, nlLo, nlHi) = t(5.0, v => v * math.log(v.toDouble) * 0.01)
+    val nlr = ScaleDrill.marginalRatio(nl1, nlLo, nlHi, v1, vLo, vHi)
+    assert(nlr > 1.0 && nlr <= ScaleDrill.marginalBar,
+      s"n·log n at corpus n should sit between linear and the bar, got $nlr")
+    // unresolvable low-window marginal (delta under the noise floor):
+    // falls back to the wall backstop, both directions
+    assert(ScaleDrill.marginalRatio(1.0, 1.05, 1.1, v1, vLo, vHi) == -1.0)
+    assert(ScaleDrill.marginalOk(1.0, 1.05, 1.1, v1, vLo, vHi))
+    assert(!ScaleDrill.marginalOk(0.1, 0.15, 31.0, v1, vLo, vHi),
+      "wall backstop must catch t_hi > (v_hi/v_1) * t_1")
+  }
+
+  test("textMarginal: three linear points, exact volumes, resolvable marginals") {
+    val dir = java.nio.file.Files.createTempDirectory("graftmarg").toString
+    val (rows, v1, vLo, vHi) = ScaleDrill.textMarginal(spark, sfDir, dir, 3, 9)
+    assert(rows.map(_._1) == ScaleDrill.textProbeQueries)
+    // replacement mode: volumes are EXACT multiples of the base
+    assert(v1 > 0 && vLo == v1 * 3 && vHi == v1 * 9,
+      s"linear mode must scale volume exactly: $v1 / $vLo / $vHi")
+    rows.foreach { case (name, t1, tLo, tHi, pairs) =>
+      assert(t1 > 0 && tLo > 0 && tHi > 0 && (pairs == 2 || pairs == 3))
+      info(f"$name: 1x=$t1%.2f s  3x=$tLo%.2f s  9x=$tHi%.2f s  " +
+        f"marginal=${ScaleDrill.marginalRatio(t1, tLo, tHi, v1, vLo, vHi)}%.2f")
+    }
+  }
 }
