@@ -546,7 +546,11 @@ object ScaleDrill {
   }
 
   /** Marginal ratio m_hi/m_lo for the gate's artifact row; −1 when the
-    * low-window delta is under the noise floor (overhead-dominated). */
+    * low-window delta is under the noise floor (overhead-dominated).
+    * A negative HIGH-window delta (tHi < tLo — timing noise on a
+    * sub-linear lane) clamps to 0.0 rather than rendering a negative
+    * ratio: the −1 sentinel stays exclusively "low window unresolvable"
+    * so the artifact's marginal_ratio field is unambiguous (r13 ADVICE #5). */
   def marginalRatio(t1: Double, tLo: Double, tHi: Double,
                     v1: Long, vLo: Long, vHi: Long): Double = {
     val dLo = tLo - t1
@@ -554,7 +558,7 @@ object ScaleDrill {
     else {
       val mLo = dLo / math.max(1L, vLo - v1)
       val mHi = (tHi - tLo) / math.max(1L, vHi - vLo)
-      mHi / mLo
+      math.max(0.0, mHi / mLo)
     }
   }
 

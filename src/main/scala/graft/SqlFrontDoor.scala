@@ -66,8 +66,9 @@ object SqlFrontDoor {
       "WITH fp AS (SELECT source, doc_id, md5(CAST(text AS BINARY)) AS fp, octet_length(CAST(text AS BINARY)) AS nb FROM documents WHERE text IS NOT NULL), g AS (SELECT source, fp, MIN(doc_id) AS keeper, COUNT(*) AS copies, MIN(nb) AS nb FROM fp GROUP BY 1, 2) SELECT source, COUNT(*) AS n_unique, CAST(SUM(copies) AS BIGINT) AS n_total, CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_dupes, CAST(SUM(nb) AS BIGINT) AS bytes_unique, CAST(SUM(keeper) AS BIGINT) AS keeper_sum FROM g GROUP BY source ORDER BY source",
     "q147_frame_fingerprints" ->
       "WITH d AS (SELECT doc_id, CAST(text AS BINARY) AS payload, octet_length(CAST(text AS BINARY)) AS total FROM documents WHERE doc_id < 200 AND text IS NOT NULL), f AS (SELECT doc_id, i, substring(payload, CAST(i * GREATEST((total - 32) div 3, 1) + 1 AS INT), 32) AS frame FROM d LATERAL VIEW explode(sequence(0, 3)) t AS i) SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, md5(frame) AS frame_md5, CAST(octet_length(frame) AS BIGINT) AS frame_len FROM f ORDER BY doc_id, frame_idx",
-    "q148_modality_mix" ->
-      "WITH p AS (SELECT source, doc_id, octet_length(CAST(text AS BINARY)) AS nb, element_at(array('image/png','audio/wav','video/mp4','text/plain'), CAST(doc_id % 4 AS INT) + 1) AS mime FROM documents WHERE text IS NOT NULL), g AS (SELECT source, mime, COUNT(*) AS n_docs, SUM(nb) AS bytes FROM p GROUP BY 1, 2), t AS (SELECT source, SUM(bytes) AS src_bytes FROM g GROUP BY 1), a AS (SELECT SUM(bytes) AS all_bytes FROM g) SELECT g.source, mime, n_docs, CAST(bytes AS BIGINT) AS total_bytes, CAST(bytes * 1000000 div src_bytes AS BIGINT) AS share_ppm, CAST(src_bytes * 1000000 div all_bytes AS BIGINT) AS src_weight_ppm FROM g JOIN t USING (source) CROSS JOIN a ORDER BY source, mime",
+    "q148_modality_mix" -> // ppm numerators in DECIMAL(38,0) like the
+      // operator — BIGINT bytes*10⁶ wraps past ~9.2 TB/source (ANSI off)
+      "WITH p AS (SELECT source, doc_id, octet_length(CAST(text AS BINARY)) AS nb, element_at(array('image/png','audio/wav','video/mp4','text/plain'), CAST(doc_id % 4 AS INT) + 1) AS mime FROM documents WHERE text IS NOT NULL), g AS (SELECT source, mime, COUNT(*) AS n_docs, SUM(nb) AS bytes FROM p GROUP BY 1, 2), t AS (SELECT source, SUM(bytes) AS src_bytes FROM g GROUP BY 1), a AS (SELECT SUM(bytes) AS all_bytes FROM g) SELECT g.source, mime, n_docs, CAST(bytes AS BIGINT) AS total_bytes, CAST(CAST(bytes AS DECIMAL(38,0)) * 1000000 div src_bytes AS BIGINT) AS share_ppm, CAST(CAST(src_bytes AS DECIMAL(38,0)) * 1000000 div all_bytes AS BIGINT) AS src_weight_ppm FROM g JOIN t USING (source) CROSS JOIN a ORDER BY source, mime",
     "q149_decode_features" -> // ordered `aggregate` HOF = the stub codec's
       // left fold; ascii() of the 1-byte binary slice = the byte (ASCII)
       "WITH d AS (SELECT doc_id, CAST(text AS BINARY) AS payload FROM documents WHERE doc_id < 300 AND text IS NOT NULL AND length(text) > 0), f AS (SELECT doc_id, j, aggregate(filter(sequence(1, octet_length(payload)), i -> (i - 1) % 8 = j), CAST(0.0 AS DOUBLE), (a, i) -> a + CAST(ascii(CAST(substring(payload, i, 1) AS STRING)) AS DOUBLE) / 255.0) AS v FROM d LATERAL VIEW explode(sequence(0, 7)) t AS j) SELECT doc_id, CAST(j AS BIGINT) AS dim, ROUND(v, 4) AS v FROM f ORDER BY doc_id, dim",
@@ -86,8 +87,10 @@ object SqlFrontDoor {
       // oracle can't (approx_count_distinct rsd / percentile_approx) and
       // derives the same in-band booleans the oracle asserts as TRUE;
       // exact distinct spelled as its own two-level collapse, NOT a
-      // COUNT(DISTINCT) beside the buffer aggs (see the operator note)
-      "WITH sk AS (SELECT o_orderpriority, approx_count_distinct(o_custkey, 0.01) AS est_nd, percentile_approx(o_totalprice, 0.5, 10000) AS est_p50, ROUND(percentile(o_totalprice, 0.5), 2) AS exact_p50, COUNT(*) AS n FROM orders GROUP BY o_orderpriority), nd AS (SELECT o_orderpriority, COUNT(*) AS exact_nd FROM (SELECT o_orderpriority, o_custkey FROM orders GROUP BY 1, 2) t GROUP BY 1) SELECT sk.o_orderpriority, exact_nd, exact_p50, n, CAST(500 AS BIGINT) AS nd_band_bp, (abs(est_nd - exact_nd) * 10000 <= exact_nd * 500) AS nd_ok, CAST(500 AS BIGINT) AS p50_band_bp, (abs(est_p50 - exact_p50) * 10000 <= exact_p50 * 500) AS p50_ok FROM sk JOIN nd ON sk.o_orderpriority = nd.o_orderpriority ORDER BY sk.o_orderpriority",
+      // COUNT(DISTINCT) beside the buffer aggs (see the operator note);
+      // NULL custkeys filtered like the operator — a two-level GROUP BY
+      // would count a NULL group that COUNT(DISTINCT) ignores
+      "WITH sk AS (SELECT o_orderpriority, approx_count_distinct(o_custkey, 0.01) AS est_nd, percentile_approx(o_totalprice, 0.5, 10000) AS est_p50, ROUND(percentile(o_totalprice, 0.5), 2) AS exact_p50, COUNT(*) AS n FROM orders GROUP BY o_orderpriority), nd AS (SELECT o_orderpriority, COUNT(*) AS exact_nd FROM (SELECT o_orderpriority, o_custkey FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1, 2) t GROUP BY 1) SELECT sk.o_orderpriority, exact_nd, exact_p50, n, CAST(500 AS BIGINT) AS nd_band_bp, (abs(est_nd - exact_nd) * 10000 <= exact_nd * 500) AS nd_ok, CAST(500 AS BIGINT) AS p50_band_bp, (abs(est_p50 - exact_p50) * 10000 <= exact_p50 * 500) AS p50_ok FROM sk JOIN nd ON sk.o_orderpriority = nd.o_orderpriority ORDER BY sk.o_orderpriority",
     "q129_hll_rollup" -> // full DataSketches statement on the Spark side;
       // the oracle recomputes the exact half and asserts within_band
       "WITH leaf AS (SELECT o_orderstatus, o_orderpriority, hll_sketch_agg(o_custkey, 12) AS sk FROM orders GROUP BY 1, 2), est AS (SELECT o_orderstatus, COUNT(*) AS n_leaves, hll_sketch_estimate(hll_union_agg(sk, false)) AS est_nd FROM leaf GROUP BY 1), exact AS (SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_nd FROM orders GROUP BY 1) SELECT est.o_orderstatus, n_leaves, exact_nd, CAST(500 AS BIGINT) AS band_bp, (abs(est_nd - exact_nd) * 10000 <= exact_nd * 500) AS within_band FROM est JOIN exact ON est.o_orderstatus = exact.o_orderstatus ORDER BY o_orderstatus",

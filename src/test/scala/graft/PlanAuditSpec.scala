@@ -502,11 +502,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q118 MAD: ONE live fact scan — both medians + outlier count off the collapsed frame (executed plan)") {
     // r12 verdict #4: the level-2 histogram used to re-scan lineitem for
     // its exact-value aggregate; since r13 the (flag, cents) → cnt collapse
-    // is the ONLY consumer of the fact table and every refinement level,
-    // the deviation frame, and the final count read the persisted collapse
-    // the parquet read lives INSIDE the persisted collapse (materialized
-    // once when the cache fills): the outer executed plan must carry ZERO
-    // live FileScans — every consumer reads the in-memory collapsed frame
+    // is the ONLY consumer of the fact table. r14 (r13 verdict #2): the
+    // median cascades run at CONSTRUCTION (collected to ≤|flags|-row
+    // literal CASEs), so the parquet read happens exactly once when the
+    // collapse's cache fills during the first cascade; the returned plan
+    // must carry ZERO live FileScans and read the in-memory collapse for
+    // the final deviation/outlier pass
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     val qe = graft.operators.Relational.q118MadOutliers(spark, sfDir).queryExecution
@@ -515,7 +516,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scans = nodes.count(_.isInstanceOf[FileSourceScanExec])
     val cached = nodes.count(_.isInstanceOf[InMemoryTableScanExec])
     assert(scans == 0, s"q118: a consumer re-read parquet past the collapse ($scans live scans)")
-    assert(cached >= 2, s"q118: expected >=2 reads of the persisted collapse, got $cached")
+    assert(cached >= 1, s"q118: expected the final pass to read the persisted collapse, got $cached")
     GraftSession.releasePersisted(spark)
   }
 
