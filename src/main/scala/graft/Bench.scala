@@ -131,7 +131,15 @@ object Bench {
       ScanAudit.loadBudgets(ScanAudit.DefaultBudgetPath) match {
         case Some(budgets) =>
           val rows = ScanAudit.collect(spark, scanGateDir)
-          (ScanAudit.violations(rows, budgets), rows.size)
+          // collected < budgeted means lanes CRASHED (collect omits them)
+          // or the fixture dir is missing — either way the gate must fail
+          // loudly, not report 0 violations over 0 lanes (r13 ADVICE #2:
+          // the silent-skip path is how fences rot, same as missing-file)
+          val shortfall =
+            if (rows.size < budgets.size)
+              Seq(s"scan_budget:collected(${rows.size}<${budgets.size})")
+            else Nil
+          (ScanAudit.violations(rows, budgets) ++ shortfall, rows.size)
         case None => (Seq(s"scan_budget:missing(${ScanAudit.DefaultBudgetPath})"), 0)
       }
     }
@@ -207,6 +215,57 @@ object Bench {
       else drillGated.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max
     val drillAllGatedOk = drillGated.forall { case (k, b, x, _) =>
       x / math.max(b, 1e-9) <= ScaleDrill.gateBar(k, drillVolRatio)
+    }
+    // Drill-RATIO regression fence (r13 verdict #8): wall-time regressions
+    // have had a per-lane ratchet since r12, but a lane's scale BEHAVIOR
+    // could quietly degrade (1.1 → 2.3, still under the 2.5 bar) with
+    // nothing named. bench_drill_baseline.json keeps each gated lane's
+    // best-ever drill ratio; a clean-host round where a lane's ratio
+    // exceeds 1.5× its recorded best is named in drill_regressed[]
+    // (recorded, like regressed[] — the gate bars still own rc).
+    val drillRatioPath = "bench_drill_baseline.json"
+    val curRatio: Map[String, Double] = drillGated.map { case (k, b, x, _) =>
+      k -> x / math.max(b, 1e-9) }.toMap
+    val prevRatio: Map[String, Double] =
+      try {
+        val f = new java.io.File(drillRatioPath)
+        if (!f.isFile) Map.empty
+        else {
+          import org.json4s._
+          jackson.JsonMethods.parse(f).asInstanceOf[JObject].obj.map {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+            case (k, v) => throw new IllegalArgumentException(s"bad drill baseline $k: $v")
+          }.toMap
+        }
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] drill baseline unreadable (${e.getMessage}) — starting fresh")
+        Map.empty
+      }
+    val drillHostClean = loadDrill.extCpuPct >= 0 &&
+      loadDrill.extCpuPct <= HostLoad.ContendedPct
+    val drillRegressed: Seq[(String, Double, Double)] =
+      if (!drillHostClean) Seq.empty
+      else curRatio.toSeq.sorted.collect {
+        case (k, now) if prevRatio.get(k).exists(prev => now > prev * 1.5) =>
+          (k, prevRatio(k), now)
+      }
+    drillRegressed.foreach { case (k, prev, now) =>
+      System.err.println(f"[bench] drill-ratio regression: $k $prev%.2f -> $now%.2f")
+    }
+    val drillRegressedJson = drillRegressed.map { case (k, prev, now) =>
+      f"""{"lane":"$k","prev":$prev%.2f,"now":$now%.2f}"""
+    }.mkString("[", ",", "]")
+    try {
+      val merged = (prevRatio.keySet ++ curRatio.keySet).toSeq.sorted.map { k =>
+        val v = math.min(prevRatio.getOrElse(k, Double.MaxValue),
+          curRatio.getOrElse(k, Double.MaxValue))
+        f""" "$k": $v%.3f"""
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(drillRatioPath),
+        merged.mkString("{\n", ",\n", "\n}\n"))
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] drill baseline write failed: ${e.getMessage}")
     }
     // superlinear = FAILURE, not a buried ratio (r5 verdict #3: a 28.59
     // shipped as a green bench line). `factor`× data on fixed cores may
@@ -314,9 +373,28 @@ object Bench {
     // recorded best ON A CLEAN HOST (ext_cpu under the contended bar —
     // contention fakes regressions) is named in `regressed[]`. The
     // baseline absorbs the round's bests via min(), so it only ratchets
-    // down; a data regen that legitimately slows lanes shows up once as a
-    // flagged round and the judge adjudicates with the regen in hand.
+    // down. A DELIBERATE permanent slowdown (a redesign that adds work,
+    // like q49's r13 exact companions) is handled by the explicit reseed
+    // path (r13 ADVICE #3): bump the lane's baseline value by hand and
+    // record (lane, old, new, round, reason) in bench_baseline_resets.json
+    // — the tracked ledger read below and cited in the artifact, so every
+    // ratchet exception is auditable rather than permanent regressed[]
+    // noise.
     val lanePath = "bench_lane_baseline.json"
+    val resetsLedger: String =
+      try {
+        val f = new java.io.File("bench_baseline_resets.json")
+        if (!f.isFile) "[]"
+        else {
+          import org.json4s._
+          val parsed = jackson.JsonMethods.parse(f)
+          jackson.JsonMethods.compact(jackson.JsonMethods.render(
+            parsed.asInstanceOf[JObject] \ "resets"))
+        }
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] reset ledger unreadable: ${e.getMessage}")
+        "[]"
+      }
     val curBest: Map[String, Double] = cold.collect {
       case (k, cv, true) if warmByName(k)._3 => k -> math.min(cv, warmByName(k)._2)
     }.toMap
@@ -375,10 +453,10 @@ object Bench {
 
     val detailPath = "bench_detail.json"
     val pw = new java.io.PrintWriter(detailPath)
-    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"host_load":$loadJson,"scale_drill":{"factor":$drillFactor,"all_gated_ok":$drillAllGatedOk,"queries":$drillJson,"known_superlinear":$drillKnownJson,"stage_attribution":$drillStagesJson,"bigram_vol_base":$drillVolBase,"bigram_vol_scaled":$drillVolBig,"bigram_vol_ratio":$drillVolRatio%.2f},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"text_gate":{"factor_lo":$textGateLo,"factor_hi":$textGateHi,"mode":"linear-replacement-marginal","bigram_vol_base":$tgV1,"bigram_vol_lo":$tgVLo,"bigram_vol_hi":$tgVHi,"vol_ratio":$tgVolRatio%.2f,"marginal_bar":${ScaleDrill.marginalBar}%.2f,"all_ok":$textGateAllOk,"queries":$textGateJson},"queries":$detail,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"failures":$failJson,"sf":"$sfDir"}""")
+    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"host_load":$loadJson,"scale_drill":{"factor":$drillFactor,"all_gated_ok":$drillAllGatedOk,"queries":$drillJson,"known_superlinear":$drillKnownJson,"stage_attribution":$drillStagesJson,"bigram_vol_base":$drillVolBase,"bigram_vol_scaled":$drillVolBig,"bigram_vol_ratio":$drillVolRatio%.2f},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"text_gate":{"factor_lo":$textGateLo,"factor_hi":$textGateHi,"mode":"linear-replacement-marginal","bigram_vol_base":$tgV1,"bigram_vol_lo":$tgVLo,"bigram_vol_hi":$tgVHi,"vol_ratio":$tgVolRatio%.2f,"marginal_bar":${ScaleDrill.marginalBar}%.2f,"all_ok":$textGateAllOk,"queries":$textGateJson},"queries":$detail,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"drill_regressed":$drillRegressedJson,"drill_regression_checked":$drillHostClean,"baseline_resets":$resetsLedger,"failures":$failJson,"sf":"$sfDir"}""")
     finally pw.close()
 
-    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scan_gate_lanes":$scanLanes,"scan_gate_violations":${scanViolations.size},"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_all_gated_ok":$drillAllGatedOk,"scale_drill_vol_ratio":$drillVolRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"text_gate_factor_lo":$textGateLo,"text_gate_factor_hi":$textGateHi,"text_gate_max_wall_ratio$textGateLo":$textGateMaxRatio%.2f,"text_gate_max_marginal":$textGateMaxMarginal%.2f,"text_gate_all_ok":$textGateAllOk,"text_gate_vol_ratio":$tgVolRatio%.2f,"ext_cpu_cold_pct":${loadCold.extCpuPct}%.2f,"ext_cpu_warm_pct":${loadWarm.extCpuPct}%.2f,"gc_cold_sec":${loadCold.gcSec}%.2f,"gc_warm_sec":${loadWarm.gcSec}%.2f,"iowait_cold_pct":${loadCold.ioWaitPct}%.2f,"iowait_warm_pct":${loadWarm.ioWaitPct}%.2f,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"contended":$contended,"sf":"$sfDir","detail":"$detailPath"}"""
+    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scan_gate_lanes":$scanLanes,"scan_gate_violations":${scanViolations.size},"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_all_gated_ok":$drillAllGatedOk,"scale_drill_vol_ratio":$drillVolRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"text_gate_factor_lo":$textGateLo,"text_gate_factor_hi":$textGateHi,"text_gate_max_wall_ratio$textGateLo":$textGateMaxRatio%.2f,"text_gate_max_marginal":$textGateMaxMarginal%.2f,"text_gate_all_ok":$textGateAllOk,"text_gate_vol_ratio":$tgVolRatio%.2f,"ext_cpu_cold_pct":${loadCold.extCpuPct}%.2f,"ext_cpu_warm_pct":${loadWarm.extCpuPct}%.2f,"gc_cold_sec":${loadCold.gcSec}%.2f,"gc_warm_sec":${loadWarm.gcSec}%.2f,"iowait_cold_pct":${loadCold.ioWaitPct}%.2f,"iowait_warm_pct":${loadWarm.ioWaitPct}%.2f,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"drill_regressed":$drillRegressedJson,"drill_regression_checked":$drillHostClean,"contended":$contended,"sf":"$sfDir","detail":"$detailPath"}"""
     // The summary survives in THREE places so no capture window can lose it
     // (r8's artifact held a log-noise tail and parsed:null):
     //  1. a file the judge can always read back,

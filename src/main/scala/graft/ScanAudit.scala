@@ -1,34 +1,50 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.{SparkPlan, SparkPlanInfo}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.ui.{SparkListenerDriverAccumUpdates, SparkListenerSQLAdaptiveExecutionUpdate, SparkListenerSQLExecutionStart}
 
-/** Executed-plan scan audit + regression GATE.
+/** Live-scan audit + regression GATE.
   *
-  * For every DataFrame-lane query, drives the executed plan and reports how
-  * many LIVE FileScans of each table the final AQE tree carries (reused
-  * exchanges collapse duplicates; this counts what actually reads disk).
-  * A lane scanning one table more often than its semantics require is the
-  * exact bug class the r12 bench caught in q99/q112 — an inferred filter
-  * or a pruned column making two branch subtrees differ by a hair, so
-  * ReuseExchange never fires and the fact table is read twice.
+  * For every DataFrame-lane query, runs the lane end-to-end and counts how
+  * many DISTINCT file-scan executions of each table actually happened —
+  * across ALL jobs the lane runs, not just the final plan. A lane scanning
+  * one table more often than its semantics require is the exact bug class
+  * the r12 bench caught in q99/q112 — an inferred filter or a pruned
+  * column making two branch subtrees differ by a hair, so ReuseExchange
+  * never fires and the fact table is read twice.
+  *
+  * r14 (r13 verdict #3): through r13 the audit walked the final AQE plan,
+  * which is blind exactly where double-scans hide — parquet reads at
+  * persist-materialization time, construction-time collects (q118's median
+  * cascades), subquery executions, and recursion iterations all happen in
+  * jobs whose plans never appear under the final tree, and lanes whose
+  * final plan showed NO FileScans were silently omitted (143 of 149 gated).
+  * The audit now rides a lane-scoped [[LaneScanListener]]: SQL-execution
+  * plan-info events (start + every adaptive update; SparkPlanInfo descends
+  * into InMemoryTableScan cached plans, reused exchanges, and subqueries)
+  * register every file-scan node's metric accumulators → owning table, and
+  * accumulator updates (driver-side numFiles posts + task-end accumulables)
+  * mark which scan nodes actually EXECUTED. Distinct executed scan nodes
+  * per table = live scans, whatever job ran them. All 149 lanes report.
   *
   * Since r13 (r12 verdict #3) the audit is a GATE, not just a listing:
   * `scan_budgets.json` (checked in, emitted by `--emit`) records each
-  * lane's expected per-table live-scan budget; [[check]] returns a
-  * violation string for every (lane, table) whose executed plan exceeds
-  * it, and Bench folds those into `failures[]` (nonzero rc). Re-scans are
-  * NOT always bugs — self-joins, correlated scalar subqueries, and the
-  * ANN truth-vs-candidate passes legitimately read a table twice — so
-  * those lanes carry explicit budgets >1 IN THE FILE, reviewable at a
-  * glance; any lane/table absent from the file (e.g. a new lane) defaults
-  * to the strict budget of 1.
+  * lane's expected per-table live-scan budget; [[violations]] returns a
+  * string for every (lane, table) whose run exceeds it, and Bench folds
+  * those into `failures[]` (nonzero rc). Re-scans are NOT always bugs —
+  * self-joins, correlated scalar subqueries, and the ANN
+  * truth-vs-candidate passes legitimately read a table twice — so those
+  * lanes carry explicit budgets >1 IN THE FILE, reviewable at a glance;
+  * any lane/table absent from the file (e.g. a new lane) defaults to the
+  * strict budget of 1.
   *
   * Budgets are measured and gated at sf0.001: live-scan counts come from
-  * plan STRUCTURE (exchange reuse), which AQE sizing does not change, so
-  * the small fixture is representative and the gate costs ~a minute.
+  * plan STRUCTURE (exchange/cache reuse), which AQE sizing does not
+  * change, so the small fixture is representative and the gate costs ~a
+  * minute.
   *
   * `runMain graft.ScanAudit [sfDir] [laneFilter]`       — print the listing
   * `runMain graft.ScanAudit [sfDir] --emit [path]`      — write budgets
@@ -43,32 +59,105 @@ object ScanAudit {
     case other => other +: other.children.flatMap(walk)
   }
 
-  /** Drive every (filtered) lane's executed plan on `dir` and return
-    * (lane, live FileScans per table, reused-exchange count). A lane that
-    * throws is reported on stderr and omitted (the correctness gate owns
-    * lane failures; this gate owns plan shape). */
+  /** Lane-scoped listener: registers scan nodes from SQL plan-info events,
+    * marks them executed on the first accumulator update any of their
+    * metrics receives. numFiles is posted DRIVER-side when the scan builds
+    * its input RDD ([[SparkListenerDriverAccumUpdates]]); row metrics
+    * arrive per task — either signal marks the node live, and counting
+    * DISTINCT node identities (keyed by the node's first metric
+    * accumulator id, stable across AQE re-plan events) keeps a reused
+    * exchange's scan from double-counting. */
+  private final class LaneScanListener extends SparkListener {
+    import scala.collection.concurrent.TrieMap
+    private val accToScan = TrieMap.empty[Long, (Long, String)] // accId → (scanId, table)
+    private val executed = TrieMap.empty[Long, String]          // scanId → table
+    private val reusedByExec = TrieMap.empty[Long, Int]         // executionId → ReusedExchange count
+
+    private def tableOf(location: String): String = {
+      // "InMemoryFileIndex(1 paths)[file:/…/lineitem.parquet]" → "lineitem";
+      // hive-layout dirs keep their basename (same naming the old
+      // final-plan walk used: rootPaths.head.getName minus ".parquet")
+      val inside = location.indexOf('[') match {
+        case -1 => location
+        case i => location.substring(i + 1).takeWhile(c => c != ',' && c != ']')
+      }
+      inside.reverse.takeWhile(_ != '/').reverse.stripSuffix(".parquet") match {
+        case "" => "?"
+        case t => t
+      }
+    }
+
+    private def register(info: SparkPlanInfo): Unit = {
+      // only file scans carry a Location; Local/RDD/in-memory scans don't
+      info.metadata.get("Location").foreach { loc =>
+        val ids = info.metrics.map(_.accumulatorId)
+        ids.headOption.foreach { scanId =>
+          val t = tableOf(loc)
+          ids.foreach(id => accToScan.putIfAbsent(id, (scanId, t)))
+        }
+      }
+      info.children.foreach(register)
+    }
+
+    private def countReused(info: SparkPlanInfo): Int =
+      (if (info.nodeName.startsWith("ReusedExchange")) 1 else 0) +
+        info.children.map(countReused).sum
+
+    private def mark(accId: Long): Unit =
+      accToScan.get(accId).foreach { case (scanId, t) => executed.putIfAbsent(scanId, t) }
+
+    override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+      case e: SparkListenerSQLExecutionStart =>
+        register(e.sparkPlanInfo)
+        reusedByExec.put(e.executionId, countReused(e.sparkPlanInfo)): Unit
+      case e: SparkListenerSQLAdaptiveExecutionUpdate =>
+        register(e.sparkPlanInfo)
+        // keep the LATEST adaptive plan's count per execution
+        reusedByExec.put(e.executionId, countReused(e.sparkPlanInfo)): Unit
+      case e: SparkListenerDriverAccumUpdates =>
+        e.accumUpdates.foreach { case (id, _) => mark(id) }
+      case _ =>
+    }
+
+    override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit =
+      taskEnd.taskInfo.accumulables
+        .foreach(a => if (a.update.isDefined) mark(a.id))
+
+    def scansByTable: Map[String, Int] =
+      executed.values.groupBy(identity).view.mapValues(_.size).toMap
+    def reusedExchanges: Int = reusedByExec.values.sum
+  }
+
+  /** Run every (filtered) lane end-to-end on `dir` (noop sink, like Bench)
+    * and return (lane, live scan executions per table across ALL jobs,
+    * reused-exchange count). A lane that throws is reported on stderr and
+    * omitted (the correctness gate owns lane failures; this gate owns plan
+    * shape) — Bench cross-checks the collected count against the budget
+    * file's lane count so omissions can't silently pass the gate. */
   def collect(spark: SparkSession, dir: String,
               only: Option[String] = None): Seq[(String, Map[String, Int], Int)] =
     SparkEntry.baseQueries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(n.contains) }
       .flatMap { case (name, fn) =>
+        val listener = new LaneScanListener
+        spark.sparkContext.addSparkListener(listener)
         try {
-          val qe = fn(spark, dir).queryExecution
-          qe.toRdd.foreach(_ => ())
-          val nodes = walk(qe.executedPlan)
-          val scansByTable = nodes.collect { case s: FileSourceScanExec =>
-            s.relation.location.rootPaths.headOption
-              .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
-          }.groupBy(identity).view.mapValues(_.size).toMap
-          val reused = nodes.count(_.isInstanceOf[ReusedExchangeExec])
-          if (scansByTable.isEmpty) None
-          else Some((name, scansByTable, reused))
+          // construction may itself run jobs (q118's median collects) —
+          // the listener is live for those too; the noop write then runs
+          // the returned plan through a real SQL execution so plan-info
+          // events fire (an RDD-level drive would bypass them)
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          org.apache.spark.graft.ListenerBusFlush.flush(spark.sparkContext)
+          Some((name, listener.scansByTable, listener.reusedExchanges))
         } catch { case e: Throwable =>
           System.err.println(s"[scan-audit] $name failed: ${e.getMessage}")
           None
           // sweep in finally: a lane that persists then THROWS must not
           // leak cached blocks into every later lane's audit
-        } finally GraftSession.releasePersisted(spark)
+        } finally {
+          spark.sparkContext.removeSparkListener(listener)
+          GraftSession.releasePersisted(spark)
+        }
       }
 
   /** Violations of `budgets` in `rows`: every (lane, table) whose live-scan
@@ -136,11 +225,11 @@ object ScanAudit {
       case laneFilter =>
         val only = Option(laneFilter).filter(_.nonEmpty)
         val rows = collect(spark, dir, only)
-        rows.sortBy { case (_, byTable, _) => -byTable.values.max }.foreach {
+        rows.sortBy { case (_, byTable, _) => -byTable.values.maxOption.getOrElse(0) }.foreach {
           case (name, byTable, reused) =>
             val desc = byTable.toSeq.sortBy(-_._2)
               .map { case (t, n) => s"$t×$n" }.mkString(", ")
-            println(f"[scan-audit] ${byTable.values.max}%2d max  reused=$reused%2d  $name%-34s $desc")
+            println(f"[scan-audit] ${byTable.values.maxOption.getOrElse(0)}%2d max  reused=$reused%2d  $name%-34s $desc")
         }
         0
     }

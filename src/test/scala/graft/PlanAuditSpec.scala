@@ -805,10 +805,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val v = ScanAudit.violations(rows, b)
     assert(v == Seq("scan_budget:q_over:lineitem(2>1)", "scan_budget:q_new:orders(2>1)"),
       s"unexpected violations: $v")
-    // a fixed lane's budget must never silently loosen: the two r12
-    // headline fixes stay at ONE fact scan in the file itself
+    // a fixed lane's budget must never silently loosen. r14 recalibration:
+    // the audit now counts scan EXECUTIONS across ALL jobs (r13 verdict
+    // #3), so the two r12 headline fixes measure 2 — their documented
+    // construction-time pre-pass (shard-width count/min/max first()) plus
+    // exactly ONE fact pass for the whole percentile plan. The regression
+    // this pin exists for (the split-exchange double fact-scan) would
+    // read 3+.
     for (lane <- Seq("q99_winsorized", "q112_percentile_disc_sharded"))
-      assert(budgets.get(lane).forall(_.values.forall(_ == 1)),
-        s"$lane budget loosened beyond one scan")
+      assert(budgets.get(lane).forall(_.values.forall(_ <= 2)),
+        s"$lane budget loosened beyond pre-pass + one fact scan")
+    // the r14 one-scan reshape (q118): the collapse's single fact read is
+    // IN the file, finally visible to the gate at all
+    assert(budgets.get("q118_mad_outliers").exists(_.getOrElse("lineitem", 0) == 1),
+      "q118 must carry exactly one lineitem scan across all its jobs")
   }
 }
