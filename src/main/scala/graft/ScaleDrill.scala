@@ -75,9 +75,21 @@ object ScaleDrill {
     "q127_snapshot_diff",    // orders: full-outer reconciliation — SMJ both
                              // sides, the join-bound shape with no dim to
                              // broadcast
-    "q128_latest_per_key")   // events: partial SortAggregate of max(struct) —
+    "q128_latest_per_key",   // events: partial SortAggregate of max(struct) —
                              // the |keys|-shuffle contract vs the window
                              // spelling, measured not just plan-pinned
+    "q146_payload_dedup",    // documents (r13 verdict #7): the multimodal
+                             // pillar's payload-never-shuffles property
+                             // under data growth — md5 fingerprinting is
+                             // byte-proportional map work, the exchange
+                             // carries 24 bytes/doc however large the
+                             // payloads grow (pre-measured 1.3 at 10×)
+    "q150_frame_neardup")    // documents (r13 verdict #6): the composed
+                             // multimodal×dedup lane — head-frame banding
+                             // with the capped-bucket discipline must stay
+                             // flat as families multiply (pre-measured
+                             // ~1.0 at 10×: candidate pairs scale with
+                             // |families|, not corpus²)
 
   /** Drill lanes measured for VISIBILITY but EXPECTED superlinear: the ratio
     * is a documented property of the spelling, not a regression, so Bench

@@ -211,4 +211,92 @@ object Multimodal {
         expr("CAST(src_bytes AS DECIMAL(38,0)) * 1000000 div all_bytes").as("src_weight_ppm"))
       .orderBy("source", "mime")
   }
+
+  /** Bucket cap for [[q150FrameNeardup]]'s (frame_idx, fingerprint) bands —
+    * the q34 discipline: a degenerate fingerprint shared by B payloads
+    * costs B²/2 candidate pairs; the cap bounds any one bucket's
+    * contribution and is interpolated into both SQL twins. */
+  val FrameBucketCap = 100
+
+  /** Q150 — frame-fingerprint near-dup CLUSTERS: the multimodal pillar
+    * composed with the dedup stack (r13 verdict #6). Four HEAD-anchored
+    * 32-byte frames per payload (fixed offsets k·32 — the thumbnail /
+    * first-seconds keyframe access pattern; payloads under the 128-byte
+    * sampled span are out of contract, like a video shorter than its
+    * sample window) become q34-style bands — band key = (frame_idx,
+    * frame_md5), bucket-capped — candidate pairs must then share ≥2 of the
+    * 4 frames to confirm, and confirmed pairs collapse to keeper clusters
+    * by min-label. Head-anchoring is deliberate twice over: (a) the
+    * fixture's near-dup families share PREFIXES, not lengths, so q147's
+    * length-dependent even-spacing would land family members' frames 1–3
+    * at different offsets and confirm nothing; (b) equal-head-bytes is an
+    * EQUIVALENCE relation, so confirmed families are cliques and ONE
+    * min-label round is the exact component labeling (chain-shaped
+    * families need q79's pointer jumping — documented contract).
+    *
+    * Scale: the payload never shuffles — 4 slices are hashed map-side and
+    * only (doc_id, frame_idx, 16-byte md5) rows band; buckets are capped so
+    * the self-join is never all-pairs; clustering runs on confirmed PAIRS
+    * (≈ |dup families|), not the corpus. */
+  def q150FrameNeardup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = withPayload(Tables(s, dir, "documents")
+      .filter(col("text").isNotNull && octet_length(col("text").cast("binary")) >= 128))
+    val fr = p.select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(3)),
+          k => col("payload").substr(k * 32 + 1, lit(32)))).as(Seq("frame_idx", "frame")))
+      .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("fp"))
+    val capped = fr
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("frame_idx", "fp")))
+      .filter(col("bn") <= lit(FrameBucketCap))
+      .select("doc_id", "frame_idx", "fp")
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") && col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    val labeled = pairs.select(col("id1").as("doc_id"), col("id2").as("nb"))
+      .unionAll(pairs.select(col("id2").as("doc_id"), col("id1").as("nb")))
+      .groupBy("doc_id").agg(min("nb").as("mn"))
+      .select(col("doc_id"), least(col("doc_id"), col("mn")).as("cluster"))
+    labeled.groupBy("cluster")
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        sum("doc_id").cast("long").as("id_sum"))
+      .orderBy("cluster")
+  }
+
+  /** Q151 — batched decode composed with the IVF assignment kernel (r13
+    * verdict #6): [[decodeBatched]]'s per-partition-codec features feed the
+    * SAME fused argmax-cosine Expression the ANN stack assigns with
+    * ([[graft.functions.BestCentroid]] — strict `>` over a cent_id-sorted
+    * broadcast table, lowest id wins exact ties). Centroids are the decoded
+    * features of every 100th doc — sampled-seed "training" exactly like
+    * Similarity.ivfCentroids' stride seeding, and CRUCIALLY filtered BEFORE
+    * the decode (mapPartitions blocks filter pushdown, so a post-decode
+    * filter would decode the whole corpus to keep 1% of it).
+    *
+    * Oracle: the stub codec's folds are bit-replayable (q149), the kernel
+    * accumulates dot/norms in index order, and SQL `a + b + c` parses
+    * left-associative — so DuckDB re-derives features, centroids, and every
+    * cosine bit-identically and the argmax replays with zero tolerance
+    * (the q48 discipline on decoded media features).
+    *
+    * Scale: decode is map-side per partition; only (doc_id, 8 doubles)
+    * rows exist past it; the centroid table broadcasts as ONE collected
+    * row; assignment is a single narrow codegen pass — no N×C join rows. */
+  def q151DecodeIvf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .filter(col("doc_id") < 400 && col("text").isNotNull && length(col("text")) > 0)
+    val f = decodeBatched(withPayload(docs), dim = 8)
+    val cents = decodeBatched(
+        withPayload(docs.filter(pmod(col("doc_id"), lit(100)) === 0)), dim = 8)
+      .select(col("doc_id").as("cent_id"), col("features").as("centv"))
+    val centArr = cents.agg(
+      array_sort(collect_list(struct(col("cent_id"), col("centv")))).as("cents"))
+    f.crossJoin(broadcast(centArr))
+      .select(col("doc_id"),
+        graft.functions.VectorOps.bestCentroid(col("features"), col("cents")).as("cluster"))
+      .orderBy("doc_id")
+  }
 }
