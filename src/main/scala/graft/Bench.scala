@@ -48,6 +48,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // size the generated-class cache to the query surface: the 100-entry
+      // default evicts every lane's codegen between the cold and warm pass
+      // (149 lanes run in between), so warm-pass numbers measured compile +
+      // fresh-class JIT, not steady-state plan cost — see GraftSession doc
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -84,12 +84,23 @@ object ScaleDrill {
                              // byte-proportional map work, the exchange
                              // carries 24 bytes/doc however large the
                              // payloads grow (pre-measured 1.3 at 10×)
-    "q150_frame_neardup")    // documents (r13 verdict #6): the composed
+    "q150_frame_neardup",    // documents (r13 verdict #6): the composed
                              // multimodal×dedup lane — head-frame banding
                              // with the capped-bucket discipline must stay
                              // flat as families multiply (pre-measured
                              // ~1.0 at 10×: candidate pairs scale with
                              // |families|, not corpus²)
+    "q114_ivfpq_recall",     // embeddings (r14 verdict #6): the 100 TB
+                             // similarity-search plan of record — IVF
+                             // partition pruning + PQ-ADC scoring; the
+                             // audit's truth pass (20 fixed queries ×
+                             // corpus) and the index build are both
+                             // linear in N, so the lane gates at 2.5
+    "q151_decode_ivf")       // documents (r14 verdict #3): decode→IVF
+                             // assignment over the FULL corpus with a
+                             // fixed ≈64-centroid budget — decode cost is
+                             // byte-proportional, so it gates as a text
+                             // lane (time ratio vs measured volume ratio)
 
   /** Drill lanes measured for VISIBILITY but EXPECTED superlinear: the ratio
     * is a documented property of the spelling, not a regression, so Bench
@@ -220,7 +231,7 @@ object ScaleDrill {
     * human). */
   val textLanes: Set[String] =
     Set("q50_neardup_confirmed", "q92_cdc_passages", "q116_bigram_rarity",
-      "curation_flow")
+      "curation_flow", "q151_decode_ivf")
 
   /** The self-adjudicating PASS bar per gated lane: sublinear-per-input.
     * Text lanes pass while time ratio ≤ the measured bigram-volume ratio

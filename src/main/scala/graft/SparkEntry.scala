@@ -1010,11 +1010,13 @@ object SparkEntry {
     // contract; equal-head-bytes is an equivalence relation)
     "q150_frame_neardup" ->
       s"WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND octet_length(encode(text)) >= 128), f AS (SELECT doc_id, i, md5(substring(text, i * 32 + 1, 32)) AS fp FROM d, (SELECT unnest(range(0, 4)) AS i) ii), c AS (SELECT doc_id, i, fp FROM (SELECT doc_id, i, fp, COUNT(*) OVER (PARTITION BY i, fp) AS bn FROM f) t WHERE bn <= ${graft.operators.Multimodal.FrameBucketCap}), p AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM c a JOIN c b ON a.i = b.i AND a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2 HAVING COUNT(*) >= 2), u AS (SELECT id1 AS doc_id, id2 AS nb FROM p UNION ALL SELECT id2, id1 FROM p), m AS (SELECT doc_id, LEAST(doc_id, MIN(nb)) AS cluster FROM u GROUP BY doc_id) SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members, CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM m GROUP BY 1 ORDER BY 1",
-    // q151 (r14): decode-stub features (the q149 fold) for corpus AND
-    // stride-sampled centroids, then the BestCentroid argmax replayed as
-    // rank by (left-assoc cosine DESC, cent_id) — the q48 discipline on
-    // decoded media features; doubles bit-identical end to end
+    // q151 (r14, cap lifted r15): decode-stub features (the q149 fold) for
+    // the FULL non-empty corpus AND fixed-budget stride-sampled centroids
+    // (stride = max(1, (max_id+1)//64) — derived from the corpus, so C≈64
+    // at every SF), then the BestCentroid argmax replayed as rank by
+    // (left-assoc cosine DESC, cent_id) — the q48 discipline on decoded
+    // media features; doubles bit-identical end to end
     "q151_decode_ivf" ->
-      s"WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 400 AND text IS NOT NULL AND length(text) > 0), fv AS (SELECT doc_id, j, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_filter(range(1, length(text) + 1), i -> (i - 1) % 8 = j), i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS DOUBLE) / 255.0)), (a, x) -> a + x) AS x FROM d, (SELECT unnest(range(0, 8)) AS j) jj), f AS (SELECT doc_id, list(x ORDER BY j) AS v FROM fv GROUP BY doc_id), c AS (SELECT doc_id AS cent_id, v AS cv FROM f WHERE doc_id % 100 = 0), sim AS (SELECT f.doc_id, c.cent_id, (${sqlDot("v", "cv", 8)}) / (SQRT(${sqlDot("v", "v", 8)}) * SQRT(${sqlDot("cv", "cv", 8)})) AS sim FROM f CROSS JOIN c) SELECT doc_id, cent_id AS cluster FROM (SELECT doc_id, cent_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sim DESC, cent_id) AS rk FROM sim) r WHERE rk = 1 ORDER BY doc_id",
+      s"WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0), st AS (SELECT GREATEST((MAX(doc_id) + 1) // 64, 1) AS stride FROM d), fv AS (SELECT doc_id, j, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_filter(range(1, length(text) + 1), i -> (i - 1) % 8 = j), i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS DOUBLE) / 255.0)), (a, x) -> a + x) AS x FROM d, (SELECT unnest(range(0, 8)) AS j) jj), f AS (SELECT doc_id, list(x ORDER BY j) AS v FROM fv GROUP BY doc_id), c AS (SELECT doc_id AS cent_id, v AS cv FROM f, st WHERE doc_id % stride = 0), sim AS (SELECT f.doc_id, c.cent_id, (${sqlDot("v", "cv", 8)}) / (SQRT(${sqlDot("v", "v", 8)}) * SQRT(${sqlDot("cv", "cv", 8)})) AS sim FROM f CROSS JOIN c) SELECT doc_id, cent_id AS cluster FROM (SELECT doc_id, cent_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sim DESC, cent_id) AS rk FROM sim) r WHERE rk = 1 ORDER BY doc_id",
   )
 }

@@ -77,7 +77,7 @@ object SqlFrontDoor {
       s"WITH d AS (SELECT doc_id, CAST(text AS BINARY) AS payload FROM documents WHERE text IS NOT NULL AND octet_length(CAST(text AS BINARY)) >= 128), f AS (SELECT doc_id, i, md5(substring(payload, CAST(i * 32 + 1 AS INT), 32)) AS fp FROM d LATERAL VIEW explode(sequence(0, 3)) t AS i), c AS (SELECT doc_id, i, fp FROM (SELECT doc_id, i, fp, COUNT(*) OVER (PARTITION BY i, fp) AS bn FROM f) t WHERE bn <= ${graft.operators.Multimodal.FrameBucketCap}), p AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM c a JOIN c b ON a.i = b.i AND a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2 HAVING COUNT(*) >= 2), u AS (SELECT id1 AS doc_id, id2 AS nb FROM p UNION ALL SELECT id2 AS doc_id, id1 AS nb FROM p), m AS (SELECT doc_id, LEAST(doc_id, MIN(nb)) AS cluster FROM u GROUP BY doc_id) SELECT cluster, COUNT(*) AS n_members, CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM m GROUP BY 1 ORDER BY 1",
     "q151_decode_ivf" -> // the q149 fold builds features; graft_cosine (the
       // extension kernel's exact accumulation) + rank = BestCentroid replay
-      "WITH d AS (SELECT doc_id, CAST(text AS BINARY) AS payload FROM documents WHERE doc_id < 400 AND text IS NOT NULL AND length(text) > 0), fv AS (SELECT doc_id, j, aggregate(filter(sequence(1, octet_length(payload)), i -> (i - 1) % 8 = j), CAST(0.0 AS DOUBLE), (a, i) -> a + CAST(ascii(CAST(substring(payload, i, 1) AS STRING)) AS DOUBLE) / 255.0) AS x FROM d LATERAL VIEW explode(sequence(0, 7)) t AS j), f AS (SELECT doc_id, transform(array_sort(collect_list(struct(j, x))), s -> s.x) AS v FROM fv GROUP BY doc_id), c AS (SELECT doc_id AS cent_id, v AS cv FROM f WHERE doc_id % 100 = 0), a AS (SELECT f.doc_id, c.cent_id, graft_cosine(f.v, c.cv) AS sim FROM f CROSS JOIN c) SELECT doc_id, cent_id AS cluster FROM (SELECT doc_id, cent_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sim DESC, cent_id) AS rnk FROM a) r WHERE rnk = 1 ORDER BY doc_id",
+      "WITH d AS (SELECT doc_id, CAST(text AS BINARY) AS payload FROM documents WHERE text IS NOT NULL AND length(text) > 0), st AS (SELECT GREATEST((MAX(doc_id) + 1) div 64, 1) AS stride FROM d), fv AS (SELECT doc_id, j, aggregate(filter(sequence(1, octet_length(payload)), i -> (i - 1) % 8 = j), CAST(0.0 AS DOUBLE), (a, i) -> a + CAST(ascii(CAST(substring(payload, i, 1) AS STRING)) AS DOUBLE) / 255.0) AS x FROM d LATERAL VIEW explode(sequence(0, 7)) t AS j), f AS (SELECT doc_id, transform(array_sort(collect_list(struct(j, x))), s -> s.x) AS v FROM fv GROUP BY doc_id), c AS (SELECT doc_id AS cent_id, v AS cv FROM f CROSS JOIN st WHERE doc_id % stride = 0), a AS (SELECT f.doc_id, c.cent_id, graft_cosine(f.v, c.cv) AS sim FROM f CROSS JOIN c) SELECT doc_id, cent_id AS cluster FROM (SELECT doc_id, cent_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sim DESC, cent_id) AS rnk FROM a) r WHERE rnk = 1 ORDER BY doc_id",
     "q88_range_join_binned" -> // epoch_ns(ts) -> raw ts (bigint under nanosAsLong)
       "WITH hrs AS (SELECT ts - (ts % 3600000000000) AS hb, COUNT(*) AS c FROM events GROUP BY 1), st AS (SELECT SUM(c) AS total, COUNT(*) AS n_hours FROM hrs), busy AS (SELECT hb FROM hrs, st WHERE 10 * c * n_hours > 11 * total), isl AS (SELECT MIN(hb) AS start_ns, MAX(hb) + 3600000000000 AS end_ns, COUNT(*) AS island_hours FROM (SELECT hb, hb - ROW_NUMBER() OVER (ORDER BY hb) * 3600000000000 AS grp FROM busy) g GROUP BY grp) SELECT i.start_ns AS island_start, CAST(i.island_hours AS BIGINT) AS island_hours, COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users, CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value FROM events e JOIN isl i ON e.ts >= i.start_ns AND e.ts < i.end_ns GROUP BY 1, 2 ORDER BY 1",
     "q89_tfidf_top_terms" -> // string_split_regex -> split, unnest -> explode, // -> div

@@ -39,6 +39,8 @@ object Verify {
       // the epoch-nanos-bigint contract at load; the flag is only the
       // legacy-file fallback. TsPhysicalTypeSpec pins all three spellings.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // surface-sized codegen-class cache (engine default — GraftSession doc)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

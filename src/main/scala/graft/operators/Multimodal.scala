@@ -271,26 +271,45 @@ object Multimodal {
     * SAME fused argmax-cosine Expression the ANN stack assigns with
     * ([[graft.functions.BestCentroid]] — strict `>` over a cent_id-sorted
     * broadcast table, lowest id wins exact ties). Centroids are the decoded
-    * features of every 100th doc — sampled-seed "training" exactly like
-    * Similarity.ivfCentroids' stride seeding, and CRUCIALLY filtered BEFORE
-    * the decode (mapPartitions blocks filter pushdown, so a post-decode
-    * filter would decode the whole corpus to keep 1% of it).
+    * features of a FIXED-BUDGET stride sample — sampled-seed "training"
+    * exactly like Similarity.ivfCentroids' stride seeding — and CRUCIALLY
+    * filtered BEFORE the decode (mapPartitions blocks filter pushdown, so
+    * a post-decode filter would decode the whole corpus to keep 1% of it).
+    *
+    * r15 (r14 verdict #3 — the `doc_id < 400` cap made this a fixed-size
+    * demo): the lane now decodes and assigns the ENTIRE non-empty corpus,
+    * and the centroid stride is derived from the corpus itself —
+    * `max(1, (max_id+1) div 64)` — so the centroid COUNT stays ≈64 at
+    * every SF instead of growing as |corpus|/100. That keeps assignment
+    * cost N×C LINEAR in the corpus (fixed C is the real IVF shape: k is a
+    * model hyperparameter, not a data fraction); a stride-100 sample at
+    * 100 TB would make C grow with N and the N×C kernel quadratic. The
+    * stride derivation is one column-pruned doc_id-only agg scan (1-row
+    * result, broadcast-cross-joined into the centroid filter — the same
+    * construction-free scalar-subquery shape q123 pins), documented as
+    * q151's third documents read in scan_budgets.json.
     *
     * Oracle: the stub codec's folds are bit-replayable (q149), the kernel
     * accumulates dot/norms in index order, and SQL `a + b + c` parses
-    * left-associative — so DuckDB re-derives features, centroids, and every
-    * cosine bit-identically and the argmax replays with zero tolerance
-    * (the q48 discipline on decoded media features).
+    * left-associative — so DuckDB re-derives the stride, features,
+    * centroids, and every cosine bit-identically and the argmax replays
+    * with zero tolerance (the q48 discipline on decoded media features).
     *
     * Scale: decode is map-side per partition; only (doc_id, 8 doubles)
     * rows exist past it; the centroid table broadcasts as ONE collected
-    * row; assignment is a single narrow codegen pass — no N×C join rows. */
+    * row; assignment is a single narrow codegen pass — no N×C join rows.
+    * Drill-gated since r15 as a text-volume lane (decode cost is
+    * byte-proportional, so the 10× documents copy's >10× byte volume is
+    * the honest denominator). */
   def q151DecodeIvf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-      .filter(col("doc_id") < 400 && col("text").isNotNull && length(col("text")) > 0)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
     val f = decodeBatched(withPayload(docs), dim = 8)
+    val stride = docs.agg(
+      expr("greatest((max(doc_id) + 1) div 64, 1)").as("stride"))
     val cents = decodeBatched(
-        withPayload(docs.filter(pmod(col("doc_id"), lit(100)) === 0)), dim = 8)
+        withPayload(docs.crossJoin(broadcast(stride))
+          .filter(pmod(col("doc_id"), col("stride")) === 0).drop("stride")), dim = 8)
       .select(col("doc_id").as("cent_id"), col("features").as("centv"))
     val centArr = cents.agg(
       array_sort(collect_list(struct(col("cent_id"), col("centv")))).as("cents"))

@@ -72,10 +72,10 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(exchanges.nonEmpty, s"$name: expected at least one exchange (agg/sort)")
       exchanges.foreach { e =>
         // "buf" is ObjectHashAggregate's serialized PARTIAL-AGG buffer —
-        // q151's centroid collect_list folds |corpus|/100 (cent_id,
-        // 8-double features) structs toward one row, the sanctioned
-        // broadcast-centroid pattern (Similarity.assignTo); it carries
-        // decoded features, never the payload. Everything else
+        // q151's centroid collect_list folds the ≈64 stride-sampled
+        // (cent_id, 8-double features) structs toward one row, the
+        // sanctioned broadcast-centroid pattern (Similarity.assignTo); it
+        // carries decoded features, never the payload. Everything else
         // binary-typed on an exchange IS the payload leaking.
         val binCols = e.output
           .filter(a => a.dataType == BinaryType && a.name != "buf").map(_.name)
@@ -114,10 +114,12 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q151: kernel assignment equals a naive driver-side argmax over decoded features") {
     val feats = Multimodal.decodeBatched(
         Multimodal.withPayload(Tables(spark, sfDir, "documents")
-          .filter(col("doc_id") < 400 && col("text").isNotNull && length(col("text")) > 0)),
+          .filter(col("text").isNotNull && length(col("text")) > 0)),
         dim = 8)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
-    val cents = feats.filter(_._1 % 100 == 0)
+    // the lane's fixed-budget stride: max(1, (max_id+1) div 64)
+    val stride = math.max((feats.map(_._1).max + 1) / 64, 1L)
+    val cents = feats.filter(_._1 % stride == 0)
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
