@@ -18,10 +18,12 @@ Usage:
 Compare contract mirrors the driver: columns sorted by name, rows sorted,
 doubles rounded to 4 decimals, value-hash equality.
 """
+import datetime
 import decimal
 import hashlib
 import json
 import math
+import subprocess
 import sys
 
 import duckdb
@@ -107,12 +109,28 @@ def main():
                          "hash_match": None, "spark_rows": None,
                          "oracle_rows": None, "err": str(ex)[:300]}
         print(name, out[name]["hash_match"], out[name].get("err") or "")
-    json.dump(out, open(outjson, "w"), indent=1)
     ok = sum(1 for v in out.values() if v["hash_match"])
     excl = sum(1 for v in out.values() if v.get("excluded"))
     gated = len(out) - excl
+    # Self-describing staleness (r14 verdict #8): the artifact names the
+    # commit it was generated at, so "is the sf1 evidence current?" is a
+    # git-log lookup instead of an mtime argument.
+    try:
+        head = subprocess.run(["git", "rev-parse", "HEAD"], cwd="/root/repo",
+                              capture_output=True, text=True,
+                              check=True).stdout.strip()
+    except Exception:  # noqa: BLE001 - meta must never block the gate
+        head = "unknown"
+    out["_meta"] = {
+        "sf1_head_commit": head,
+        "generated_utc": datetime.datetime.now(
+            datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
+        "sf1_dir": sf1dir, "lanes_gated": gated, "hash_green": ok,
+        "excluded": excl,
+    }
+    json.dump(out, open(outjson, "w"), indent=1)
     print(f"[sf1-gate] {ok}/{gated} hash-green ({excl} golden-snapshot "
-          f"exclusions) -> {outjson}")
+          f"exclusions) @ {head[:12]} -> {outjson}")
 
 
 if __name__ == "__main__":

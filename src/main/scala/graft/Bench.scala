@@ -135,16 +135,12 @@ object Bench {
     val ((scanViolations, scanLanes), loadScanGate) = HostLoad.around {
       ScanAudit.loadBudgets(ScanAudit.DefaultBudgetPath) match {
         case Some(budgets) =>
+          // ScanAudit.gate folds in the shortfall loud-fail: collected <
+          // budgeted means lanes CRASHED (collect omits them) or the
+          // fixture dir is missing — either way a failure, not 0
+          // violations over 0 lanes (red path pinned in BenchGateSpec)
           val rows = ScanAudit.collect(spark, scanGateDir)
-          // collected < budgeted means lanes CRASHED (collect omits them)
-          // or the fixture dir is missing — either way the gate must fail
-          // loudly, not report 0 violations over 0 lanes (r13 ADVICE #2:
-          // the silent-skip path is how fences rot, same as missing-file)
-          val shortfall =
-            if (rows.size < budgets.size)
-              Seq(s"scan_budget:collected(${rows.size}<${budgets.size})")
-            else Nil
-          (ScanAudit.violations(rows, budgets) ++ shortfall, rows.size)
+          (ScanAudit.gate(rows, budgets), rows.size)
         case None => (Seq(s"scan_budget:missing(${ScanAudit.DefaultBudgetPath})"), 0)
       }
     }

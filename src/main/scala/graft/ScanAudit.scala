@@ -171,6 +171,23 @@ object ScanAudit {
       if n > budget
     } yield s"scan_budget:$name:$table($n>$budget)"
 
+  /** The full bench-side gate verdict over a collected audit: the per-
+    * (lane, table) [[violations]] PLUS the shortfall loud-fail — collected
+    * < budgeted means lanes CRASHED (collect omits them) or the fixture
+    * dir is missing, and either way the gate must fail loudly instead of
+    * reporting 0 violations over 0 lanes (r13 ADVICE #2: the silent-skip
+    * path is how fences rot). Extracted from Bench.main so the red path is
+    * drivable from a spec (r14 verdict #7 — BenchGateSpec crashes a lane
+    * for real and asserts the shortfall entry). */
+  def gate(rows: Seq[(String, Map[String, Int], Int)],
+           budgets: Map[String, Map[String, Int]]): Seq[String] = {
+    val shortfall =
+      if (rows.size < budgets.size)
+        Seq(s"scan_budget:collected(${rows.size}<${budgets.size})")
+      else Nil
+    violations(rows, budgets) ++ shortfall
+  }
+
   /** Parse the budget file (json4s rides Spark's classpath). Returns None
     * when the file is absent — callers decide whether that skips or fails. */
   def loadBudgets(path: String): Option[Map[String, Map[String, Int]]] = {
