@@ -71,6 +71,10 @@ def canon(df):
 def main():
     sf1dir, voutdir, outjson = sys.argv[1], sys.argv[2], sys.argv[3]
     con = duckdb.connect()
+    # the sandbox restricts memory syscalls: a long single-connection run
+    # over heavy interpolated-SQL oracles can die with "failed to allocate"
+    # unless the allocator is given explicit headroom
+    con.execute("SET memory_limit='48GB'")
     views(con, sf1dir)
     oracle = json.load(open(f"{voutdir}/oracle_sql.json"))
     out = {}
