@@ -96,11 +96,24 @@ object ScaleDrill {
                              // audit's truth pass (20 fixed queries ×
                              // corpus) and the index build are both
                              // linear in N, so the lane gates at 2.5
-    "q151_decode_ivf")       // documents (r14 verdict #3): decode→IVF
+    "q151_decode_ivf",       // documents (r14 verdict #3): decode→IVF
                              // assignment over the FULL corpus with a
                              // fixed ≈64-centroid budget — decode cost is
                              // byte-proportional, so it gates as a text
                              // lane (time ratio vs measured volume ratio)
+    "q152_semdedup")         // embeddings (r15): SemDeDup — the dedup
+                             // family's embedding-leg SCALING path. With
+                             // √n-stride seeding, kernel work (assignment
+                             // argmax + within-cluster pairs) is Θ(n^1.5)
+                             // total = Θ(√n)/row, but at drill scale
+                             // (2k→20k × 64-dim) the ~31× kernel growth
+                             // vanishes into 32-thread map stages:
+                             // pre-measured 1.28 at 10×, gated at 2.5.
+                             // Production at 100 TB fixes k (the
+                             // published method's regime: assignment
+                             // O(n·k), pairs O(n²/k)) instead of √n —
+                             // the √n spelling keeps the lane self-sizing
+                             // across SFs without a tuning knob.
 
   /** Drill lanes measured for VISIBILITY but EXPECTED superlinear: the ratio
     * is a documented property of the spelling, not a regression, so Bench
@@ -285,6 +298,15 @@ object ScaleDrill {
     val all = drillQueries.map(n => n -> SparkEntry.baseQueries(n)) ++
       extraDrillQueries.toSeq :+ ("curation_flow" -> curationFlow)
     val rows = all.map { case (name, fn) =>
+      // One UNTIMED warmup pair first (r15): the ×N side is each lane's
+      // FIRST-ever execution at that input scale in this JVM, so tiered
+      // compilation re-profiles the hot generated loops mid-measurement —
+      // q114 (the most codegen-stage-heavy drill plan) recorded x10 bests
+      // of 1.57 s and 4.80 s in two same-code bench runs purely on whether
+      // the C2 recompile settled before or during the timed pairs (GC log
+      // clean, plans identical). A settle execution per side costs ~90 s
+      // of drill wall and removes the JIT lifecycle from the ratio.
+      once(fn, baseDir); once(fn, bigDir)
       val b1 = once(fn, baseDir); val x1 = once(fn, bigDir)
       val b2 = once(fn, baseDir); val x2 = once(fn, bigDir)
       var (b, x) = (math.min(b1, b2), math.min(x1, x2))

@@ -657,6 +657,78 @@ object Dedup {
       .limit(20)
   }
 
+  // ------------------------------------ embedding-cosine semantic dedup
+
+  /** Per-cluster member cap for q152's pairwise confirm. √n-stride seeding
+    * keeps clusters near √n members, so the cap is inactive on balanced
+    * data (500 vecs → ~22-member clusters; 50k → ~224) and exists purely
+    * as the skew bound: a pathological cluster contributes at most
+    * cap²/2 pairs instead of |cluster|²/2, the same role FrameBucketCap
+    * plays for q150's fingerprint buckets. Production tuning at 100 TB
+    * raises k (more, smaller clusters) rather than leaning on the cap —
+    * over-cap members are emitted as kept-unexamined, never dropped. */
+  val SemMemberCap = 256
+
+  /** Cosine threshold for "semantic duplicate". 0.35 sits just under the
+    * fixture's max within-cluster similarity (0.472, random-vector
+    * regime) so the lane exercises real positives (~58 pairs at sf0.01);
+    * real text embeddings would use ~0.9+. Compared on ROUND(sim, 4) so
+    * Spark and the DuckDB oracle threshold the identical value. */
+  val SemDupTau = 0.35
+
+  /** Q152 — SemDeDup-style semantic dedup over the embedding column
+    * (Abbas et al. 2023: cluster the corpus, then deduplicate *within*
+    * clusters only). Completes the dedup family's embedding leg with a
+    * SCALING path: q37 is the bounded all-pairs audit (`vec_id < 300`,
+    * O(n²) by design); this lane prunes the comparison space with the
+    * same √n-stride IVF assignment q48/q114 use — one broadcast-centroid
+    * argmax pass, then pairwise cosine ONLY inside a cluster. At sf0.01
+    * that is 5,605 candidate pairs instead of 124,750 (95.5% pruned);
+    * with √n clusters of ~√n members the candidate count grows as n^1.5
+    * against all-pairs' n², and the member cap bounds any skewed
+    * cluster's contribution at cap²/2.
+    *
+    * Within-cluster-only comparison is the technique's documented recall
+    * trade: pairs straddling a cluster boundary are missed (fixture: 58
+    * of the 271 global ≥τ pairs share a cluster — random vectors scatter
+    * across clusters; real embedding spaces put near-dups in the same
+    * cell, which is why the published method works). Verdict columns per
+    * vector: its cluster, the lowest-id ≥τ neighbor it duplicates
+    * (`dup_of`, −1 when kept — COALESCE so the bigint never NULLs into
+    * a cross-engine hash divergence), and `is_dup`. Survivor rule
+    * min-id-wins, the q26/q79 discipline.
+    *
+    * Plan shape: assignment is the q48 kernel (3 budgeted embeddings
+    * scans: √n count, stride-filtered centroid scan, corpus pass); the
+    * ranked member table is persisted before fanning into the self-join's
+    * two sides and the verdict join — the q34/q50 discipline, without
+    * which Spark recomputes the broadcast-argmax subtree three times. */
+  def q152SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val assigned = Similarity.ivfAssign(e, Similarity.sqrtStride(e))
+    val members = assigned
+      .withColumn("mrk",
+        row_number().over(Window.partitionBy("cluster").orderBy("vec_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val paired = members.filter(col("mrk") <= SemMemberCap)
+    val a = paired.select(col("cluster"), col("vec_id").as("id1"), col("v").as("v1"))
+    val b = paired.select(col("cluster"), col("vec_id").as("id2"), col("v").as("v2"))
+    val dupOf = a.join(b, Seq("cluster"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id2"), col("id1"),
+        round(VectorOps.cosine(col("v1"), col("v2")), 4).as("sim"))
+      .filter(col("sim") >= SemDupTau)
+      .groupBy(col("id2").as("vec_id"))
+      .agg(min(col("id1")).as("dup_of"))
+    members.select(col("cluster"), col("vec_id"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   // -------------------------------------- content-defined passage chunking
 
   /** Content-defined chunking (CDC) over a document's word stream: a word

@@ -42,6 +42,22 @@ class BenchGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ScanAudit.gate(rows, budgets).isEmpty)
   }
 
+  test("sf1GateCommit reads the artifact's _meta stamp and degrades to 'absent'") {
+    val dir = java.nio.file.Files.createTempDirectory("sf1meta").toFile
+    def write(name: String, body: String): String = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.writeString(f.toPath, body)
+      f.getPath
+    }
+    assert(Bench.sf1GateCommit(new java.io.File(dir, "missing.json").getPath) == "absent")
+    // pre-stamp format (the r12-era artifact had no _meta block)
+    assert(Bench.sf1GateCommit(write("old.json",
+      """{"q01":{"hash_match":true}}""")) == "absent")
+    assert(Bench.sf1GateCommit(write("bad.json", "not json")) == "absent")
+    assert(Bench.sf1GateCommit(write("cur.json",
+      """{"q01":{"hash_match":true},"_meta":{"sf1_head_commit":"abc123"}}""")) == "abc123")
+  }
+
   test("an over-budget lane is named with its table and counts") {
     val rows = Seq(("qx_lane", Map("lineitem" -> 2, "orders" -> 1), 0))
     val budgets = Map("qx_lane" -> Map("lineitem" -> 1, "orders" -> 1))

@@ -168,4 +168,44 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(byDoc(id).forall(_.nonEmpty), s"doc $id has an empty passage")
     }
   }
+
+  test("q152: SemDeDup verdicts equal a naive driver-side cluster+pair recompute") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    val e = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
+    // index-order accumulation — the CosineSimilarity kernel's contract
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double): Double = // Spark round(col, 4): HALF_UP on the decimal repr
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val stride = math.max(2L, math.round(math.sqrt(e.size.toDouble)))
+    val cents = e.filter(_._1 % stride == 0)
+    val cluster: Map[Long, Long] = e.map { case (id, v) =>
+      // strict > over ascending cent_id = the BestCentroid tie rule
+      id -> cents.foldLeft((-1L, Double.NegativeInfinity)) { case ((bid, bs), (cid, cv)) =>
+        val s = cos(v, cv); if (s > bs) (cid, s) else (bid, bs)
+      }._1
+    }.toMap
+    val dupOf: Map[Long, Long] = e.groupBy(m => cluster(m._1)).values.flatMap { ms =>
+      val capped = ms.sortBy(_._1).take(Dedup.SemMemberCap)
+      for {
+        (i2, v2) <- capped
+        lows = capped.filter { case (i1, v1) => i1 < i2 && r4(cos(v1, v2)) >= Dedup.SemDupTau }
+        if lows.nonEmpty
+      } yield i2 -> lows.map(_._1).min
+    }.toMap
+    val expect = e.map { case (id, _) =>
+      (id, cluster(id), dupOf.getOrElse(id, -1L), dupOf.contains(id)) }
+    val got = Dedup.q152SemDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == expect, s"q152 verdicts diverge from the naive recompute " +
+      s"(first diff: ${got.zip(expect).find(p => p._1 != p._2)})")
+    assert(expect.count(_._4) > 0, "fixture must exercise real dup verdicts")
+    assert(expect.count(_._4) < e.size / 2, "most of the corpus must survive")
+  }
 }
