@@ -38,6 +38,15 @@ object Bench {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // The regression ratchets (bench_lane_baseline.json /
+    // bench_drill_baseline.json) are measurements AT the canonical
+    // recording SF (sf0.1, the driver's dir). A verification run at any
+    // other SF must neither ratchet the tracked files (an sf0.01 "best"
+    // written via min() would name every later sf0.1 lane regressed) nor
+    // diff against them (cross-SF wall times and drill ratios aren't
+    // comparable), so both fences read/write only at the canonical dir
+    // and off-SF runs record regression_checked:false.
+    val ratchetSf = sfDir.stripSuffix("/").endsWith("sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // measure the engine as shipped: GraftSession always carries the
@@ -243,7 +252,7 @@ object Bench {
         System.err.println(s"[bench] drill baseline unreadable (${e.getMessage}) — starting fresh")
         Map.empty
       }
-    val drillHostClean = loadDrill.extCpuPct >= 0 &&
+    val drillHostClean = ratchetSf && loadDrill.extCpuPct >= 0 &&
       loadDrill.extCpuPct <= HostLoad.ContendedPct
     // Flag at >1.5× the best-recorded ratio AND above 1.5 absolute (r15):
     // a ratio is a quotient of two noisy sub-second timings, so min()
@@ -265,7 +274,7 @@ object Bench {
     val drillRegressedJson = drillRegressed.map { case (k, prev, now) =>
       f"""{"lane":"$k","prev":$prev%.2f,"now":$now%.2f}"""
     }.mkString("[", ",", "]")
-    try {
+    if (ratchetSf) try {
       val merged = (prevRatio.keySet ++ curRatio.keySet).toSeq.sorted.map { k =>
         val v = math.min(prevRatio.getOrElse(k, Double.MaxValue),
           curRatio.getOrElse(k, Double.MaxValue))
@@ -423,7 +432,7 @@ object Bench {
         System.err.println(s"[bench] lane baseline unreadable (${e.getMessage}) — starting fresh")
         Map.empty
       }
-    val hostCleanForDiff =
+    val hostCleanForDiff = ratchetSf &&
       math.max(loadCold.extCpuPct, loadWarm.extCpuPct) <= HostLoad.ContendedPct
     // Flag at >1.5× the recorded best AND >0.3 s absolute delta (r15):
     // min() ratchets every lane to its luckiest-ever run, so for the
@@ -449,7 +458,7 @@ object Bench {
       f"""{"lane":"$k","prev":$prev%.2f,"now":$now%.2f}"""
     }.mkString("[", ",", "]")
     // ratchet the baseline down with this round's bests
-    try {
+    if (ratchetSf) try {
       val merged = (prevBest.keySet ++ curBest.keySet).toSeq.sorted.map { k =>
         val v = math.min(prevBest.getOrElse(k, Double.MaxValue),
           curBest.getOrElse(k, Double.MaxValue))

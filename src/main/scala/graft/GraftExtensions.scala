@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, StringType}
 
-import graft.functions.{CosineSimilarity, JavaStringHash}
+import graft.functions.{CosineSimilarity, DotProduct, JavaStringHash}
 
 /** Engine extension point, registered with every [[GraftSession]] (and
   * usable standalone via `spark.sql.extensions=graft.GraftExtensions`).
@@ -17,6 +17,8 @@ import graft.functions.{CosineSimilarity, JavaStringHash}
   *
   *  - `graft_cosine(a, b)`: the native fused-loop [[CosineSimilarity]]
   *    kernel, SQL-callable (the Column API route is VectorOps.cosine).
+  *  - `graft_dot(a, b)`: the native fused-loop [[DotProduct]] kernel for
+  *    pair stages over pre-normalized vectors (VectorOps.dotNative).
   *  - `java_string_hash(s)`: the reference's partitioner hash
   *    (Java String#hashCode — AvroProducer.java:82 semantics) for SQL
   *    callers; a session-extension registration, unlike the temp-function
@@ -32,6 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => CosineSimilarity(a, b)
         case other => throw new IllegalArgumentException(
           s"graft_cosine expects (array<double>, array<double>), got ${other.length} args")
+      }))
+    ext.injectFunction((new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => DotProduct(a, b)
+        case other => throw new IllegalArgumentException(
+          s"graft_dot expects (array<double>, array<double>), got ${other.length} args")
       }))
     ext.injectFunction((new FunctionIdentifier("java_string_hash"),
       new ExpressionInfo(classOf[JavaStringHash].getName, "java_string_hash"),

@@ -1023,14 +1023,17 @@ object SparkEntry {
     "q151_decode_ivf" ->
       s"WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0), st AS (SELECT GREATEST((MAX(doc_id) + 1) // 64, 1) AS stride FROM d), fv AS (SELECT doc_id, j, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_filter(range(1, length(text) + 1), i -> (i - 1) % 8 = j), i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS DOUBLE) / 255.0)), (a, x) -> a + x) AS x FROM d, (SELECT unnest(range(0, 8)) AS j) jj), f AS (SELECT doc_id, list(x ORDER BY j) AS v FROM fv GROUP BY doc_id), c AS (SELECT doc_id AS cent_id, v AS cv FROM f, st WHERE doc_id % stride = 0), sim AS (SELECT f.doc_id, c.cent_id, (${sqlDot("v", "cv", 8)}) / (SQRT(${sqlDot("v", "v", 8)}) * SQRT(${sqlDot("cv", "cv", 8)})) AS sim FROM f CROSS JOIN c) SELECT doc_id, cent_id AS cluster FROM (SELECT doc_id, cent_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sim DESC, cent_id) AS rk FROM sim) r WHERE rk = 1 ORDER BY doc_id",
     // q152 (r15): SemDeDup — the q48 assignment CTEs verbatim, then a
-    // rank-capped member table, within-cluster pairwise ROUND(cosine,4)
-    // thresholded at SemDupTau, min-id survivor verdict per vector
-    // (dup_of COALESCEd to -1: NULL bigints hash-diverge cross-engine, r01)
+    // rank-capped member table carrying UNIT-NORMALIZED vectors (norm =
+    // left-assoc index-order sum, matching VectorOps.norm's 0.0-seeded
+    // fold), within-cluster pairwise ROUND(dot,4) — cosine of unit
+    // vectors — thresholded at SemDupTau, min-id survivor verdict per
+    // vector (dup_of COALESCEd to -1: NULL bigints hash-diverge
+    // cross-engine, r01)
     "q152_semdedup" ->
       (s"WITH $sqlEmb, $sqlCentroids, $sqlAssign, " +
         "mem AS (SELECT vid, cluster, ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vid) AS mrk FROM asg), " +
-        s"mv AS (SELECT m.vid, m.cluster, e.v FROM mem m JOIN e ON e.vec_id = m.vid WHERE m.mrk <= ${graft.operators.Dedup.SemMemberCap}), " +
-        s"p AS (SELECT b.vid AS id2, a.vid AS id1, ROUND(${sqlCosine("a.v", "b.v", 64)}, 4) AS sim FROM mv a JOIN mv b ON a.cluster = b.cluster AND a.vid < b.vid), " +
+        s"mv AS (SELECT vid, cluster, list_transform(v, x -> x / nrm) AS vn FROM (SELECT m.vid, m.cluster, e.v, SQRT(${sqlDot("e.v", "e.v", 64)}) AS nrm FROM mem m JOIN e ON e.vec_id = m.vid WHERE m.mrk <= ${graft.operators.Dedup.SemMemberCap}) t), " +
+        s"p AS (SELECT b.vid AS id2, a.vid AS id1, ROUND(${sqlDot("a.vn", "b.vn", 64)}, 4) AS sim FROM mv a JOIN mv b ON a.cluster = b.cluster AND a.vid < b.vid), " +
         s"dup AS (SELECT id2 AS vec_id, MIN(id1) AS dup_of FROM p WHERE sim >= ${graft.operators.Dedup.SemDupTau} GROUP BY 1) " +
         "SELECT m.vid AS vec_id, m.cluster, COALESCE(d.dup_of, -1) AS dup_of, d.vec_id IS NOT NULL AS is_dup " +
         "FROM mem m LEFT JOIN dup d ON d.vec_id = m.vid ORDER BY vec_id"),

@@ -414,16 +414,18 @@ object SqlFrontDoor {
         "r AS (SELECT vec_id, cent_id, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rnk FROM a) " +
         "SELECT cent_id AS cluster, COUNT(*) AS n FROM r WHERE rnk = 1 GROUP BY 1 ORDER BY 1"),
     "q152_semdedup" -> // SemDeDup as text: the q48 assignment CTEs, then a
-      // rank-capped member table, within-cluster pairwise ROUND(cosine,4)
-      // ≥ tau, min-id survivor verdict (dup_of COALESCEd to -1)
+      // rank-capped member table of UNIT vectors (0.0-seeded index-order
+      // norm fold = VectorOps.norm), within-cluster pairwise
+      // ROUND(graft_dot,4) ≥ tau — cosine of unit vectors — min-id
+      // survivor verdict (dup_of COALESCEd to -1)
       ("WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
         "n AS (SELECT GREATEST(2, CAST(ROUND(SQRT(COUNT(*)), 0) AS INT)) AS stride FROM e), " +
         "c AS (SELECT vec_id AS cent_id, v AS centv FROM e, n WHERE vec_id % stride = 0), " +
         "a AS (SELECT e.vec_id, c.cent_id, graft_cosine(e.v, c.centv) AS sim FROM e CROSS JOIN c), " +
         "asg AS (SELECT vec_id, cent_id AS cluster FROM (SELECT vec_id, cent_id, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rnk FROM a) r WHERE rnk = 1), " +
         "mem AS (SELECT vec_id, cluster, ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vec_id) AS mrk FROM asg), " +
-        s"mv AS (SELECT m.vec_id, m.cluster, e.v FROM mem m JOIN e ON e.vec_id = m.vec_id WHERE m.mrk <= ${graft.operators.Dedup.SemMemberCap}), " +
-        "p AS (SELECT y.vec_id AS id2, x.vec_id AS id1, ROUND(graft_cosine(x.v, y.v), 4) AS sim FROM mv x JOIN mv y ON x.cluster = y.cluster AND x.vec_id < y.vec_id), " +
+        s"mv AS (SELECT vec_id, cluster, transform(v, x -> x / nrm) AS vn FROM (SELECT m.vec_id, m.cluster, e.v, SQRT(aggregate(e.v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) AS nrm FROM mem m JOIN e ON e.vec_id = m.vec_id WHERE m.mrk <= ${graft.operators.Dedup.SemMemberCap}) t), " +
+        "p AS (SELECT y.vec_id AS id2, x.vec_id AS id1, ROUND(graft_dot(x.vn, y.vn), 4) AS sim FROM mv x JOIN mv y ON x.cluster = y.cluster AND x.vec_id < y.vec_id), " +
         s"dup AS (SELECT id2 AS vec_id, MIN(id1) AS dup_of FROM p WHERE sim >= ${graft.operators.Dedup.SemDupTau} GROUP BY 1) " +
         "SELECT m.vec_id, m.cluster, COALESCE(d.dup_of, CAST(-1 AS BIGINT)) AS dup_of, d.vec_id IS NOT NULL AS is_dup " +
         "FROM mem m LEFT JOIN dup d ON d.vec_id = m.vec_id ORDER BY vec_id"),

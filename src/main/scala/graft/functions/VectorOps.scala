@@ -34,6 +34,20 @@ object VectorOps {
   /** HOF composition of cosine (reference semantics for parity tests). */
   def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Dot product — native fused-loop expression ([[DotProduct]]). For pair
+    * stages over pre-normalized vectors, where cosine degenerates to dot
+    * and the 3-accumulator kernel wastes 2/3 of its flops. */
+  def dotNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(DotProduct(
+      org.apache.spark.sql.GraftColumnBridge.expression(a),
+      org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
+  /** Unit-normalize against a separately computed norm column (callers
+    * compute `norm(v)` once per row; the lambda divides each element).
+    * Zero vectors yield ±Infinity/NaN elements, matching what the cosine
+    * kernel's 0/0 would have produced downstream. */
+  def unit(v: Column, nrm: Column): Column = transform(v, x => x / nrm)
+
   /** Fused argmax-cosine against a one-row broadcast centroid array —
     * `cents`: array<struct<cent_id long, centv array<double>>>. */
   def bestCentroid(vec: Column, cents: Column): Column =

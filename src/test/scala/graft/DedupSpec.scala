@@ -191,11 +191,24 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
         val s = cos(v, cv); if (s > bs) (cid, s) else (bid, bs)
       }._1
     }.toMap
+    // the pair stage runs over unit vectors: normalize once (0.0-seeded
+    // index-order norm fold), then a pure index-order dot — the kernel's
+    // flop-reduced spelling of cosine
+    def unit(a: Array[Double]): Array[Double] = {
+      var n2 = 0.0; var i = 0
+      while (i < a.length) { n2 += a(i) * a(i); i += 1 }
+      val nrm = math.sqrt(n2); a.map(_ / nrm)
+    }
+    def dotp(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      d
+    }
     val dupOf: Map[Long, Long] = e.groupBy(m => cluster(m._1)).values.flatMap { ms =>
-      val capped = ms.sortBy(_._1).take(Dedup.SemMemberCap)
+      val capped = ms.sortBy(_._1).take(Dedup.SemMemberCap).map { case (id, v) => (id, unit(v)) }
       for {
         (i2, v2) <- capped
-        lows = capped.filter { case (i1, v1) => i1 < i2 && r4(cos(v1, v2)) >= Dedup.SemDupTau }
+        lows = capped.filter { case (i1, v1) => i1 < i2 && r4(dotp(v1, v2)) >= Dedup.SemDupTau }
         if lows.nonEmpty
       } yield i2 -> lows.map(_._1).min
     }.toMap

@@ -76,6 +76,35 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got - 8.0 / 9.0) < 1e-12) // (2+2+4)/(3*3)
   }
 
+  test("native DotProduct ≡ HOF dot, bit for bit; dot of unit vectors ≈ cosine") {
+    val e = corpus().limit(200)
+    val pairs = e.toDF("ida", "a").crossJoin(e.toDF("idb", "b")).limit(500)
+      .select(col("ida"), col("idb"),
+        VectorOps.dotNative(col("a"), col("b")).as("fast"),
+        VectorOps.dot(col("a"), col("b")).as("hof"),
+        VectorOps.cosine(col("a"), col("b")).as("cos"),
+        VectorOps.dotNative(
+          VectorOps.unit(col("a"), VectorOps.norm(col("a"))),
+          VectorOps.unit(col("b"), VectorOps.norm(col("b")))).as("unitdot"))
+    pairs.collect().foreach { r =>
+      val (f, h) = (r.getDouble(2), r.getDouble(3))
+      assert(f == h, s"native $f != hof $h for (${r.getLong(0)},${r.getLong(1)})")
+      // normalize-then-dot is cosine up to accumulation-order ulps — the
+      // q152 contract only needs the two engines to agree on the SAME
+      // spelling, but the semantic identity should hold to ~1e-12
+      val (c, u) = (r.getDouble(4), r.getDouble(5))
+      assert(math.abs(c - u) < 1e-12, s"cos $c vs unit-dot $u")
+    }
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val at = ArrayType(DoubleType, containsNull = false)
+    val la = Literal.create(ArrayData.toArrayData(Array(1.0, 2.0, 2.0)), at)
+    val lb = Literal.create(ArrayData.toArrayData(Array(2.0, 1.0, 2.0)), at)
+    val got = graft.functions.DotProduct(la, lb).eval(null).asInstanceOf[Double]
+    assert(got == 8.0)
+  }
+
   test("ivfSearch returns valid per-query top-k with sane similarity bounds") {
     val e = corpus()
     val q = e.filter(col("vec_id") < 8).toDF("qid", "qv")
