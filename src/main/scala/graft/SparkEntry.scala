@@ -162,6 +162,9 @@ object SparkEntry {
     // r7: IVF-PQ composed (prune WHICH × shrink WHAT) — rows-only like
     // q87/q113; s114 replays the identical index and math
     "q114_ivfpq_recall"    -> (Similarity.q114IvfPqRecall _),
+    // q153 (r15): the q114 index + ADC-shortlist exact rerank (the FAISS
+    // refine production pattern); rerank_ge_adc is a theorem, spec-pinned
+    "q153_ivfpq_rerank"    -> (Similarity.q153IvfPqRerank _),
     // r7: weighted sampling w/o replacement (Efraimidis–Spirakis, md5 stream)
     "q115_weighted_sample" -> ((s, d) => TextAnalysis.q115WeightedSample(s, d)),
     // r7: per-doc bigram-rarity quality score (integer LM-perplexity proxy)
@@ -450,6 +453,27 @@ object SparkEntry {
       "nn AS (SELECT (SELECT COUNT(*) FROM q) AS n_q, (SELECT COUNT(*) FROM e) AS n_corpus) " +
       "SELECT 'ivfpq_m8_k16_nprobe4' AS method, ROUND(CAST(hits AS DOUBLE) / denom, 4) AS recall, CAST(hits AS BIGINT) AS hits, CAST(denom AS BIGINT) AS denom, CAST(scanned AS BIGINT) AS scanned_pairs, CAST(n_q * (n_corpus - 1) AS BIGINT) AS full_scan_pairs, CAST(1000 AS BIGINT) AS floor_bp, (hits * 10000 >= denom * 1000) AS floor_ok, (scanned < n_q * (n_corpus - 1)) AS prune_ok FROM h, d, sc, nn"
 
+  /** q153: the q114 index verbatim, then the refine stage — ADC top-R
+    * shortlist per query, exact ROUND(cos,4) rerank of ONLY those rows
+    * (`tr`'s spelling, so rerank and truth share the tie contract), top-10
+    * by (rsim DESC, cid). `scored`/`tr` are materialized: each feeds two+
+    * downstream CTEs and DuckDB would otherwise inline-recompute them
+    * (the q87 oracle's measured 2.4× lesson). */
+  private def ivfpqRerankOracle: String = materializeCtes(
+    s"WITH $sqlEmb, $sqlCentroids, $sqlAssign, $sqlPq, " +
+      s"pr AS (SELECT qid, cluster FROM (SELECT qid, cent_id AS cluster, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY csim DESC, cent_id) AS rk FROM (SELECT q.qid, c.cent_id, ${sqlCosine("qv", "cv", 64)} AS csim FROM q CROSS JOIN c) s) r WHERE rk <= 4), " +
+      "parts AS (SELECT l.qid, cd.scid AS cid, l.m, l.lv, l.nv FROM codes cd JOIN asg ON asg.vid = cd.scid JOIN pr ON pr.cluster = asg.cluster JOIN lut l ON l.qid = pr.qid AND l.m = cd.m AND l.code = cd.code WHERE l.qid <> cd.scid), " +
+      s"$sqlAdcRank, " +
+      s"short AS (SELECT qid, cid FROM (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM scored) r WHERE rk <= ${graft.operators.Similarity.RerankR}), " +
+      s"rr AS (SELECT sh.qid, sh.cid, ROUND(${sqlCosine("q.qv", "e.v", 64)}, 4) AS rsim FROM short sh JOIN q ON q.qid = sh.qid JOIN e ON e.vec_id = sh.cid), " +
+      "rtop AS (SELECT qid, cid FROM (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rsim DESC, cid) AS rk FROM rr) r WHERE rk <= 10), " +
+      "rh AS (SELECT COUNT(*) AS rhits FROM tr JOIN rtop USING (qid, cid)), " +
+      "rp AS (SELECT COUNT(*) AS reranked FROM rr), " +
+      "sc AS (SELECT COUNT(*) AS scanned FROM scored), " +
+      "nn AS (SELECT (SELECT COUNT(*) FROM q) AS n_q, (SELECT COUNT(*) FROM e) AS n_corpus) " +
+      s"SELECT 'ivfpq_rerank_m8_k16_nprobe4_r${graft.operators.Similarity.RerankR}' AS method, ROUND(CAST(rhits AS DOUBLE) / denom, 4) AS recall, CAST(rhits AS BIGINT) AS hits, CAST(denom AS BIGINT) AS denom, ROUND(CAST(hits AS DOUBLE) / denom, 4) AS adc_recall, CAST(hits AS BIGINT) AS adc_hits, CAST(scanned AS BIGINT) AS scanned_pairs, CAST(reranked AS BIGINT) AS reranked_pairs, CAST(1000 AS BIGINT) AS floor_bp, (rhits * 10000 >= denom * 1000) AS floor_ok, (rhits >= hits) AS rerank_ge_adc, (scanned < n_q * (n_corpus - 1)) AS prune_ok FROM rh, h, d, rp, sc, nn",
+    Seq("scored", "tr"))
+
   /** Per-table `nBits`-bit LSH bucket over list column `v` — the plane
     * matrix ([[Similarity.hyperplanes]]) interpolated as double literals,
     * each bit the SIGN of a left-associative 64-term dot (the q39
@@ -663,6 +687,7 @@ object SparkEntry {
     "q48_ivf_clusters" -> ivfClustersOracle,
     "q113_pq_recall" -> pqRecallOracle,
     "q114_ivfpq_recall" -> ivfpqRecallOracle,
+    "q153_ivfpq_rerank" -> ivfpqRerankOracle,
     "q36_cosine_topk" ->
       "WITH f0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings), f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM f0), d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot, SUM(q.v * q.v) AS qq, SUM(c.v * c.v) AS cc FROM f q JOIN f c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id GROUP BY 1, 2), r AS (SELECT qid, cid, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d), rk AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM r) SELECT qid, cid, sim, rnk FROM rk WHERE rnk <= 5 ORDER BY qid, rnk",
     "q37_neardup_embedding" ->

@@ -337,7 +337,10 @@ object SqlFrontDoor {
     * the -1/NaN degenerate case), the probe ranks by (cosine DESC,
     * cent_id), and the codes/LUT/ADC pieces are the s113 spellings scoped
     * to probed clusters. */
-  private def ivfPqSql: String = {
+  /** Shared IVF-PQ CTE prefix (s114/s153): everything through the ADC
+    * `scored` relation plus the exact `truth`/`h`/`d`/`sc`/`nn`/`nq`
+    * accounting tails both twins end on. */
+  private def ivfPqCommonCtes: String = {
     val M = 8; val K = 16
     val cbCols = (0 until M).map(m =>
       s"sort_array(collect_list(named_struct('cent_id', vec_id, 'centv', slice(v, ${m * 8 + 1}, 8)))) AS cb$m").mkString(", ")
@@ -373,18 +376,42 @@ object SqlFrontDoor {
       "d AS (SELECT COUNT(*) AS denom FROM truth), " +
       "sc AS (SELECT COUNT(*) AS scanned_pairs FROM scored), " +
       "nn AS (SELECT COUNT(*) AS n_corpus FROM e), " +
-      "nq AS (SELECT COUNT(*) AS n_q FROM q) " +
+      "nq AS (SELECT COUNT(*) AS n_q FROM q)"
+  }
+
+  private def ivfPqSql: String =
+    ivfPqCommonCtes + " " +
       "SELECT 'ivfpq_m8_k16_nprobe4' AS method, round(CAST(hits AS DOUBLE) / denom, 4) AS recall, " +
       "CAST(hits AS BIGINT) AS hits, CAST(denom AS BIGINT) AS denom, " +
       "CAST(scanned_pairs AS BIGINT) AS scanned_pairs, CAST(n_q * (n_corpus - 1) AS BIGINT) AS full_scan_pairs, " +
       "CAST(1000 AS BIGINT) AS floor_bp, hits * 10000 >= denom * 1000 AS floor_ok, " +
       "scanned_pairs < n_q * (n_corpus - 1) AS prune_ok " +
       "FROM h CROSS JOIN d CROSS JOIN sc CROSS JOIN nn CROSS JOIN nq"
+
+  /** IVF-PQ + exact rerank (q153) SQL twin: the s114 prefix, then the ADC
+    * top-R shortlist, exact round(graft_cosine,4) rerank of only those
+    * rows (truth's tie contract), and the rerank accounting. */
+  private def ivfPqRerankSql: String = {
+    val r = graft.operators.Similarity.RerankR
+    ivfPqCommonCtes + ", " +
+      s"short AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM scored) t WHERE rnk <= $r), " +
+      "rr AS (SELECT short.qid, short.cid, round(graft_cosine(q.qv, e2.v), 4) AS rsim FROM short JOIN q ON q.qid = short.qid JOIN e e2 ON e2.vec_id = short.cid), " +
+      "rtop AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY rsim DESC, cid) AS rnk FROM rr) t WHERE rnk <= 10), " +
+      "rh AS (SELECT COUNT(*) AS rhits FROM truth LEFT SEMI JOIN rtop ON truth.qid = rtop.qid AND truth.cid = rtop.cid), " +
+      "rp AS (SELECT COUNT(*) AS reranked_pairs FROM rr) " +
+      s"SELECT 'ivfpq_rerank_m8_k16_nprobe4_r$r' AS method, round(CAST(rhits AS DOUBLE) / denom, 4) AS recall, " +
+      "CAST(rhits AS BIGINT) AS hits, CAST(denom AS BIGINT) AS denom, " +
+      "round(CAST(hits AS DOUBLE) / denom, 4) AS adc_recall, CAST(hits AS BIGINT) AS adc_hits, " +
+      "CAST(scanned_pairs AS BIGINT) AS scanned_pairs, CAST(reranked_pairs AS BIGINT) AS reranked_pairs, " +
+      "CAST(1000 AS BIGINT) AS floor_bp, rhits * 10000 >= denom * 1000 AS floor_ok, " +
+      "rhits >= hits AS rerank_ge_adc, scanned_pairs < n_q * (n_corpus - 1) AS prune_ok " +
+      "FROM rh CROSS JOIN h CROSS JOIN d CROSS JOIN rp CROSS JOIN sc CROSS JOIN nn CROSS JOIN nq"
   }
 
   val rowsOnlySql: Map[String, String] = Map(
     "q113_pq_recall" -> pqSql,
     "q114_ivfpq_recall" -> ivfPqSql,
+    "q153_ivfpq_rerank" -> ivfPqRerankSql,
     "q34_minhash_bands" ->
       ("WITH w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM documents), " +
         "f AS (SELECT doc_id, words FROM w WHERE size(words) >= 3), " +

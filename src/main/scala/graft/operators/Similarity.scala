@@ -544,4 +544,101 @@ object Similarity {
         (col("hits") * 10000 >= col("denom") * 1000).as("floor_ok"),
         (col("scanned_pairs") < col("n_q") * (col("n_corpus") - 1)).as("prune_ok"))
   }
+
+  /** ADC shortlist size for the q153 refine stage. 5× the final top-k:
+    * large enough that ADC's quantization mis-rankings inside the probed
+    * clusters almost never push a true neighbor below the cut, small
+    * enough that the rerank working set (Q·R raw vectors) stays a
+    * broadcast-sized constant. */
+  val RerankR = 50
+
+  /** Q153 — IVF-PQ + exact rerank: the production refine pattern (FAISS
+    * `IndexRefine`, SCaNN's reordering stage) composed onto the q114
+    * index. The corpus is still touched ONLY as 4-byte PQ codes inside
+    * the nprobe probed clusters (q114's scan shape); the ADC ranking then
+    * nominates a top-[[RerankR]] shortlist per query, and ONLY those Q·R
+    * rows are re-scored against their raw vectors with the exact kernel.
+    * At 100 TB the economics are the point: the refine stage reads a
+    * fixed query-proportional working set (Q·R vectors via a broadcast
+    * semi-join into the corpus scan — never corpus-proportional), and
+    * recall recovers everything ADC quantization mis-ranked within the
+    * probed clusters; the only unrecoverable misses are truth outside
+    * the nprobe clusters. Rerank hits ≥ ADC hits is a THEOREM under the
+    * shared tie contract (a truth member in the shortlist outranks every
+    * non-truth member on the exact rounded key), surfaced as the
+    * `rerank_ge_adc` column and pinned in SimilaritySpec.
+    *
+    * Oracle: SparkEntry.ivfpqRerankOracle re-derives index, shortlist,
+    * and exact rerank bit-identically in DuckDB; s153 is the SQL-text
+    * twin of the identical math. */
+  def q153IvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val M = 8; val K = 16; val Dim = 64; val NProbe = 4
+    val sub = Dim / M
+    val e = emb(s, dir).select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 20).toDF("qid", "qv")
+    val cents = ivfCentroids(e, sqrtStride(e))
+    val assigned = assignTo(e, cents)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("cluster"))
+    val cb = pqCodebook(e, M, K, Dim)
+    val coded = assigned.crossJoin(broadcast(cb))
+      .select(col("cid"), col("cluster"), array((0 until M).map { i =>
+        VectorOps.bestCentroid(subv(col("cv"), i, sub), col(s"cb$i"))
+      }: _*).as("codes"))
+    val wp = Window.partitionBy("qid").orderBy(col("csim").desc, col("cluster"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cent_id").as("cluster"),
+        VectorOps.cosine(col("qv"), col("centv")).as("csim"))
+      .withColumn("prnk", row_number().over(wp))
+      .filter(col("prnk") <= NProbe)
+      .select("qid", "cluster")
+    val qlut = queryLuts(q, cb, M, sub)
+    // persisted: the ADC scores fan into THREE consumers (the ADC top-10,
+    // the rerank shortlist, and the scanned_pairs accounting) — without
+    // the persist Spark re-runs the probe-join subtree per consumer
+    // (the q34/q50 discipline)
+    val scored = broadcast(qlut.join(probes, Seq("qid"))).join(coded, Seq("cluster"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), adcSim(K))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    val adcTop = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10).select("qid", "cid")
+    val short = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= RerankR).select("qid", "cid")
+    // refine: corpus streams once; the broadcast shortlist keeps Q·R rows,
+    // the broadcast query set attaches qv, exact rounded cosine re-ranks
+    val rer = e.join(broadcast(short), col("vec_id") === col("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        round(VectorOps.cosine(col("qv"), col("v")), 4).as("rsim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wr = Window.partitionBy("qid").orderBy(col("rsim").desc, col("cid"))
+    val rerTop = rer.withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 10).select("qid", "cid")
+    val truth = exactTopK(e, q, k = 10)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = truth.agg(count(lit(1)).as("denom"))
+    val adcHits = truth.join(adcTop, Seq("qid", "cid"), "left_semi")
+      .agg(count(lit(1)).as("adc_hits"))
+    val scanned = scored.agg(count(lit(1)).as("scanned_pairs"))
+    val reranked = rer.agg(count(lit(1)).as("reranked_pairs"))
+    val nq = q.agg(count(lit(1)).as("n_q"))
+    val nAll = e.agg(count(lit(1)).as("n_corpus"))
+    truth.join(rerTop, Seq("qid", "cid"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(adcHits))
+      .crossJoin(broadcast(scanned)).crossJoin(broadcast(reranked))
+      .crossJoin(broadcast(nq)).crossJoin(broadcast(nAll))
+      .select(lit(s"ivfpq_rerank_m8_k16_nprobe${NProbe}_r$RerankR").as("method"),
+        round(col("hits").cast("double") / col("denom"), 4).as("recall"),
+        col("hits").cast("long").as("hits"), col("denom").cast("long").as("denom"),
+        round(col("adc_hits").cast("double") / col("denom"), 4).as("adc_recall"),
+        col("adc_hits").cast("long").as("adc_hits"),
+        col("scanned_pairs").cast("long").as("scanned_pairs"),
+        col("reranked_pairs").cast("long").as("reranked_pairs"),
+        lit(1000L).as("floor_bp"),
+        (col("hits") * 10000 >= col("denom") * 1000).as("floor_ok"),
+        (col("hits") >= col("adc_hits")).as("rerank_ge_adc"),
+        (col("scanned_pairs") < col("n_q") * (col("n_corpus") - 1)).as("prune_ok"))
+  }
 }

@@ -78,6 +78,94 @@ object StreamOps {
       .unionByName(withFp.filter(col("__fp").isNull).drop("__fp"))
   }
 
+  /** Streaming SemDeDup — the ingest-time twin of the batch q152 lane
+    * (Dedup.q152SemDedup): online embedding near-dup detection against a
+    * FROZEN centroid index, the shape a 100 TB crawl pipeline actually
+    * runs (train the coarse quantizer offline, then stream the corpus
+    * through it; FAISS/Milvus online-insert does exactly this).
+    *
+    * Stateless prefix per record: cast float→double, argmax-cosine assign
+    * against the centroid list (the BestCentroid contract — strict `>`
+    * over ascending cent_id, fused index-order cosine, all-NaN → -1),
+    * unit-normalize with the 0.0-seeded index-order norm fold. Stateful
+    * stage keyed by cluster: each arriving vector is compared (pure
+    * index-order dot — cosine of unit vectors, the q152 kernel spelling)
+    * against the cached first-`cap` members; `dup_of` = lowest matching
+    * cached id at ROUND(dot,4) ≥ tau, and the vector joins the cache only
+    * while it has room. Arrivals past the cap get a (−1, false) verdict
+    * without scanning — exactly the batch rank-cap semantics.
+    *
+    * Parity contract (spec-pinned): with in-order-by-vec_id delivery the
+    * arrival rank equals q152's `mrk` rank, so the emitted verdicts equal
+    * the batch lane's rows EXACTLY (same doubles, same rounding, same
+    * min-id survivor rule). Out-of-order delivery degrades gracefully to
+    * first-arrival-wins — the verdicts stay internally consistent, they
+    * just pin to arrival order instead of id order. Within one
+    * micro-batch the group's rows are processed in vec_id order, so
+    * batch-boundary placement never changes a verdict.
+    *
+    * State is bounded by construction ([[SemClusterState]]), needs no
+    * timeout to stay bounded, and lives in the checkpointed store — on
+    * RocksDB at scale like every stateful op here. Clusters are the state
+    * keys, so the pair stage parallelizes across the shuffle exactly like
+    * the batch self-join. */
+  def semDedupStream(ds: Dataset[EmbRecord], centroids: Seq[(Long, Array[Double])],
+                     cap: Int, tau: Double): Dataset[SemVerdict] = {
+    import ds.sparkSession.implicits._
+    val cents = centroids.sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def dotp(a: Seq[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var d = 0.0; var i = 0
+      while (i < n) { d += a(i) * b(i); i += 1 }
+      d
+    }
+    def r4(x: Double): Double = // Spark round(c, 4): HALF_UP on the decimal repr;
+      // NaN passes through (Spark's round of NaN is NaN, and NaN ≥ tau is
+      // false) instead of BigDecimal.valueOf throwing on a zero vector
+      if (x.isNaN) x
+      else java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    ds.map { r =>
+      val v = r.embedding.map(_.toDouble).toArray
+      var bid = -1L; var bs = Double.NegativeInfinity
+      cents.foreach { case (cid, cv) =>
+        val s = cos(v, cv); if (s > bs) { bs = s; bid = cid }
+      }
+      var n2 = 0.0; var i = 0
+      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+      val nrm = math.sqrt(n2)
+      (r.vec_id, bid, v.map(_ / nrm).toSeq)
+    }.groupByKey(_._2)
+      .flatMapGroupsWithState[SemClusterState, SemVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (cluster: Long, rows: Iterator[(Long, Long, Seq[Double])],
+         state: GroupState[SemClusterState]) =>
+          val prev = state.getOption.getOrElse(SemClusterState(Vector.empty, Vector.empty))
+          var ids = prev.ids.toVector
+          var vecs = prev.vecs.map(_.toArray).toVector
+          val out = rows.toSeq.sortBy(_._1).map { case (vid, _, vn) =>
+            if (ids.size < cap) {
+              var dupOf = -1L
+              var i = 0
+              while (i < ids.size) {
+                if (r4(dotp(vn, vecs(i))) >= tau && (dupOf == -1L || ids(i) < dupOf))
+                  dupOf = ids(i)
+                i += 1
+              }
+              ids :+= vid; vecs :+= vn.toArray
+              SemVerdict(vid, cluster, dupOf, dupOf != -1L)
+            } else SemVerdict(vid, cluster, -1L, is_dup = false)
+          }
+          state.update(SemClusterState(ids, vecs.map(_.toSeq)))
+          out.iterator
+      }
+  }
+
   /** Per-key running aggregate via explicit state — the Spark-native shape
     * of the reference's in-memory offset map (AvroConsumer.java:168: state
     * keyed by partition, advanced per record, externalized periodically).
@@ -274,6 +362,17 @@ object StreamOps {
 
 /** Input shape for runningPerKey — (key, event-time, value). */
 case class KeyedEvent(key: String, ts: java.sql.Timestamp, value: Double)
+
+/** Streaming-ingest embedding record (vec_id + raw float vector). */
+case class EmbRecord(vec_id: Long, embedding: Seq[Float])
+
+/** Per-vector semantic-dedup verdict — the q152 output row. */
+case class SemVerdict(vec_id: Long, cluster: Long, dup_of: Long, is_dup: Boolean)
+
+/** Per-cluster member cache: the first `cap` members' ids and unit vectors,
+  * in arrival order. Bounded by construction: ≤ cap·(8 + 8·dim) bytes per
+  * cluster, REGARDLESS of stream length — the state never holds the corpus. */
+case class SemClusterState(ids: Seq[Long], vecs: Seq[Seq[Double]])
 
 /** Streaming funnel input: (user, epoch-micros, event type). */
 case class FunnelEvent(user_id: Long, tUs: Long, etype: String)

@@ -105,6 +105,24 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == 8.0)
   }
 
+  test("q153 exact rerank: recall ≥ raw ADC, shortlist-bounded, still pruning") {
+    val r = Similarity.q153IvfPqRerank(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    info(s"IVF-PQ+rerank recall@10 = ${row.getAs[Double]("recall")} " +
+      s"(ADC-only ${row.getAs[Double]("adc_recall")}), " +
+      s"reranked ${row.getAs[Long]("reranked_pairs")} pairs")
+    // the refine theorem: a truth member in the shortlist outranks every
+    // non-truth member on the exact rounded key, so rerank can only add
+    assert(row.getAs[Boolean]("rerank_ge_adc"))
+    assert(row.getAs[Long]("hits") >= row.getAs[Long]("adc_hits"))
+    assert(row.getAs[Boolean]("floor_ok"))
+    assert(row.getAs[Boolean]("prune_ok"))
+    // the refine stage must touch only the shortlist: ≤ Q·R raw vectors
+    assert(row.getAs[Long]("reranked_pairs") <= 20L * Similarity.RerankR)
+    assert(row.getAs[Long]("reranked_pairs") > 0L)
+  }
+
   test("ivfSearch returns valid per-query top-k with sane similarity bounds") {
     val e = corpus()
     val q = e.filter(col("vec_id") < 8).toDF("qid", "qv")

@@ -155,6 +155,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last == Set(("a", 3L, 7.0), ("b", 1L, 10.0)))
   }
 
+  test("semDedupStream replays batch q152 verdicts exactly under in-order delivery") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    // the frozen coarse quantizer: the same √n-stride centroids the batch
+    // lane derives (trained "offline" here by reading the fixture once)
+    val all = graft.Tables(sp, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => graft.streaming.EmbRecord(r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_.vec_id)
+    val stride = math.max(2L, math.round(math.sqrt(all.size.toDouble)))
+    val cents = all.filter(_.vec_id % stride == 0)
+      .map(r => r.vec_id -> r.embedding.map(_.toDouble).toArray).toSeq
+    val in = MemoryStream[graft.streaming.EmbRecord]
+    val out = StreamOps.semDedupStream(in.toDS(), cents,
+      graft.operators.Dedup.SemMemberCap, graft.operators.Dedup.SemDupTau)
+    // three in-order micro-batches: verdicts must not depend on where the
+    // batch boundaries land
+    val (b1, rest) = all.splitAt(all.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 3)
+    val got = runToMemory(out.toDF(), "semdedup")(
+      () => in.addData(b1), () => in.addData(b2), () => in.addData(b3))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val want = graft.operators.Dedup.q152SemDedup(sp, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got.size == all.length)
+    assert(got == want, {
+      val diff = want.collect { case (k, v) if got.get(k) != Some(v) =>
+        s"$k: batch $v vs stream ${got.get(k)}" }.take(5)
+      s"stream/batch verdict mismatch: ${diff.mkString("; ")}"
+    })
+  }
+
   test("admitPerKey caps each key at k across micro-batches, first-k by event time") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
