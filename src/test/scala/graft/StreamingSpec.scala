@@ -193,6 +193,72 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
   }
 
+  test("semDedupStream: RocksDB + kill/restart resumes to exact batch parity") {
+    // the member-cache state must survive a checkpoint restart EXACTLY:
+    // a lost member silently flips later verdicts to "kept", a doubled
+    // one can flip dup_of — so the resume assertion is full equality with
+    // the batch q152 lane, not just row counts
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sp = spark
+      import sp.implicits._
+      val sfDir = "/root/testdata/sf0.001"
+      val tmp = java.nio.file.Files.createTempDirectory("graftsemdd")
+      val src = s"$tmp/src"; val ckpt = s"$tmp/ckpt"
+      val all = graft.Tables(sp, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => graft.streaming.EmbRecord(r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_.vec_id)
+      val stride = math.max(2L, math.round(math.sqrt(all.size.toDouble)))
+      val cents = all.filter(_.vec_id % stride == 0)
+        .map(r => r.vec_id -> r.embedding.map(_.toDouble).toArray).toSeq
+      // 4 in-order files → 4 in-order micro-batches under maxFilesPerTrigger=1
+      all.grouped(math.max(1, all.length / 4 + 1)).foreach { chunk =>
+        sp.createDataset(chunk.toSeq).toDF()
+          .coalesce(1).write.mode("append").parquet(src)
+        Thread.sleep(5) // distinct mod times keep the file order stable
+      }
+      val schema = sp.read.parquet(src).schema
+      val got = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Boolean)]
+      def start() =
+        StreamOps.semDedupStream(
+          StreamingPipeline.fileSource(sp, src, schema, maxFilesPerTrigger = 1)
+            .as[graft.streaming.EmbRecord],
+          cents, graft.operators.Dedup.SemMemberCap, graft.operators.Dedup.SemDupTau)
+          .toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.collect().foreach(r =>
+              got.put(r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+          }.start()
+      // first run: stop after at least one committed batch ("kill")
+      val q1 = start()
+      try {
+        while (q1.recentProgress.count(_.numInputRows > 0) < 1) Thread.sleep(50)
+      } finally q1.stop()
+      val afterKill = got.size
+      assert(afterKill < all.length, "kill happened too late to prove a resume")
+      // resume from checkpoint and drain
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        val rocksMetrics = q2.lastProgress.stateOperators
+          .flatMap(_.customMetrics.keySet.toArray(Array.empty[String]))
+          .filter(_.startsWith("rocksdb"))
+        assert(rocksMetrics.nonEmpty, "RocksDB state store did not engage")
+      } finally q2.stop()
+      val want = graft.operators.Dedup.q152SemDedup(sp, sfDir).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+        .toMap
+      assert(got.size == all.length)
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toMap == want, "kill/restart diverged from the batch lane")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("admitPerKey caps each key at k across micro-batches, first-k by event time") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
