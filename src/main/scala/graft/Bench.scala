@@ -226,26 +226,35 @@ object Bench {
     val drillAllGatedOk = drillGated.forall { case (k, b, x, _) =>
       x / math.max(b, 1e-9) <= ScaleDrill.gateBar(k, drillVolRatio)
     }
-    // Drill-RATIO regression fence (r13 verdict #8): wall-time regressions
-    // have had a per-lane ratchet since r12, but a lane's scale BEHAVIOR
-    // could quietly degrade (1.1 → 2.3, still under the 2.5 bar) with
-    // nothing named. bench_drill_baseline.json keeps each gated lane's
-    // best-ever drill ratio; a clean-host round where a lane's ratio
-    // exceeds 1.5× its recorded best is named in drill_regressed[]
-    // (recorded, like regressed[] — the gate bars still own rc).
+    // Drill regression fence (r13 verdict #8, statistic changed r15):
+    // wall-time regressions have had a per-lane ratchet since r12, but a
+    // lane's scale BEHAVIOR could quietly degrade (1.1 → 2.3, still under
+    // the 2.5 bar) with nothing named. Through r14 the fence ratcheted the
+    // drill RATIO — and flapped: the ratio is a quotient whose denominator
+    // (the 1× base, a ~1–2.5 s measurement dominated by fixed overhead and
+    // JIT state) varies 2× across same-code clean runs while the SCALED
+    // time barely moves (five r15 runs: q114 x10 = 2.99 vs 3.08 s while
+    // its base spanned 1.27–2.63 s, quotient 1.17→2.35 with no code
+    // change), so min() ratcheted each lane to its luckiest quotient and
+    // healthy lanes were named every round. The fence now ratchets the
+    // x10 WALL TIME — the quantity a scale regression actually raises,
+    // with the same noise model as the lane fence (>1.5× best AND >0.5 s
+    // absolute; x10 lanes are seconds-scale so 0.5 s is the measured
+    // per-lane resolution). bench_drill_baseline.json therefore stores
+    // best x10 seconds per gated lane ("_unit" key documents this in the
+    // artifact itself); the ratio remains what the GATE adjudicates.
     val drillRatioPath = "bench_drill_baseline.json"
-    val curRatio: Map[String, Double] = drillGated.map { case (k, b, x, _) =>
-      k -> x / math.max(b, 1e-9) }.toMap
-    val prevRatio: Map[String, Double] =
+    val curX10: Map[String, Double] = drillGated.map { case (k, _, x, _) =>
+      k -> x }.toMap
+    val prevX10: Map[String, Double] =
       try {
         val f = new java.io.File(drillRatioPath)
         if (!f.isFile) Map.empty
         else {
           import org.json4s._
-          jackson.JsonMethods.parse(f).asInstanceOf[JObject].obj.map {
-            case (k, JDouble(v)) => k -> v
-            case (k, JInt(v)) => k -> v.toDouble
-            case (k, v) => throw new IllegalArgumentException(s"bad drill baseline $k: $v")
+          jackson.JsonMethods.parse(f).asInstanceOf[JObject].obj.collect {
+            case (k, JDouble(v)) if k != "_unit" => k -> v
+            case (k, JInt(v)) if k != "_unit" => k -> v.toDouble
           }.toMap
         }
       } catch { case e: Exception =>
@@ -254,32 +263,25 @@ object Bench {
       }
     val drillHostClean = ratchetSf && loadDrill.extCpuPct >= 0 &&
       loadDrill.extCpuPct <= HostLoad.ContendedPct
-    // Flag at >1.5× the best-recorded ratio AND above 1.5 absolute (r15):
-    // a ratio is a quotient of two noisy sub-second timings, so min()
-    // ratchets to the luckiest quotient and healthy lanes flap (q127
-    // recorded 0.63 / 0.69 / 1.30 across same-code clean runs). Any ratio
-    // ≤1.5 at a 10× drill is sublinear by >6× — there is nothing to name;
-    // the r13 motivating case (1.1 → 2.3 creeping toward the 2.5 bar)
-    // still flags under both conditions.
     val drillRegressed: Seq[(String, Double, Double)] =
       if (!drillHostClean) Seq.empty
-      else curRatio.toSeq.sorted.collect {
-        case (k, now) if now > 1.5 &&
-            prevRatio.get(k).exists(prev => now > prev * 1.5) =>
-          (k, prevRatio(k), now)
+      else curX10.toSeq.sorted.collect {
+        case (k, now) if prevX10.get(k).exists(prev =>
+            now > prev * 1.5 && now - prev > 0.5) =>
+          (k, prevX10(k), now)
       }
     drillRegressed.foreach { case (k, prev, now) =>
-      System.err.println(f"[bench] drill-ratio regression: $k $prev%.2f -> $now%.2f")
+      System.err.println(f"[bench] drill x10-wall regression: $k $prev%.2f s -> $now%.2f s")
     }
     val drillRegressedJson = drillRegressed.map { case (k, prev, now) =>
       f"""{"lane":"$k","prev":$prev%.2f,"now":$now%.2f}"""
     }.mkString("[", ",", "]")
     if (ratchetSf) try {
-      val merged = (prevRatio.keySet ++ curRatio.keySet).toSeq.sorted.map { k =>
-        val v = math.min(prevRatio.getOrElse(k, Double.MaxValue),
-          curRatio.getOrElse(k, Double.MaxValue))
+      val merged = (prevX10.keySet ++ curX10.keySet).toSeq.sorted.map { k =>
+        val v = math.min(prevX10.getOrElse(k, Double.MaxValue),
+          curX10.getOrElse(k, Double.MaxValue))
         f""" "$k": $v%.3f"""
-      }
+      } :+ """ "_unit": "x10_wall_sec_best""""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(drillRatioPath),
         merged.mkString("{\n", ",\n", "\n}\n"))
     } catch { case e: java.io.IOException =>
