@@ -165,6 +165,9 @@ object SparkEntry {
     // q153 (r15): the q114 index + ADC-shortlist exact rerank (the FAISS
     // refine production pattern); rerank_ge_adc is a theorem, spec-pinned
     "q153_ivfpq_rerank"    -> (Similarity.q153IvfPqRerank _),
+    // q154 (r15): hybrid search — inverted-index keyword channel + exact
+    // vector channel, reciprocal-rank fusion (the production hybrid shape)
+    "q154_hybrid_rrf"      -> (Similarity.q154HybridRrf _),
     // r7: weighted sampling w/o replacement (Efraimidis–Spirakis, md5 stream)
     "q115_weighted_sample" -> ((s, d) => TextAnalysis.q115WeightedSample(s, d)),
     // r7: per-doc bigram-rarity quality score (integer LM-perplexity proxy)
@@ -474,6 +477,26 @@ object SparkEntry {
       s"SELECT 'ivfpq_rerank_m8_k16_nprobe4_r${graft.operators.Similarity.RerankR}' AS method, ROUND(CAST(rhits AS DOUBLE) / denom, 4) AS recall, CAST(rhits AS BIGINT) AS hits, CAST(denom AS BIGINT) AS denom, ROUND(CAST(hits AS DOUBLE) / denom, 4) AS adc_recall, CAST(hits AS BIGINT) AS adc_hits, CAST(scanned AS BIGINT) AS scanned_pairs, CAST(reranked AS BIGINT) AS reranked_pairs, CAST(1000 AS BIGINT) AS floor_bp, (rhits * 10000 >= denom * 1000) AS floor_ok, (rhits >= hits) AS rerank_ge_adc, (scanned < n_q * (n_corpus - 1)) AS prune_ok FROM rh, h, d, rp, sc, nn",
     Seq("scored", "tr"))
 
+  /** q154: hybrid RRF replayed end to end — distinct-token overlap ranks
+    * (the q33 tokenization spelling), exact ROUND(cos,4) vector ranks,
+    * full-outer rank fusion with CAST(1.0 AS DOUBLE)/(k+rank) terms (a
+    * two-term IEEE sum both engines compute identically; DuckDB's bare
+    * 1.0 literal is DECIMAL, hence the CAST), top-10 by unrounded score
+    * with cid ties. */
+  private def hybridRrfOracle: String = materializeCtes(
+    s"WITH $sqlEmb, " +
+      "dd AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0), " +
+      "corp AS (SELECT dd.doc_id AS cid, dd.text, e.v FROM dd JOIN e ON e.vec_id = dd.doc_id), " +
+      "tw AS (SELECT cid, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM corp), " +
+      "tok AS (SELECT DISTINCT cid, w FROM tw), " +
+      "qt AS (SELECT cid AS qid, w FROM tok WHERE cid < 8), " +
+      s"kw AS (SELECT qid, cid, kw_rank FROM (SELECT qt.qid, t.cid, ROW_NUMBER() OVER (PARTITION BY qt.qid ORDER BY COUNT(*) DESC, t.cid) AS kw_rank FROM tok t JOIN qt ON t.w = qt.w AND qt.qid <> t.cid GROUP BY qt.qid, t.cid) r WHERE kw_rank <= ${graft.operators.Similarity.HybridChan}), " +
+      "qv AS (SELECT cid AS qid, v AS qv FROM corp WHERE cid < 8), " +
+      s"vec AS (SELECT qid, cid, vec_rank FROM (SELECT qv.qid, c.cid, ROW_NUMBER() OVER (PARTITION BY qv.qid ORDER BY ROUND(${sqlCosine("qv.qv", "c.v", 64)}, 4) DESC, c.cid) AS vec_rank FROM qv CROSS JOIN corp c WHERE qv.qid <> c.cid) r WHERE vec_rank <= ${graft.operators.Similarity.HybridChan}), " +
+      s"f AS (SELECT COALESCE(kw.qid, vec.qid) AS qid, COALESCE(kw.cid, vec.cid) AS cid, kw.kw_rank, vec.vec_rank, COALESCE(CAST(1.0 AS DOUBLE) / (${graft.operators.Similarity.RrfK} + kw.kw_rank), CAST(0.0 AS DOUBLE)) + COALESCE(CAST(1.0 AS DOUBLE) / (${graft.operators.Similarity.RrfK} + vec.vec_rank), CAST(0.0 AS DOUBLE)) AS score FROM kw FULL OUTER JOIN vec ON kw.qid = vec.qid AND kw.cid = vec.cid) " +
+      "SELECT qid, cid, rrf_rank, ROUND(score, 6) AS score, COALESCE(kw_rank, -1) AS kw_rank, COALESCE(vec_rank, -1) AS vec_rank FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rrf_rank FROM f) z WHERE rrf_rank <= 10 ORDER BY qid, rrf_rank",
+    Seq("corp", "tok"))
+
   /** Per-table `nBits`-bit LSH bucket over list column `v` — the plane
     * matrix ([[Similarity.hyperplanes]]) interpolated as double literals,
     * each bit the SIGN of a left-associative 64-term dot (the q39
@@ -688,6 +711,7 @@ object SparkEntry {
     "q113_pq_recall" -> pqRecallOracle,
     "q114_ivfpq_recall" -> ivfpqRecallOracle,
     "q153_ivfpq_rerank" -> ivfpqRerankOracle,
+    "q154_hybrid_rrf" -> hybridRrfOracle,
     "q36_cosine_topk" ->
       "WITH f0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings), f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM f0), d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot, SUM(q.v * q.v) AS qq, SUM(c.v * c.v) AS cc FROM f q JOIN f c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id GROUP BY 1, 2), r AS (SELECT qid, cid, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d), rk AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM r) SELECT qid, cid, sim, rnk FROM rk WHERE rnk <= 5 ORDER BY qid, rnk",
     "q37_neardup_embedding" ->

@@ -412,6 +412,22 @@ object SqlFrontDoor {
     "q113_pq_recall" -> pqSql,
     "q114_ivfpq_recall" -> ivfPqSql,
     "q153_ivfpq_rerank" -> ivfPqRerankSql,
+    "q154_hybrid_rrf" -> { // hybrid RRF as text: split/explode tokenization,
+      // graft_cosine vector ranks, full-outer rank fusion — the oracle's
+      // math with the Spark dialect spellings
+      val k = graft.operators.Similarity.RrfK
+      val chan = graft.operators.Similarity.HybridChan
+      "WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "dd AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0), " +
+        "corp AS (SELECT dd.doc_id AS cid, dd.text, e.v FROM dd JOIN e ON e.vec_id = dd.doc_id), " +
+        "tok AS (SELECT cid, w FROM (SELECT cid, explode(array_distinct(split(trim(text), '\\\\s+'))) AS w FROM corp) t), " +
+        "qt AS (SELECT cid AS qid, w FROM tok WHERE cid < 8), " +
+        s"kw AS (SELECT qid, cid, kw_rank FROM (SELECT qt.qid, t.cid, ROW_NUMBER() OVER (PARTITION BY qt.qid ORDER BY COUNT(*) DESC, t.cid) AS kw_rank FROM tok t JOIN qt ON t.w = qt.w AND qt.qid <> t.cid GROUP BY qt.qid, t.cid) r WHERE kw_rank <= $chan), " +
+        "qv AS (SELECT cid AS qid, v AS qv FROM corp WHERE cid < 8), " +
+        s"vec AS (SELECT qid, cid, vec_rank FROM (SELECT qv.qid, c.cid, ROW_NUMBER() OVER (PARTITION BY qv.qid ORDER BY ROUND(graft_cosine(qv.qv, c.v), 4) DESC, c.cid) AS vec_rank FROM qv CROSS JOIN corp c WHERE qv.qid <> c.cid) r WHERE vec_rank <= $chan), " +
+        s"f AS (SELECT COALESCE(kw.qid, vec.qid) AS qid, COALESCE(kw.cid, vec.cid) AS cid, kw.kw_rank, vec.vec_rank, COALESCE(CAST(1.0 AS DOUBLE) / ($k + kw.kw_rank), CAST(0.0 AS DOUBLE)) + COALESCE(CAST(1.0 AS DOUBLE) / ($k + vec.vec_rank), CAST(0.0 AS DOUBLE)) AS score FROM kw FULL OUTER JOIN vec ON kw.qid = vec.qid AND kw.cid = vec.cid) " +
+        "SELECT qid, cid, CAST(rrf_rank AS BIGINT) AS rrf_rank, ROUND(score, 6) AS score, CAST(COALESCE(kw_rank, -1) AS BIGINT) AS kw_rank, CAST(COALESCE(vec_rank, -1) AS BIGINT) AS vec_rank FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rrf_rank FROM f) z WHERE rrf_rank <= 10 ORDER BY qid, rrf_rank"
+    },
     "q34_minhash_bands" ->
       ("WITH w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM documents), " +
         "f AS (SELECT doc_id, words FROM w WHERE size(words) >= 3), " +

@@ -641,4 +641,77 @@ object Similarity {
         (col("hits") >= col("adc_hits")).as("rerank_ge_adc"),
         (col("scanned_pairs") < col("n_q") * (col("n_corpus") - 1)).as("prune_ok"))
   }
+
+  /** RRF constant (Cormack et al. 2009's k=60 — the value every production
+    * hybrid stack ships) and the per-channel candidate depth. */
+  val RrfK = 60
+  val HybridChan = 50
+
+  /** Q154 — hybrid search: keyword channel + vector channel fused by
+    * reciprocal-rank fusion, the shape production retrieval stacks ship
+    * (Elasticsearch/OpenSearch hybrid query, Milvus hybrid search, Vespa).
+    * Corpus = documents⋈embeddings on id (only embedded docs are
+    * searchable); queries are the first 8 such docs searching for their
+    * own neighbors.
+    *
+    *  - Keyword channel: an INVERTED-INDEX join — the corpus token table
+    *    (cid, word) is the big side, streamed ONCE; the 8 queries'
+    *    distinct tokens broadcast onto it; overlap = |tokens(q) ∩
+    *    tokens(c)| ranks top-[[HybridChan]] per query (overlap DESC, cid).
+    *    At 100 TB this is the Lucene postings shape on Spark: work scales
+    *    with matching postings, never corpus².
+    *  - Vector channel: exact ROUND(cos,4) top-[[HybridChan]] (the truth
+    *    spelling, so the oracle replays it bit-for-bit). At scale the
+    *    drop-in substitute is the q153 IVF-PQ+rerank path — the channel
+    *    contract (a ranked id list) is identical, which is the point of
+    *    rank fusion.
+    *  - Fusion: RRF score = Σ_channels 1/(k + rank), rank-only — no score
+    *    calibration across channels, the property that makes RRF robust
+    *    in production. A two-term IEEE sum of literal-derived divisions
+    *    replays exactly in DuckDB; output rounds to 6 dp and COALESCEs
+    *    absent ranks to -1 (NULL bigints hash-diverge cross-engine, r01).
+    *
+    * Output: top-10 fused per query — (qid, cid, rrf_rank, score,
+    * kw_rank, vec_rank). */
+  def q154HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val docs = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("cid"), col("text"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = corpus.filter(col("cid") < 8)
+    val tok = corpus.select(col("cid"),
+      explode(array_distinct(split(trim(col("text")), "\\s+"))).as("w"))
+    val qtok = queries.select(col("cid").as("qid"),
+      explode(array_distinct(split(trim(col("text")), "\\s+"))).as("w"))
+    val wk = Window.partitionBy("qid").orderBy(col("overlap").desc, col("cid"))
+    val kwTop = tok.join(broadcast(qtok), Seq("w"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy("qid", "cid").agg(count(lit(1)).as("overlap"))
+      .withColumn("kw_rank", row_number().over(wk))
+      .filter(col("kw_rank") <= HybridChan)
+      .select(col("qid"), col("cid"), col("kw_rank"))
+    val q = queries.select(col("cid").as("qid"), col("v").as("qv"))
+    val wv = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    val vecTop = corpus.select(col("cid"), col("v")).crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(VectorOps.cosine(col("qv"), col("v")), 4).as("sim"))
+      .withColumn("vec_rank", row_number().over(wv))
+      .filter(col("vec_rank") <= HybridChan)
+      .select(col("qid"), col("cid"), col("vec_rank"))
+    val fused = kwTop.join(vecTop, Seq("qid", "cid"), "full_outer")
+      .select(col("qid"), col("cid"), col("kw_rank"), col("vec_rank"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("kw_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0))).as("score"))
+    val wr = Window.partitionBy("qid").orderBy(col("score").desc, col("cid"))
+    fused.withColumn("rrf_rank", row_number().over(wr))
+      .filter(col("rrf_rank") <= 10)
+      .select(col("qid"), col("cid"), col("rrf_rank").cast("long").as("rrf_rank"),
+        round(col("score"), 6).as("score"),
+        coalesce(col("kw_rank").cast("long"), lit(-1L)).as("kw_rank"),
+        coalesce(col("vec_rank").cast("long"), lit(-1L)).as("vec_rank"))
+  }
 }

@@ -123,6 +123,59 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Long]("reranked_pairs") > 0L)
   }
 
+  test("q154 hybrid RRF equals a naive driver-side recompute of both channels") {
+    val sp = spark
+    val docs = Tables(sp, sfDir, "documents")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val embs = corpus().collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    val ids = docs.keySet.intersect(embs.keySet).toSeq.sorted
+    val toks: Map[Long, Set[String]] =
+      ids.map(i => i -> docs(i).trim.split("\\s+").toSet).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val want = ids.filter(_ < 8).flatMap { qid =>
+      val kw = ids.filter(_ != qid)
+        .map(c => (c, toks(qid).intersect(toks(c)).size))
+        .filter(_._2 > 0)
+        .sortBy { case (c, ov) => (-ov, c) }
+        .take(Similarity.HybridChan).zipWithIndex
+        .map { case ((c, _), i) => c -> (i + 1L) }.toMap
+      val vec = ids.filter(_ != qid)
+        .map(c => (c, r4(cos(embs(qid), embs(c)))))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(Similarity.HybridChan).zipWithIndex
+        .map { case ((c, _), i) => c -> (i + 1L) }.toMap
+      (kw.keySet ++ vec.keySet).toSeq
+        .map { c =>
+          val score = kw.get(c).map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0) +
+            vec.get(c).map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0)
+          (c, score)
+        }
+        .sortBy { case (c, s) => (-s, c) }.take(10).zipWithIndex
+        .map { case ((c, s), i) =>
+          (qid, c, i + 1L, r6(s), kw.get(c).getOrElse(-1L), vec.get(c).getOrElse(-1L))
+        }
+    }.toSet
+    val got = Similarity.q154HybridRrf(sp, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got.size == want.size, s"${got.size} rows vs naive ${want.size}")
+    assert(got == want, {
+      val miss = want.diff(got).take(3); val extra = got.diff(want).take(3)
+      s"missing $miss; extra $extra"
+    })
+  }
+
   test("ivfSearch returns valid per-query top-k with sane similarity bounds") {
     val e = corpus()
     val q = e.filter(col("vec_id") < 8).toDF("qid", "qv")
