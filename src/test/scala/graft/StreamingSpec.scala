@@ -193,6 +193,73 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
   }
 
+  test("semDedupStream out-of-order: first-arrival-wins stays internally consistent") {
+    // the documented degraded mode: shuffled delivery pins verdicts to
+    // ARRIVAL order instead of id order. The contract that must survive:
+    // every vector gets exactly one verdict, dup_of (when set) names an
+    // id that was CACHED at the victim's arrival (same cluster, arrived
+    // earlier, within cap), and dup_of really clears the tau threshold.
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val all = graft.Tables(sp, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => graft.streaming.EmbRecord(r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_.vec_id)
+    val stride = math.max(2L, math.round(math.sqrt(all.size.toDouble)))
+    val cents = all.filter(_.vec_id % stride == 0)
+      .map(r => r.vec_id -> r.embedding.map(_.toDouble).toArray).toSeq
+    // deterministic shuffle: reverse each third so later ids arrive first
+    val (b1, rest) = all.splitAt(all.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 3)
+    val feeds = Seq(b3.reverse, b1.reverse, b2.reverse)
+    val in = MemoryStream[graft.streaming.EmbRecord]
+    val out = StreamOps.semDedupStream(in.toDS(), cents,
+      graft.operators.Dedup.SemMemberCap, graft.operators.Dedup.SemDupTau)
+    val got = runToMemory(out.toDF(), "semdedupooo")(
+      feeds.map(f => () => { in.addData(f); () }): _*)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.length == all.length)
+    assert(got.map(_._1).distinct.length == all.length, "one verdict per vector")
+    val byId = got.map(v => v._1 -> v).toMap
+    // within a micro-batch the group sorts by vec_id, so arrival order is
+    // (batch index, vec_id); replay that to know who was cached when
+    val arrivalRank: Map[Long, (Int, Long)] =
+      feeds.zipWithIndex.flatMap { case (f, bi) => f.map(r => r.vec_id -> (bi, r.vec_id)) }.toMap
+    implicit val ord: Ordering[(Int, Long)] = Ordering.Tuple2[Int, Long]
+    got.filter(_._4).foreach { case (vid, cluster, dupOf, _) =>
+      assert(dupOf >= 0, s"$vid is_dup but dup_of=$dupOf")
+      val (_, dc, _, _) = byId(dupOf)
+      assert(dc == cluster, s"$vid dup_of $dupOf crosses clusters")
+      assert(ord.lt(arrivalRank(dupOf), arrivalRank(vid)),
+        s"$vid dup_of $dupOf did not arrive earlier")
+    }
+    // and the flagged pairs genuinely clear tau (recompute one-sidedly)
+    val vecs = all.map(r => r.vec_id -> r.embedding.map(_.toDouble).toArray).toMap
+    // index-order 0.0-seeded folds — the kernel spelling, so the r4
+    // boundary can't flip against the operator's own arithmetic
+    def unit(a: Array[Double]) = {
+      var n2 = 0.0; var i = 0
+      while (i < a.length) { n2 += a(i) * a(i); i += 1 }
+      val n = math.sqrt(n2); a.map(_ / n)
+    }
+    def dotp(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      d
+    }
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    got.filter(_._4).take(50).foreach { case (vid, _, dupOf, _) =>
+      val s = r4(dotp(unit(vecs(vid)), unit(vecs(dupOf))))
+      assert(s >= graft.operators.Dedup.SemDupTau - 1e-9,
+        s"$vid~$dupOf flagged but sim $s < tau")
+    }
+  }
+
   test("semDedupStream: RocksDB + kill/restart resumes to exact batch parity") {
     // the member-cache state must survive a checkpoint restart EXACTLY:
     // a lost member silently flips later verdicts to "kept", a doubled
