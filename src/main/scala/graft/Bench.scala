@@ -252,7 +252,18 @@ object Bench {
         if (!f.isFile) Map.empty
         else {
           import org.json4s._
-          jackson.JsonMethods.parse(f).asInstanceOf[JObject].obj.collect {
+          val obj = jackson.JsonMethods.parse(f).asInstanceOf[JObject].obj
+          // a file without the _unit stamp is the pre-r15 RATIO format —
+          // reinterpreting ratios (~1-2.5) as x10 wall seconds would flag
+          // false regressions forever and min() would pin them into the
+          // baseline; treat it like an unreadable file and start fresh
+          // (r15 ADVICE #3)
+          if (!obj.exists { case (k, v) =>
+              k == "_unit" && v == JString("x10_wall_sec_best") }) {
+            System.err.println(
+              "[bench] drill baseline lacks _unit=x10_wall_sec_best (stale format) — starting fresh")
+            Map.empty
+          } else obj.collect {
             case (k, JDouble(v)) if k != "_unit" => k -> v
             case (k, JInt(v)) if k != "_unit" => k -> v.toDouble
           }.toMap

@@ -181,10 +181,13 @@ object ScanAudit {
     * for real and asserts the shortfall entry). */
   def gate(rows: Seq[(String, Map[String, Int], Int)],
            budgets: Map[String, Map[String, Int]]): Seq[String] = {
-    val shortfall =
-      if (rows.size < budgets.size)
-        Seq(s"scan_budget:collected(${rows.size}<${budgets.size})")
-      else Nil
+    // NAME-set comparison, not a size comparison (r15 ADVICE #2): collect
+    // runs every lane including ones with no budget entry, so a budgeted
+    // lane crashing while an unbudgeted lane is collected can leave the
+    // SIZES equal — each missing budgeted lane must surface by name.
+    val collected = rows.map(_._1).toSet
+    val shortfall = (budgets.keySet -- collected).toSeq.sorted
+      .map(lane => s"scan_budget:missing($lane)")
     violations(rows, budgets) ++ shortfall
   }
 

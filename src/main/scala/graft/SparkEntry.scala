@@ -297,7 +297,7 @@ object SparkEntry {
       def mh(r: Int) = s"mh${b * 4 + r}"
       s"SELECT doc_id, $b AS band, ${mh(0)} * 2147483648 + ${mh(1)} AS sig1, ${mh(2)} * 2147483648 + ${mh(3)} AS sig2 FROM sig"
     }.mkString(" UNION ALL ")
-    "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000), " +
+    "WITH d AS (SELECT doc_id, text FROM documents), " +
       "w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM d), " +
       "f AS (SELECT doc_id, words FROM w WHERE len(words) >= 3), " +
       "sh AS (SELECT doc_id, unnest(list_transform(range(0, len(words) - 2), i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh FROM f), " +
@@ -325,7 +325,7 @@ object SparkEntry {
     def pack(bits: Range, base: Int) = bits.map(b =>
       s"(CASE WHEN v$b > 0 THEN CAST(${1L << (b - base)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
-    "WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS wd FROM documents WHERE doc_id < 100), " +
+    "WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS wd FROM documents), " +
       s"hx AS (SELECT doc_id, ${duckBaseHash("wd")} AS x FROM w), " +
       s"v AS (SELECT doc_id, $votes FROM hx GROUP BY doc_id) " +
       s"SELECT doc_id, ${pack(32 until 64, 32)} AS simhash_hi, ${pack(0 until 32, 0)} AS simhash_lo FROM v ORDER BY doc_id"
@@ -337,7 +337,7 @@ object SparkEntry {
     import Dedup.{MinhashP, WinnowA, WinnowB}
     val gramHash =
       s"($WinnowA * ${duckBaseHash("array_to_string(list_slice(words, i + 1, i + 4), ' ')")} + $WinnowB) % $MinhashP"
-    "WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents WHERE doc_id < 100), " +
+    "WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents), " +
       "f AS (SELECT doc_id, words FROM d WHERE len(words) >= 7), " +
       s"g AS (SELECT doc_id, list_transform(range(0, len(words) - 3), i -> $gramHash) AS grams FROM f), " +
       "m AS (SELECT doc_id, list_distinct(list_transform(range(0, len(grams) - 3), i -> list_min(list_slice(grams, i + 1, i + 4)))) AS fps FROM g) " +
@@ -717,7 +717,7 @@ object SparkEntry {
     "q37_neardup_embedding" ->
       "WITH f0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings WHERE vec_id < 300), f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM f0), d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, SUM(a.v * b.v) AS dot, SUM(a.v * a.v) AS qq, SUM(b.v * b.v) AS cc FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2) SELECT id1, id2, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d ORDER BY sim DESC, id1, id2 LIMIT 20",
     "q38_multimodal_bytes" ->
-      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents WHERE doc_id < 100 ORDER BY doc_id",
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id",
     "q41_asof_join" -> // microsecond resolution both sides: DuckDB reads the
       // nanos parquet column as a µs TIMESTAMP (epoch_ns % 1000 = 0 on every
       // row — verified), so epoch_us is its native exact value; Spark
@@ -768,7 +768,7 @@ object SparkEntry {
     "q65_train_val_split" -> // md5 hex is identical in both engines
       "SELECT source, CASE WHEN substr(md5(text), 1, 1) <= '9' THEN 'train' WHEN substr(md5(text), 1, 1) <= 'c' THEN 'val' ELSE 'test' END AS split, COUNT(*) AS n FROM documents GROUP BY 1, 2 ORDER BY source, split",
     "q66_chunk" ->
-      "SELECT doc_id, CAST((i - 1) // 80 AS BIGINT) AS chunk_id, CAST(length(substr(text, CAST(i AS INT), 100)) AS BIGINT) AS chunk_len, md5(substr(text, CAST(i AS INT), 100)) AS chunk_md5 FROM (SELECT doc_id, text, unnest(generate_series(1, length(text), 80)) AS i FROM documents WHERE doc_id < 30) t ORDER BY doc_id, chunk_id",
+      "SELECT doc_id, CAST((i - 1) // 80 AS BIGINT) AS chunk_id, CAST(length(substr(text, CAST(i AS INT), 100)) AS BIGINT) AS chunk_len, md5(substr(text, CAST(i AS INT), 100)) AS chunk_md5 FROM (SELECT doc_id, text, unnest(generate_series(1, length(text), 80)) AS i FROM documents WHERE length(text) >= 1) t ORDER BY doc_id, chunk_id",
     "q67_pii_redact" ->
       "WITH dirty AS (SELECT lang, concat(text, ' contact user', doc_id, '@example.com or call 55512340', doc_id) AS d FROM documents), r AS (SELECT lang, regexp_replace(regexp_replace(d, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'), '[0-9]{7,}', '<NUM>', 'g') AS clean, len(regexp_extract_all(d, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+')) AS n_email FROM dirty) SELECT lang, COUNT(*) AS n, CAST(SUM(n_email) AS BIGINT) AS emails_masked, CAST(SUM(len(regexp_extract_all(clean, '<EMAIL>'))) AS BIGINT) AS email_tags, CAST(SUM(len(regexp_extract_all(clean, '<NUM>'))) AS BIGINT) AS num_tags FROM r GROUP BY lang ORDER BY lang",
     "q68_sessionize" ->
@@ -1050,13 +1050,13 @@ object SparkEntry {
     "q147_frame_fingerprints" -> // 4 evenly-spaced 32-byte frames; stride
       // clamped to >=1 so the negative-division semantics split (trunc vs
       // floor) can never surface
-      "WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS total FROM documents WHERE doc_id < 200 AND text IS NOT NULL), f AS (SELECT doc_id, i, substring(text, CAST(i * GREATEST((total - 32) // 3, 1) + 1 AS BIGINT), 32) AS frame FROM d, (SELECT unnest(range(0, 4)) AS i) ii) SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, md5(frame) AS frame_md5, CAST(length(frame) AS BIGINT) AS frame_len FROM f ORDER BY doc_id, frame_idx",
+      "WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS total FROM documents WHERE text IS NOT NULL), f AS (SELECT doc_id, i, substring(text, CAST(i * GREATEST((total - 32) // 3, 1) + 1 AS BIGINT), 32) AS frame FROM d, (SELECT unnest(range(0, 4)) AS i) ii) SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, md5(frame) AS frame_md5, CAST(length(frame) AS BIGINT) AS frame_len FROM f ORDER BY doc_id, frame_idx",
     "q148_modality_mix" ->
       "WITH p AS (SELECT source, doc_id, octet_length(encode(text)) AS nb, ['image/png','audio/wav','video/mp4','text/plain'][CAST(doc_id % 4 AS INT) + 1] AS mime FROM documents WHERE text IS NOT NULL), g AS (SELECT source, mime, COUNT(*) AS n_docs, SUM(nb) AS bytes FROM p GROUP BY 1, 2), t AS (SELECT source, SUM(bytes) AS src_bytes FROM g GROUP BY 1), a AS (SELECT SUM(bytes) AS all_bytes FROM g) SELECT g.source, mime, n_docs, CAST(bytes AS BIGINT) AS total_bytes, CAST(bytes * 1000000 // src_bytes AS BIGINT) AS share_ppm, CAST(src_bytes * 1000000 // all_bytes AS BIGINT) AS src_weight_ppm FROM g JOIN t USING (source) CROSS JOIN a ORDER BY source, mime",
     "q149_decode_features" -> // the batched-decode stub's per-dim byte fold
       // replayed as an ORDERED list_reduce (left fold, bit-identical
       // before the round); unicode(char) = the byte on the ASCII fixture
-      "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300 AND text IS NOT NULL AND length(text) > 0), f AS (SELECT doc_id, j, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_filter(range(1, length(text) + 1), i -> (i - 1) % 8 = j), i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS DOUBLE) / 255.0)), (a, x) -> a + x) AS v FROM d, (SELECT unnest(range(0, 8)) AS j) jj) SELECT doc_id, CAST(j AS BIGINT) AS dim, ROUND(v, 4) AS v FROM f ORDER BY doc_id, dim",
+      "WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0), f AS (SELECT doc_id, j, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_filter(range(1, length(text) + 1), i -> (i - 1) % 8 = j), i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS DOUBLE) / 255.0)), (a, x) -> a + x) AS v FROM d, (SELECT unnest(range(0, 8)) AS j) jj) SELECT doc_id, CAST(j AS BIGINT) AS dim, ROUND(v, 4) AS v FROM f ORDER BY doc_id, dim",
     // q150 (r14): head-anchored frame fingerprints → (frame_idx, md5)
     // bands with the capped-bucket discipline → pairs sharing ≥2 frames →
     // min-label keeper clusters (cliques — the operator scaladoc's

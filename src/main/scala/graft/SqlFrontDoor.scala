@@ -58,20 +58,20 @@ object SqlFrontDoor {
     "q37_neardup_embedding" ->
       "WITH f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM embeddings LATERAL VIEW posexplode(embedding) t AS i, v WHERE vec_id < 300), d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, SUM(a.v * b.v) AS dot, SUM(a.v * a.v) AS qq, SUM(b.v * b.v) AS cc FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2) SELECT id1, id2, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d ORDER BY sim DESC, id1, id2 LIMIT 20",
     "q38_multimodal_bytes" ->
-      "SELECT doc_id, CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes FROM documents WHERE doc_id < 100 ORDER BY doc_id",
+      "SELECT doc_id, CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id",
     // q146–q148 (r13): encode() -> CAST(text AS BINARY); Spark's md5/
     // substring operate on the binary payload directly; `//` -> div;
     // list literal indexing -> element_at(array(...))
     "q146_payload_dedup" ->
       "WITH fp AS (SELECT source, doc_id, md5(CAST(text AS BINARY)) AS fp, octet_length(CAST(text AS BINARY)) AS nb FROM documents WHERE text IS NOT NULL), g AS (SELECT source, fp, MIN(doc_id) AS keeper, COUNT(*) AS copies, MIN(nb) AS nb FROM fp GROUP BY 1, 2) SELECT source, COUNT(*) AS n_unique, CAST(SUM(copies) AS BIGINT) AS n_total, CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_dupes, CAST(SUM(nb) AS BIGINT) AS bytes_unique, CAST(SUM(keeper) AS BIGINT) AS keeper_sum FROM g GROUP BY source ORDER BY source",
     "q147_frame_fingerprints" ->
-      "WITH d AS (SELECT doc_id, CAST(text AS BINARY) AS payload, octet_length(CAST(text AS BINARY)) AS total FROM documents WHERE doc_id < 200 AND text IS NOT NULL), f AS (SELECT doc_id, i, substring(payload, CAST(i * GREATEST((total - 32) div 3, 1) + 1 AS INT), 32) AS frame FROM d LATERAL VIEW explode(sequence(0, 3)) t AS i) SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, md5(frame) AS frame_md5, CAST(octet_length(frame) AS BIGINT) AS frame_len FROM f ORDER BY doc_id, frame_idx",
+      "WITH d AS (SELECT doc_id, CAST(text AS BINARY) AS payload, octet_length(CAST(text AS BINARY)) AS total FROM documents WHERE text IS NOT NULL), f AS (SELECT doc_id, i, substring(payload, CAST(i * GREATEST((total - 32) div 3, 1) + 1 AS INT), 32) AS frame FROM d LATERAL VIEW explode(sequence(0, 3)) t AS i) SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, md5(frame) AS frame_md5, CAST(octet_length(frame) AS BIGINT) AS frame_len FROM f ORDER BY doc_id, frame_idx",
     "q148_modality_mix" -> // ppm numerators in DECIMAL(38,0) like the
       // operator — BIGINT bytes*10⁶ wraps past ~9.2 TB/source (ANSI off)
       "WITH p AS (SELECT source, doc_id, octet_length(CAST(text AS BINARY)) AS nb, element_at(array('image/png','audio/wav','video/mp4','text/plain'), CAST(doc_id % 4 AS INT) + 1) AS mime FROM documents WHERE text IS NOT NULL), g AS (SELECT source, mime, COUNT(*) AS n_docs, SUM(nb) AS bytes FROM p GROUP BY 1, 2), t AS (SELECT source, SUM(bytes) AS src_bytes FROM g GROUP BY 1), a AS (SELECT SUM(bytes) AS all_bytes FROM g) SELECT g.source, mime, n_docs, CAST(bytes AS BIGINT) AS total_bytes, CAST(CAST(bytes AS DECIMAL(38,0)) * 1000000 div src_bytes AS BIGINT) AS share_ppm, CAST(CAST(src_bytes AS DECIMAL(38,0)) * 1000000 div all_bytes AS BIGINT) AS src_weight_ppm FROM g JOIN t USING (source) CROSS JOIN a ORDER BY source, mime",
     "q149_decode_features" -> // ordered `aggregate` HOF = the stub codec's
       // left fold; ascii() of the 1-byte binary slice = the byte (ASCII)
-      "WITH d AS (SELECT doc_id, CAST(text AS BINARY) AS payload FROM documents WHERE doc_id < 300 AND text IS NOT NULL AND length(text) > 0), f AS (SELECT doc_id, j, aggregate(filter(sequence(1, octet_length(payload)), i -> (i - 1) % 8 = j), CAST(0.0 AS DOUBLE), (a, i) -> a + CAST(ascii(CAST(substring(payload, i, 1) AS STRING)) AS DOUBLE) / 255.0) AS v FROM d LATERAL VIEW explode(sequence(0, 7)) t AS j) SELECT doc_id, CAST(j AS BIGINT) AS dim, ROUND(v, 4) AS v FROM f ORDER BY doc_id, dim",
+      "WITH d AS (SELECT doc_id, CAST(text AS BINARY) AS payload FROM documents WHERE text IS NOT NULL AND length(text) > 0), f AS (SELECT doc_id, j, aggregate(filter(sequence(1, octet_length(payload)), i -> (i - 1) % 8 = j), CAST(0.0 AS DOUBLE), (a, i) -> a + CAST(ascii(CAST(substring(payload, i, 1) AS STRING)) AS DOUBLE) / 255.0) AS v FROM d LATERAL VIEW explode(sequence(0, 7)) t AS j) SELECT doc_id, CAST(j AS BIGINT) AS dim, ROUND(v, 4) AS v FROM f ORDER BY doc_id, dim",
     "q150_frame_neardup" -> // head-anchored frame banding + capped window
       // + min-label; unnest(range) -> explode(sequence)
       s"WITH d AS (SELECT doc_id, CAST(text AS BINARY) AS payload FROM documents WHERE text IS NOT NULL AND octet_length(CAST(text AS BINARY)) >= 128), f AS (SELECT doc_id, i, md5(substring(payload, CAST(i * 32 + 1 AS INT), 32)) AS fp FROM d LATERAL VIEW explode(sequence(0, 3)) t AS i), c AS (SELECT doc_id, i, fp FROM (SELECT doc_id, i, fp, COUNT(*) OVER (PARTITION BY i, fp) AS bn FROM f) t WHERE bn <= ${graft.operators.Multimodal.FrameBucketCap}), p AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM c a JOIN c b ON a.i = b.i AND a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2 HAVING COUNT(*) >= 2), u AS (SELECT id1 AS doc_id, id2 AS nb FROM p UNION ALL SELECT id2 AS doc_id, id1 AS nb FROM p), m AS (SELECT doc_id, LEAST(doc_id, MIN(nb)) AS cluster FROM u GROUP BY doc_id) SELECT cluster, COUNT(*) AS n_members, CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM m GROUP BY 1 ORDER BY 1",
@@ -111,7 +111,7 @@ object SqlFrontDoor {
     "q61_string_agg" -> // string_agg(ORDER BY) -> concat_ws/sort_array/collect_list
       "WITH d AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders), s AS (SELECT o_orderstatus, concat_ws(',', sort_array(collect_list(o_orderpriority))) AS prios FROM d GROUP BY o_orderstatus), c AS (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus) SELECT s.o_orderstatus, prios, n FROM s JOIN c USING (o_orderstatus) ORDER BY o_orderstatus",
     "q66_chunk" -> // generate_series/unnest -> sequence/explode; // -> div
-      "SELECT doc_id, CAST((i - 1) div 80 AS BIGINT) AS chunk_id, CAST(length(substring(text, i, 100)) AS BIGINT) AS chunk_len, md5(substring(text, i, 100)) AS chunk_md5 FROM (SELECT doc_id, text, explode(sequence(1, length(text), 80)) AS i FROM documents WHERE doc_id < 30) t ORDER BY doc_id, chunk_id",
+      "SELECT doc_id, CAST((i - 1) div 80 AS BIGINT) AS chunk_id, CAST(length(substring(text, i, 100)) AS BIGINT) AS chunk_len, md5(substring(text, i, 100)) AS chunk_md5 FROM (SELECT doc_id, text, explode(sequence(1, length(text), 80)) AS i FROM documents WHERE length(text) >= 1) t ORDER BY doc_id, chunk_id",
     "q67_pii_redact" -> // regexp_count / no 'g' flag in Spark regexp_replace
       "WITH dirty AS (SELECT lang, concat(coalesce(text, ''), ' contact user', doc_id, '@example.com or call 55512340', doc_id) AS d FROM documents), r AS (SELECT lang, regexp_replace(regexp_replace(d, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+', '<EMAIL>'), '[0-9]{7,}', '<NUM>') AS clean, CAST(regexp_count(d, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+') AS BIGINT) AS n_email FROM dirty) SELECT lang, COUNT(*) AS n, SUM(n_email) AS emails_masked, SUM(CAST(regexp_count(clean, '<EMAIL>') AS BIGINT)) AS email_tags, SUM(CAST(regexp_count(clean, '<NUM>') AS BIGINT)) AS num_tags FROM r GROUP BY lang ORDER BY lang",
     "q68_sessionize" -> // ts already bigint epoch-nanos in Spark (no epoch_ns)
@@ -280,7 +280,7 @@ object SqlFrontDoor {
     def pack(bits: Range, base: Int) = bits.map(b =>
       s"(CASE WHEN v$b > 0 THEN CAST(${1L << (b - base)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
-    "WITH w AS (SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS wd FROM documents WHERE doc_id < 100), " +
+    "WITH w AS (SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS wd FROM documents), " +
       s"h AS (SELECT doc_id, ${baseHashSql("wd")} AS h FROM w), " +
       s"v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id) " +
       s"SELECT doc_id, ${pack(32 until 64, 32)} AS simhash_hi, " +
@@ -443,7 +443,7 @@ object SqlFrontDoor {
         s"s AS (SELECT vec_id, ${lshBucketSql(8, 0)} AS lsh_bucket FROM e) " +
         "SELECT lsh_bucket, COUNT(*) AS n FROM s GROUP BY lsh_bucket ORDER BY lsh_bucket"),
     "q40_winnow_fingerprint" -> // k=4 gram hashes, window-4 minima, distinct
-      ("WITH d AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM documents WHERE doc_id < 100), " +
+      ("WITH d AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM documents), " +
         "f AS (SELECT doc_id, words FROM d WHERE size(words) >= 7), " +
         s"g AS (SELECT doc_id, transform(sequence(0, greatest(size(words) - 4, 0)), i -> (${graft.operators.Dedup.WinnowA} * (${baseHashSql("concat_ws(' ', slice(words, i + 1, 4))")}) + ${graft.operators.Dedup.WinnowB}) % ${graft.operators.Dedup.MinhashP}) AS grams FROM f), " +
         "m AS (SELECT doc_id, array_distinct(transform(sequence(0, greatest(size(grams) - 4, 0)), i -> array_min(slice(grams, i + 1, 4)))) AS fps FROM g) " +
@@ -473,7 +473,7 @@ object SqlFrontDoor {
         "SELECT m.vec_id, m.cluster, COALESCE(d.dup_of, CAST(-1 AS BIGINT)) AS dup_of, d.vec_id IS NOT NULL AS is_dup " +
         "FROM mem m LEFT JOIN dup d ON d.vec_id = m.vec_id ORDER BY vec_id"),
     "q50_neardup_confirmed" -> // the full LSH→exact-Jaccard pipeline as text
-      ("WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000), " +
+      ("WITH d AS (SELECT doc_id, text FROM documents), " +
         "w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM d), " +
         "f AS (SELECT doc_id, words FROM w WHERE size(words) >= 3), " +
         s"shh AS (SELECT doc_id, ${baseHashSql("sh")} AS h FROM (SELECT doc_id, explode(transform(sequence(0, size(words) - 3), i -> concat_ws(' ', slice(words, i + 1, 3)))) AS sh FROM f) t), " +

@@ -119,7 +119,15 @@ object Dedup {
 
   /** Q34b/Q53 — character 3-gram Jaccard (the classic near-dup feature set,
     * robust to word-boundary noise) over a bounded subset; full oracle —
-    * substr-by-position is portable SQL. */
+    * substr-by-position is portable SQL.
+    *
+    * Why the bound stays (the q33 contract): exact set-Jaccard scored via a
+    * shared-token equi-join is all-pairs whenever the feature graph is
+    * dense, and the fixture's 31-word vocabulary makes the char-3-gram
+    * space dense the same way q33's word space is. This lane is the
+    * bounded EXACT-ORACLE audit of the feature; the uncapped scale path is
+    * q50's banded MinHash over 3-word shingles (large, bandable vocabulary)
+    * — the same route q33's scaladoc names. */
   def q53CharNgramJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardFromTokens(charNgrams(docs(s, dir).filter(col("doc_id") < 20)))
 
@@ -283,13 +291,18 @@ object Dedup {
   }
 
   /** Q50 — confirmed near-dup summary: LSH→verify pipeline health metrics
-    * (rows-only: candidate set depends on the engine-internal hash family).
+    * over the FULL corpus — this is the stack's designated near-dedup scale
+    * path (q121's scaladoc routes ER recall through it), so no row cap:
+    * [[MinhashBucketCap]] already bounds the pair join to ≤ B·n
+    * comparisons, which is the only quadratic term in the pipeline (the
+    * r7-era `doc_id < 2000` cap predated the bucket cap and made the 10×
+    * drill vacuous — r15 verdict #1).
     * Gated at the production threshold (0.6): the threshold = 0.0
     * all-candidates diagnostic stays OUT of the benched suite — it scores
     * every zero-overlap hash collision and its cost measures the LSH
     * false-positive tail, not the dedup pipeline (r02 verdict #5). */
   def q50NeardupConfirmed(s: SparkSession, dir: String): DataFrame = {
-    val pairs = confirmedNearDups(docs(s, dir).filter(col("doc_id") < 2000))
+    val pairs = confirmedNearDups(docs(s, dir))
     pairs.agg(
       count(lit(1)).as("n_pairs"),
       coalesce(round(avg("jaccard"), 4), lit(0.0)).as("avg_jaccard"),
@@ -379,10 +392,13 @@ object Dedup {
         pack(0 until 32, 0).as("simhash_lo"))
   }
 
-  /** Q35 — SimHash fingerprints. Computed DuckDB oracle since r11 (the
-    * 64 universal parities replay as plain SQL arithmetic). */
+  /** Q35 — SimHash fingerprints over the FULL corpus (the r7-era
+    * `doc_id < 100` cap lifted in r16 — the lane is one map-side pass of 64
+    * conditional sums per word plus a groupBy(doc_id), linear by shape).
+    * Computed DuckDB oracle since r11 (the 64 universal parities replay as
+    * plain SQL arithmetic). */
   def q35Simhash(s: SparkSession, dir: String): DataFrame =
-    simhash(docs(s, dir).filter(col("doc_id") < 100)).orderBy("doc_id")
+    simhash(docs(s, dir)).orderBy("doc_id")
 
   // ------------------------------------------------------- decontamination
 

@@ -96,7 +96,7 @@ object Multimodal {
   /** Q38 — multimodal plumbing parity check: payload byte length per doc
     * (binary cast + octet_length exist in both engines → full oracle). */
   def q38MultimodalBytes(s: SparkSession, dir: String): DataFrame =
-    withPayload(Tables(s, dir, "documents").filter(col("doc_id") < 100))
+    withPayload(Tables(s, dir, "documents"))
       .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"))
       .orderBy("doc_id")
 
@@ -141,8 +141,7 @@ object Multimodal {
     * payload stays columnar in the scan and is pruned before the sort
     * exchange (plan-pinned). */
   def q147FrameFingerprints(s: SparkSession, dir: String): DataFrame = {
-    val p = withPayload(Tables(s, dir, "documents")
-      .filter(col("doc_id") < 200 && col("text").isNotNull))
+    val p = withPayload(Tables(s, dir, "documents").filter(col("text").isNotNull))
     frameSample(p, n = 4, frameBytes = 32)
       .select(col("doc_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
@@ -165,7 +164,7 @@ object Multimodal {
     * rounded feature) rows reach the sort. */
   def q149DecodeFeatures(s: SparkSession, dir: String): DataFrame = {
     val p = withPayload(Tables(s, dir, "documents")
-      .filter(col("doc_id") < 300 && col("text").isNotNull && length(col("text")) > 0))
+      .filter(col("text").isNotNull && length(col("text")) > 0))
     decodeBatched(p, dim = 8)
       .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "v")))
       .select(col("doc_id"), col("dim").cast("long").as("dim"),

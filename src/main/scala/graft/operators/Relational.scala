@@ -429,7 +429,12 @@ object Relational {
       .orderBy("lang")
 
   /** Q44 — generator/UDTF surface (SURVEY §2.3.10): explode tokenized text
-    * into per-document word frequencies. */
+    * into per-document word frequencies. Bounded-audit contract (q33
+    * style): the lane gates the GENERATOR semantics row-for-row, so its
+    * output is the exploded token table itself — `doc_id < 10` keeps the
+    * verify artifact a readable inventory, not a corpus dump. The uncapped
+    * scale shape of explode→groupBy is already gated by q74/q89/q116,
+    * which run the same explode over the FULL corpus and reduce it. */
   def q44ExplodeTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .filter(col("doc_id") < 10)
@@ -460,7 +465,10 @@ object Relational {
 
   /** Q83 — positional generator (posexplode): token positions, the ordered
     * variant of Q44's explode (chunk/window ops need the position, not just
-    * the token). */
+    * the token). Same bounded-audit contract as q44: the output IS the
+    * per-position table, so the bound keeps the artifact an inventory;
+    * q66 (full-corpus chunking) gates the uncapped positional-explode
+    * shape. */
   def q83PosexplodeTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .filter(col("doc_id") < 5)

@@ -127,9 +127,11 @@ object TextAnalysis {
       .select(col("doc_id"), mins.as("fingerprints"))
   }
 
-  /** Q40 — winnowing fingerprint summary (rows-only check). */
+  /** Q40 — winnowing fingerprint summary over the FULL corpus (the
+    * `doc_id < 100` cap lifted in r16: the pipeline is per-doc map-side
+    * array work with one final sort — linear by shape). */
   def q40WinnowFingerprint(s: SparkSession, dir: String): DataFrame =
-    winnowFingerprints(docs(s, dir).filter(col("doc_id") < 100))
+    winnowFingerprints(docs(s, dir))
       .select(col("doc_id"), size(col("fingerprints")).cast("long").as("n_fp"))
       .orderBy("doc_id")
 
@@ -176,10 +178,11 @@ object TextAnalysis {
   private def substringAt(text: Column, start: Column, len: Int): Column =
     call_function("substring", text, start, lit(len))
 
-  /** Q66 — chunk inventory over a bounded subset: id, position, length and
-    * content hash of every chunk. */
+  /** Q66 — chunk inventory over the FULL corpus: id, position, length and
+    * content hash of every chunk (the `doc_id < 30` cap lifted in r16 —
+    * one explode per doc then pure projections, linear by shape). */
   def q66Chunk(s: SparkSession, dir: String): DataFrame =
-    chunk(docs(s, dir).filter(col("doc_id") < 30))
+    chunk(docs(s, dir))
       .select(col("doc_id"), col("chunk_id"),
         length(col("chunk")).cast("long").as("chunk_len"),
         md5(col("chunk")).as("chunk_md5"))

@@ -126,10 +126,15 @@ object StreamOps {
       d
     }
     def r4(x: Double): Double = // Spark round(c, 4): HALF_UP on the decimal repr;
-      // NaN passes through (Spark's round of NaN is NaN, and NaN ≥ tau is
-      // false) instead of BigDecimal.valueOf throwing on a zero vector
+      // NaN passes through instead of BigDecimal.valueOf throwing on a zero
+      // vector; the dup check below treats NaN as ABOVE tau because that is
+      // what the batch lane and the DuckDB oracle both do (SQL comparison
+      // semantics order NaN greater than any double), so a degenerate
+      // zero/NaN embedding gets the SAME is_dup verdict in all three
+      // spellings (r15 ADVICE #1)
       if (x.isNaN) x
       else java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def geTau(sim: Double, tau: Double): Boolean = sim.isNaN || sim >= tau
     ds.map { r =>
       val v = r.embedding.map(_.toDouble).toArray
       var bid = -1L; var bs = Double.NegativeInfinity
@@ -153,7 +158,7 @@ object StreamOps {
               var dupOf = -1L
               var i = 0
               while (i < ids.size) {
-                if (r4(dotp(vn, vecs(i))) >= tau && (dupOf == -1L || ids(i) < dupOf))
+                if (geTau(r4(dotp(vn, vecs(i))), tau) && (dupOf == -1L || ids(i) < dupOf))
                   dupOf = ids(i)
                 i += 1
               }

@@ -31,7 +31,7 @@ class BenchGateSpec extends AnyFunSuite with BeforeAndAfterAll {
       only = Some("q01_scan_filter_sort"))
     assert(rows.isEmpty, "the crashed lane must be omitted from the audit")
     val budgets = Map("q01_scan_filter_sort" -> Map("lineitem" -> 1))
-    assert(ScanAudit.gate(rows, budgets) === Seq("scan_budget:collected(0<1)"))
+    assert(ScanAudit.gate(rows, budgets) === Seq("scan_budget:missing(q01_scan_filter_sort)"))
   }
 
   test("green path: collected == budgeted with in-budget scans yields no failures") {
@@ -62,5 +62,15 @@ class BenchGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = Seq(("qx_lane", Map("lineitem" -> 2, "orders" -> 1), 0))
     val budgets = Map("qx_lane" -> Map("lineitem" -> 1, "orders" -> 1))
     assert(ScanAudit.gate(rows, budgets) === Seq("scan_budget:qx_lane:lineitem(2>1)"))
+  }
+
+  test("a crashed budgeted lane is caught even when an unbudgeted lane keeps the sizes equal") {
+    // r15 ADVICE #2: collect() runs unbudgeted lanes too, so a size-only
+    // shortfall check can balance a crashed budgeted lane against a
+    // collected unbudgeted one and silently pass — the name-set gate must
+    // name the missing lane.
+    val rows = Seq(("q_unbudgeted_new_lane", Map("documents" -> 1), 0))
+    val budgets = Map("q_budgeted_crashed" -> Map("lineitem" -> 1))
+    assert(ScanAudit.gate(rows, budgets) === Seq("scan_budget:missing(q_budgeted_crashed)"))
   }
 }

@@ -161,10 +161,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no bucketed (priority, bucket) ranking window found")
   }
 
-  test("q66 chunking: doc_id filter pushed to scan, only id+text read") {
+  test("q66 chunking: null-pruning filter pushed to scan, only id+text read") {
+    // full-corpus since r16 (cap sweep): the only residual pushable
+    // predicate is the IsNotNull(text) Catalyst infers from the
+    // length(text) >= 1 guard — it must still reach the parquet scan
     val plan = planString(graft.operators.TextAnalysis.q66Chunk(spark, sfDir))
-    assert("PushedFilters: \\[[^\\]]*LessThan\\(doc_id,30\\)".r.findFirstIn(plan).isDefined,
-      s"doc_id filter not pushed:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*IsNotNull\\(text\\)".r.findFirstIn(plan).isDefined,
+      s"text null-filter not pushed:\n$plan")
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"chunking reads extra columns:\n$plan")
   }

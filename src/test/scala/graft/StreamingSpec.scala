@@ -193,6 +193,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
   }
 
+  test("semDedupStream: NaN similarity (degenerate zero embedding) matches batch SQL semantics") {
+    // r15 ADVICE #1: the batch lane's `sim >= tau` and the DuckDB oracle
+    // both evaluate TRUE for NaN (SQL orders NaN above every double), so a
+    // zero embedding normalizing to NaN must get is_dup=true in the
+    // streaming twin too. First pin the premise against the engine itself:
+    assert(spark.sql(s"SELECT double('NaN') >= ${graft.operators.Dedup.SemDupTau}")
+      .collect()(0).getBoolean(0), "Spark SQL must order NaN above tau")
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    // two zero vectors: both miss every centroid (cos = NaN never beats
+    // -inf, cluster -1), normalize to NaN arrays, and their pairwise dot is
+    // NaN — the second must dup onto the first, as batch would verdict
+    val cents = Seq(0L -> Array(1.0, 0.0, 0.0, 0.0))
+    val z1 = graft.streaming.EmbRecord(10L, Seq(0f, 0f, 0f, 0f))
+    val z2 = graft.streaming.EmbRecord(11L, Seq(0f, 0f, 0f, 0f))
+    val in = MemoryStream[graft.streaming.EmbRecord]
+    val out = StreamOps.semDedupStream(in.toDS(), cents,
+      graft.operators.Dedup.SemMemberCap, graft.operators.Dedup.SemDupTau)
+    val got = runToMemory(out.toDF(), "semdedupnan")(() => in.addData(Seq(z1, z2)))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(10L) == ((-1L, false)), "first arrival is the survivor")
+    assert(got(11L) == ((10L, true)),
+      "NaN sim must count as >= tau (batch/oracle parity), dup onto the min id")
+  }
+
   test("semDedupStream out-of-order: first-arrival-wins stays internally consistent") {
     // the documented degraded mode: shuffled delivery pins verdicts to
     // ARRIVAL order instead of id order. The contract that must survive:
