@@ -168,6 +168,10 @@ object SparkEntry {
     // q154 (r15): hybrid search — inverted-index keyword channel + exact
     // vector channel, reciprocal-rank fusion (the production hybrid shape)
     "q154_hybrid_rrf"      -> (Similarity.q154HybridRrf _),
+    // q155 (r16): hybrid AT SCALE — BM25 keyword channel + the q153
+    // IVF-PQ+rerank vector channel under the same RRF (the composition
+    // q154's scaladoc promises; r15 verdict "What's missing #2")
+    "q155_hybrid_bm25_ann" -> (Similarity.q155HybridBm25Ann _),
     // r7: weighted sampling w/o replacement (Efraimidis–Spirakis, md5 stream)
     "q115_weighted_sample" -> ((s, d) => TextAnalysis.q115WeightedSample(s, d)),
     // r7: per-doc bigram-rarity quality score (integer LM-perplexity proxy)
@@ -497,6 +501,56 @@ object SparkEntry {
       "SELECT qid, cid, rrf_rank, ROUND(score, 6) AS score, COALESCE(kw_rank, -1) AS kw_rank, COALESCE(vec_rank, -1) AS vec_rank FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rrf_rank FROM f) z WHERE rrf_rank <= 10 ORDER BY qid, rrf_rank",
     Seq("corp", "tok"))
 
+  /** q155: the at-scale hybrid — BM25 keyword channel + the q153
+    * IVF-PQ+rerank vector channel, fused by RRF. The BM25 half is
+    * ALL-INTEGER (the q89 IDF surrogate extended to the tf-saturation
+    * term — see Similarity.bm25Ranks), so its ranks replay with no float
+    * freedom; the vector half re-derives the q153 index/shortlist/rerank
+    * verbatim with the query set swapped to the 8 corpus docs; the fusion
+    * is the q154 RRF spelling. Constants (k1/b milli-units, RRF k,
+    * channel depth, rerank R) interpolate from the Scala values. */
+  private def hybridBm25AnnOracle: String = {
+    val k = graft.operators.Similarity.RrfK
+    val chan = graft.operators.Similarity.HybridChan
+    val r = graft.operators.Similarity.RerankR
+    val k1m = graft.operators.Similarity.Bm25K1m
+    val bm = graft.operators.Similarity.Bm25Bm
+    materializeCtes(
+      s"WITH $sqlEmb, $sqlCentroids, $sqlAssign, " +
+        // corpus: embedded, non-empty docs (the q154 corpus contract)
+        "dd AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0), " +
+        "corp AS (SELECT dd.doc_id AS cid, dd.text, e.v FROM dd JOIN e ON e.vec_id = dd.doc_id), " +
+        // ---- BM25 keyword channel (all-integer) ----
+        "tw AS (SELECT cid, len(string_split_regex(trim(text), '\\s+')) AS dl, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM corp), " +
+        "qt AS (SELECT DISTINCT cid AS qid, w FROM tw WHERE cid < 8), " +
+        "qw AS (SELECT DISTINCT w FROM qt), " +
+        "tf AS (SELECT cid, w, COUNT(*) AS tf, MIN(dl) AS dl FROM tw JOIN qw USING (w) GROUP BY cid, w), " +
+        "dfs AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w), " +
+        "bst AS (SELECT COUNT(*) AS n_docs, (SUM(len(string_split_regex(trim(text), '\\s+'))) * 1000) // COUNT(*) AS avgdl_m FROM corp), " +
+        s"con AS (SELECT qt.qid, tf.cid, ((bst.n_docs * 1000) // dfs.df) * ((tf.tf * ${1000 + k1m} * 1000) // (tf.tf * 1000 + ($k1m * ((1000 - $bm) + ($bm * tf.dl * 1000) // bst.avgdl_m)) // 1000)) AS contrib FROM tf JOIN dfs USING (w) JOIN qt USING (w) CROSS JOIN bst WHERE qt.qid <> tf.cid), " +
+        "bm25 AS (SELECT qid, cid, SUM(contrib) AS bm25_s FROM con GROUP BY qid, cid), " +
+        s"kw AS (SELECT qid, cid, kw_rank FROM (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bm25_s DESC, cid) AS kw_rank FROM bm25) z WHERE kw_rank <= $chan), " +
+        // ---- q153 IVF-PQ + exact-rerank vector channel, queries = corp cid < 8 ----
+        "cbt AS (SELECT vec_id AS cent_id, v AS cbv FROM e WHERE vec_id < 16), " +
+        "ms AS (SELECT unnest(range(0, 8)) AS m), " +
+        s"ss AS (SELECT e.vec_id AS scid, m, cent_id, (${sqlSubDot("e.v", "cbv")}) / (SQRT(${sqlSubDot("e.v", "e.v")}) * SQRT(${sqlSubDot("cbv", "cbv")})) AS ssim FROM e CROSS JOIN cbt CROSS JOIN ms), " +
+        "codes AS (SELECT scid, m, cent_id AS code FROM (SELECT scid, m, cent_id, ROW_NUMBER() OVER (PARTITION BY scid, m ORDER BY ssim DESC, cent_id) AS rk FROM ss) r WHERE rk = 1), " +
+        "q2 AS (SELECT cid AS qid, v AS qv FROM corp WHERE cid < 8), " +
+        s"lut AS (SELECT qid, m, cent_id AS code, (${sqlSubDot("qv", "cbv")}) AS lv, (${sqlSubDot("cbv", "cbv")}) AS nv FROM q2 CROSS JOIN cbt CROSS JOIN ms), " +
+        s"qn AS (SELECT qid, SQRT(${sqlDot("qv", "qv", 64)}) AS qn FROM q2), " +
+        s"pr AS (SELECT qid, cluster FROM (SELECT qid, cent_id AS cluster, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY csim DESC, cent_id) AS rk FROM (SELECT q2.qid, c.cent_id, ${sqlCosine("qv", "cv", 64)} AS csim FROM q2 CROSS JOIN c) s) z WHERE rk <= 4), " +
+        "parts AS (SELECT l.qid, cd.scid AS cid, l.m, l.lv, l.nv FROM codes cd JOIN asg ON asg.vid = cd.scid JOIN pr ON pr.cluster = asg.cluster JOIN lut l ON l.qid = pr.qid AND l.m = cd.m AND l.code = cd.code WHERE l.qid <> cd.scid), " +
+        "folds AS (SELECT qid, cid, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lv ORDER BY m)), (a, b) -> a + b) AS lsum, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(nv ORDER BY m)), (a, b) -> a + b) AS nsum FROM parts GROUP BY qid, cid), " +
+        "scored AS (SELECT f.qid, f.cid, CASE WHEN isnan(f.lsum / (qn.qn * SQRT(f.nsum))) THEN -2.0 ELSE f.lsum / (qn.qn * SQRT(f.nsum)) END AS sim FROM folds f JOIN qn USING (qid)), " +
+        s"short AS (SELECT qid, cid FROM (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM scored) z WHERE rk <= $r), " +
+        s"rr AS (SELECT sh.qid, sh.cid, ROUND(${sqlCosine("q2.qv", "e.v", 64)}, 4) AS rsim FROM short sh JOIN q2 ON q2.qid = sh.qid JOIN e ON e.vec_id = sh.cid), " +
+        s"vec AS (SELECT qid, cid, vec_rank FROM (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rsim DESC, cid) AS vec_rank FROM rr) z WHERE vec_rank <= $chan), " +
+        // ---- RRF fusion (the q154 spelling) ----
+        s"f AS (SELECT COALESCE(kw.qid, vec.qid) AS qid, COALESCE(kw.cid, vec.cid) AS cid, kw.kw_rank, vec.vec_rank, COALESCE(CAST(1.0 AS DOUBLE) / ($k + kw.kw_rank), CAST(0.0 AS DOUBLE)) + COALESCE(CAST(1.0 AS DOUBLE) / ($k + vec.vec_rank), CAST(0.0 AS DOUBLE)) AS score FROM kw FULL OUTER JOIN vec ON kw.qid = vec.qid AND kw.cid = vec.cid) " +
+        "SELECT qid, cid, rrf_rank, ROUND(score, 6) AS score, COALESCE(kw_rank, -1) AS kw_rank, COALESCE(vec_rank, -1) AS vec_rank FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rrf_rank FROM f) z WHERE rrf_rank <= 10 ORDER BY qid, rrf_rank",
+      Seq("corp", "tf", "scored"))
+  }
+
   /** Per-table `nBits`-bit LSH bucket over list column `v` — the plane
     * matrix ([[Similarity.hyperplanes]]) interpolated as double literals,
     * each bit the SIGN of a left-associative 64-term dot (the q39
@@ -712,6 +766,7 @@ object SparkEntry {
     "q114_ivfpq_recall" -> ivfpqRecallOracle,
     "q153_ivfpq_rerank" -> ivfpqRerankOracle,
     "q154_hybrid_rrf" -> hybridRrfOracle,
+    "q155_hybrid_bm25_ann" -> hybridBm25AnnOracle,
     "q36_cosine_topk" ->
       "WITH f0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings), f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM f0), d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot, SUM(q.v * q.v) AS qq, SUM(c.v * c.v) AS cc FROM f q JOIN f c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id GROUP BY 1, 2), r AS (SELECT qid, cid, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d), rk AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM r) SELECT qid, cid, sim, rnk FROM rk WHERE rnk <= 5 ORDER BY qid, rnk",
     "q37_neardup_embedding" ->

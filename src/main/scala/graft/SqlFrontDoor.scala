@@ -408,10 +408,68 @@ object SqlFrontDoor {
       "FROM rh CROSS JOIN h CROSS JOIN d CROSS JOIN rp CROSS JOIN sc CROSS JOIN nn CROSS JOIN nq"
   }
 
+  /** Hybrid BM25 + IVF-PQ-rerank (q155) SQL twin: the s153 index/shortlist/
+    * rerank spellings with the query set swapped to the 8 corpus docs, the
+    * all-integer BM25 keyword channel (q89 IDF surrogate + integer-milli
+    * k1/b — Similarity.bm25Ranks' exact math), and the s154 RRF fusion. */
+  private def hybridBm25AnnSparkSql: String = {
+    val M = 8; val K = 16
+    val k = graft.operators.Similarity.RrfK
+    val chan = graft.operators.Similarity.HybridChan
+    val r = graft.operators.Similarity.RerankR
+    val k1m = graft.operators.Similarity.Bm25K1m
+    val bm = graft.operators.Similarity.Bm25Bm
+    val cbCols = (0 until M).map(m =>
+      s"sort_array(collect_list(named_struct('cent_id', vec_id, 'centv', slice(v, ${m * 8 + 1}, 8)))) AS cb$m").mkString(", ")
+    val nlut = (0 until M).map(m =>
+      s"transform(cb$m, c -> aggregate(c.centv, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))")
+      .mkString("flatten(array(", ", ", "))")
+    val qlut = (0 until M).map(m =>
+      s"transform(cb$m, c -> aggregate(zip_with(slice(qv, ${m * 8 + 1}, 8), c.centv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x))")
+      .mkString("flatten(array(", ", ", "))")
+    val codesArr = (0 until M).map(pqArgmaxSql).mkString("array(", ", ", ")")
+    def fold(lut: String) =
+      s"aggregate(transform(codes, (c, i) -> CASE WHEN c < 0 THEN CAST(0.0 AS DOUBLE) " +
+        s"ELSE element_at($lut, CAST(i * $K + c + 1 AS INT)) END), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    val assignFold =
+      "aggregate(cents, named_struct('b', CAST('-Infinity' AS DOUBLE), 'id', CAST(-1 AS BIGINT)), " +
+        "(acc, c) -> CASE WHEN graft_cosine(v, c.centv) > acc.b " +
+        "THEN named_struct('b', graft_cosine(v, c.centv), 'id', c.cent_id) ELSE acc END).id"
+    "WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      "dd AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0), " +
+      "corp AS (SELECT dd.doc_id AS cid, dd.text, e.v FROM dd JOIN e ON e.vec_id = dd.doc_id), " +
+      "tw AS (SELECT cid, CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS dl, explode(split(trim(text), '\\\\s+')) AS w FROM corp), " +
+      "qt AS (SELECT DISTINCT cid AS qid, w FROM tw WHERE cid < 8), " +
+      "qw AS (SELECT DISTINCT w FROM qt), " +
+      "tf AS (SELECT cid, w, COUNT(*) AS tf, MIN(dl) AS dl FROM tw JOIN qw USING (w) GROUP BY cid, w), " +
+      "dfs AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w), " +
+      "bst AS (SELECT COUNT(*) AS n_docs, (SUM(CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)) * 1000) div COUNT(*) AS avgdl_m FROM corp), " +
+      s"con AS (SELECT qt.qid, tf.cid, ((bst.n_docs * 1000) div dfs.df) * ((tf.tf * ${1000 + k1m} * 1000) div (tf.tf * 1000 + ($k1m * ((1000 - $bm) + ($bm * tf.dl * 1000) div bst.avgdl_m)) div 1000)) AS contrib FROM tf JOIN dfs USING (w) JOIN qt USING (w) CROSS JOIN bst WHERE qt.qid <> tf.cid), " +
+      "bm25 AS (SELECT qid, cid, SUM(contrib) AS bm25_s FROM con GROUP BY qid, cid), " +
+      s"kw AS (SELECT qid, cid, kw_rank FROM (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bm25_s DESC, cid) AS kw_rank FROM bm25) z WHERE kw_rank <= $chan), " +
+      s"cbr AS (SELECT $cbCols FROM e WHERE vec_id < $K), " +
+      s"cb AS (SELECT *, $nlut AS nlut FROM cbr), " +
+      "st AS (SELECT GREATEST(2, CAST(ROUND(SQRT(COUNT(*)), 0) AS INT)) AS stride FROM e), " +
+      "cents0 AS (SELECT vec_id AS cent_id, v AS centv FROM e, st WHERE vec_id % stride = 0), " +
+      "ca AS (SELECT sort_array(collect_list(named_struct('cent_id', cent_id, 'centv', centv))) AS cents FROM cents0), " +
+      s"asgn AS (SELECT vec_id AS cid, v, $assignFold AS cluster FROM e CROSS JOIN ca), " +
+      s"codes AS (SELECT cid, cluster, $codesArr AS codes FROM asgn CROSS JOIN cb), " +
+      "q2 AS (SELECT cid AS qid, v AS qv FROM corp WHERE cid < 8), " +
+      "pr AS (SELECT qid, cluster FROM (SELECT q2.qid, c.cent_id AS cluster, ROW_NUMBER() OVER (PARTITION BY q2.qid ORDER BY graft_cosine(q2.qv, c.centv) DESC, c.cent_id) AS prnk FROM q2 CROSS JOIN cents0 c) z WHERE prnk <= 4), " +
+      s"qlut AS (SELECT qid, $qlut AS lut, nlut, sqrt(aggregate(qv, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)) AS qn FROM q2 CROSS JOIN cb), " +
+      s"scored AS (SELECT ql.qid, codes.cid, nanvl(${fold("lut")} / (qn * sqrt(${fold("nlut")})), CAST(-2.0 AS DOUBLE)) AS sim FROM qlut ql JOIN pr ON ql.qid = pr.qid JOIN codes ON codes.cluster = pr.cluster WHERE ql.qid <> codes.cid), " +
+      s"short AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM scored) t WHERE rnk <= $r), " +
+      "rr AS (SELECT short.qid, short.cid, round(graft_cosine(q2.qv, e2.v), 4) AS rsim FROM short JOIN q2 ON q2.qid = short.qid JOIN e e2 ON e2.vec_id = short.cid), " +
+      s"vec AS (SELECT qid, cid, vec_rank FROM (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rsim DESC, cid) AS vec_rank FROM rr) z WHERE vec_rank <= $chan), " +
+      s"f AS (SELECT COALESCE(kw.qid, vec.qid) AS qid, COALESCE(kw.cid, vec.cid) AS cid, kw.kw_rank, vec.vec_rank, COALESCE(CAST(1.0 AS DOUBLE) / ($k + kw.kw_rank), CAST(0.0 AS DOUBLE)) + COALESCE(CAST(1.0 AS DOUBLE) / ($k + vec.vec_rank), CAST(0.0 AS DOUBLE)) AS score FROM kw FULL OUTER JOIN vec ON kw.qid = vec.qid AND kw.cid = vec.cid) " +
+      "SELECT qid, cid, CAST(rrf_rank AS BIGINT) AS rrf_rank, ROUND(score, 6) AS score, CAST(COALESCE(kw_rank, -1) AS BIGINT) AS kw_rank, CAST(COALESCE(vec_rank, -1) AS BIGINT) AS vec_rank FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rrf_rank FROM f) z WHERE rrf_rank <= 10 ORDER BY qid, rrf_rank"
+  }
+
   val rowsOnlySql: Map[String, String] = Map(
     "q113_pq_recall" -> pqSql,
     "q114_ivfpq_recall" -> ivfPqSql,
     "q153_ivfpq_rerank" -> ivfPqRerankSql,
+    "q155_hybrid_bm25_ann" -> hybridBm25AnnSparkSql,
     "q154_hybrid_rrf" -> { // hybrid RRF as text: split/explode tokenization,
       // graft_cosine vector ranks, full-outer rank fusion — the oracle's
       // math with the Spark dialect spellings

@@ -571,11 +571,16 @@ object Similarity {
     * Oracle: SparkEntry.ivfpqRerankOracle re-derives index, shortlist,
     * and exact rerank bit-identically in DuckDB; s153 is the SQL-text
     * twin of the identical math. */
-  def q153IvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+  /** The q114 IVF-PQ index plus the q153 refine stage, shared by q153 and
+    * the q155 hybrid vector channel: for query set `q` (qid, qv) over
+    * corpus `e` (vec_id, v), returns (ADC `scored` pairs, exact-rerank
+    * `rer` scores of the ADC top-[[RerankR]] shortlist). Both frames are
+    * persisted — each fans into multiple consumers in every caller
+    * (the q34/q50 discipline); callers release via
+    * GraftSession.releasePersisted after materializing. */
+  private def ivfPqRerankScores(e: DataFrame, q: DataFrame): (DataFrame, DataFrame) = {
     val M = 8; val K = 16; val Dim = 64; val NProbe = 4
     val sub = Dim / M
-    val e = emb(s, dir).select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
-    val q = e.filter(col("vec_id") < 20).toDF("qid", "qv")
     val cents = ivfCentroids(e, sqrtStride(e))
     val assigned = assignTo(e, cents)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("cluster"))
@@ -592,17 +597,11 @@ object Similarity {
       .filter(col("prnk") <= NProbe)
       .select("qid", "cluster")
     val qlut = queryLuts(q, cb, M, sub)
-    // persisted: the ADC scores fan into THREE consumers (the ADC top-10,
-    // the rerank shortlist, and the scanned_pairs accounting) — without
-    // the persist Spark re-runs the probe-join subtree per consumer
-    // (the q34/q50 discipline)
     val scored = broadcast(qlut.join(probes, Seq("qid"))).join(coded, Seq("cluster"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), adcSim(K))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-    val adcTop = scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10).select("qid", "cid")
     val short = scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= RerankR).select("qid", "cid")
     // refine: corpus streams once; the broadcast shortlist keeps Q·R rows,
@@ -612,6 +611,21 @@ object Similarity {
       .select(col("qid"), col("cid"),
         round(VectorOps.cosine(col("qv"), col("v")), 4).as("rsim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (scored, rer)
+  }
+
+  def q153IvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val NProbe = 4
+    val e = emb(s, dir).select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 20).toDF("qid", "qv")
+    // persisted inside the helper: the ADC scores fan into THREE consumers
+    // (the ADC top-10, the rerank shortlist, and the scanned_pairs
+    // accounting) — without the persist Spark re-runs the probe-join
+    // subtree per consumer
+    val (scored, rer) = ivfPqRerankScores(e, q)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    val adcTop = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10).select("qid", "cid")
     val wr = Window.partitionBy("qid").orderBy(col("rsim").desc, col("cid"))
     val rerTop = rer.withColumn("rnk", row_number().over(wr))
       .filter(col("rnk") <= 10).select("qid", "cid")
@@ -700,6 +714,118 @@ object Similarity {
       .select(col("qid"), col("cid"),
         round(VectorOps.cosine(col("qv"), col("v")), 4).as("sim"))
       .withColumn("vec_rank", row_number().over(wv))
+      .filter(col("vec_rank") <= HybridChan)
+      .select(col("qid"), col("cid"), col("vec_rank"))
+    val fused = kwTop.join(vecTop, Seq("qid", "cid"), "full_outer")
+      .select(col("qid"), col("cid"), col("kw_rank"), col("vec_rank"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("kw_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0))).as("score"))
+    val wr = Window.partitionBy("qid").orderBy(col("score").desc, col("cid"))
+    fused.withColumn("rrf_rank", row_number().over(wr))
+      .filter(col("rrf_rank") <= 10)
+      .select(col("qid"), col("cid"), col("rrf_rank").cast("long").as("rrf_rank"),
+        round(col("score"), 6).as("score"),
+        coalesce(col("kw_rank").cast("long"), lit(-1L)).as("kw_rank"),
+        coalesce(col("vec_rank").cast("long"), lit(-1L)).as("vec_rank"))
+  }
+
+  /** BM25 parameters in MILLI-units (k1 = 1.2, b = 0.75 — the Robertson/
+    * Sparck Jones defaults every production engine ships) — integer
+    * surrogates so every BM25 decision is exact-integer and replays
+    * hash-identically in DuckDB (the q89 `N·1000 div df` IDF discipline
+    * extended to the tf saturation term). */
+  val Bm25K1m = 1200
+  val Bm25Bm = 750
+
+  /** Per-query BM25-ranked keyword channel over `corpus` (cid, text):
+    * the q154 inverted-index join shape — the corpus token table streams
+    * ONCE, the queries' distinct terms broadcast onto it — but ranked by
+    * BM25 instead of raw term overlap (r15 verdict "What's missing #3").
+    *
+    * ALL-INTEGER spelling (order-independent, so the cross-engine hash
+    * holds under any aggregation order):
+    *   idf_s    = (N·1000) div df                      — the q89 surrogate
+    *   norm_m   = (1000 − b_m) + (b_m·dl·1000) div avgdl_m
+    *   denom_m  = tf·1000 + (k1_m·norm_m) div 1000
+    *   tfpart_s = (tf·(1000 + k1_m)·1000) div denom_m  — saturating tf term
+    *   bm25_s   = Σ_terms idf_s·tfpart_s               — exact BIGINT sum
+    * Monotonicity in tf and the dl-normalization shape survive the
+    * integer floors (SimilaritySpec pins both), and ranking is
+    * (bm25_s DESC, cid) — the shared tie contract.
+    *
+    * Scale: identical to the q154 keyword channel — postings of the query
+    * terms are the only shuffled rows; df/avgdl are one tiny agg each;
+    * document length rides the token table (no second corpus pass). */
+  private[graft] def bm25Ranks(corpus: DataFrame, queries: DataFrame): DataFrame = {
+    val wordsOf = split(trim(col("text")), "\\s+")
+    val tokAll = corpus.select(col("cid"), size(wordsOf).cast("long").as("dl"),
+      explode(wordsOf).as("w"))
+    val qtok = queries.select(col("cid").as("qid"),
+      explode(array_distinct(wordsOf)).as("w"))
+    val qw = qtok.select("w").distinct()
+    // postings of query terms only; tf carries dl (functionally dependent
+    // on cid) so document length never needs a corpus-sized second join
+    val tf = tokAll.join(broadcast(qw), Seq("w"))
+      .groupBy("cid", "w").agg(count(lit(1)).as("tf"), min("dl").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfs = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val stats = corpus.select(size(wordsOf).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+      .select(col("n_docs"), expr("tot_dl * 1000 div n_docs").as("avgdl_m"))
+    val scoredTerms = tf
+      .join(broadcast(dfs), Seq("w"))
+      .join(broadcast(qtok), Seq("w"))
+      .filter(col("qid") =!= col("cid"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_s", expr("n_docs * 1000 div df"))
+      .withColumn("norm_m",
+        expr(s"(1000 - $Bm25Bm) + ($Bm25Bm * dl * 1000) div avgdl_m"))
+      .withColumn("denom_m", expr(s"tf * 1000 + ($Bm25K1m * norm_m) div 1000"))
+      .withColumn("contrib",
+        expr(s"idf_s * ((tf * ${1000 + Bm25K1m} * 1000) div denom_m)"))
+    val wk = Window.partitionBy("qid").orderBy(col("bm25_s").desc, col("cid"))
+    scoredTerms.groupBy("qid", "cid").agg(sum("contrib").as("bm25_s"))
+      .withColumn("kw_rank", row_number().over(wk))
+      .filter(col("kw_rank") <= HybridChan)
+      .select(col("qid"), col("cid"), col("kw_rank"))
+  }
+
+  /** Q155 — hybrid search AT SCALE: the composition q154's scaladoc
+    * promises, actually registered and oracle-gated (r15 verdict
+    * "What's missing #2"). Same corpus and query set as q154; two
+    * upgrades:
+    *  - Keyword channel ranks by BM25 ([[bm25Ranks]]) instead of raw
+    *    term overlap — the production inverted-index ranking.
+    *  - Vector channel is the q153 IVF-PQ + exact-rerank path
+    *    ([[ivfPqRerankScores]]): the index is built over the FULL
+    *    embeddings corpus exactly as q153 builds it, the 8 query vectors
+    *    probe nprobe clusters as PQ codes, and the rerank's exact
+    *    ROUND(cos,4) scores rank the channel (RerankR = HybridChan, so
+    *    the whole refined shortlist IS the channel candidate list). The
+    *    channel contract — a ranked id list — is all the fusion sees,
+    *    which is the point of RRF: swapping exact for ANN is a pure
+    *    channel substitution (SimilaritySpec measures the fused recall
+    *    cost of the swap and pins a floor).
+    *  - Fusion: the q154 RRF spelling verbatim (k = [[RrfK]]).
+    *
+    * Scale: keyword work ∝ matching postings, vector work ∝ probed PQ
+    * codes + Q·R exact rescores — no corpus-proportional exact-cosine
+    * pass remains anywhere in the lane (q154's vector channel was one);
+    * this is the plan a 100 TB hybrid deployment runs. */
+  def q155HybridBm25Ann(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val docs = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("cid"), col("text"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = corpus.filter(col("cid") < 8)
+    val kwTop = bm25Ranks(corpus.select("cid", "text"), queries.select("cid", "text"))
+    val q = queries.select(col("cid").as("qid"), col("v").as("qv"))
+    val (_, rer) = ivfPqRerankScores(e, q)
+    val wv = Window.partitionBy("qid").orderBy(col("rsim").desc, col("cid"))
+    val vecTop = rer.withColumn("vec_rank", row_number().over(wv))
       .filter(col("vec_rank") <= HybridChan)
       .select(col("qid"), col("cid"), col("vec_rank"))
     val fused = kwTop.join(vecTop, Seq("qid", "cid"), "full_outer")

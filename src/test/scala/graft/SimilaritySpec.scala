@@ -176,6 +176,142 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     })
   }
 
+  /** Naive driver-side BM25 integer recompute — the bm25Ranks contract
+    * (q89 IDF surrogate + milli-unit k1/b) spelled with plain Long math. */
+  private def naiveBm25Ranks(texts: Map[Long, String], queryIds: Seq[Long])
+      : Map[Long, Map[Long, Long]] = {
+    val toks: Map[Long, Seq[String]] =
+      texts.map { case (i, t) => i -> t.trim.split("\\s+").toSeq }
+    val dl: Map[Long, Long] = toks.map { case (i, ws) => i -> ws.size.toLong }
+    val nDocs = texts.size.toLong
+    val avgdlM = dl.values.sum * 1000L / nDocs
+    val df: Map[String, Long] = toks.values.flatMap(_.distinct).toSeq
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val k1m = Similarity.Bm25K1m.toLong; val bm = Similarity.Bm25Bm.toLong
+    queryIds.map { qid =>
+      val qTerms = toks(qid).distinct
+      val scores = texts.keySet.filter(_ != qid).toSeq.flatMap { cid =>
+        val s = qTerms.map { w =>
+          val tf = toks(cid).count(_ == w).toLong
+          if (tf == 0) 0L
+          else {
+            val idfS = nDocs * 1000L / df(w)
+            val normM = (1000L - bm) + (bm * dl(cid) * 1000L) / avgdlM
+            val denomM = tf * 1000L + (k1m * normM) / 1000L
+            idfS * ((tf * (1000L + k1m) * 1000L) / denomM)
+          }
+        }.sum
+        // keep every term-sharing pair, even an integer-floored 0 score —
+        // bm25Ranks ranks all joined pairs (tie by cid)
+        if (qTerms.exists(w => toks(cid).contains(w))) Some(cid -> s) else None
+      }
+      qid -> scores.sortBy { case (c, s) => (-s, c) }
+        .take(Similarity.HybridChan).zipWithIndex
+        .map { case ((c, _), i) => c -> (i + 1L) }.toMap
+    }.toMap
+  }
+
+  test("q155 BM25 keyword channel equals a naive integer recompute") {
+    val sp = spark
+    val docs = Tables(sp, sfDir, "documents")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val embIds = corpus().select("vec_id").collect().map(_.getLong(0)).toSet
+    val texts = docs.filter { case (i, _) => embIds(i) }
+    val corpDf = Tables(sp, sfDir, "documents")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .join(Tables(sp, sfDir, "embeddings").select(col("vec_id")),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("cid"), col("text"))
+    val got = Similarity.bm25Ranks(corpDf, corpDf.filter(col("cid") < 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val want = naiveBm25Ranks(texts, texts.keySet.filter(_ < 8).toSeq.sorted)
+      .flatMap { case (q, m) => m.map { case (c, rk) => (q, c) -> rk.toInt } }
+    assert(got == want, {
+      val miss = want.toSet.diff(got.toSet).take(3)
+      val extra = got.toSet.diff(want.toSet).take(3)
+      s"missing $miss; extra $extra"
+    })
+  }
+
+  test("BM25 integer formula: tf-monotone and length-normalizing") {
+    val sp = spark
+    import sp.implicits._
+    // doc 1: 3× the term; doc 2: 1× + padding (same length); doc 3: 1×,
+    // shortest. BM25 must rank 1 (tf) above 2, and 3 (dl-normalization)
+    // above 2 — both survive the integer floors.
+    val corp = Seq(
+      (0L, "apple zebra"),            // the query doc
+      (1L, "apple apple apple pad"),
+      (2L, "apple pad pad pad"),
+      (3L, "apple")).toDF("cid", "text")
+    val ranks = Similarity.bm25Ranks(corp, corp.filter(col("cid") === 0))
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(ranks(1L) < ranks(2L), s"tf monotonicity broken: $ranks")
+    assert(ranks(3L) < ranks(2L), s"length normalization broken: $ranks")
+  }
+
+  test("q155 hybrid: swapping the exact channel for IVF-PQ+rerank holds a recall floor") {
+    val sp = spark
+    // naive exact-channel fusion (BM25 + exact cosine ranks) vs the LANE's
+    // ANN-channel fusion, both graded against the exact vector truth@10 —
+    // the RRF robustness claim (rank fusion tolerates an approximate
+    // channel) stated as a measured floor, not prose
+    val docs = Tables(sp, sfDir, "documents")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val embs = corpus().collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    val ids = docs.keySet.intersect(embs.keySet).toSeq.sorted
+    val texts = ids.map(i => i -> docs(i)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val qids = ids.filter(_ < 8)
+    val kwRanks = naiveBm25Ranks(texts, qids)
+    val vecRanks: Map[Long, Map[Long, Long]] = qids.map { qid =>
+      qid -> ids.filter(_ != qid)
+        .map(c => (c, r4(cos(embs(qid), embs(c)))))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(Similarity.HybridChan).zipWithIndex
+        .map { case ((c, _), i) => c -> (i + 1L) }.toMap
+    }.toMap
+    val truth: Map[Long, Set[Long]] = vecRanks.map { case (q, m) =>
+      q -> m.filter(_._2 <= 10).keySet
+    }
+    def fuseTop10(kw: Map[Long, Long], vec: Map[Long, Long]): Set[Long] =
+      (kw.keySet ++ vec.keySet).toSeq
+        .map { c =>
+          val s = kw.get(c).map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0) +
+            vec.get(c).map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0)
+          (c, s)
+        }
+        .sortBy { case (c, s) => (-s, c) }.take(10).map(_._1).toSet
+    val exactFusedHits = qids.map { q =>
+      fuseTop10(kwRanks(q), vecRanks(q)).count(truth(q))
+    }.sum
+    val laneRows = Similarity.q155HybridBm25Ann(sp, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val annFusedHits = laneRows.count { case (q, c) => truth(q)(c) }
+    val denom = truth.values.map(_.size).sum
+    val exactRecall = exactFusedHits.toDouble / denom
+    val annRecall = annFusedHits.toDouble / denom
+    info(f"fused recall@10 vs vector truth: exact-channel $exactRecall%.3f, " +
+      f"ANN-channel $annRecall%.3f (denom $denom)")
+    // floors measured at sf0.001: the ANN-channel fusion must stay within
+    // half the exact-channel fusion's recall and above an absolute floor —
+    // a collapse of either flips this before any user sees it
+    assert(annRecall >= 0.2, f"ANN-fused recall collapsed: $annRecall%.3f")
+    assert(annRecall >= exactRecall * 0.5,
+      f"ANN channel cost too much fused recall: $annRecall%.3f vs $exactRecall%.3f")
+  }
+
   test("ivfSearch returns valid per-query top-k with sane similarity bounds") {
     val e = corpus()
     val q = e.filter(col("vec_id") < 8).toDF("qid", "qv")
