@@ -244,6 +244,10 @@ object SparkEntry {
     // SemDeDup (cluster-then-dedup-within): q48's IVF assignment prunes
     // the pair space, q37 stays the bounded all-pairs audit
     "q152_semdedup"        -> (Dedup.q152SemDedup _),
+    // q156 (r16): the PRODUCTION dedup ladder composed into curation —
+    // exact → MinHash near-dup (q50) → SemDeDup (q152) → decon → quota,
+    // funnel-accounted (r15 verdict #5)
+    "q156_curation_neardup" -> (graft.operators.Curation.q156CurationNearDup _),
   )
 
   /** DuckDB dialect. Dialect splits vs the Spark plans (FIXTURES.md §B/§C):
@@ -317,6 +321,60 @@ object SparkEntry {
       "sc AS (SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2), " +
       "p AS (SELECT * FROM sc WHERE jaccard >= 0.6) " +
       "SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, COALESCE(ROUND(AVG(jaccard), 4), 0.0) AS avg_jaccard, COALESCE(ROUND(MAX(jaccard), 4), 0.0) AS max_jaccard FROM p"
+  }
+
+  /** q156: the q111 composed-curation closed form with the production
+    * near-dup ladder inserted (r15 verdict #5) — q50's LSH→Jaccard victim
+    * set (replayed over the quality passers, the same pure-text contract
+    * the operator declares) and q152's SemDeDup victim set (the embedding
+    * replay verbatim), each applied as an anti-join between exact dedup
+    * and decontamination. Funnel counts for all seven stages + survivor
+    * id-sum + Σ doc_id·pos. */
+  private def curationNearDupOracle: String = {
+    import Dedup.{MinHashK, MinhashP, minhashA, minhashB}
+    val mins = (0 until MinHashK)
+      .map(i => s"MIN((${minhashA(i)} * x + ${minhashB(i)}) % $MinhashP) AS mh$i")
+      .mkString(", ")
+    val bandSel = (0 until 4).map { b =>
+      def mh(r: Int) = s"mh${b * 4 + r}"
+      s"SELECT doc_id, $b AS band, ${mh(0)} * 2147483648 + ${mh(1)} AS sig1, ${mh(2)} * 2147483648 + ${mh(3)} AS sig2 FROM nsig"
+    }.mkString(" UNION ALL ")
+    "WITH ne AS (SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), " +
+      "q AS (SELECT * FROM ne WHERE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) >= 0.45), " +
+      "k AS (SELECT md5(text) AS fp, MIN(doc_id) AS keep FROM q GROUP BY 1), " +
+      "d AS (SELECT q.* FROM q JOIN k ON md5(q.text) = fp AND q.doc_id = keep), " +
+      // ---- MinHash near-dup victims: the q50 replay over quality passers
+      "nw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM q), " +
+      "nf AS (SELECT doc_id, words FROM nw WHERE len(words) >= 3), " +
+      "nsh AS (SELECT doc_id, unnest(list_transform(range(0, len(words) - 2), i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh FROM nf), " +
+      s"nhx AS (SELECT doc_id, ${duckBaseHash("sh")} AS x FROM nsh), " +
+      s"nsig AS (SELECT doc_id, $mins FROM nhx GROUP BY doc_id), " +
+      s"nb AS ($bandSel), " +
+      "nbc AS (SELECT doc_id, band, sig1, sig2, COUNT(*) OVER (PARTITION BY band, sig1, sig2) AS bn FROM nb), " +
+      s"nbands AS (SELECT doc_id, band, sig1, sig2 FROM nbc WHERE bn <= ${Dedup.MinhashBucketCap}), " +
+      "ncand AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2 FROM nbands a JOIN nbands b2 ON a.band = b2.band AND a.sig1 = b2.sig1 AND a.sig2 = b2.sig2 AND a.doc_id < b2.doc_id), " +
+      "ntok AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word FROM q) x), " +
+      "nsz AS (SELECT doc_id, COUNT(*) AS sz FROM ntok GROUP BY 1), " +
+      "ninter AS (SELECT id1, id2, COUNT(*) AS inter FROM ncand JOIN ntok wa ON id1 = wa.doc_id JOIN ntok wb ON id2 = wb.doc_id AND wa.word = wb.word GROUP BY 1, 2), " +
+      "ndv AS (SELECT DISTINCT id2 AS doc_id FROM ninter JOIN nsz sa ON sa.doc_id = id1 JOIN nsz sb ON sb.doc_id = id2 WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.6), " +
+      "nd AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM ndv)), " +
+      // ---- SemDeDup victims: the q152 replay over the embeddings table
+      s"$sqlEmb, $sqlCentroids, $sqlAssign, " +
+      "mem AS (SELECT vid, cluster, ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vid) AS mrk FROM asg), " +
+      s"mv AS (SELECT vid, cluster, list_transform(v, x -> x / nrm) AS vn FROM (SELECT m.vid, m.cluster, e.v, SQRT(${sqlDot("e.v", "e.v", 64)}) AS nrm FROM mem m JOIN e ON e.vec_id = m.vid WHERE m.mrk <= ${Dedup.SemMemberCap}) t), " +
+      s"sdv AS (SELECT DISTINCT b.vid AS doc_id FROM mv a JOIN mv b ON a.cluster = b.cluster AND a.vid < b.vid WHERE ROUND(${sqlDot("a.vn", "b.vn", 64)}, 4) >= ${Dedup.SemDupTau}), " +
+      "sd AS (SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM sdv)), " +
+      // ---- decontamination / quota / positions: the q111 tail over sd
+      "qw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM q), " +
+      "shc AS (SELECT doc_id, array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i FROM qw WHERE len(words) >= 5) t), " +
+      "bw AS (SELECT string_split_regex(trim(text), '\\s+') AS words FROM documents WHERE doc_id % 100 = 0), " +
+      "bsh AS (SELECT DISTINCT array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh FROM (SELECT words, unnest(generate_series(1, len(words) - 4)) AS i FROM bw WHERE len(words) >= 5) t), " +
+      "contam AS (SELECT DISTINCT doc_id FROM shc JOIN bsh USING (sh)), " +
+      "cl AS (SELECT * FROM sd WHERE doc_id NOT IN (SELECT doc_id FROM contam)), " +
+      "r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(concat('curate|', CAST(doc_id AS VARCHAR))), doc_id) AS rnk FROM cl), " +
+      "cap AS (SELECT doc_id FROM r WHERE rnk <= 15), " +
+      "pp AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY md5(concat('curate|pos|', CAST(doc_id AS VARCHAR))), doc_id) AS pos FROM cap) " +
+      "SELECT (SELECT COUNT(*) FROM ne) AS n_non_empty, (SELECT COUNT(*) FROM q) AS n_quality, (SELECT COUNT(*) FROM d) AS n_dedup, (SELECT COUNT(*) FROM nd) AS n_neardup, (SELECT COUNT(*) FROM sd) AS n_semdedup, (SELECT COUNT(*) FROM cl) AS n_clean, (SELECT COUNT(*) FROM cap) AS n_capped, CAST((SELECT SUM(doc_id) FROM cap) AS BIGINT) AS kept_id_sum, CAST((SELECT SUM(doc_id * pos) FROM pp) AS BIGINT) AS pos_checksum"
   }
 
   /** q35: 64 universal parity votes per word, packed as two unsigned-range
@@ -767,6 +825,7 @@ object SparkEntry {
     "q153_ivfpq_rerank" -> ivfpqRerankOracle,
     "q154_hybrid_rrf" -> hybridRrfOracle,
     "q155_hybrid_bm25_ann" -> hybridBm25AnnOracle,
+    "q156_curation_neardup" -> curationNearDupOracle,
     "q36_cosine_topk" ->
       "WITH f0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings), f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM f0), d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot, SUM(q.v * q.v) AS qq, SUM(c.v * c.v) AS cc FROM f q JOIN f c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id GROUP BY 1, 2), r AS (SELECT qid, cid, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d), rk AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM r) SELECT qid, cid, sim, rnk FROM rk WHERE rnk <= 5 ORDER BY qid, rnk",
     "q37_neardup_embedding" ->

@@ -465,11 +465,55 @@ object SqlFrontDoor {
       "SELECT qid, cid, CAST(rrf_rank AS BIGINT) AS rrf_rank, ROUND(score, 6) AS score, CAST(COALESCE(kw_rank, -1) AS BIGINT) AS kw_rank, CAST(COALESCE(vec_rank, -1) AS BIGINT) AS vec_rank FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rrf_rank FROM f) z WHERE rrf_rank <= 10 ORDER BY qid, rrf_rank"
   }
 
+  /** Composed curation + near-dup ladder (q156) SQL twin: the q111 twin's
+    * stages with the s50 MinHash-victim and s152 SemDeDup-victim replays
+    * anti-joined in between (Spark dialect: split/explode/slice/concat_ws/
+    * div, graft_cosine/graft_dot extension kernels). */
+  private def curationNearDupSparkSql: String =
+    "WITH ne AS (SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), " +
+      "q AS (SELECT * FROM ne WHERE CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS DOUBLE) / length(text) >= 0.45), " +
+      "k AS (SELECT md5(text) AS fp, MIN(doc_id) AS keep FROM q GROUP BY 1), " +
+      "d AS (SELECT q.* FROM q JOIN k ON md5(q.text) = fp AND q.doc_id = keep), " +
+      "nw AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM q), " +
+      "nf AS (SELECT doc_id, words FROM nw WHERE size(words) >= 3), " +
+      s"shh AS (SELECT doc_id, ${baseHashSql("sh")} AS h FROM (SELECT doc_id, explode(transform(sequence(0, size(words) - 3), i -> concat_ws(' ', slice(words, i + 1, 3)))) AS sh FROM nf) t), " +
+      s"sig AS ($minhashSigSql), " +
+      s"nb AS (SELECT doc_id, explode($bandStructsSql) AS bs FROM sig), " +
+      "nbb AS (SELECT doc_id, bs.band AS band, bs.sig1 AS sig1, bs.sig2 AS sig2 FROM nb), " +
+      "nbc AS (SELECT doc_id, band, sig1, sig2, COUNT(*) OVER (PARTITION BY band, sig1, sig2) AS bn FROM nbb), " +
+      s"nbands AS (SELECT doc_id, band, sig1, sig2 FROM nbc WHERE bn <= ${graft.operators.Dedup.MinhashBucketCap}), " +
+      "ncand AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2 FROM nbands a JOIN nbands b2 ON a.band = b2.band AND a.sig1 = b2.sig1 AND a.sig2 = b2.sig2 AND a.doc_id < b2.doc_id), " +
+      "ntok AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS word FROM q) x), " +
+      "nsz AS (SELECT doc_id, COUNT(*) AS sz FROM ntok GROUP BY 1), " +
+      "ninter AS (SELECT id1, id2, COUNT(*) AS inter FROM ncand JOIN ntok wa ON id1 = wa.doc_id JOIN ntok wb ON id2 = wb.doc_id AND wa.word = wb.word GROUP BY 1, 2), " +
+      "ndv AS (SELECT DISTINCT id2 AS doc_id FROM ninter JOIN nsz sa ON sa.doc_id = id1 JOIN nsz sb ON sb.doc_id = id2 WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.6), " +
+      "nd AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM ndv)), " +
+      "e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      "n AS (SELECT GREATEST(2, CAST(ROUND(SQRT(COUNT(*)), 0) AS INT)) AS stride FROM e), " +
+      "c AS (SELECT vec_id AS cent_id, v AS centv FROM e, n WHERE vec_id % stride = 0), " +
+      "a AS (SELECT e.vec_id, c.cent_id, graft_cosine(e.v, c.centv) AS sim FROM e CROSS JOIN c), " +
+      "asg AS (SELECT vec_id, cent_id AS cluster FROM (SELECT vec_id, cent_id, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rnk FROM a) r WHERE rnk = 1), " +
+      "mem AS (SELECT vec_id, cluster, ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vec_id) AS mrk FROM asg), " +
+      s"mv AS (SELECT vec_id, cluster, transform(v, x -> x / nrm) AS vn FROM (SELECT m.vec_id, m.cluster, e.v, SQRT(aggregate(e.v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)) AS nrm FROM mem m JOIN e ON e.vec_id = m.vec_id WHERE m.mrk <= ${graft.operators.Dedup.SemMemberCap}) t), " +
+      s"sdv AS (SELECT DISTINCT y.vec_id AS doc_id FROM mv x JOIN mv y ON x.cluster = y.cluster AND x.vec_id < y.vec_id WHERE ROUND(graft_dot(x.vn, y.vn), 4) >= ${graft.operators.Dedup.SemDupTau}), " +
+      "sd AS (SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM sdv)), " +
+      "qw AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM q), " +
+      "shc AS (SELECT doc_id, concat_ws(' ', slice(words, CAST(i AS INT), 5)) AS sh FROM (SELECT doc_id, words, explode(sequence(1, size(words) - 4)) AS i FROM qw WHERE size(words) >= 5) t), " +
+      "bw AS (SELECT split(trim(text), '\\\\s+') AS words FROM documents WHERE doc_id % 100 = 0), " +
+      "bsh AS (SELECT DISTINCT concat_ws(' ', slice(words, CAST(i AS INT), 5)) AS sh FROM (SELECT words, explode(sequence(1, size(words) - 4)) AS i FROM bw WHERE size(words) >= 5) t), " +
+      "contam AS (SELECT DISTINCT doc_id FROM shc JOIN bsh USING (sh)), " +
+      "cl AS (SELECT * FROM sd WHERE doc_id NOT IN (SELECT doc_id FROM contam)), " +
+      "r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(concat('curate|', CAST(doc_id AS STRING))), doc_id) AS rnk FROM cl), " +
+      "cap AS (SELECT doc_id FROM r WHERE rnk <= 15), " +
+      "pp AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY md5(concat('curate|pos|', CAST(doc_id AS STRING))), doc_id) AS pos FROM cap) " +
+      "SELECT (SELECT COUNT(*) FROM ne) AS n_non_empty, (SELECT COUNT(*) FROM q) AS n_quality, (SELECT COUNT(*) FROM d) AS n_dedup, (SELECT COUNT(*) FROM nd) AS n_neardup, (SELECT COUNT(*) FROM sd) AS n_semdedup, (SELECT COUNT(*) FROM cl) AS n_clean, (SELECT COUNT(*) FROM cap) AS n_capped, CAST((SELECT SUM(doc_id) FROM cap) AS BIGINT) AS kept_id_sum, CAST((SELECT SUM(doc_id * pos) FROM pp) AS BIGINT) AS pos_checksum"
+
   val rowsOnlySql: Map[String, String] = Map(
     "q113_pq_recall" -> pqSql,
     "q114_ivfpq_recall" -> ivfPqSql,
     "q153_ivfpq_rerank" -> ivfPqRerankSql,
     "q155_hybrid_bm25_ann" -> hybridBm25AnnSparkSql,
+    "q156_curation_neardup" -> curationNearDupSparkSql,
     "q154_hybrid_rrf" -> { // hybrid RRF as text: split/explode tokenization,
       // graft_cosine vector ranks, full-outer rank fusion — the oracle's
       // math with the Spark dialect spellings

@@ -48,11 +48,21 @@ object Curation {
   /** @param docs      corpus with (doc_id, source, text) columns
     * @param benchmark frame with (doc_id, text) — the eval sets whose
     *                  5-shingles must not leak into training data
+    * @param nearDupEmbeddings when set (vec_id, v: array<double>), the flow
+    *                  runs the full production dedup ladder (r15 verdict
+    *                  #5): exact → MinHash near-dup (the q50 LSH→Jaccard
+    *                  pipeline; victims = the higher id of every confirmed
+    *                  pair) → SemDeDup (the q152 embedding verdicts;
+    *                  keyed doc_id = vec_id, docs without an embedding
+    *                  pass through — you cannot semantically dedup what
+    *                  was never embedded). None keeps the r6 exact-only
+    *                  canonical flow (q111's gated shape).
     * @return (curated frame: all input columns + `pos`, the deterministic
     *         1..n training order; per-stage funnel counts) */
   def curate(docs: DataFrame, benchmark: DataFrame,
       minAlphaRatio: Double = 0.45, quotaPerSource: Int = 1000,
-      seed: String = "curate"): (DataFrame, Seq[StageCount]) = {
+      seed: String = "curate",
+      nearDupEmbeddings: Option[DataFrame] = None): (DataFrame, Seq[StageCount]) = {
     val acc = scala.collection.mutable.ArrayBuffer
       .empty[(String, org.apache.spark.sql.Observation)]
     def stage(name: String, d: DataFrame): DataFrame = {
@@ -89,11 +99,33 @@ object Curation {
     val deduped = stage("exact_dedup",
       quality.withColumn("__fp", Dedup.contentFp(col("text")))
         .join(keepers, Seq("__fp", "doc_id"), "left_semi").drop("__fp"))
+    // the near-dup ladder (opt-in): both victim sets are PURE functions of
+    // un-observed inputs (passers' text / the embeddings frame), so the
+    // observed spine stays tree-shaped — the same discipline as the keeper
+    // build above
+    val afterNearDup = nearDupEmbeddings match {
+      case None => deduped
+      case Some(embs) =>
+        // MinHash near-dup (the q50 pipeline at the production threshold):
+        // a doc is dropped when it is the HIGHER id of any confirmed pair
+        // — the pairwise min-id survivor rule; the bucket cap inside
+        // confirmedNearDups bounds the pair join exactly as in q50
+        val ndVictims = Dedup.confirmedNearDups(
+            passers.select(col("doc_id"), col("text")))
+          .select(col("id2").as("doc_id")).distinct()
+        val nd = stage("minhash_neardup",
+          deduped.join(ndVictims, Seq("doc_id"), "left_anti"))
+        // SemDeDup (the q152 verdicts): drop docs whose embedding is a
+        // within-cluster semantic duplicate (is_dup, min-id survivor)
+        val sdVictims = Dedup.semDedupVerdicts(embs)
+          .filter(col("is_dup")).select(col("vec_id").as("doc_id"))
+        stage("semdedup", nd.join(sdVictims, Seq("doc_id"), "left_anti"))
+    }
     // contamination is text-pure, so screening ALL quality-passers yields
     // the same id set restricted to deduped survivors — and keeps the
     // observed chain out of the anti-join's build side
     val clean = stage("decontaminated",
-      deduped.join(Dedup.contaminatedIds(passers, benchmark).select("doc_id"),
+      afterNearDup.join(Dedup.contaminatedIds(passers, benchmark).select("doc_id"),
         Seq("doc_id"), "left_anti"))
     val capped = stage("quota_capped",
       TextAnalysis.quotaCap(clean, "source", "doc_id", seed, quotaPerSource))
@@ -150,5 +182,37 @@ object Curation {
       f("quota_capped"), sums.getLong(0), sums.getLong(1)))
       .toDF("n_non_empty", "n_quality", "n_dedup", "n_clean", "n_capped",
         "kept_id_sum", "pos_checksum")
+  }
+
+  /** Q156 — the PRODUCTION dedup ladder composed into the curation flow
+    * (r15 verdict #5): q111's gated shape with the two near-dup stages
+    * inserted between exact dedup and decontamination — MinHash near-dup
+    * (q50's full LSH→Jaccard pipeline, pairwise min-id survivors) and
+    * SemDeDup (q152's embedding verdicts, doc_id = vec_id). Every stage is
+    * individually oracle-gated (q85/q28/q50/q152/q76/q90/q81); this row
+    * proves the nine-stage COMPOSITION: funnel counts, survivor id-sum,
+    * and the Σ doc_id·pos training-order checksum all replay in DuckDB.
+    * Same benchmark/quota parameters as q111 so the two funnels are
+    * directly comparable (the near-dup stages are the only delta). */
+  def q156CurationNearDup(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(s, dir, "documents")
+    val benchmark = docs.filter(col("doc_id") % 100 === 0).select("doc_id", "text")
+    val embs = graft.Tables(s, dir, "embeddings")
+      .select(col("vec_id"), graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+    val (ordered, funnel) = curate(docs, benchmark, quotaPerSource = 15,
+      nearDupEmbeddings = Some(embs))
+    val sums = ordered.agg(
+      sum(col("doc_id")).cast("long").as("kept_id_sum"),
+      sum(col("doc_id") * col("pos")).cast("long").as("pos_checksum")).first()
+    // release the survivor-id persist AND confirmedNearDups'/semDedup's
+    // internal persists (the q111 lifecycle note)
+    graft.GraftSession.releasePersisted(s)
+    val f = funnel.map(sc => sc.stage -> sc.rows).toMap
+    import s.implicits._
+    Seq((f("non_empty"), f("quality_gate"), f("exact_dedup"), f("minhash_neardup"),
+      f("semdedup"), f("decontaminated"), f("quota_capped"),
+      sums.getLong(0), sums.getLong(1)))
+      .toDF("n_non_empty", "n_quality", "n_dedup", "n_neardup", "n_semdedup",
+        "n_clean", "n_capped", "kept_id_sum", "pos_checksum")
   }
 }

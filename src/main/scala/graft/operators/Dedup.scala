@@ -728,6 +728,15 @@ object Dedup {
   def q152SemDedup(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    semDedupVerdicts(e).orderBy("vec_id")
+  }
+
+  /** The q152 SemDeDup core over an arbitrary embedding frame `e`
+    * (vec_id, v: array<double>) — extracted (r16) so the curation flow can
+    * compose the verdict set as a dedup stage ([[graft.operators.Curation]]).
+    * Same plan and persist lifecycle as q152; unordered (q152 adds the
+    * display orderBy). */
+  def semDedupVerdicts(e: DataFrame): DataFrame = {
     val assigned = Similarity.ivfAssign(e, Similarity.sqrtStride(e))
     val members = assigned
       .withColumn("mrk",
@@ -752,7 +761,6 @@ object Dedup {
       .select(col("vec_id"), col("cluster"),
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
         col("dup_of").isNotNull.as("is_dup"))
-      .orderBy("vec_id")
   }
 
   // -------------------------------------- content-defined passage chunking

@@ -66,6 +66,65 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b, "curation depends on input order/partitioning")
   }
 
+  test("curate with the near-dup ladder: stages chain, victims are gone, contracts hold") {
+    val docs = Tables(spark, sfDir, "documents")
+    val benchmark = docs.filter(col("doc_id") % 100 === 0).select("doc_id", "text")
+    val embs = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+    val (out, funnel) = Curation.curate(docs, benchmark, quotaPerSource = 10,
+      nearDupEmbeddings = Some(embs))
+    val result = out.cache()
+    try {
+      // the nine-stage funnel: the two near-dup stages slot between exact
+      // dedup and decontamination, and the whole funnel stays monotone
+      assert(funnel.map(_.stage) == Seq("non_empty", "quality_gate",
+        "exact_dedup", "minhash_neardup", "semdedup", "decontaminated",
+        "quota_capped"))
+      funnel.sliding(2).foreach { case Seq(a, b) =>
+        assert(b.rows <= a.rows, s"${b.stage} grew: ${a.rows} -> ${b.rows}")
+      }
+      assert(funnel.head.rows > 0 && funnel.last.rows > 0, s"vacuous funnel: $funnel")
+
+      val n = result.count()
+      assert(n == funnel.last.rows)
+      // no SemDeDup victim survives: every kept doc's embedding verdict is
+      // keep (docs without an embedding pass through by contract)
+      val semVictims = graft.operators.Dedup.semDedupVerdicts(embs)
+        .filter(col("is_dup")).select(col("vec_id").as("doc_id"))
+      assert(result.join(semVictims, Seq("doc_id"), "left_semi").count() == 0L,
+        "a semantic duplicate survived the semdedup stage")
+      // no MinHash victim survives: recompute the q50 victim set over the
+      // same quality-passers the stage declares as its domain
+      val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+        .cast("double") / length(col("text"))
+      val passers = docs.filter(col("text").isNotNull &&
+        length(trim(col("text"))) > 0 && alpha >= 0.45)
+      val ndVictims = graft.operators.Dedup.confirmedNearDups(
+          passers.select(col("doc_id"), col("text")))
+        .select(col("id2").as("doc_id")).distinct()
+      assert(result.join(ndVictims, Seq("doc_id"), "left_semi").count() == 0L,
+        "a confirmed MinHash near-dup victim survived")
+      // pos is exactly the permutation 1..n (the q111 contract, composed)
+      val stats = result.agg(min("pos"), max("pos"), countDistinct("pos")).head()
+      assert((stats.getLong(0), stats.getLong(1), stats.getLong(2)) == (1L, n, n),
+        s"pos is not a permutation of 1..$n: $stats")
+    } finally {
+      result.unpersist()
+      GraftSession.releasePersisted(spark)
+    }
+
+    // pure function of (input set, seed): scrambled input, identical output
+    val scrambled = docs.orderBy(rand(13)).repartition(5)
+    val (out2, _) = Curation.curate(scrambled, benchmark, quotaPerSource = 10,
+      nearDupEmbeddings = Some(embs))
+    val (out3, _) = Curation.curate(docs, benchmark, quotaPerSource = 10,
+      nearDupEmbeddings = Some(embs))
+    val a = out3.select("doc_id", "pos").orderBy("doc_id").collect().toSeq
+    val b = out2.select("doc_id", "pos").orderBy("doc_id").collect().toSeq
+    assert(a == b, "near-dup curation depends on input order/partitioning")
+    GraftSession.releasePersisted(spark)
+  }
+
   test("curate: training positions are independent of quota selection (per-source uniformity)") {
     // quotaCap keeps the k SMALLEST md5(seed|id) per source. If the position
     // stage reused the same key, survivors from capped (large) sources would
