@@ -281,6 +281,43 @@ object StreamOps {
       }
   }
 
+  /** [[admitPerKey]] on Spark 4's `transformWithState` — the successor
+    * arbitrary-state API, ported per the r15 directive with the SIMPLEST
+    * state shape (one long per key) so the two spellings sit side by side
+    * as the migration recipe next to [[runningPerKeyTws]]'s aggregate
+    * shape. Semantics are IDENTICAL to admitPerKey: admit the first `k`
+    * per key by arrival, intra-batch (event-time, value) order —
+    * StreamingSpec pins old ≡ new across the same micro-batch splits.
+    *
+    * `ttl` plays idleTimeout's role: the admitted-count state for keys
+    * idle past the TTL is dropped (state tracks the ACTIVE key set on an
+    * unbounded key space — the 100 TB requirement). Requires the RocksDB
+    * state store provider (the API's own contract). */
+  def admitPerKeyTws(ds: Dataset[KeyedEvent], k: Long,
+                     ttl: Option[java.time.Duration] = None): Dataset[KeyedEvent] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    val ttlConf = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+    val proc = new StatefulProcessor[String, KeyedEvent, KeyedEvent] {
+      @transient private var st: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[Long]("admitted",
+          org.apache.spark.sql.Encoders.scalaLong, ttlConf)
+      override def handleInputRows(key: String, rows: Iterator[KeyedEvent],
+                                   tv: TimerValues): Iterator[KeyedEvent] = {
+        val admitted = if (st.exists()) st.get() else 0L
+        // same clamp + intra-batch order contract as admitPerKey
+        val room = math.min(math.max(0L, k - admitted), Int.MaxValue.toLong)
+        val take = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          .take(room.toInt)
+        st.update(admitted + take.size)
+        take.iterator
+      }
+    }
+    ds.groupByKey(_.key)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Per-user streaming funnel state machine — the stateful twin of the
     * batch q96 (operators.Relational.q96Funnel): first view → first click
     * strictly after it → first purchase strictly after that. State is three

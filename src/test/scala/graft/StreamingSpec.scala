@@ -446,6 +446,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("admitPerKeyTws (transformWithState) matches admitPerKey on the golden batches") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    // transformWithState requires the RocksDB provider by contract
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the admitPerKey golden fixture, same micro-batch split — old ≡ new
+      // must hold batch-for-batch, not just in aggregate
+      val batches = Seq(
+        Seq(KeyedEvent("a", ts(1), 1.0), KeyedEvent("a", ts(2), 2.0),
+          KeyedEvent("b", ts(4), 40.0), KeyedEvent("b", ts(1), 10.0),
+          KeyedEvent("b", ts(2), 20.0), KeyedEvent("b", ts(3), 30.0)),
+        Seq(KeyedEvent("a", ts(3), 3.0), KeyedEvent("a", ts(4), 4.0),
+          KeyedEvent("b", ts(5), 50.0)))
+      def runThrough(name: String,
+                     op: org.apache.spark.sql.Dataset[KeyedEvent] =>
+                       org.apache.spark.sql.Dataset[KeyedEvent]): Set[(String, Double)] = {
+        val in = MemoryStream[KeyedEvent]
+        val q = op(in.toDS()).toDF().writeStream.format("memory")
+          .queryName(name).outputMode("append").start()
+        try {
+          batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        } finally q.stop()
+        spark.table(name)
+          .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+      }
+      val legacy = runThrough("admtws_legacy", ds => StreamOps.admitPerKey(ds, k = 3))
+      val tws = runThrough("admtws_new", ds => StreamOps.admitPerKeyTws(ds, k = 3))
+      assert(tws == legacy, s"APIs diverged: tws=$tws legacy=$legacy")
+      // and both equal the golden expectation the admitPerKey test pins
+      assert(tws == Set(
+        ("a", 1.0), ("a", 2.0), ("a", 3.0),
+        ("b", 10.0), ("b", 20.0), ("b", 30.0)), s"got=$tws")
+    } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("funnelPerUser: ordered stages advance, disorder and skips don't") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
