@@ -107,6 +107,21 @@ object ScaleDrill {
                              // of q114's linear truth/index passes, so the
                              // lane gates at the same 2.5 bar: the refine
                              // stage must stay invisible under data growth
+    "q155_hybrid_bm25_ann",  // documents×embeddings (r16): the at-scale
+                             // hybrid — BM25 postings join (work ∝ matching
+                             // postings, linear in text volume but dwarfed
+                             // by the vector side at drill scale) + the
+                             // q153 IVF-PQ+rerank channel (linear index/
+                             // truth passes, fixed Q·R refine) + RRF.
+                             // Gates at 2.5 like q153: the fusion must add
+                             // nothing that grows faster than the index
+    "q156_curation_neardup", // documents×embeddings (r16): the composed
+                             // curation funnel WITH the near-dup ladder —
+                             // curation_flow's stages plus q50's banded
+                             // MinHash and q152's clustered SemDeDup, each
+                             // individually drill-gated; the composition
+                             // gates as a text lane (splice inflates token
+                             // volume, and the q50 stage is volume-bound)
     "q152_semdedup")         // embeddings (r15): SemDeDup — the dedup
                              // family's embedding-leg SCALING path. With
                              // √n-stride seeding, kernel work (assignment
@@ -250,7 +265,7 @@ object ScaleDrill {
     * human). */
   val textLanes: Set[String] =
     Set("q50_neardup_confirmed", "q92_cdc_passages", "q116_bigram_rarity",
-      "curation_flow", "q151_decode_ivf")
+      "curation_flow", "q151_decode_ivf", "q156_curation_neardup")
 
   /** The self-adjudicating PASS bar per gated lane: sublinear-per-input.
     * Text lanes pass while time ratio ≤ the measured bigram-volume ratio
