@@ -110,6 +110,28 @@ object TextAnalysis {
     * projections with a multiply-referenced expensive alias stay separate. */
   def winnowFingerprints(d: DataFrame, k: Int = 4, window: Int = 4): DataFrame = {
     val words = split(trim(col("text")), "\\s+")
+    // r16: the gram-hash + sliding-min + distinct pipeline runs as ONE
+    // fused native kernel ([[graft.functions.WinnowFingerprints]]) —
+    // bit-identical values to the HOF spelling below (WinnowKernelSpec
+    // pins parity on the corpus), but compiled instead of per-element
+    // interpreted: the HOF lambdas are CodegenFallback, and at full-corpus
+    // scale q40 paid ~5 s of Catalyst dispatch at sf0.1 for ~1 ms of
+    // integer work per core. The oracles and the s40 SQL twin keep the
+    // portable HOF spelling (outputs are identical).
+    // k+window-1 words = k+window-1-(k-1) = window grams = one full window
+    d.filter(size(words) >= k + window - 1)
+      .select(col("doc_id"),
+        graft.functions.WinnowFingerprints.winnow(words, k, window,
+          Dedup.WinnowA, Dedup.WinnowB, Dedup.MinhashP).as("fingerprints"))
+  }
+
+  /** The pre-r16 HOF spelling of [[winnowFingerprints]] — kept as the
+    * independent reference implementation the kernel-parity spec compares
+    * against (the LshBucket/DotProduct discipline: every native kernel has
+    * a pure-Catalyst twin pinned bit-for-bit). */
+  private[graft] def winnowFingerprintsHof(d: DataFrame, k: Int = 4,
+      window: Int = 4): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
     // k-gram rolling hashes by index: h_i = g(x(words[i..i+k-1] joined))
     val grams = transform(
       sequence(lit(0), greatest(size(words) - k, lit(0))),
@@ -121,7 +143,6 @@ object TextAnalysis {
     val mins = array_distinct(transform(
       sequence(lit(0), greatest(size(g) - window, lit(0))),
       i => array_min(slice(g, i + 1, lit(window)))))
-    // k+window-1 words = k+window-1-(k-1) = window grams = one full window
     d.filter(size(words) >= k + window - 1)
       .select(col("doc_id"), grams.as("grams"))
       .select(col("doc_id"), mins.as("fingerprints"))
