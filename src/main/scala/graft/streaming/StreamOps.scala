@@ -364,6 +364,47 @@ object StreamOps {
       }
   }
 
+  /** [[funnelPerUser]] on `transformWithState` — the third and last
+    * stateful op ported to the successor API (r16; after
+    * [[runningPerKeyTws]]'s aggregate and [[admitPerKeyTws]]'s counter,
+    * this is the STATE-MACHINE shape), so every
+    * flatMapGroupsWithState operator in the library has a side-by-side
+    * migration spelling. Semantics identical to funnelPerUser — same
+    * intra-batch (ts, type) ordering, same fill-forward stage machine —
+    * StreamingSpec pins old ≡ new on the funnel golden fixture across
+    * micro-batch splits. `ttl` bounds state to the recently-active user
+    * set; RocksDB provider required by the API. */
+  def funnelPerUserTws(ds: Dataset[FunnelEvent],
+                       ttl: Option[java.time.Duration] = None): Dataset[FunnelProgress] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    val ttlConf = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+    val proc = new StatefulProcessor[Long, FunnelEvent, FunnelProgress] {
+      @transient private var st: ValueState[FunnelProgress] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[FunnelProgress]("funnel",
+          org.apache.spark.sql.Encoders.product[FunnelProgress], ttlConf)
+      override def handleInputRows(uid: Long, rows: Iterator[FunnelEvent],
+                                   tv: TimerValues): Iterator[FunnelProgress] = {
+        var cur = if (st.exists()) st.get() else FunnelProgress(uid, -1L, -1L, -1L)
+        rows.toSeq.sortBy(e => (e.tUs, e.etype)).foreach { e =>
+          e.etype match {
+            case "view" if cur.vt < 0 => cur = cur.copy(vt = e.tUs)
+            case "click" if cur.vt >= 0 && cur.ct < 0 && e.tUs > cur.vt =>
+              cur = cur.copy(ct = e.tUs)
+            case "purchase" if cur.ct >= 0 && cur.pt < 0 && e.tUs > cur.ct =>
+              cur = cur.copy(pt = e.tUs)
+            case _ => // stage already reached, out of order, or other type
+          }
+        }
+        st.update(cur)
+        Iterator.single(cur)
+      }
+    }
+    ds.groupByKey(_.user_id)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stream-stream interval join (SURVEY §2.3.3 "as-of / interval
     * (streaming)"): equi-key plus a time-range condition, both sides
     * watermarked so Spark can bound the buffered state (without watermarks a

@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pipeline.{RecordGenerator, TransactionalJdbcSink}
 import graft.schema.SchemaBridge
-import graft.streaming.{FunnelEvent, KeyedEvent, KeyRunning, StreamOps, StreamingPipeline}
+import graft.streaming.{FunnelEvent, FunnelProgress, KeyedEvent, KeyRunning, StreamOps, StreamingPipeline}
 
 /** Streaming-layer tests (SURVEY §2.3.9, §5.2): watermarked windows with
   * late-data drop, session windows, stream dedup, explicit keyed state, and
@@ -517,6 +517,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 10L, -1L, -1L),   // click-before-view never counts
       (3L, 10L, -1L, -1L),   // purchase without a click never counts
       (4L, 10L, 12L, -1L)))  // tie dropped, later click accepted
+  }
+
+  test("funnelPerUserTws (transformWithState) matches funnelPerUser on the golden batches") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the funnelPerUser golden fixture, same micro-batch split: the
+      // state-machine semantics (fill-forward stages, strictly-after
+      // contract, disorder/skips dropped) must agree batch-for-batch
+      val batches = Seq(
+        Seq(FunnelEvent(1L, 10L, "view"), FunnelEvent(1L, 20L, "click"),
+          FunnelEvent(2L, 5L, "click"), FunnelEvent(2L, 10L, "view"),
+          FunnelEvent(3L, 10L, "view"), FunnelEvent(3L, 15L, "purchase"),
+          FunnelEvent(4L, 10L, "view"), FunnelEvent(4L, 10L, "click")),
+        Seq(FunnelEvent(1L, 30L, "purchase"), FunnelEvent(4L, 12L, "click")))
+      def runThrough(name: String,
+                     op: org.apache.spark.sql.Dataset[FunnelEvent] =>
+                       org.apache.spark.sql.Dataset[FunnelProgress]): Set[(Long, Long, Long, Long)] = {
+        val in = MemoryStream[FunnelEvent]
+        val q = op(in.toDS()).toDF().writeStream.format("memory")
+          .queryName(name).outputMode("update").start()
+        try {
+          batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        } finally q.stop()
+        spark.table(name).groupBy("user_id")
+          .agg(max("vt").as("vt"), max("ct").as("ct"), max("pt").as("pt"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      }
+      val legacy = runThrough("funtws_legacy", ds => StreamOps.funnelPerUser(ds))
+      val tws = runThrough("funtws_new", ds => StreamOps.funnelPerUserTws(ds))
+      assert(tws == legacy, s"APIs diverged: tws=$tws legacy=$legacy")
+      assert(tws == Set(
+        (1L, 10L, 20L, 30L), (2L, 10L, -1L, -1L),
+        (3L, 10L, -1L, -1L), (4L, 10L, 12L, -1L)), s"got=$tws")
+    } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("stream-static enrichment join broadcasts the dim, keeps left rows") {
