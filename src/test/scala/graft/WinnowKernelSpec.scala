@@ -55,6 +55,23 @@ class WinnowKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kernel(3L).size == 1)
   }
 
+  test("kernel ≡ HOF on non-ASCII text (multi-byte chars, surrogate pairs)") {
+    // the fixture corpus is pure ASCII, but the kernel's contract is
+    // general: java String#hashCode runs over UTF-16 units, and the
+    // incremental per-word fold must equal hashing the concatenated gram —
+    // including umlauts (2-byte UTF-8) and an emoji (surrogate pair)
+    val sp = spark
+    import sp.implicits._
+    val d = Seq(
+      (1L, "über straße naïve café emoji😀word grüße token eight"),
+      (2L, "日本語 テスト 漢字 かな モジ 七 八 九"))
+      .toDF("doc_id", "text")
+    val kernel = fps(TextAnalysis.winnowFingerprints(d))
+    val hof = fps(TextAnalysis.winnowFingerprintsHof(d))
+    assert(kernel == hof, s"non-ASCII divergence: kernel $kernel vs hof $hof")
+    assert(kernel.contains(1L) && kernel.contains(2L))
+  }
+
   test("interpreted eval matches the codegen path") {
     import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
     import org.apache.spark.unsafe.types.UTF8String
