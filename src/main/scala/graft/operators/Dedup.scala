@@ -214,6 +214,32 @@ object Dedup {
     * for the same family quality. Replayable end-to-end in DuckDB (the q34
     * computed oracle), unlike the pre-r11 xxhash64 family. */
   def minhashSignatures(d: DataFrame): DataFrame = {
+    // r16: the shingle-build + hash + 16-way min pipeline runs as ONE fused
+    // native kernel per document ([[graft.functions.MinhashSig]]) — the
+    // WinnowFingerprints lesson applied to the dedup family's hottest path.
+    // The legacy spelling (kept below for the parity spec) built every
+    // shingle string inside an interpreted transform lambda and exploded
+    // ~52 rows/doc through partial MIN aggregates; the kernel emits the 16
+    // mins directly, bit-identical (MinhashKernelSpec), zero exploded rows,
+    // zero aggregation — per-doc map work, embarrassingly parallel.
+    // Contract note: one output row per input row (callers read the
+    // documents table, whose doc_id is unique — the old groupBy shape would
+    // have merged duplicate ids, a case no caller has).
+    val sig = graft.functions.MinhashSig.minhashSig(col("words"), ShingleWords,
+      (0 until MinHashK).map(minhashA), (0 until MinHashK).map(minhashB), MinhashP)
+    d.select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= ShingleWords)
+      // sig in its own projection: 16 element_at consumers would otherwise
+      // make CollapseProject inline the kernel call 16× (the winnow trap)
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id") +:
+        (0 until MinHashK).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+  }
+
+  /** The pre-r16 explode+partial-agg spelling of [[minhashSignatures]] —
+    * kept as the independent reference implementation the kernel-parity
+    * spec compares against (the WinnowFingerprints discipline). */
+  private[graft] def minhashSignaturesAgg(d: DataFrame): DataFrame = {
     val sh = d
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= ShingleWords)
@@ -223,11 +249,6 @@ object Dedup {
       .map(i => min(universalMix(col("h"), minhashA(i), minhashB(i))).as(s"mh$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
-
-  // (A shuffle-free per-row HOF fold variant was measured against this
-  // explode+partial-agg shape: identical signatures, but no warm-time win —
-  // HOFs don't whole-stage-codegen, and the shuffle here already moves only
-  // the (doc_id, 16 longs) partial aggregates. The codegen'd shape stays.)
 
   /** Band signatures: pack each BandRows-run of the signature LOSSLESSLY
     * into two 62-bit longs (mh < 2³¹, so sig1 = mh₀·2³¹ + mh₁ etc.) —
