@@ -202,6 +202,15 @@ object Dedup {
     * CollapseProject and re-splits the whole document per shingle position —
     * O(n²)/document (same trap as TextAnalysis.winnowFingerprints). */
   def shingles(words: Column, k: Int = ShingleWords): Column =
+    // r16: one compiled pass per document ([[graft.functions.ShingleStrings]])
+    // instead of an interpreted transform lambda per shingle — same strings
+    // (ShingleKernelSpec pins parity vs the HOF spelling below), every
+    // consumer (decon, bigrams, contamination, curation) inherits the win
+    graft.functions.ShingleStrings.shingleStrings(words, k)
+
+  /** The pre-r16 HOF spelling of [[shingles]] — kept as the independent
+    * reference implementation the kernel-parity spec compares against. */
+  private[graft] def shinglesHof(words: Column, k: Int = ShingleWords): Column =
     transform(
       sequence(lit(0), size(words) - k),
       i => concat_ws(" ", slice(words, i + 1, lit(k))))
