@@ -16,16 +16,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    the identical bigint spelling at load ([[Tables.normalizeTs]]).
   *  - UTC session timezone so timestamp_ntz literals compare identically with
   *    the DuckDB oracle.
-  *  - `spark.sql.codegen.cache.maxEntries=4096` (r15): the default 100-entry
-  *    generated-class cache thrashes under this engine's ~150-query surface
-  *    (~1500 codegen stages per full pass), so on a long-lived session every
-  *    re-run of a query recompiles and re-JITs all its stages — measured on
-  *    q118 (the most codegen-stage-heavy lane): 5.0 s when re-run after 149
-  *    other lanes vs 3.0 s re-run immediately, and 3.5 s after the same 149
-  *    lanes with this cache sized to hold the surface. Worst-case memory is
-  *    ~4096 × ~30 KB of class metadata — noise against executor heaps. The
-  *    conf is read ONCE when Spark's CodeGenerator cache initializes, so it
-  *    must sit in the session builder, not be tuned post-hoc.
+  *  - `spark.sql.codegen.cache.maxEntries=8192` (r15 mechanism, r16 size):
+  *    the default 100-entry generated-class cache thrashes under this
+  *    engine's ~150-query surface (~1500 codegen stages per full pass), so
+  *    on a long-lived session every re-run of a query recompiles and
+  *    re-JITs all its stages — measured on q118 (the most
+  *    codegen-stage-heavy lane): 5.0 s when re-run after 149 other lanes vs
+  *    3.0 s re-run immediately, and 3.5 s after the same 149 lanes with
+  *    the cache sized to hold the surface (r15 set 4096). r16's surface
+  *    growth (157 lanes + three native kernels) re-saturated 4096 by the
+  *    time the post-suite scale drill ran: q114's drill x10 wall went
+  *    BIMODAL (1.0–2.3 s vs two near-identical ~5.15 s readings in one
+  *    day, isolated Prof always ~2 s), and doubling to 8192 restored 1.4 s
+  *    and took the whole recording to its round best (76.2 → 67.9 s).
+  *    Worst-case memory is ~8192 × ~30 KB of class metadata — noise
+  *    against executor heaps. The rule of thumb: size this to
+  *    ~2× the surface's total codegen stages, and re-check whenever the
+  *    registry grows. The conf is read ONCE when Spark's CodeGenerator
+  *    cache initializes, so it must sit in the session builder, not be
+  *    tuned post-hoc.
   */
 object GraftSession {
   def builder(master: String = "local[32]"): SparkSession.Builder =
@@ -37,7 +46,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = {
