@@ -129,9 +129,14 @@ object StreamOps {
       // NaN passes through instead of BigDecimal.valueOf throwing on a zero
       // vector; the dup check below treats NaN as ABOVE tau because that is
       // what the batch lane and the DuckDB oracle both do (SQL comparison
-      // semantics order NaN greater than any double), so a degenerate
-      // zero/NaN embedding gets the SAME is_dup verdict in all three
-      // spellings (r15 ADVICE #1)
+      // semantics order NaN greater than any double), so the PAIRWISE dup
+      // comparison agrees in all three spellings (r15 ADVICE #1). The parity
+      // claim is scoped to that comparison: CLUSTER ASSIGNMENT of a NaN-sim
+      // vector among normal ones still diverges (Scala `NaN > -Inf` is
+      // false → cluster -1 here, while the batch ORDER BY sim DESC ranks
+      // NaN first and assigns a real cluster) — only the all-degenerate
+      // case is spec-pinned; mixed degenerate/normal keeps that residual
+      // divergence (r16 ADVICE #2).
       if (x.isNaN) x
       else java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
     def geTau(sim: Double, tau: Double): Boolean = sim.isNaN || sim >= tau
@@ -169,6 +174,106 @@ object StreamOps {
           state.update(SemClusterState(ids, vecs.map(_.toSeq)))
           out.iterator
       }
+  }
+
+  /** Streaming MinHash near-dup ingest — the q50 twin (r16 verdict #3),
+    * completing the streaming mirror of the batch dedup ladder
+    * (dedupByContent mirrors exact dedup, [[semDedupStream]] mirrors q152,
+    * this mirrors the LSH→Jaccard pipeline).
+    *
+    * Stateless prefix per document ([[StreamMinhash.signature]] — the
+    * MinhashSig kernel's math re-spelled record-at-a-time, bit-parity
+    * pinned in StreamingSpec): 3-word shingles → base hash → 16 universal
+    * min-hashes → 4 losslessly-packed band signatures. Each doc fans out
+    * to its 4 band records; state is keyed by the LSH BUCKET
+    * (band, sig1, sig2) — exactly the batch join key — and holds the
+    * first-`bucketCap` members' (id, distinct word set). An arriving doc
+    * is verified by EXACT Jaccard against every held member of its bucket
+    * (the batch confirm stage, same ROUND-half-up-4 spelling, same ≥
+    * threshold cut); confirmed pairs emit as (min id, max id, jaccard)
+    * and a downstream streaming dropDuplicates collapses the cross-band
+    * repeats the batch pipeline's candidate `distinct()` removes.
+    *
+    * Parity contract (spec-pinned): with in-order-by-doc_id delivery and
+    * buckets under the cap, the emitted pair set EQUALS batch
+    * `Dedup.confirmedNearDups` — same ids, same jaccard doubles.
+    * Divergence at the cap is the streaming trade, documented here: the
+    * batch drops an over-cap bucket's pairs RETROACTIVELY (its members
+    * are exact-dup fodder the cheaper md5 pass collapses); a stream
+    * cannot unemit, so members past the cap are neither compared nor
+    * cached (the [[semDedupStream]] admission shape) while the first
+    * cap members' pairs stand.
+    *
+    * State is bounded by construction: ≤ bucketCap · (8 bytes +
+    * |word set|) per bucket regardless of stream length, in the
+    * checkpointed store (RocksDB at scale — required by the
+    * transformWithState API this runs on). The pair-dedup stage keeps
+    * one (id1, id2) key per emitted pair; production ingest bounds it
+    * with dropDuplicatesWithinWatermark when the stream carries event
+    * time. Buckets are the state keys, so verification parallelizes
+    * across the shuffle exactly like the batch bucket join. */
+  def neardupStream(ds: Dataset[DocRecord], threshold: Double = 0.6,
+      bucketCap: Int = graft.operators.Dedup.MinhashBucketCap): Dataset[NearDupPair] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, ValueState}
+    val k = graft.operators.Dedup.ShingleWords
+    val nBands = graft.operators.Dedup.MinHashK / graft.operators.Dedup.BandRows
+    val banded = ds.flatMap { d =>
+      val words =
+        if (d.text == null) Array.empty[String] else d.text.trim.split("\\s+")
+      if (words.length < k) Iterator.empty
+      else {
+        val mh = StreamMinhash.signature(words)
+        val wset = words.distinct.toSeq
+        (0 until nBands).iterator.map { b =>
+          BandRecord(b,
+            mh(b * 4) * StreamMinhash.PackBase + mh(b * 4 + 1),
+            mh(b * 4 + 2) * StreamMinhash.PackBase + mh(b * 4 + 3),
+            d.doc_id, wset)
+        }
+      }
+    }
+    def r4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val proc = new StatefulProcessor[(Int, Long, Long), BandRecord, NearDupPair] {
+      @transient private var st: ValueState[BucketMembers] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[BucketMembers]("members",
+          org.apache.spark.sql.Encoders.product[BucketMembers],
+          org.apache.spark.sql.streaming.TTLConfig.NONE)
+      override def handleInputRows(key: (Int, Long, Long), rows: Iterator[BandRecord],
+                                   tv: TimerValues): Iterator[NearDupPair] = {
+        val prev = if (st.exists()) st.get() else BucketMembers(Vector.empty, Vector.empty)
+        var ids = prev.ids.toVector
+        var sets = prev.words.map(_.toSet).toVector
+        // in-order contract: within a micro-batch the bucket's arrivals
+        // process in doc_id order, so batch-boundary placement never
+        // changes which pairs confirm
+        val out = rows.toSeq.sortBy(_.doc_id).flatMap { r =>
+          if (ids.size >= bucketCap) Iterator.empty
+          else {
+            val ws = r.words.toSet
+            val pairs = ids.indices.iterator.flatMap { i =>
+              val inter = sets(i).count(ws.contains)
+              val j = r4(inter.toDouble / (sets(i).size + ws.size - inter))
+              if (j >= threshold && ids(i) != r.doc_id)
+                Iterator.single(NearDupPair(
+                  math.min(ids(i), r.doc_id), math.max(ids(i), r.doc_id), j))
+              else Iterator.empty
+            }.toVector
+            ids :+= r.doc_id; sets :+= ws
+            pairs
+          }
+        }
+        st.update(BucketMembers(ids, sets.map(_.toSeq.sorted)))
+        out.iterator
+      }
+    }
+    banded.groupByKey(r => (r.band, r.sig1, r.sig2))
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+      .dropDuplicates("id1", "id2")
+      .as[NearDupPair]
   }
 
   /** Per-key running aggregate via explicit state — the Spark-native shape
@@ -218,12 +323,25 @@ object StreamOps {
     * contract, and the 100 TB conf anyway — state is hash-partitioned by
     * key and spills off-heap); `ttl` bounds state to the recently-active
     * key set exactly like runningPerKey's idle timeout — on an unbounded
-    * key space, no TTL means unbounded state. */
+    * key space, no TTL means unbounded state.
+    *
+    * A non-empty `ttl` switches the query to processing-time mode (the
+    * API's requirement for TTL), under which the engine keeps scheduling
+    * timer micro-batches to expire state — run TTL'd queries with a real
+    * `Trigger.ProcessingTime(interval)` (a default/0 ms trigger busy-loops
+    * empty batches, and `processAllAvailable` never settles — measured in
+    * StreamingSpec's TTL test, which polls instead). Applies to all three
+    * Tws ops. */
   def runningPerKeyTws(ds: Dataset[KeyedEvent],
                        ttl: Option[java.time.Duration] = None): Dataset[KeyRunning] = {
     import ds.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
     val ttlConf = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+    // state TTL is only legal under processing-time mode (Spark rejects a
+    // TTLConfig with TimeMode.None at query start — r16 ADVICE #1), so the
+    // time mode follows the ttl option; TimeMode.None when no TTL keeps the
+    // no-timer plan for the common case
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     val proc = new StatefulProcessor[String, KeyedEvent, KeyRunning] {
       @transient private var st: ValueState[KeyRunning] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -241,7 +359,7 @@ object StreamOps {
       }
     }
     ds.groupByKey(_.key)
-      .transformWithState(proc, TimeMode.None(), OutputMode.Update())
+      .transformWithState(proc, timeMode, OutputMode.Update())
   }
 
   /** Per-key admission cap — the streaming twin of the batch quota cap
@@ -298,6 +416,8 @@ object StreamOps {
     import ds.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
     val ttlConf = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+    // TTL requires processing-time mode (see runningPerKeyTws)
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     val proc = new StatefulProcessor[String, KeyedEvent, KeyedEvent] {
       @transient private var st: ValueState[Long] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -315,7 +435,7 @@ object StreamOps {
       }
     }
     ds.groupByKey(_.key)
-      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+      .transformWithState(proc, timeMode, OutputMode.Append())
   }
 
   /** Per-user streaming funnel state machine — the stateful twin of the
@@ -379,6 +499,8 @@ object StreamOps {
     import ds.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
     val ttlConf = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+    // TTL requires processing-time mode (see runningPerKeyTws)
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     val proc = new StatefulProcessor[Long, FunnelEvent, FunnelProgress] {
       @transient private var st: ValueState[FunnelProgress] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -402,7 +524,7 @@ object StreamOps {
       }
     }
     ds.groupByKey(_.user_id)
-      .transformWithState(proc, TimeMode.None(), OutputMode.Update())
+      .transformWithState(proc, timeMode, OutputMode.Update())
   }
 
   /** Stream-stream interval join (SURVEY §2.3.3 "as-of / interval
@@ -445,6 +567,63 @@ object StreamOps {
 
 /** Input shape for runningPerKey — (key, event-time, value). */
 case class KeyedEvent(key: String, ts: java.sql.Timestamp, value: Double)
+
+/** Streaming-ingest document record for [[StreamOps.neardupStream]]. */
+case class DocRecord(doc_id: Long, text: String)
+
+/** One LSH band record of a document: the bucket key (band, packed band
+  * signature halves) plus the doc's distinct word set for the exact-Jaccard
+  * confirm stage. */
+case class BandRecord(band: Int, sig1: Long, sig2: Long, doc_id: Long,
+                      words: Seq[String])
+
+/** Confirmed near-dup pair — the q50 output contract: id1 < id2, exact
+  * word-set Jaccard rounded half-up to 4 dp. */
+case class NearDupPair(id1: Long, id2: Long, jaccard: Double)
+
+/** Per-bucket member cache for [[StreamOps.neardupStream]]: the first
+  * `bucketCap` members' ids and sorted distinct word sets, in arrival
+  * order. Bounded by construction — the state never holds the corpus. */
+case class BucketMembers(ids: Seq[Long], words: Seq[Seq[String]])
+
+/** The MinHash pipeline's per-record spelling for streaming ingest: the
+  * SAME math as the batch `MinhashSig` kernel (base hash = Java
+  * String#hashCode of the space-joined 3-shingle reinterpreted unsigned
+  * mod p; 16 pairwise-independent (a·x+b) mod p mins; 2³¹ band packing) —
+  * StreamingSpec pins bit-parity against `Dedup.minhashSignatures` on the
+  * fixture corpus. */
+object StreamMinhash {
+  import graft.operators.Dedup
+  val PackBase = 2147483648L // 2³¹ — the batch lshBands packing base
+
+  private[graft] def signature(words: Array[String]): Array[Long] = {
+    val k = Dedup.ShingleWords
+    val p = Dedup.MinhashP
+    val as = Dedup.minhashA
+    val bs = Dedup.minhashB
+    val mins = Array.fill(Dedup.MinHashK)(Long.MaxValue)
+    var i = 0
+    val sb = new java.lang.StringBuilder
+    while (i <= words.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val x = (sb.toString.hashCode.toLong & 0xFFFFFFFFL) % p
+      var h = 0
+      while (h < Dedup.MinHashK) {
+        val g = (as(h) * x + bs(h)) % p
+        if (g < mins(h)) mins(h) = g
+        h += 1
+      }
+      i += 1
+    }
+    mins
+  }
+}
 
 /** Streaming-ingest embedding record (vec_id + raw float vector). */
 case class EmbRecord(vec_id: Long, embedding: Seq[Float])

@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pipeline.{RecordGenerator, TransactionalJdbcSink}
 import graft.schema.SchemaBridge
-import graft.streaming.{FunnelEvent, FunnelProgress, KeyedEvent, KeyRunning, StreamOps, StreamingPipeline}
+import graft.streaming.{DocRecord, FunnelEvent, FunnelProgress, KeyedEvent, KeyRunning, NearDupPair, StreamMinhash, StreamOps, StreamingPipeline}
 
 /** Streaming-layer tests (SURVEY §2.3.9, §5.2): watermarked windows with
   * late-data drop, session windows, stream dedup, explicit keyed state, and
@@ -446,6 +446,213 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("tws ops accept a non-empty TTL (processing-time mode engages; " +
+      "un-expired results match no-TTL)") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    // r16 ADVICE #1: ttl=Some(...) used to pair TTLConfig with
+    // TimeMode.None(), which Spark rejects at query start — the ttl option
+    // was documented but launching with it was a runtime error. Each Tws op
+    // now derives ProcessingTime mode from the ttl; this spec actually
+    // STARTS each op with a TTL (the failure was at start), and with a TTL
+    // far longer than the test nothing expires, so results equal the
+    // golden no-TTL expectations.
+    //
+    // Harness note: under processing-time mode the engine keeps scheduling
+    // timer micro-batches, so `processAllAvailable` never settles (it
+    // waited forever when this spec first used it — a genuine lesson, now
+    // in the Tws scaladocs: pace TTL'd queries with a real trigger).
+    // The spec therefore POLLS the sink for the expected rows.
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def pollUntil(cond: () => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 90000
+      while (!cond() && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cond(), s"timed out waiting for $what")
+    }
+    try {
+      val ttl = Some(java.time.Duration.ofHours(1))
+      // aggregate shape: state must carry across batches under the TTL mode
+      val rin = MemoryStream[KeyedEvent]
+      val rq = StreamOps.runningPerKeyTws(rin.toDS(), ttl).toDF()
+        .writeStream.format("memory").queryName("ttlrun")
+        .outputMode("update").start()
+      def runRows() = spark.table("ttlrun")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      try {
+        rin.addData(KeyedEvent("a", ts(1), 1.0), KeyedEvent("b", ts(1), 10.0))
+        pollUntil(() => runRows().contains(("a", 1L, 1.0)), "batch-1 running rows")
+        rin.addData(KeyedEvent("a", ts(2), 2.0))
+        pollUntil(() => runRows().contains(("a", 2L, 3.0)), "batch-2 running rows")
+      } finally rq.stop()
+      assert(runRows().contains(("b", 1L, 10.0)))
+      // counter shape: the admitted count must survive batches under TTL
+      val ain = MemoryStream[KeyedEvent]
+      val aq = StreamOps.admitPerKeyTws(ain.toDS(), k = 2, ttl).toDF()
+        .writeStream.format("memory").queryName("ttladm")
+        .outputMode("append").start()
+      def admRows() = spark.table("ttladm")
+        .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+      try {
+        ain.addData(KeyedEvent("a", ts(1), 1.0), KeyedEvent("a", ts(2), 2.0))
+        pollUntil(() => admRows() == Set(("a", 1.0), ("a", 2.0)), "admitted pair")
+        ain.addData(KeyedEvent("a", ts(3), 3.0))
+        // the third event must stay REJECTED: state (admitted=2) survived
+        // the batch boundary under TTL mode; give the engine time to have
+        // processed it, then pin the set is unchanged
+        Thread.sleep(2000)
+        pollUntil(() => admRows() == Set(("a", 1.0), ("a", 2.0)), "cap held")
+      } finally aq.stop()
+      // state-machine shape: stages fill forward across batches under TTL
+      val fin = MemoryStream[FunnelEvent]
+      val fq = StreamOps.funnelPerUserTws(fin.toDS(), ttl).toDF()
+        .writeStream.format("memory").queryName("ttlfun")
+        .outputMode("update").start()
+      def funRows() = spark.table("ttlfun")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      try {
+        fin.addData(FunnelEvent(1L, 10L, "view"))
+        pollUntil(() => funRows().contains((1L, 10L, -1L)), "view stage")
+        fin.addData(FunnelEvent(1L, 20L, "click"))
+        pollUntil(() => funRows().contains((1L, 10L, 20L)), "click stage")
+      } finally fq.stop()
+    } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  // ------------------------------------ streaming MinHash near-dup ingest
+
+  test("StreamMinhash.signature ≡ batch minhashSignatures on the fixture corpus") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val batch = graft.operators.Dedup.minhashSignatures(docs)
+      .collect().map(r => r.getLong(0) ->
+        (0 until graft.operators.Dedup.MinHashK).map(i => r.getLong(i + 1))).toMap
+    val local = docs.select("doc_id", "text").collect().flatMap { r =>
+      val words = Option(r.getString(1)).getOrElse("").trim.split("\\s+")
+      if (words.length < graft.operators.Dedup.ShingleWords) None
+      else Some(r.getLong(0) -> StreamMinhash.signature(words).toSeq)
+    }.toMap
+    assert(local.keySet == batch.keySet)
+    val diff = local.collect { case (id, sig) if batch(id) != sig => id }.take(3)
+    assert(diff.isEmpty, s"signatures diverge for docs $diff")
+    assert(local.nonEmpty)
+  }
+
+  test("neardupStream ≡ batch confirmedNearDups on the fixture corpus " +
+      "(in-order, across a micro-batch split)") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text").collect()
+        .map(r => DocRecord(r.getLong(0), r.getString(1)))
+        .sortBy(_.doc_id)
+      val expected = graft.operators.Dedup.confirmedNearDups(
+          Tables(spark, "/root/testdata/sf0.001", "documents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      GraftSession.releasePersisted(spark)
+      val (batch1, batch2) = docs.splitAt(docs.length / 2)
+      val in = MemoryStream[DocRecord]
+      val q = StreamOps.neardupStream(in.toDS()).toDF()
+        .writeStream.format("memory").queryName("neardup")
+        .outputMode("append").start()
+      try {
+        in.addData(batch1.toIndexedSeq); q.processAllAvailable()
+        in.addData(batch2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("neardup")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected,
+        s"stream/batch diverged: only-stream=${(got -- expected).take(3)} " +
+          s"only-batch=${(expected -- got).take(3)}")
+      assert(expected.nonEmpty, "vacuous parity: batch found no near-dups")
+    } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("scale drill: 50k-doc neardupStream kill/restart — resumes to exact " +
+      "batch parity on RocksDB, bounded state") {
+    // the q50-twin's restart drill (r16 verdict #3): near-dup groups are
+    // injected (11-word docs sharing a GROUP-SPECIFIC 10-word prefix
+    // within each id%G group → word-set jaccard 10/12 ≈ 0.83 ≥ 0.6;
+    // cross-group docs share ZERO tokens, so LSH buckets stay per-group
+    // and far under the cap — a corpus-wide shared prefix would mint
+    // over-cap buckets where batch retroactive-drop and streaming
+    // first-cap semantics legitimately diverge), streamed as 8 file
+    // micro-batches in doc_id order, killed after the first batch lands,
+    // resumed from checkpoint; the emitted pair set must EQUAL the batch
+    // confirmedNearDups of the same frame (kill+resume lost or doubled
+    // nothing — replayed batches re-emit identical pairs, the set dedups)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sp = spark
+      import sp.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graftnd")
+      val src = s"$tmp/src"
+      val nFiles = 8
+      val perFile = 6250L
+      val groups = 12500L // ~4 docs/group → small buckets, far under the cap
+      val g = (col("doc_id") % groups).cast("string")
+      val qq = expr(s"doc_id div $groups").cast("string")
+      val textExpr = concat_ws(" ",
+        (('a' to 'j').map(c => concat(lit(c.toString), g)) :+
+          concat(lit("x"), qq)): _*)
+      (0 until nFiles).foreach { f =>
+        spark.range(f * perFile, (f + 1) * perFile).select(col("id").as("doc_id"))
+          .withColumn("text", textExpr)
+          .coalesce(1).write.mode("append").parquet(src)
+      }
+      val all = spark.read.parquet(src).select("doc_id", "text")
+      val expected = graft.operators.Dedup.confirmedNearDups(all)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      GraftSession.releasePersisted(spark)
+      assert(expected.nonEmpty, "drill corpus produced no near-dups")
+      val schema = all.schema
+      val seen = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(Long, Long, Double)]
+      def stream(trigger: Trigger) =
+        StreamOps.neardupStream(
+          StreamingPipeline.fileSource(spark, src, schema, maxFilesPerTrigger = 1)
+            .as[DocRecord])
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[NearDupPair], _: Long) =>
+            b.collect().foreach(p => seen.add((p.id1, p.id2, p.jaccard)))
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(trigger).start()
+      val q1 = stream(Trigger.ProcessingTime(100))
+      try {
+        val deadline = System.currentTimeMillis() + 120000
+        while (seen.isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+      } finally q1.stop()
+      assert(!seen.isEmpty, "no near-dup batch landed before the kill")
+      val q2 = stream(Trigger.AvailableNow())
+      q2.awaitTermination(300000)
+      val got = {
+        val it = seen.iterator(); val b = Set.newBuilder[(Long, Long, Double)]
+        while (it.hasNext) b += it.next(); b.result()
+      }
+      assert(got == expected,
+        s"kill/resume diverged from batch: only-stream=${(got -- expected).take(3)} " +
+          s"only-batch=${(expected -- got).take(3)} " +
+          s"(|stream|=${got.size} |batch|=${expected.size})")
+      // bounded state: the bucket stage holds ≤ members-per-bucket word
+      // sets; with ~4-doc groups total state rows track the BUCKET count,
+      // and the pair-dedup stage one row per distinct pair — both far
+      // below the 50k event count × 4 bands
+      val rocksMetrics = q2.recentProgress.reverse
+        .flatMap(p => Option(p.stateOperators)).find(_.nonEmpty)
+        .map(_.head.customMetrics.keySet.toArray(Array.empty[String])
+          .filter(_.startsWith("rocksdb")))
+      assert(rocksMetrics.exists(_.nonEmpty),
+        "RocksDB state store did not engage in the neardup drill")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("admitPerKeyTws (transformWithState) matches admitPerKey on the golden batches") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
@@ -780,13 +987,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("scale drill: 1M-row funnel + admission kill/restart — bounded state, " +
       "exact resume, RocksDB (r12 verdict #6)") {
     // Extends the content-dedup kill drill to the OTHER two stateful
-    // operators whose 100 TB story is bounded per-key state: funnelPerUser
-    // (3 longs/user) and admitPerKey (1 long/key). Each runs ~1M rows as
-    // 8 file micro-batches on the RocksDB store, is killed after the first
-    // batch lands, resumes from checkpoint, and must show (a) final state
-    // EXACTLY matching an independent driver-side replay of the same fold
-    // (kill+resume lost or doubled nothing) and (b) state rows bounded by
-    // the key set, not the event count.
+    // operators whose 100 TB story is bounded per-key state: the funnel
+    // state machine (3 longs/user) and the admission cap (1 long/key).
+    // Each runs ~1M rows as 8 file micro-batches on the RocksDB store, is
+    // killed after the first batch lands, resumes from checkpoint, and must
+    // show (a) final state EXACTLY matching an independent driver-side
+    // replay of the same fold (kill+resume lost or doubled nothing) and
+    // (b) state rows bounded by the key set, not the event count.
+    // r17 (r16 verdict #4): the drill drives the transformWithState
+    // spellings (funnelPerUserTws / admitPerKeyTws) as the PRIMARY path now
+    // the trilogy is pinned ≡ legacy — the legacy flatMapGroupsWithState
+    // ops stay in-tree as the parity reference the golden specs compare.
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
@@ -830,7 +1041,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val funSchema = spark.read.parquet(funSrc).schema
       val funnelState = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Long)]
       def funnelStream(trigger: Trigger) =
-        StreamOps.funnelPerUser(
+        StreamOps.funnelPerUserTws(
           StreamingPipeline.fileSource(spark, funSrc, funSchema, maxFilesPerTrigger = 1)
             .as[FunnelEvent])
           .writeStream.outputMode("update")
@@ -882,7 +1093,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val admSchema = spark.read.parquet(admSrc).schema
       val admitted = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Double)]
       def admitStream(trigger: Trigger) =
-        StreamOps.admitPerKey(
+        StreamOps.admitPerKeyTws(
           StreamingPipeline.fileSource(spark, admSrc, admSchema, maxFilesPerTrigger = 1)
             .as[KeyedEvent], cap)
           .writeStream.outputMode("append")
