@@ -24,23 +24,34 @@ import org.apache.spark.sql.functions._
   * corpus where the flow itself costs ~5 s — at 100 TB that multiplier is
   * the difference between one pass over the data and eleven.
   *
-  * What the ONE internal action materializes (and persists) is the
-  * survivor ID SET — 8 bytes/row — never document text (the r5 shape
-  * persisted the full capped corpus and ALSO unpersisted it before
-  * returning, so every caller re-executed the whole selection chain on
-  * its first action: a 2× end-to-end tax the drill measured directly).
+  * What the ONE internal action materializes (and persists) is (a) the
+  * survivor ID SET — 8 bytes/row — and (b), since r17 (r16 verdict #5),
+  * ONE narrow tokenized projection of the non-empty corpus: (doc_id,
+  * source, quality verdict, 16-byte fingerprint, words array). Every
+  * build side of the ladder — exact-dedup keeper election, the MinHash
+  * signature AND Jaccard-verify passes, benchmark decontamination's
+  * probe — reads that cached projection instead of re-deriving
+  * tokenization/fingerprints from raw text per stage, which collapses
+  * the flow from 7 corpus scans to 3 (projection fill + the benchmark
+  * side + the caller's output join; ScanAudit budget pins it). At
+  * 100 TB the projection is corpus-sized — MEMORY_AND_DISK here; a
+  * production run checkpoints it to durable storage — and the
+  * difference between 7 corpus passes and 3 is most of the job cost.
+  * Document TEXT still never persists (words/fingerprint only).
+  *
   * The returned frame joins the raw input against the persisted
   * (id, pos) assignment, so a caller's write pays one cheap input scan +
   * a tiny join — the expensive chain (fingerprint dedup + shingle
   * decontamination + quota ranking) runs exactly once, inside curate().
   *
-  * Persist lifecycle: the id set stays pinned UNDER the returned plan
-  * (same contract as Dedup.confirmedNearDups) — callers release it after
-  * materializing via unpersist/GraftSession.releasePersisted; afterwards
-  * the plan remains correct but re-derives the selection chain lazily.
-  * The input `docs` plan is evaluated twice (once under the internal
-  * chain, once under the returned join) — callers pass a cheap scan or
-  * persist their input if it is itself an expensive derivation.
+  * Persist lifecycle: the id set and the narrow projection stay pinned
+  * UNDER the returned plan (same contract as Dedup.confirmedNearDups) —
+  * callers release after materializing via unpersist/
+  * GraftSession.releasePersisted; afterwards the plan remains correct
+  * but re-derives the selection chain lazily. The input `docs` plan is
+  * evaluated twice (once under the projection fill, once under the
+  * returned join) — callers pass a cheap scan or persist their input if
+  * it is itself an expensive derivation.
   */
 object Curation {
   final case class StageCount(stage: String, rows: Long)
@@ -79,8 +90,19 @@ object Curation {
     val nonEmptyPred = col("text").isNotNull && length(trim(col("text"))) > 0
     val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
       .cast("double") / length(col("text"))
-    val nonEmpty = stage("non_empty", input.filter(nonEmptyPred))
-    val quality = stage("quality_gate", nonEmpty.filter(alpha >= minAlphaRatio))
+    // r17 (r16 verdict #5): ONE narrow tokenized projection — the quality
+    // verdict, fingerprint, and words array are all pure functions of text,
+    // computed here exactly once; spine and every build side below read
+    // this cache instead of re-scanning the corpus per stage. Text itself
+    // is projected away before the persist.
+    val narrow = input.filter(nonEmptyPred)
+      .select(col("doc_id"), col("source"),
+        (alpha >= minAlphaRatio).as("__q"),
+        Dedup.contentFp(col("text")).as("__fp"),
+        Dedup.wordsOf(col("text")).as("__words"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nonEmpty = stage("non_empty", narrow)
+    val quality = stage("quality_gate", nonEmpty.filter(col("__q")))
     // The observed spine must stay TREE-shaped: a CollectMetrics node that
     // ends up under two plan branches (e.g. the probe AND the join build of
     // a fan-out operator) executes as duplicate instances, and with
@@ -90,17 +112,16 @@ object Curation {
     // the raw, un-observed `passers` with the stage gates re-applied —
     // semantically identical (keeper election and shingle contamination are
     // pure functions of text), and each observe node appears exactly once.
-    val passers = input.filter(nonEmptyPred && alpha >= minAlphaRatio)
+    val passers = narrow.filter(col("__q"))
     // inline exact-dedup with an un-observed keeper build; same contract as
     // Dedup.dropExactDuplicates (16-byte fingerprint, min-id keeper)
     val keepers = passers
-      .select(Dedup.contentFp(col("text")).as("__fp"), col("doc_id"))
+      .select(col("__fp"), col("doc_id"))
       .groupBy("__fp").agg(min("doc_id").as("doc_id"))
     val deduped = stage("exact_dedup",
-      quality.withColumn("__fp", Dedup.contentFp(col("text")))
-        .join(keepers, Seq("__fp", "doc_id"), "left_semi").drop("__fp"))
+      quality.join(keepers, Seq("__fp", "doc_id"), "left_semi"))
     // the near-dup ladder (opt-in): both victim sets are PURE functions of
-    // un-observed inputs (passers' text / the embeddings frame), so the
+    // un-observed inputs (passers' words / the embeddings frame), so the
     // observed spine stays tree-shaped — the same discipline as the keeper
     // build above
     val afterNearDup = nearDupEmbeddings match {
@@ -110,8 +131,8 @@ object Curation {
         // a doc is dropped when it is the HIGHER id of any confirmed pair
         // — the pairwise min-id survivor rule; the bucket cap inside
         // confirmedNearDups bounds the pair join exactly as in q50
-        val ndVictims = Dedup.confirmedNearDups(
-            passers.select(col("doc_id"), col("text")))
+        val ndVictims = Dedup.confirmedNearDupsFromWords(
+            passers.select(col("doc_id"), col("__words").as("words")))
           .select(col("id2").as("doc_id")).distinct()
         val nd = stage("minhash_neardup",
           deduped.join(ndVictims, Seq("doc_id"), "left_anti"))
@@ -125,7 +146,10 @@ object Curation {
     // the same id set restricted to deduped survivors — and keeps the
     // observed chain out of the anti-join's build side
     val clean = stage("decontaminated",
-      afterNearDup.join(Dedup.contaminatedIds(passers, benchmark).select("doc_id"),
+      afterNearDup.join(
+        Dedup.contaminatedIdsFromWords(
+          passers.select(col("doc_id"), col("__words").as("words")), benchmark)
+          .select("doc_id"),
         Seq("doc_id"), "left_anti"))
     val capped = stage("quota_capped",
       TextAnalysis.quotaCap(clean, "source", "doc_id", seed, quotaPerSource))

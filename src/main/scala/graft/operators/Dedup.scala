@@ -61,10 +61,20 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram Jaccard
 
+  /** The ONE tokenizer every word-level dedup op shares: whitespace split
+    * of trimmed text. Callers that pre-materialize `wordsOf` once (the
+    * curation ladder's persisted narrow projection, r16 verdict #5) feed
+    * the `...FromWords` variants below and tokenize the corpus exactly
+    * once instead of once per stage. */
+  private[graft] def wordsOf(text: Column): Column = split(trim(text), "\\s+")
+
   /** Distinct word set per doc, exploded (doc_id, word). */
   private def wordSets(d: DataFrame): DataFrame =
-    d.select(col("doc_id"),
-        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("word"))
+    wordSetsFromWords(d.select(col("doc_id"), wordsOf(col("text")).as("words")))
+
+  /** [[wordSets]] over a pre-tokenized (doc_id, words) frame. */
+  private[graft] def wordSetsFromWords(dw: DataFrame): DataFrame =
+    dw.select(col("doc_id"), explode(array_distinct(col("words"))).as("word"))
 
   /** All-pairs exact Jaccard from a distinct (doc_id, word) token table —
     * the verification kernel LSH candidates feed at scale. inter/union are
@@ -221,7 +231,15 @@ object Dedup {
     * then each of the K functions is a two-op universal mix (a_i·x + b_i) mod
     * p — hashing the variable-length string K times would cost K× the bytes
     * for the same family quality. Replayable end-to-end in DuckDB (the q34
-    * computed oracle), unlike the pre-r11 xxhash64 family. */
+    * computed oracle), unlike the pre-r11 xxhash64 family.
+    *
+    * @note the input's `doc_id` MUST be unique (r16 ADVICE #3): since the
+    *       r16 fused kernel this is one-output-row-per-INPUT-row (the old
+    *       groupBy(doc_id) shape merged duplicate ids). A caller passing a
+    *       pre-dedup frame with repeated ids gets duplicate signature rows
+    *       that inflate [[lshBands]] buckets and [[confirmedNearDups]]
+    *       candidate pairs — dedup ids first (every in-tree caller reads
+    *       the documents table, whose doc_id is unique). */
   def minhashSignatures(d: DataFrame): DataFrame = {
     // r16: the shingle-build + hash + 16-way min pipeline runs as ONE fused
     // native kernel per document ([[graft.functions.MinhashSig]]) — the
@@ -234,10 +252,16 @@ object Dedup {
     // Contract note: one output row per input row (callers read the
     // documents table, whose doc_id is unique — the old groupBy shape would
     // have merged duplicate ids, a case no caller has).
+    minhashSignaturesFromWords(
+      d.select(col("doc_id"), wordsOf(col("text")).as("words")))
+  }
+
+  /** [[minhashSignatures]] over a pre-tokenized (doc_id, words) frame —
+    * same kernel, same filter, same one-row-per-input-row contract. */
+  def minhashSignaturesFromWords(dw: DataFrame): DataFrame = {
     val sig = graft.functions.MinhashSig.minhashSig(col("words"), ShingleWords,
       (0 until MinHashK).map(minhashA), (0 until MinHashK).map(minhashB), MinhashP)
-    d.select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
-      .filter(size(col("words")) >= ShingleWords)
+    dw.filter(size(col("words")) >= ShingleWords)
       // sig in its own projection: 16 element_at consumers would otherwise
       // make CollapseProject inline the kernel call 16× (the winnow trap)
       .select(col("doc_id"), sig.as("sig"))
@@ -265,7 +289,9 @@ object Dedup {
     * replay in DuckDB (the pre-r11 xxhash64 band hash had neither). Docs
     * agreeing on any band land in the same LSH bucket. 16 bytes of bucket
     * key per band vs the old 8 — still only (doc_id, band, 2 longs) ever
-    * shuffles. */
+    * shuffles.
+    * @note inherits [[minhashSignatures]]' unique-`doc_id` contract: one
+    *       signature row per id, else buckets double-count. */
   def lshBands(sigs: DataFrame): DataFrame = {
     val nBands = MinHashK / BandRows
     val bandStructs = (0 until nBands).map { b =>
@@ -283,17 +309,26 @@ object Dedup {
     * verification on the candidates ONLY → threshold filter. This is the
     * composition a 100 TB dedup run executes: the quadratic verify kernel
     * (Q33) touches |candidates| pairs, not |corpus|² — LSH makes the exact
-    * step affordable. Returns (id1, id2, jaccard) for confirmed pairs. */
-  def confirmedNearDups(d: DataFrame, threshold: Double = 0.6): DataFrame = {
+    * step affordable. Returns (id1, id2, jaccard) for confirmed pairs.
+    * @note `doc_id` must be unique in `d` (the [[minhashSignatures]]
+    *       one-row-per-input-row contract). */
+  def confirmedNearDups(d: DataFrame, threshold: Double = 0.6): DataFrame =
+    confirmedNearDupsFromWords(
+      d.select(col("doc_id"), wordsOf(col("text")).as("words")), threshold)
+
+  /** [[confirmedNearDups]] over a pre-tokenized (doc_id, words) frame —
+    * the entry the curation ladder uses so its ONE persisted tokenization
+    * feeds signature AND verify stages (r16 verdict #5). */
+  def confirmedNearDupsFromWords(dw: DataFrame, threshold: Double = 0.6): DataFrame = {
     // cands and words each feed multiple joins: persist so the LSH pipeline
     // and the token explode run once per execution, not per consumer. The
     // persists are NOT released here (the result is a lazy plan) — callers
     // release after materializing via GraftSession.releasePersisted, which
     // Bench/Verify do between queries; relying on ContextCleaner GC left
     // these blocks pinned across the whole r02 bench (verdict finding 3).
-    val cands = minhashCandidatePairs(d)
+    val cands = minhashCandidatePairsFromWords(dw)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val words = wordSets(d).distinct()
+    val words = wordSetsFromWords(dw).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cands
@@ -351,7 +386,13 @@ object Dedup {
     * so skipping their pairwise expansion loses nothing at scale. */
   /** Default LSH bucket cap (q34 rule) — shared with the s50 SQL spelling. */
   val MinhashBucketCap = 1000
-  def minhashCandidatePairs(d: DataFrame, maxBucketSize: Int = MinhashBucketCap): DataFrame = {
+  def minhashCandidatePairs(d: DataFrame, maxBucketSize: Int = MinhashBucketCap): DataFrame =
+    minhashCandidatePairsFromWords(
+      d.select(col("doc_id"), wordsOf(col("text")).as("words")), maxBucketSize)
+
+  /** [[minhashCandidatePairs]] over a pre-tokenized (doc_id, words) frame. */
+  def minhashCandidatePairsFromWords(dw: DataFrame,
+      maxBucketSize: Int = MinhashBucketCap): DataFrame = {
     // bucket-size gate as a WINDOW count, not a groupBy+self-semi-join: the
     // signature pipeline upstream is the expensive part and sits under both
     // sides of the pair join already; a semi-join formulation would embed it
@@ -365,7 +406,7 @@ object Dedup {
     // durable storage instead. Released by the caller's
     // GraftSession.releasePersisted after the result materializes (see
     // confirmedNearDups' lifecycle note).
-    val bands = lshBands(minhashSignatures(d))
+    val bands = lshBands(minhashSignaturesFromWords(dw))
       .withColumn("__bn", count(lit(1)).over(bucketW))
       .filter(col("__bn") <= maxBucketSize)
       .drop("__bn")
@@ -457,17 +498,27 @@ object Dedup {
   /** `carry` columns ride along with doc_id through the shingle pass so the
     * caller never has to re-scan the corpus just to recover them. */
   def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, k: Int = 5,
-      carry: Seq[String] = Nil): DataFrame = {
-    val keyCols = "doc_id" +: carry
-    def sh(d: DataFrame, keep: Seq[String]): DataFrame = d
-      .select(keep.map(col) :+ split(trim(col("text")), "\\s+").as("words"): _*)
-      .filter(size(col("words")) >= k)
-      .select(keep.map(col) :+ explode(shingles(col("words"), k)).as("sh"): _*)
+      carry: Seq[String] = Nil): DataFrame =
     // the ~50× shingle fan-out must not run single-threaded on an
     // unsplittable source layout; no-op when the corpus plan is already
     // parallel (the 100 TB case — the EXPLODED table still never shuffles)
-    sh(Scale.ensureParallel(corpus), keyCols)
-      .join(broadcast(sh(benchmark, Seq("doc_id")).select("sh").distinct()),
+    contaminatedIdsFromWords(
+      Scale.ensureParallel(corpus).select(
+        ("doc_id" +: carry).map(col) :+ wordsOf(col("text")).as("words"): _*),
+      benchmark, k, carry)
+
+  /** [[contaminatedIds]] with a pre-tokenized (doc_id, carry…, words)
+    * corpus probe side; the benchmark side still takes raw text (eval
+    * suites are small — one cheap scan). */
+  def contaminatedIdsFromWords(corpusWords: DataFrame, benchmark: DataFrame,
+      k: Int = 5, carry: Seq[String] = Nil): DataFrame = {
+    val keyCols = "doc_id" +: carry
+    def shW(dw: DataFrame, keep: Seq[String]): DataFrame = dw
+      .filter(size(col("words")) >= k)
+      .select(keep.map(col) :+ explode(shingles(col("words"), k)).as("sh"): _*)
+    val bench = benchmark.select(col("doc_id"), wordsOf(col("text")).as("words"))
+    shW(corpusWords, keyCols)
+      .join(broadcast(shW(bench, Seq("doc_id")).select("sh").distinct()),
         Seq("sh"), "left_semi")
       .select(keyCols.map(col): _*).distinct()
   }
