@@ -115,6 +115,14 @@ object ScaleDrill {
                              // truth passes, fixed Q·R refine) + RRF.
                              // Gates at 2.5 like q153: the fusion must add
                              // nothing that grows faster than the index
+    "q157_ann_index_serve",  // embeddings (r17): build→persist→load→search.
+                             // The lane times the WHOLE round trip, so the
+                             // drill bounds the build (one assign pass +
+                             // one encode pass + the partitioned write —
+                             // all linear) while the serve half must stay
+                             // query-proportional (nprobe code shards +
+                             // Q·R rerank rows, independent of N); gates
+                             // at 2.5 like q153
     "q156_curation_neardup", // documents×embeddings (r16): the composed
                              // curation funnel WITH the near-dup ladder —
                              // curation_flow's stages plus q50's banded

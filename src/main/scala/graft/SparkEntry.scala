@@ -172,6 +172,10 @@ object SparkEntry {
     // IVF-PQ+rerank vector channel under the same RRF (the composition
     // q154's scaladoc promises; r15 verdict "What's missing #2")
     "q155_hybrid_bm25_ann" -> (Similarity.q155HybridBm25Ann _),
+    // q157 (r17): build→persist→load→search — the saved ANN index serve
+    // lane (r16 verdict #2); saved-index results ≡ the inline q153
+    // pipeline row-for-row, pinned by lane conformance + shared oracle
+    "q157_ann_index_serve" -> (Similarity.q157AnnIndexServe _),
     // r7: weighted sampling w/o replacement (Efraimidis–Spirakis, md5 stream)
     "q115_weighted_sample" -> ((s, d) => TextAnalysis.q115WeightedSample(s, d)),
     // r7: per-doc bigram-rarity quality score (integer LM-perplexity proxy)
@@ -476,14 +480,15 @@ object SparkEntry {
     * subvectors — none in the fixture) would drop from the lut join where
     * Spark's adcFold contributes 0; the block comment above records the
     * assumption. */
-  private val sqlPq: String =
+  private val sqlPqCore: String =
     "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20), " +
       "cbt AS (SELECT vec_id AS cent_id, v AS cbv FROM e WHERE vec_id < 16), " +
       "ms AS (SELECT unnest(range(0, 8)) AS m), " +
       s"ss AS (SELECT e.vec_id AS scid, m, cent_id, (${sqlSubDot("e.v", "cbv")}) / (SQRT(${sqlSubDot("e.v", "e.v")}) * SQRT(${sqlSubDot("cbv", "cbv")})) AS ssim FROM e CROSS JOIN cbt CROSS JOIN ms), " +
       "codes AS (SELECT scid, m, cent_id AS code FROM (SELECT scid, m, cent_id, ROW_NUMBER() OVER (PARTITION BY scid, m ORDER BY ssim DESC, cent_id) AS rk FROM ss) r WHERE rk = 1), " +
       s"lut AS (SELECT qid, m, cent_id AS code, (${sqlSubDot("qv", "cbv")}) AS lv, (${sqlSubDot("cbv", "cbv")}) AS nv FROM q CROSS JOIN cbt CROSS JOIN ms), " +
-      s"qn AS (SELECT qid, SQRT(${sqlDot("qv", "qv", 64)}) AS qn FROM q), " +
+      s"qn AS (SELECT qid, SQRT(${sqlDot("qv", "qv", 64)}) AS qn FROM q)"
+  private val sqlPq: String = sqlPqCore + ", " +
       s"tr AS (SELECT qid, cid FROM (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY tsim DESC, cid) AS rk FROM (SELECT q.qid, e.vec_id AS cid, ROUND(${sqlCosine("qv", "v", 64)}, 4) AS tsim FROM q CROSS JOIN e WHERE qid <> vec_id) s) r WHERE rk <= 10), " +
       "d AS (SELECT COUNT(*) AS denom FROM tr)"
 
@@ -491,9 +496,10 @@ object SparkEntry {
     * (list(... ORDER BY m) then a 0.0-seeded left fold — the adcFold
     * grouping order), sim = lsum/(qn·√nsum) with the NaN→-2 sentinel,
     * top-10 by (sim DESC, cid). `parts` must provide (qid, cid, m, lv, nv). */
-  private val sqlAdcRank: String =
+  private val sqlAdcScore: String =
     "folds AS (SELECT qid, cid, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lv ORDER BY m)), (a, b) -> a + b) AS lsum, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(nv ORDER BY m)), (a, b) -> a + b) AS nsum FROM parts GROUP BY qid, cid), " +
-      "scored AS (SELECT f.qid, f.cid, CASE WHEN isnan(f.lsum / (qn.qn * SQRT(f.nsum))) THEN -2.0 ELSE f.lsum / (qn.qn * SQRT(f.nsum)) END AS sim FROM folds f JOIN qn USING (qid)), " +
+      "scored AS (SELECT f.qid, f.cid, CASE WHEN isnan(f.lsum / (qn.qn * SQRT(f.nsum))) THEN -2.0 ELSE f.lsum / (qn.qn * SQRT(f.nsum)) END AS sim FROM folds f JOIN qn USING (qid))"
+  private val sqlAdcRank: String = sqlAdcScore + ", " +
       "approx AS (SELECT qid, cid FROM (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM scored) r WHERE rk <= 10), " +
       "h AS (SELECT COUNT(*) AS hits FROM tr JOIN approx USING (qid, cid))"
 
@@ -538,6 +544,23 @@ object SparkEntry {
       "nn AS (SELECT (SELECT COUNT(*) FROM q) AS n_q, (SELECT COUNT(*) FROM e) AS n_corpus) " +
       s"SELECT 'ivfpq_rerank_m8_k16_nprobe4_r${graft.operators.Similarity.RerankR}' AS method, ROUND(CAST(rhits AS DOUBLE) / denom, 4) AS recall, CAST(rhits AS BIGINT) AS hits, CAST(denom AS BIGINT) AS denom, ROUND(CAST(hits AS DOUBLE) / denom, 4) AS adc_recall, CAST(hits AS BIGINT) AS adc_hits, CAST(scanned AS BIGINT) AS scanned_pairs, CAST(reranked AS BIGINT) AS reranked_pairs, CAST(1000 AS BIGINT) AS floor_bp, (rhits * 10000 >= denom * 1000) AS floor_ok, (rhits >= hits) AS rerank_ge_adc, (scanned < n_q * (n_corpus - 1)) AS prune_ok FROM rh, h, d, rp, sc, nn",
     Seq("scored", "tr"))
+
+  /** q157: the saved-index serve lane's oracle — the q153 index, shortlist
+    * and exact rerank re-derived in DuckDB (identical math to
+    * [[ivfpqRerankOracle]] minus the truth/recall accounting the serve
+    * lane doesn't emit), output = the reranked top-10 rows themselves.
+    * The Spark lane computes these FROM THE PERSISTED ARTIFACT — parquet
+    * round-trips every double bit-exactly, so saved-index search hashing
+    * equal to this inline replay IS the save/load identity proof. */
+  private def annIndexServeOracle: String = materializeCtes(
+    s"WITH $sqlEmb, $sqlCentroids, $sqlAssign, $sqlPqCore, " +
+      s"pr AS (SELECT qid, cluster FROM (SELECT qid, cent_id AS cluster, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY csim DESC, cent_id) AS rk FROM (SELECT q.qid, c.cent_id, ${sqlCosine("qv", "cv", 64)} AS csim FROM q CROSS JOIN c) s) r WHERE rk <= 4), " +
+      "parts AS (SELECT l.qid, cd.scid AS cid, l.m, l.lv, l.nv FROM codes cd JOIN asg ON asg.vid = cd.scid JOIN pr ON pr.cluster = asg.cluster JOIN lut l ON l.qid = pr.qid AND l.m = cd.m AND l.code = cd.code WHERE l.qid <> cd.scid), " +
+      s"$sqlAdcScore, " +
+      s"short AS (SELECT qid, cid FROM (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM scored) r WHERE rk <= ${graft.operators.Similarity.RerankR}), " +
+      s"rr AS (SELECT sh.qid, sh.cid, ROUND(${sqlCosine("q.qv", "e.v", 64)}, 4) AS rsim FROM short sh JOIN q ON q.qid = sh.qid JOIN e ON e.vec_id = sh.cid) " +
+      "SELECT qid, cid, CAST(rk AS BIGINT) AS rnk, rsim FROM (SELECT qid, cid, rsim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rsim DESC, cid) AS rk FROM rr) r WHERE rk <= 10 ORDER BY qid, rnk",
+    Seq("scored"))
 
   /** q154: hybrid RRF replayed end to end — distinct-token overlap ranks
     * (the q33 tokenization spelling), exact ROUND(cos,4) vector ranks,
@@ -823,6 +846,7 @@ object SparkEntry {
     "q113_pq_recall" -> pqRecallOracle,
     "q114_ivfpq_recall" -> ivfpqRecallOracle,
     "q153_ivfpq_rerank" -> ivfpqRerankOracle,
+    "q157_ann_index_serve" -> annIndexServeOracle,
     "q154_hybrid_rrf" -> hybridRrfOracle,
     "q155_hybrid_bm25_ann" -> hybridBm25AnnOracle,
     "q156_curation_neardup" -> curationNearDupOracle,

@@ -408,6 +408,21 @@ object SqlFrontDoor {
       "FROM rh CROSS JOIN h CROSS JOIN d CROSS JOIN rp CROSS JOIN sc CROSS JOIN nn CROSS JOIN nq"
   }
 
+  /** Saved-index serve (q157) SQL twin: the INLINE replay of the index +
+    * shortlist + rerank math (SQL text cannot run the save/load side
+    * effect), emitting the reranked top-10 rows — so conformance of the
+    * q157 lane (which searches the PERSISTED artifact) against this text
+    * is precisely the saved ≡ inline identity. Unreferenced trailing CTEs
+    * of the common prefix (truth/recall accounting) are pruned by the
+    * analyzer. */
+  private def annIndexServeSql: String = {
+    val r = graft.operators.Similarity.RerankR
+    ivfPqCommonCtes + ", " +
+      s"short AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM scored) t WHERE rnk <= $r), " +
+      "rr AS (SELECT short.qid, short.cid, round(graft_cosine(q.qv, e2.v), 4) AS rsim FROM short JOIN q ON q.qid = short.qid JOIN e e2 ON e2.vec_id = short.cid) " +
+      "SELECT qid, cid, CAST(rnk AS BIGINT) AS rnk, rsim FROM (SELECT qid, cid, rsim, row_number() OVER (PARTITION BY qid ORDER BY rsim DESC, cid) AS rnk FROM rr) t WHERE rnk <= 10 ORDER BY qid, rnk"
+  }
+
   /** Hybrid BM25 + IVF-PQ-rerank (q155) SQL twin: the s153 index/shortlist/
     * rerank spellings with the query set swapped to the 8 corpus docs, the
     * all-integer BM25 keyword channel (q89 IDF surrogate + integer-milli
@@ -512,6 +527,7 @@ object SqlFrontDoor {
     "q113_pq_recall" -> pqSql,
     "q114_ivfpq_recall" -> ivfPqSql,
     "q153_ivfpq_rerank" -> ivfPqRerankSql,
+    "q157_ann_index_serve" -> annIndexServeSql,
     "q155_hybrid_bm25_ann" -> hybridBm25AnnSparkSql,
     "q156_curation_neardup" -> curationNearDupSparkSql,
     "q154_hybrid_rrf" -> { // hybrid RRF as text: split/explode tokenization,
