@@ -176,6 +176,10 @@ object SparkEntry {
     // lane (r16 verdict #2); saved-index results ≡ the inline q153
     // pipeline row-for-row, pinned by lane conformance + shared oracle
     "q157_ann_index_serve" -> (Similarity.q157AnnIndexServe _),
+    // q158 (r17): sharded build + merge ≡ monolithic — quantizers trained
+    // once, even/odd corpus halves encoded independently, artifacts merged
+    // (the FAISS merge_into shape); same output contract and oracle as q157
+    "q158_ann_index_merge" -> (Similarity.q158AnnIndexMerge _),
     // r7: weighted sampling w/o replacement (Efraimidis–Spirakis, md5 stream)
     "q115_weighted_sample" -> ((s, d) => TextAnalysis.q115WeightedSample(s, d)),
     // r7: per-doc bigram-rarity quality score (integer LM-perplexity proxy)
@@ -847,6 +851,9 @@ object SparkEntry {
     "q114_ivfpq_recall" -> ivfpqRecallOracle,
     "q153_ivfpq_rerank" -> ivfpqRerankOracle,
     "q157_ann_index_serve" -> annIndexServeOracle,
+    // merged-shard search must equal the monolithic build exactly, so it
+    // gates on the SAME inline replay
+    "q158_ann_index_merge" -> annIndexServeOracle,
     "q154_hybrid_rrf" -> hybridRrfOracle,
     "q155_hybrid_bm25_ann" -> hybridBm25AnnOracle,
     "q156_curation_neardup" -> curationNearDupOracle,

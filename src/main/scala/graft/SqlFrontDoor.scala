@@ -528,6 +528,7 @@ object SqlFrontDoor {
     "q114_ivfpq_recall" -> ivfPqSql,
     "q153_ivfpq_rerank" -> ivfPqRerankSql,
     "q157_ann_index_serve" -> annIndexServeSql,
+    "q158_ann_index_merge" -> annIndexServeSql,
     "q155_hybrid_bm25_ann" -> hybridBm25AnnSparkSql,
     "q156_curation_neardup" -> curationNearDupSparkSql,
     "q154_hybrid_rrf" -> { // hybrid RRF as text: split/explode tokenization,

@@ -733,11 +733,25 @@ object Similarity {
     * because pruning works on any prefix of the partition spec. */
   def writeIndex(e: DataFrame, path: String): Unit = {
     val M = 8; val K = 16; val Dim = 64
-    val cents = ivfCentroids(e, sqrtStride(e))
+    writeIndexWith(e, ivfCentroids(e, sqrtStride(e)), pqCodebook(e, M, K, Dim), path)
+  }
+
+  /** [[writeIndex]] with the quantizers supplied by the caller: encode
+    * corpus `e` against the GIVEN centroid table and codebook row and land
+    * the artifact under `path`. This is the sharded-build primitive — at
+    * 100 TB nobody builds a monolithic index: the coarse/PQ quantizers are
+    * trained once (on the corpus or a sample), then every data shard
+    * encodes INDEPENDENTLY against the frozen quantizers (assignment and
+    * encoding are per-row pure functions, embarrassingly parallel across
+    * shards) and the artifacts merge by concatenation ([[mergeIndexes]]).
+    * FAISS ships exactly this (clone the trained index per shard,
+    * `merge_into` the inverted lists). */
+  def writeIndexWith(e: DataFrame, cents: DataFrame, cb: DataFrame,
+                     path: String): Unit = {
+    val M = 8; val Dim = 64
+    val sub = Dim / M
     val assigned = assignTo(e, cents)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("cluster"))
-    val cb = pqCodebook(e, M, K, Dim)
-    val sub = Dim / M
     val coded = assigned.crossJoin(broadcast(cb))
       .select(col("cid"), col("cluster"), array((0 until M).map { i =>
         VectorOps.bestCentroid(subv(col("cv"), i, sub), col(s"cb$i"))
@@ -751,6 +765,70 @@ object Similarity {
     graft.sources.ParquetLayout.writePartitioned(
       assigned.select(col("cid"), col("cluster"), col("cv")),
       s"$path/vectors", Seq("cluster"), Seq("cid"))
+  }
+
+  /** Merge sharded [[writeIndexWith]] artifacts into one serveable index.
+    * Legal ONLY when every shard was encoded against the SAME quantizers —
+    * codes are meaningless under a different codebook — so the merge
+    * VALIDATES centroid-table and codebook equality row-for-row (cheap:
+    * one √n-row table and one 1-row table per shard) and refuses
+    * otherwise. Codes/vectors merge by plain union, re-landed
+    * cluster-partitioned; with identical quantizers the merged artifact
+    * is EXACTLY the monolithic build's (same codes for every cid — the
+    * q158 lane pins merged-search ≡ monolithic-search ≡ the shared
+    * oracle). At scale this is a metadata-level concat of cluster shards;
+    * the one pass here re-groups them under one layout. */
+  def mergeIndexes(s: SparkSession, parts: Seq[String], out: String): Unit = {
+    require(parts.nonEmpty, "mergeIndexes: no shard paths")
+    def rows(p: String, table: String): Seq[String] =
+      s.read.parquet(s"$p/$table").collect()
+        .map(_.toString).sorted.toSeq
+    val refCents = rows(parts.head, "centroids")
+    val refCb = rows(parts.head, "codebook")
+    parts.tail.foreach { p =>
+      require(rows(p, "centroids") == refCents,
+        s"mergeIndexes: centroid tables differ between ${parts.head} and $p")
+      require(rows(p, "codebook") == refCb,
+        s"mergeIndexes: codebooks differ between ${parts.head} and $p")
+    }
+    s.read.parquet(s"${parts.head}/centroids")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$out/centroids")
+    s.read.parquet(s"${parts.head}/codebook")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$out/codebook")
+    val codes = parts.map(p => s.read.parquet(s"$p/codes")
+        .withColumn("cluster", col("cluster").cast("long")))
+      .reduce(_ unionByName _)
+    graft.sources.ParquetLayout.writePartitioned(
+      codes, s"$out/codes", Seq("cluster"), Seq("cid"))
+    val vecs = parts.map(p => s.read.parquet(s"$p/vectors")
+        .withColumn("cluster", col("cluster").cast("long")))
+      .reduce(_ unionByName _)
+    graft.sources.ParquetLayout.writePartitioned(
+      vecs, s"$out/vectors", Seq("cluster"), Seq("cid"))
+  }
+
+  /** Q158 — sharded build + merge ≡ monolithic build: the quantizers are
+    * trained ONCE on the full corpus, the corpus is split in two (even /
+    * odd vec_id — a worst-case interleaved shard split), each half is
+    * encoded into its own artifact by [[writeIndexWith]], the artifacts
+    * merge by [[mergeIndexes]], and the merged index serves the q157
+    * query set. Output = the same (qid, cid, rnk, rsim) contract, equal
+    * to q157's row-for-row (and gated on the same computed oracle):
+    * shard-parallel indexing loses NOTHING — the property a 100 TB build
+    * actually relies on. */
+  def q158AnnIndexMerge(s: SparkSession, dir: String): DataFrame = {
+    val M = 8; val K = 16; val Dim = 64
+    val e = emb(s, dir).select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 20).toDF("qid", "qv")
+    val cents = ivfCentroids(e, sqrtStride(e))
+    val cb = pqCodebook(e, M, K, Dim)
+    val base = indexPathFor(dir) + "_sharded"
+    writeIndexWith(e.filter(col("vec_id") % 2 === 0), cents, cb, s"$base/shard0")
+    writeIndexWith(e.filter(col("vec_id") % 2 === 1), cents, cb, s"$base/shard1")
+    mergeIndexes(s, Seq(s"$base/shard0", s"$base/shard1"), s"$base/merged")
+    searchIndex(loadIndex(s, s"$base/merged"), q).orderBy("qid", "rnk")
   }
 
   /** Load a [[writeIndex]] artifact. Partition-column values come back as

@@ -98,6 +98,50 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(codesScan.isDefined, "no codes scan in the serve plan")
   }
 
+  test("sharded build + merge ≡ the monolithic artifact (q158 ≡ q157)") {
+    val mono = Similarity.q157AnnIndexServe(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val merged = Similarity.q158AnnIndexMerge(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(merged.toSeq == mono.toSeq,
+      "merged-shard search diverged from the monolithic build")
+  }
+
+  test("mergeIndexes refuses shards encoded against different quantizers") {
+    val e = corpus
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_merge_bad").toString
+    val cents = Similarity.ivfCentroids(e, Similarity.sqrtStride(e))
+    val cb = Similarity.pqCodebook(e, 8, 16, 64)
+    // a SECOND, different quantizer family: different stride → different
+    // centroid table (codes under it are incompatible by construction)
+    val cents2 = Similarity.ivfCentroids(e, Similarity.sqrtStride(e) + 1)
+    Similarity.writeIndexWith(e.filter(col("vec_id") % 2 === 0), cents, cb, s"$tmp/a")
+    Similarity.writeIndexWith(e.filter(col("vec_id") % 2 === 1), cents2, cb, s"$tmp/b")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.mergeIndexes(spark, Seq(s"$tmp/a", s"$tmp/b"), s"$tmp/out")
+    }
+    assert(err.getMessage.contains("centroid tables differ"))
+  }
+
+  test("a loaded index serves EXTERNAL query vectors (not corpus members)") {
+    val sp = spark
+    import sp.implicits._
+    val idx = Similarity.loadIndex(spark, idxPath)
+    // synthetic queries: midpoints of corpus vector pairs — never corpus
+    // rows, which also means the qid ≠ cid guard never suppresses a hit
+    val pairs = corpus.filter(col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val qs = pairs.sliding(2).collect { case Array((ia, va), (_, vb)) =>
+      (1000L + ia, va.zip(vb).map { case (x, y) => (x + y) / 2 }.toSeq)
+    }.toSeq
+    val q = qs.toDF("qid", "qv")
+    val served = Similarity.searchIndex(idx, q, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served.nonEmpty && served.map(_._1).distinct.length == qs.length,
+      s"every external query must rank candidates: got ${served.length} rows")
+    assert(served.forall(_._3 <= 5))
+  }
+
   test("serve cost is query-proportional: rerank touches ≤ Q·R vector rows") {
     val idx = Similarity.loadIndex(spark, idxPath)
     val q = corpus.filter(col("vec_id") < 20).toDF("qid", "qv")
