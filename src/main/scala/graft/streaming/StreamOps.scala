@@ -110,7 +110,23 @@ object StreamOps {
     * keys, so the pair stage parallelizes across the shuffle exactly like
     * the batch self-join. */
   def semDedupStream(ds: Dataset[EmbRecord], centroids: Seq[(Long, Array[Double])],
-                     cap: Int, tau: Double): Dataset[SemVerdict] = {
+                     cap: Int, tau: Double): Dataset[SemVerdict] =
+    semDedupStreamImpl(ds, centroids, cap, tau, useTws = false)
+
+  /** [[semDedupStream]] on `transformWithState` — the fourth and last
+    * stateful operator ported to the successor API (r17; after the r16
+    * trilogy), so EVERY flatMapGroupsWithState op in the library now has
+    * a side-by-side Tws spelling and the migration recipe covers the
+    * bounded-member-cache state shape too. Semantics identical —
+    * StreamingSpec pins tws ≡ legacy ≡ batch on the fixture corpus
+    * across micro-batch splits; RocksDB provider required by the API. */
+  def semDedupStreamTws(ds: Dataset[EmbRecord], centroids: Seq[(Long, Array[Double])],
+                        cap: Int, tau: Double): Dataset[SemVerdict] =
+    semDedupStreamImpl(ds, centroids, cap, tau, useTws = true)
+
+  private def semDedupStreamImpl(ds: Dataset[EmbRecord],
+      centroids: Seq[(Long, Array[Double])], cap: Int, tau: Double,
+      useTws: Boolean): Dataset[SemVerdict] = {
     import ds.sparkSession.implicits._
     val cents = centroids.sortBy(_._1)
     def cos(a: Array[Double], b: Array[Double]): Double = {
@@ -140,7 +156,28 @@ object StreamOps {
       if (x.isNaN) x
       else java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
     def geTau(sim: Double, tau: Double): Boolean = sim.isNaN || sim >= tau
-    ds.map { r =>
+    // ONE fold shared verbatim by both API spellings: parity between the
+    // legacy and Tws lanes is then structural, not maintained by hand
+    def foldGroup(cluster: Long, rows: Iterator[(Long, Long, Seq[Double])],
+                  prev: SemClusterState): (SemClusterState, Seq[SemVerdict]) = {
+      var ids = prev.ids.toVector
+      var vecs = prev.vecs.map(_.toArray).toVector
+      val out = rows.toSeq.sortBy(_._1).map { case (vid, _, vn) =>
+        if (ids.size < cap) {
+          var dupOf = -1L
+          var i = 0
+          while (i < ids.size) {
+            if (geTau(r4(dotp(vn, vecs(i))), tau) && (dupOf == -1L || ids(i) < dupOf))
+              dupOf = ids(i)
+            i += 1
+          }
+          ids :+= vid; vecs :+= vn.toArray
+          SemVerdict(vid, cluster, dupOf, dupOf != -1L)
+        } else SemVerdict(vid, cluster, -1L, is_dup = false)
+      }
+      (SemClusterState(ids, vecs.map(_.toSeq)), out)
+    }
+    val grouped = ds.map { r =>
       val v = r.embedding.map(_.toDouble).toArray
       var bid = -1L; var bs = Double.NegativeInfinity
       cents.foreach { case (cid, cv) =>
@@ -151,29 +188,35 @@ object StreamOps {
       val nrm = math.sqrt(n2)
       (r.vec_id, bid, v.map(_ / nrm).toSeq)
     }.groupByKey(_._2)
-      .flatMapGroupsWithState[SemClusterState, SemVerdict](
+    if (useTws) {
+      import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+      val proc = new StatefulProcessor[Long, (Long, Long, Seq[Double]), SemVerdict] {
+        @transient private var st: ValueState[SemClusterState] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          st = getHandle.getValueState[SemClusterState]("members",
+            org.apache.spark.sql.Encoders.product[SemClusterState], TTLConfig.NONE)
+        override def handleInputRows(cluster: Long,
+            rows: Iterator[(Long, Long, Seq[Double])],
+            tv: TimerValues): Iterator[SemVerdict] = {
+          val prev = if (st.exists()) st.get()
+            else SemClusterState(Vector.empty, Vector.empty)
+          val (next, out) = foldGroup(cluster, rows, prev)
+          st.update(next)
+          out.iterator
+        }
+      }
+      grouped.transformWithState(proc, TimeMode.None(), OutputMode.Append())
+    } else {
+      grouped.flatMapGroupsWithState[SemClusterState, SemVerdict](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (cluster: Long, rows: Iterator[(Long, Long, Seq[Double])],
          state: GroupState[SemClusterState]) =>
           val prev = state.getOption.getOrElse(SemClusterState(Vector.empty, Vector.empty))
-          var ids = prev.ids.toVector
-          var vecs = prev.vecs.map(_.toArray).toVector
-          val out = rows.toSeq.sortBy(_._1).map { case (vid, _, vn) =>
-            if (ids.size < cap) {
-              var dupOf = -1L
-              var i = 0
-              while (i < ids.size) {
-                if (geTau(r4(dotp(vn, vecs(i))), tau) && (dupOf == -1L || ids(i) < dupOf))
-                  dupOf = ids(i)
-                i += 1
-              }
-              ids :+= vid; vecs :+= vn.toArray
-              SemVerdict(vid, cluster, dupOf, dupOf != -1L)
-            } else SemVerdict(vid, cluster, -1L, is_dup = false)
-          }
-          state.update(SemClusterState(ids, vecs.map(_.toSeq)))
+          val (next, out) = foldGroup(cluster, rows, prev)
+          state.update(next)
           out.iterator
       }
+    }
   }
 
   /** Streaming MinHash near-dup ingest — the q50 twin (r16 verdict #3),

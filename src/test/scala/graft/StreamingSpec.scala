@@ -193,6 +193,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
   }
 
+  test("semDedupStreamTws (transformWithState) matches the legacy spelling " +
+      "and the batch lane on the fixture corpus") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    // the fourth and last fMGWS op ported to the successor API (r17):
+    // same fixture, same micro-batch split as the legacy parity test —
+    // tws ≡ legacy ≡ batch must all hold
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      val all = graft.Tables(sp, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => graft.streaming.EmbRecord(r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_.vec_id)
+      val stride = math.max(2L, math.round(math.sqrt(all.size.toDouble)))
+      val cents = all.filter(_.vec_id % stride == 0)
+        .map(r => r.vec_id -> r.embedding.map(_.toDouble).toArray).toSeq
+      def runThrough(name: String,
+          op: org.apache.spark.sql.Dataset[graft.streaming.EmbRecord] =>
+            org.apache.spark.sql.Dataset[graft.streaming.SemVerdict]) = {
+        val in = MemoryStream[graft.streaming.EmbRecord]
+        val (b1, rest) = all.splitAt(all.length / 3)
+        val (b2, b3) = rest.splitAt(rest.length / 3)
+        runToMemory(op(in.toDS()).toDF(), name)(
+          () => in.addData(b1), () => in.addData(b2), () => in.addData(b3))
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+          .toMap
+      }
+      val legacy = runThrough("semtws_legacy", ds => StreamOps.semDedupStream(ds, cents,
+        graft.operators.Dedup.SemMemberCap, graft.operators.Dedup.SemDupTau))
+      val tws = runThrough("semtws_new", ds => StreamOps.semDedupStreamTws(ds, cents,
+        graft.operators.Dedup.SemMemberCap, graft.operators.Dedup.SemDupTau))
+      assert(tws == legacy, {
+        val diff = legacy.collect { case (k, v) if tws.get(k) != Some(v) =>
+          s"$k: legacy $v vs tws ${tws.get(k)}" }.take(5)
+        s"APIs diverged: ${diff.mkString("; ")}"
+      })
+      val batch = graft.operators.Dedup.q152SemDedup(sp, sfDir).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+        .toMap
+      assert(tws == batch, "tws verdicts diverged from the batch lane")
+    } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("semDedupStream: NaN similarity (degenerate zero embedding) matches batch SQL semantics") {
     // r15 ADVICE #1: the batch lane's `sim >= tau` and the DuckDB oracle
     // both evaluate TRUE for NaN (SQL orders NaN above every double), so a
@@ -316,8 +364,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       val schema = sp.read.parquet(src).schema
       val got = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Boolean)]
-      def start() =
-        StreamOps.semDedupStream(
+      def start() = // drill drives the Tws spelling as primary (r16 #4)
+        StreamOps.semDedupStreamTws(
           StreamingPipeline.fileSource(sp, src, schema, maxFilesPerTrigger = 1)
             .as[graft.streaming.EmbRecord],
           cents, graft.operators.Dedup.SemMemberCap, graft.operators.Dedup.SemDupTau)
