@@ -706,9 +706,11 @@ object Similarity {
     * cb0..cb7 + __nlut); `codes` (cid, cluster, codes) — 4-byte PQ codes,
     * HIVE-PARTITIONED by cluster so a probe's scan prunes to its nprobe
     * directories before any I/O; `vectors` (cid, cluster, cv) — the raw
-    * vectors the refine stage re-scores, cluster-partitioned the same way
-    * (exactly what FAISS's IndexRefineFlat stores next to the quantized
-    * index). */
+    * vectors the refine stage re-scores (what FAISS's IndexRefineFlat
+    * stores next to the quantized index), laid out as cid-RANGE-sorted
+    * files because the refine read path is a by-cid shortlist fetch, not
+    * a cluster prune — partition by what you prune on, range-sort by
+    * what you look up. */
   final case class AnnIndex(centroids: DataFrame, codebook: DataFrame,
                             codes: DataFrame, vectors: DataFrame)
 
@@ -762,10 +764,21 @@ object Similarity {
       .parquet(s"$path/codebook")
     graft.sources.ParquetLayout.writePartitioned(
       coded, s"$path/codes", Seq("cluster"), Seq("cid"))
-    graft.sources.ParquetLayout.writePartitioned(
-      assigned.select(col("cid"), col("cluster"), col("cv")),
-      s"$path/vectors", Seq("cluster"), Seq("cid"))
+    // vectors are NOT cluster-partitioned: the refine stage fetches them by
+    // cid (broadcast shortlist semi-join), never by cluster prune — so the
+    // right layout is cid-range files with a local sort (tight cid min/max
+    // per row group serves the point lookups) instead of √n hive
+    // directories whose per-dir filesystem cost buys nothing this read
+    // path uses. cluster rides along as a data column.
+    writeVectors(assigned.select(col("cid"), col("cluster"), col("cv")),
+      s"$path/vectors")
   }
+
+  private def writeVectors(vecs: DataFrame, path: String): Unit =
+    vecs.repartitionByRange(
+        vecs.sparkSession.sessionState.conf.numShufflePartitions, col("cid"))
+      .sortWithinPartitions("cid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
 
   /** Merge sharded [[writeIndexWith]] artifacts into one serveable index.
     * Legal ONLY when every shard was encoded against the SAME quantizers —
@@ -797,16 +810,22 @@ object Similarity {
     s.read.parquet(s"${parts.head}/codebook")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$out/codebook")
-    val codes = parts.map(p => s.read.parquet(s"$p/codes")
+    // shard inputs are ALREADY cluster-partitioned on disk (every input
+    // file holds exactly one cluster), so the merged layout is written
+    // WITHOUT ParquetLayout's repartition: each read task only ever holds
+    // whole-cluster segments, partitionBy routes them to their directory,
+    // and the file count stays Σ shard files — no T×P fan-out, no shuffle.
+    // Within a merged file, rows are cid-sorted per shard segment (shards
+    // wrote them sorted); row-group stats stay tight.
+    parts.map(p => s.read.parquet(s"$p/codes")
         .withColumn("cluster", col("cluster").cast("long")))
       .reduce(_ unionByName _)
-    graft.sources.ParquetLayout.writePartitioned(
-      codes, s"$out/codes", Seq("cluster"), Seq("cid"))
-    val vecs = parts.map(p => s.read.parquet(s"$p/vectors")
-        .withColumn("cluster", col("cluster").cast("long")))
-      .reduce(_ unionByName _)
-    graft.sources.ParquetLayout.writePartitioned(
-      vecs, s"$out/vectors", Seq("cluster"), Seq("cid"))
+      .write.partitionBy("cluster")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$out/codes")
+    writeVectors(
+      parts.map(p => s.read.parquet(s"$p/vectors")).reduce(_ unionByName _),
+      s"$out/vectors")
   }
 
   /** Q158 — sharded build + merge ≡ monolithic build: the quantizers are
@@ -822,11 +841,24 @@ object Similarity {
     val M = 8; val K = 16; val Dim = 64
     val e = emb(s, dir).select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < 20).toDF("qid", "qv")
+    // the frozen quantizers fan into four consumers (2 shards × write +
+    // broadcast-encode): persist so training runs once — released by the
+    // harness after the lane materializes (the q50/q153 lifecycle)
     val cents = ivfCentroids(e, sqrtStride(e))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cb = pqCodebook(e, M, K, Dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = indexPathFor(dir) + "_sharded"
-    writeIndexWith(e.filter(col("vec_id") % 2 === 0), cents, cb, s"$base/shard0")
-    writeIndexWith(e.filter(col("vec_id") % 2 === 1), cents, cb, s"$base/shard1")
+    // shard builds run CONCURRENTLY — they share nothing but the frozen
+    // (persisted, read-only) quantizers and write disjoint directories,
+    // which is precisely why a production build fans shards across a
+    // cluster; here two driver threads overlap the write jobs
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(writeIndexWith(e.filter(col("vec_id") % 2 === 0), cents, cb, s"$base/shard0")),
+      Future(writeIndexWith(e.filter(col("vec_id") % 2 === 1), cents, cb, s"$base/shard1")))),
+      scala.concurrent.duration.Duration.Inf)
     mergeIndexes(s, Seq(s"$base/shard0", s"$base/shard1"), s"$base/merged")
     searchIndex(loadIndex(s, s"$base/merged"), q).orderBy("qid", "rnk")
   }
@@ -839,8 +871,7 @@ object Similarity {
     codebook = s.read.parquet(s"$path/codebook"),
     codes = s.read.parquet(s"$path/codes")
       .withColumn("cluster", col("cluster").cast("long")),
-    vectors = s.read.parquet(s"$path/vectors")
-      .withColumn("cluster", col("cluster").cast("long")))
+    vectors = s.read.parquet(s"$path/vectors"))
 
   /** Serve-many half: the q153 probe → ADC → shortlist → exact-rerank
     * pipeline run against a LOADED index — no corpus derivation anywhere.
