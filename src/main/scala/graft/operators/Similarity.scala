@@ -793,15 +793,20 @@ object Similarity {
     * the one pass here re-groups them under one layout. */
   def mergeIndexes(s: SparkSession, parts: Seq[String], out: String): Unit = {
     require(parts.nonEmpty, "mergeIndexes: no shard paths")
-    def rows(p: String, table: String): Seq[String] =
-      s.read.parquet(s"$p/$table").collect()
-        .map(_.toString).sorted.toSeq
-    val refCents = rows(parts.head, "centroids")
-    val refCb = rows(parts.head, "codebook")
+    // quantizer equality is verified DISTRIBUTED (symmetric exceptAll
+    // counts), never by collecting the tables: centroids are √n rows —
+    // ~10⁶ rows × 64 doubles at a 10¹²-vector corpus, far past what a
+    // driver should materialize for a validation. The codebook is one
+    // row either way; exceptAll keeps the check uniform and exact
+    // (bag-equality over every column, bit-for-bit on the doubles).
+    def sameRows(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val refCents = s.read.parquet(s"${parts.head}/centroids")
+    val refCb = s.read.parquet(s"${parts.head}/codebook")
     parts.tail.foreach { p =>
-      require(rows(p, "centroids") == refCents,
+      require(sameRows(s.read.parquet(s"$p/centroids"), refCents),
         s"mergeIndexes: centroid tables differ between ${parts.head} and $p")
-      require(rows(p, "codebook") == refCb,
+      require(sameRows(s.read.parquet(s"$p/codebook"), refCb),
         s"mergeIndexes: codebooks differ between ${parts.head} and $p")
     }
     s.read.parquet(s"${parts.head}/centroids")
