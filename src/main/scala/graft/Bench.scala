@@ -32,6 +32,27 @@ import org.apache.spark.sql.SparkSession
   * under their lazy plans, and leaving them pinned bled storage pressure
   * into every query that ran after q50/q79 in the r02 bench. */
 object Bench {
+  /** Per-lane regression-fence multipliers for lanes with a MEASURED
+    * bimodal warm-time distribution on clean hosts (codegen-cache
+    * eviction order decides whether a pass recompiles — the r15/r16
+    * diagnosis, still reproducing at cache size 8192): the default 1.5×
+    * noise model assumes unimodal jitter around the ratcheted best, but
+    * these lanes alternate between a fast and a ~2× slow mode with no
+    * code change — q114 x10 wall read 1.38 / 1.96 / 2.80 / 3.10 across
+    * four r17 same-code clean recordings; q152's suite lane read 0.68 vs
+    * 1.12 the same day. A fence that names the slow MODE of a healthy
+    * lane every other run trains its readers to ignore it, and min()
+    * re-arms the flap on every lucky run. These lanes flag at 2.5× best
+    * — still far below any real regression (the fence's catches have
+    * been ≥3×) — while the drill ratio / scan / text gates own their
+    * scale behavior. Keep this list SHORT and evidence-cited; entries
+    * without a measured bimodal history belong in the resets ledger, not
+    * here. */
+  val BimodalFenceX: Map[String, Double] = Map(
+    "q114_ivfpq_recall" -> 2.5,
+    "q152_semdedup" -> 2.5)
+  def fenceX(lane: String): Double = BimodalFenceX.getOrElse(lane, 1.5)
+
   def main(args: Array[String]): Unit = {
     // f-interpolators are locale-sensitive: a comma-decimal locale would
     // emit invalid JSON and break the driver's parse of the metrics line
@@ -278,7 +299,7 @@ object Bench {
       if (!drillHostClean) Seq.empty
       else curX10.toSeq.sorted.collect {
         case (k, now) if prevX10.get(k).exists(prev =>
-            now > prev * 1.5 && now - prev > 0.5) =>
+            now > prev * Bench.fenceX(k) && now - prev > 0.5) =>
           (k, prevX10(k), now)
       }
     drillRegressed.foreach { case (k, prev, now) =>
@@ -461,7 +482,7 @@ object Bench {
       if (!hostCleanForDiff) Seq.empty
       else curBest.toSeq.sorted.collect {
         case (k, now) if prevBest.get(k).exists(prev =>
-            now > prev * 1.5 && now - prev > 0.3) =>
+            now > prev * Bench.fenceX(k) && now - prev > 0.3) =>
           (k, prevBest(k), now)
       }
     regressed.foreach { case (k, prev, now) =>
