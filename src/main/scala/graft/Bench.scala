@@ -82,7 +82,7 @@ object Bench {
       // default evicts every lane's codegen between the cold and warm pass
       // (149 lanes run in between), so warm-pass numbers measured compile +
       // fresh-class JIT, not steady-state plan cost — see GraftSession doc
-      .config("spark.sql.codegen.cache.maxEntries", "8192")
+      .config("spark.sql.codegen.cache.maxEntries", "12288")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -16,7 +16,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    the identical bigint spelling at load ([[Tables.normalizeTs]]).
   *  - UTC session timezone so timestamp_ntz literals compare identically with
   *    the DuckDB oracle.
-  *  - `spark.sql.codegen.cache.maxEntries=8192` (r15 mechanism, r16 size):
+  *  - `spark.sql.codegen.cache.maxEntries=12288` (r15 mechanism; resized
+  *    r16 and again r17 when the lane registry grew to 158 — the rule is
+  *    ~2x total codegen stages, re-checked whenever the surface grows):
   *    the default 100-entry generated-class cache thrashes under this
   *    engine's ~150-query surface (~1500 codegen stages per full pass), so
   *    on a long-lived session every re-run of a query recompiles and
@@ -46,7 +48,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.codegen.cache.maxEntries", "8192")
+      .config("spark.sql.codegen.cache.maxEntries", "12288")
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = {
