@@ -53,6 +53,20 @@ object Bench {
     "q152_semdedup" -> 2.5)
   def fenceX(lane: String): Double = BimodalFenceX.getOrElse(lane, 1.5)
 
+  /** Lanes EXEMPT from the cross-run drill x10-wall ratchet. For q114 the
+    * same-code clean-host x10 wall spans 1.1–3.7 s across r17 recordings
+    * (the bimodal codegen-cache modes above, widest on this lane): a
+    * min() ratchet over a bimodal variable converges to the FAST mode
+    * while half of all healthy readings sit in the slow mode, so no fixed
+    * multiplier stops the flap (2.5× of 1.1 is still under a 3.7 s slow-
+    * mode reading). The lane's scale regression detection lives in its
+    * RATIO gate instead — base and ×10 are measured in the SAME run with
+    * the same cache state, so the ratio is mode-consistent (it has never
+    * false-flagged), and the 2.5 bar still catches real superlinear
+    * growth. Exemption ≠ unguarded: gate, scan budget, and the suite
+    * lane fence all still apply. */
+  val DrillFenceExempt: Set[String] = Set("q114_ivfpq_recall")
+
   def main(args: Array[String]): Unit = {
     // f-interpolators are locale-sensitive: a comma-decimal locale would
     // emit invalid JSON and break the driver's parse of the metrics line
@@ -298,8 +312,9 @@ object Bench {
     val drillRegressed: Seq[(String, Double, Double)] =
       if (!drillHostClean) Seq.empty
       else curX10.toSeq.sorted.collect {
-        case (k, now) if prevX10.get(k).exists(prev =>
-            now > prev * Bench.fenceX(k) && now - prev > 0.5) =>
+        case (k, now) if !Bench.DrillFenceExempt(k) &&
+            prevX10.get(k).exists(prev =>
+              now > prev * Bench.fenceX(k) && now - prev > 0.5) =>
           (k, prevX10(k), now)
       }
     drillRegressed.foreach { case (k, prev, now) =>
