@@ -96,7 +96,7 @@ object Bench {
       // default evicts every lane's codegen between the cold and warm pass
       // (149 lanes run in between), so warm-pass numbers measured compile +
       // fresh-class JIT, not steady-state plan cost — see GraftSession doc
-      .config("spark.sql.codegen.cache.maxEntries", "12288")
+      .config("spark.sql.codegen.cache.maxEntries", GraftSession.codegenCacheEntries.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -128,6 +128,65 @@ object Bench {
       val b = benchPipelineMixedVersions(spark)
       (a, b)
     }
+
+    // 10× scale drill (r4 directive #4): rerun the most expensive queries on
+    // freshly materialized like-for-like 1× and 10× datasets (interleaved
+    // best-of-two — see ScaleDrill's measurement-design scaladoc) — the only
+    // small-machine evidence that no hidden quadratic / mega-task waits at
+    // the next decade of scale.
+    //
+    // POSITION (r18, the r17 verdict's #2): the drill runs HERE — young JVM,
+    // right after the pipeline number — not at the end of the recording.
+    // Three rounds of evidence (r15–r17, ending in a red q155 gate whose
+    // 6.70 ratio no isolated re-measure could reproduce: both drill sides
+    // measured 3–4 s warm in a fresh JVM while the recorded ×10 sat at
+    // 16.79 s across three interleaved pairs) say a drill that runs after
+    // ~350 suite-lane executions measures the JVM's codegen/JIT cache mode,
+    // not the plans. Every adjudication protocol this stack trusts
+    // (isolated Prof, in-session re-records) runs the pair in a young JVM —
+    // moving the recorded drill to the same lifecycle point makes the
+    // artifact measure what the adjudications measure. The per-lane untimed
+    // warm pair (ScaleDrill.run) still absorbs first-compile; the suite's
+    // cold pass keeps its own per-plan compile semantics for the ~135
+    // non-drill lanes and merely starts pre-warmed for the 22 drill lanes
+    // (best-of-cold/warm is the headline, so that can only firm numbers up).
+    val drillFactor = 10
+    val drillDir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_scale_drill_${drillFactor}x")
+    // a drill crash must surface in failures[] (→ nonzero rc), not just
+    // stderr: r7 shipped a green-looking artifact around a crashed drill,
+    // and an empty drill result is otherwise indistinguishable from one
+    var drillCrash: Option[String] = None
+    val ((drill, drillVolBase, drillVolBig), loadDrill) = HostLoad.around {
+      try ScaleDrill.run(spark, sfDir, drillDir.toString, drillFactor)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] scale drill failed: ${e.getMessage}")
+        drillCrash = Some(s"scale_drill:crashed(${e.getClass.getSimpleName})")
+        (Seq.empty[(String, Double, Double, Int)], 0L, 0L)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(drillDir)
+      }
+    }
+
+    // q157 serve-scale probe (r17 verdict #7): build the ANN index ONCE at
+    // the bench SF, then serve an external query batch and a 10× larger one
+    // against the SAME saved artifact, interleaved best-of-two. The plan
+    // pin (AnnIndexSpec) says serve cost is query-proportional; this records
+    // the measurement beside it. Runs right after the drill — same young-JVM
+    // discipline, and the index build warms nothing the suite times.
+    var serveCrash: Option[String] = None
+    val ((serveQ, serveBase, serveBig), loadServe) = HostLoad.around {
+      try ScaleDrill.serveScale(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] serve-scale probe failed: ${e.getMessage}")
+        serveCrash = Some(s"serve_scale:crashed(${e.getClass.getSimpleName})")
+        (0, -1.0, -1.0)
+      }
+    }
+    val serveRatio = if (serveBase > 0) serveBig / serveBase else -1.0
 
     // (name, seconds, ok) — failed queries carry their elapsed-until-throw
     // but are marked and excluded from totals
@@ -190,31 +249,6 @@ object Bench {
     }
     scanViolations.foreach(v => System.err.println(s"[bench] scan gate: $v"))
 
-    // 10× scale drill (r4 directive #4): rerun the most expensive queries on
-    // freshly materialized like-for-like 1× and 10× datasets (interleaved
-    // best-of-two — see ScaleDrill's measurement-design scaladoc) — the only
-    // small-machine evidence that no hidden quadratic / mega-task waits at
-    // the next decade of scale.
-    val drillFactor = 10
-    val drillDir = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_scale_drill_${drillFactor}x")
-    // a drill crash must surface in failures[] (→ nonzero rc), not just
-    // stderr: r7 shipped a green-looking artifact around a crashed drill,
-    // and an empty drill result is otherwise indistinguishable from one
-    var drillCrash: Option[String] = None
-    val ((drill, drillVolBase, drillVolBig), loadDrill) = HostLoad.around {
-      try ScaleDrill.run(spark, sfDir, drillDir.toString, drillFactor)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] scale drill failed: ${e.getMessage}")
-        drillCrash = Some(s"scale_drill:crashed(${e.getClass.getSimpleName})")
-        (Seq.empty[(String, Double, Double, Int)], 0L, 0L)
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(drillDir)
-      }
-    }
     // Known-superlinear lanes (the percentile built-in's documented buffer
     // caveat) are measured for visibility but recorded separately: the
     // failure gate and the headline max-ratio cover GATED lanes only, so
@@ -519,13 +553,13 @@ object Bench {
       System.err.println(s"[bench] lane baseline write failed: ${e.getMessage}")
     }
     val failures = queryFailures ++ drillFailures ++ drillCrash ++ probeCrash ++
-      textGateFailures ++ textGateCrash ++ scanViolations
+      textGateFailures ++ textGateCrash ++ scanViolations ++ serveCrash
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     // machine-weather block (r10 verdict #1, widened r12): per-phase
     // load/CPU/GC/iowait profile so a contended OR overhead-heavy recording
     // explains itself inside the artifact
     val loadJson =
-      s"""{"warmup":${loadWarmup.json},"pipeline":${loadPipeline.json},"cold":${loadCold.json},"warm":${loadWarm.json},"scan_gate":${loadScanGate.json},"drill":${loadDrill.json},"probe":${loadProbe.json},"text_gate":${loadTextGate.json}}"""
+      s"""{"warmup":${loadWarmup.json},"pipeline":${loadPipeline.json},"cold":${loadCold.json},"warm":${loadWarm.json},"scan_gate":${loadScanGate.json},"drill":${loadDrill.json},"serve_scale":${loadServe.json},"probe":${loadProbe.json},"text_gate":${loadTextGate.json}}"""
     val extWorstPct = math.max(loadCold.extCpuPct, loadWarm.extCpuPct)
     val contended = extWorstPct > HostLoad.ContendedPct
 
@@ -537,10 +571,10 @@ object Bench {
 
     val detailPath = "bench_detail.json"
     val pw = new java.io.PrintWriter(detailPath)
-    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"host_load":$loadJson,"scale_drill":{"factor":$drillFactor,"all_gated_ok":$drillAllGatedOk,"queries":$drillJson,"known_superlinear":$drillKnownJson,"stage_attribution":$drillStagesJson,"bigram_vol_base":$drillVolBase,"bigram_vol_scaled":$drillVolBig,"bigram_vol_ratio":$drillVolRatio%.2f},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"text_gate":{"factor_lo":$textGateLo,"factor_hi":$textGateHi,"mode":"linear-replacement-marginal","bigram_vol_base":$tgV1,"bigram_vol_lo":$tgVLo,"bigram_vol_hi":$tgVHi,"vol_ratio":$tgVolRatio%.2f,"marginal_bar":${ScaleDrill.marginalBar}%.2f,"all_ok":$textGateAllOk,"queries":$textGateJson},"queries":$detail,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"drill_regressed":$drillRegressedJson,"drill_regression_checked":$drillHostClean,"baseline_resets":$resetsLedger,"sf1_gate_commit":"$sf1GateCommit","failures":$failJson,"sf":"$sfDir"}""")
+    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"host_load":$loadJson,"scale_drill":{"factor":$drillFactor,"all_gated_ok":$drillAllGatedOk,"queries":$drillJson,"known_superlinear":$drillKnownJson,"stage_attribution":$drillStagesJson,"bigram_vol_base":$drillVolBase,"bigram_vol_scaled":$drillVolBig,"bigram_vol_ratio":$drillVolRatio%.2f},"serve_scale":{"q":$serveQ,"sec_q":$serveBase%.2f,"sec_q10":$serveBig%.2f,"ratio":$serveRatio%.2f},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"text_gate":{"factor_lo":$textGateLo,"factor_hi":$textGateHi,"mode":"linear-replacement-marginal","bigram_vol_base":$tgV1,"bigram_vol_lo":$tgVLo,"bigram_vol_hi":$tgVHi,"vol_ratio":$tgVolRatio%.2f,"marginal_bar":${ScaleDrill.marginalBar}%.2f,"all_ok":$textGateAllOk,"queries":$textGateJson},"queries":$detail,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"drill_regressed":$drillRegressedJson,"drill_regression_checked":$drillHostClean,"baseline_resets":$resetsLedger,"sf1_gate_commit":"$sf1GateCommit","failures":$failJson,"sf":"$sfDir"}""")
     finally pw.close()
 
-    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scan_gate_lanes":$scanLanes,"scan_gate_violations":${scanViolations.size},"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_all_gated_ok":$drillAllGatedOk,"scale_drill_vol_ratio":$drillVolRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"text_gate_factor_lo":$textGateLo,"text_gate_factor_hi":$textGateHi,"text_gate_max_wall_ratio$textGateLo":$textGateMaxRatio%.2f,"text_gate_max_marginal":$textGateMaxMarginal%.2f,"text_gate_all_ok":$textGateAllOk,"text_gate_vol_ratio":$tgVolRatio%.2f,"ext_cpu_cold_pct":${loadCold.extCpuPct}%.2f,"ext_cpu_warm_pct":${loadWarm.extCpuPct}%.2f,"gc_cold_sec":${loadCold.gcSec}%.2f,"gc_warm_sec":${loadWarm.gcSec}%.2f,"iowait_cold_pct":${loadCold.ioWaitPct}%.2f,"iowait_warm_pct":${loadWarm.ioWaitPct}%.2f,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"drill_regressed":$drillRegressedJson,"drill_regression_checked":$drillHostClean,"contended":$contended,"sf1_gate_commit":"$sf1GateCommit","sf":"$sfDir","detail":"$detailPath"}"""
+    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scan_gate_lanes":$scanLanes,"scan_gate_violations":${scanViolations.size},"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_all_gated_ok":$drillAllGatedOk,"scale_drill_vol_ratio":$drillVolRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"serve_scale_q":$serveQ,"serve_scale_ratio":$serveRatio%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"text_gate_factor_lo":$textGateLo,"text_gate_factor_hi":$textGateHi,"text_gate_max_wall_ratio$textGateLo":$textGateMaxRatio%.2f,"text_gate_max_marginal":$textGateMaxMarginal%.2f,"text_gate_all_ok":$textGateAllOk,"text_gate_vol_ratio":$tgVolRatio%.2f,"ext_cpu_cold_pct":${loadCold.extCpuPct}%.2f,"ext_cpu_warm_pct":${loadWarm.extCpuPct}%.2f,"gc_cold_sec":${loadCold.gcSec}%.2f,"gc_warm_sec":${loadWarm.gcSec}%.2f,"iowait_cold_pct":${loadCold.ioWaitPct}%.2f,"iowait_warm_pct":${loadWarm.ioWaitPct}%.2f,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"drill_regressed":$drillRegressedJson,"drill_regression_checked":$drillHostClean,"contended":$contended,"sf1_gate_commit":"$sf1GateCommit","sf":"$sfDir","detail":"$detailPath"}"""
     // The summary survives in THREE places so no capture window can lose it
     // (r8's artifact held a log-noise tail and parsed:null):
     //  1. a file the judge can always read back,
@@ -655,10 +689,12 @@ object HostLoad {
   val ContendedPct = 10.0
 
   final case class Sample(la1: Double, busyJiffies: Long, iowaitJiffies: Long,
-                          procCpuNs: Long, gcMs: Long, wallNs: Long)
+                          procCpuNs: Long, gcMs: Long, jitMs: Long,
+                          loadedClasses: Long, wallNs: Long)
   final case class Phase(wallSec: Double, procCpuSec: Double,
                          extCpuPct: Double, la1Start: Double, la1End: Double,
-                         gcSec: Double, ioWaitPct: Double) {
+                         gcSec: Double, ioWaitPct: Double,
+                         jitSec: Double, classesLoaded: Long) {
     // explicit-locale formatting, NEVER Locale.setDefault: this is library
     // code reachable from the test suite, and flipping the JVM default to
     // ROOT (empty language tag) broke every later Derby CREATE DATABASE in
@@ -667,7 +703,7 @@ object HostLoad {
     def json: String = {
       def n(d: Double) =
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-      s"""{"wall_sec":${n(wallSec)},"proc_cpu_sec":${n(procCpuSec)},"ext_cpu_pct":${n(extCpuPct)},"la1_start":${n(la1Start)},"la1_end":${n(la1End)},"gc_sec":${n(gcSec)},"iowait_pct":${n(ioWaitPct)}}"""
+      s"""{"wall_sec":${n(wallSec)},"proc_cpu_sec":${n(procCpuSec)},"ext_cpu_pct":${n(extCpuPct)},"la1_start":${n(la1Start)},"la1_end":${n(la1End)},"gc_sec":${n(gcSec)},"iowait_pct":${n(ioWaitPct)},"jit_sec":${n(jitSec)},"classes_loaded":$classesLoaded}"""
     }
   }
 
@@ -702,7 +738,21 @@ object HostLoad {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
         .map(b => math.max(0L, b.getCollectionTime)).sum
     } catch { case _: Exception => -1L }
-    Sample(la1, busy, iowait, proc, gc, System.nanoTime())
+    // cumulative JIT compilation time + loaded-class count: the codegen-
+    // mode instruments (r18 — the r15/r16/r17 drill-fence mechanism). A
+    // phase whose work should be steady-state but carries a large jit_sec
+    // delta / class-load burst was measuring compilation, and the artifact
+    // now says so itself instead of needing an isolated re-measure to infer
+    // it. (Generated classes load one per codegen-cache miss, so
+    // classes_loaded is ALSO the cache-thrash meter.)
+    val jit = try {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else -1L
+    } catch { case _: Exception => -1L }
+    val classes = try {
+      java.lang.management.ManagementFactory.getClassLoadingMXBean.getTotalLoadedClassCount
+    } catch { case _: Exception => -1L }
+    Sample(la1, busy, iowait, proc, gc, jit, classes, System.nanoTime())
   }
 
   /** Run `f`, returning its result plus the load profile of the interval. */
@@ -727,6 +777,13 @@ object HostLoad {
     val ioWaitPct =
       if (before.iowaitJiffies < 0 || after.iowaitJiffies < 0 || wallSec <= 0) -1.0
       else (after.iowaitJiffies - before.iowaitJiffies) / 100.0 / (wallSec * ncores) * 100.0
-    (r, Phase(wallSec, procSec, extPct, before.la1, after.la1, gcSec, ioWaitPct))
+    val jitSec =
+      if (before.jitMs < 0 || after.jitMs < 0) -1.0
+      else (after.jitMs - before.jitMs) / 1000.0
+    val classesLoaded =
+      if (before.loadedClasses < 0 || after.loadedClasses < 0) -1L
+      else after.loadedClasses - before.loadedClasses
+    (r, Phase(wallSec, procSec, extPct, before.la1, after.la1, gcSec, ioWaitPct,
+      jitSec, classesLoaded))
   }
 }

@@ -16,10 +16,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    the identical bigint spelling at load ([[Tables.normalizeTs]]).
   *  - UTC session timezone so timestamp_ntz literals compare identically with
   *    the DuckDB oracle.
-  *  - `spark.sql.codegen.cache.maxEntries=12288` (r15 mechanism; resized
-  *    r16 and again r17 when the lane registry grew to 158 — the rule is
-  *    ~2x total codegen stages, re-checked whenever the surface grows):
-  *    the default 100-entry generated-class cache thrashes under this
+  *  - `spark.sql.codegen.cache.maxEntries` = [[GraftSession.codegenCacheEntries]]
+  *    (r15 mechanism; hand-resized r16/r17 as the registry grew, DERIVED
+  *    from the registry size since r18 — the verdict's #2(b): the size
+  *    must track the surface automatically instead of re-saturating every
+  *    time lanes are added): the default 100-entry generated-class cache
+  *    thrashes under this
   *    engine's ~150-query surface (~1500 codegen stages per full pass), so
   *    on a long-lived session every re-run of a query recompiles and
   *    re-JITs all its stages — measured on q118 (the most
@@ -39,6 +41,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    tuned post-hoc.
   */
 object GraftSession {
+  /** Generated-class cache size, derived from the lane registry: the last
+    * hand-tuned point that stopped the bimodal eviction modes was 12288 at
+    * 158 lanes (r17) ≈ 78 entries/lane across the suite + drill/text-gate
+    * plan variants (a lane's ×N drill plan AQE-differs from its suite
+    * plan, so it caches separately). 80/lane keeps that measured headroom
+    * and grows with the registry, so adding lanes can never silently
+    * re-saturate the cache again (the r16/r17 failure mode — three rounds
+    * of drill-fence flaps traced to exactly this). Floor at 12288 so the
+    * size never shrinks below the proven point. Lazy: evaluated at first
+    * session build, after the registry object initializes. */
+  lazy val codegenCacheEntries: Int =
+    math.max(12288, 80 * SparkEntry.baseQueries.size)
+
   def builder(master: String = "local[32]"): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
@@ -48,7 +63,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.codegen.cache.maxEntries", "12288")
+      .config("spark.sql.codegen.cache.maxEntries", codegenCacheEntries.toString)
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = {

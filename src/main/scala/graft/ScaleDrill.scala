@@ -123,6 +123,12 @@ object ScaleDrill {
                              // query-proportional (nprobe code shards +
                              // Q·R rerank rows, independent of N); gates
                              // at 2.5 like q153
+    "q159_ann_index_append", // embeddings (r18): online append — base build
+                             // over 90% (one assign + one encode pass,
+                             // linear), appendToIndex over the rest (cost
+                             // ∝ appended rows — the lane's point), serve.
+                             // Gates at 2.5 like q157: every pass is linear
+                             // in N and the serve half query-proportional
     "q156_curation_neardup", // documents×embeddings (r16): the composed
                              // curation funnel WITH the near-dup ladder —
                              // curation_flow's stages plus q50's banded
@@ -468,6 +474,48 @@ object ScaleDrill {
     val docs = Tables(sp, d, "documents")
     val benchmark = docs.filter(col("doc_id") % 100 === 0).select("doc_id", "text")
     graft.operators.Curation.curate(docs, benchmark, quotaPerSource = 1000000)._1
+  }
+
+  // ---------------------------------------------- q157 serve-scale probe
+
+  /** The q157 saved-index serve cost, measured ∝ QUERIES (r17 verdict #7):
+    * build the index ONCE over `sfDir`'s embeddings, then serve an
+    * EXTERNAL query batch of Q and one of `factor`·Q against the same
+    * artifact — interleaved best-of-two after one untimed warm pair (the
+    * drill's discipline). AnnIndexSpec pins the serve plan's scan shape
+    * (nprobe code partitions + Q·R rerank rows, embeddings untouched);
+    * this records the wall-clock counterpart: the ratio should sit well
+    * under `factor` (per-query probe work is identical; fixed overhead
+    * amortizes across the bigger batch). Queries are corpus vectors
+    * deterministically perturbed and id-shifted out of the corpus
+    * namespace — external vectors, never corpus rows.
+    * Returns (q, bestSec at Q, bestSec at factor·Q). */
+  def serveScale(s: SparkSession, sfDir: String, factor: Int = 10,
+                 q: Int = 20): (Int, Double, Double) = {
+    import graft.operators.Similarity
+    val e = Tables(s, sfDir, "embeddings").select(col("vec_id"),
+      graft.functions.VectorOps.asDouble(col("embedding")).as("v"))
+    val path = Similarity.indexPathFor(sfDir) + "_servescale"
+    Similarity.writeIndex(e, path)
+    val idx = Similarity.loadIndex(s, path)
+    def queries(n: Int): DataFrame =
+      e.filter(col("vec_id") < n).select(
+        (col("vec_id") + 1000000L).as("qid"),
+        transform(col("v"), (x, i) =>
+          x + pmod(xxhash64(col("vec_id"), i), lit(997)).cast("double") / 100000.0)
+          .as("qv"))
+    def once(n: Int): Double = {
+      val t0 = System.nanoTime()
+      Similarity.searchIndex(idx, queries(n))
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      GraftSession.releasePersisted(s)
+      sec
+    }
+    once(q); once(q * factor) // untimed warm pair: compile off the clock
+    val b1 = once(q); val x1 = once(q * factor)
+    val b2 = once(q); val x2 = once(q * factor)
+    (q, math.min(b1, b2), math.min(x1, x2))
   }
 
   // ------------------------------------------------- 30× text-stack probe

@@ -180,6 +180,11 @@ object SparkEntry {
     // once, even/odd corpus halves encoded independently, artifacts merged
     // (the FAISS merge_into shape); same output contract and oracle as q157
     "q158_ann_index_merge" -> (Similarity.q158AnnIndexMerge _),
+    // q159 (r18): online index append — base build over 90% of the corpus,
+    // the rest arriving later via appendToIndex against the artifact's own
+    // frozen quantizers (the FAISS-add shape); appended ≡ rebuilt, so the
+    // lane gates on the q157 oracle (r17 verdict Next #3)
+    "q159_ann_index_append" -> (Similarity.q159AnnIndexAppend _),
     // r7: weighted sampling w/o replacement (Efraimidis–Spirakis, md5 stream)
     "q115_weighted_sample" -> ((s, d) => TextAnalysis.q115WeightedSample(s, d)),
     // r7: per-doc bigram-rarity quality score (integer LM-perplexity proxy)
@@ -854,6 +859,9 @@ object SparkEntry {
     // merged-shard search must equal the monolithic build exactly, so it
     // gates on the SAME inline replay
     "q158_ann_index_merge" -> annIndexServeOracle,
+    // append ≡ rebuild under frozen quantizers: the appended index holds
+    // exactly the monolithic build's rows, same oracle again
+    "q159_ann_index_append" -> annIndexServeOracle,
     "q154_hybrid_rrf" -> hybridRrfOracle,
     "q155_hybrid_bm25_ann" -> hybridBm25AnnOracle,
     "q156_curation_neardup" -> curationNearDupOracle,

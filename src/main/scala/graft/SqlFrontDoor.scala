@@ -529,6 +529,9 @@ object SqlFrontDoor {
     "q153_ivfpq_rerank" -> ivfPqRerankSql,
     "q157_ann_index_serve" -> annIndexServeSql,
     "q158_ann_index_merge" -> annIndexServeSql,
+    // s159: SQL text cannot run the append side effect either — the twin is
+    // the same inline index+shortlist+rerank replay (append ≡ rebuild)
+    "q159_ann_index_append" -> annIndexServeSql,
     "q155_hybrid_bm25_ann" -> hybridBm25AnnSparkSql,
     "q156_curation_neardup" -> curationNearDupSparkSql,
     "q154_hybrid_rrf" -> { // hybrid RRF as text: split/explode tokenization,

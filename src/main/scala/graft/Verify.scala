@@ -40,7 +40,7 @@ object Verify {
       // legacy-file fallback. TsPhysicalTypeSpec pins all three spellings.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // surface-sized codegen-class cache (engine default — GraftSession doc)
-      .config("spark.sql.codegen.cache.maxEntries", "12288")
+      .config("spark.sql.codegen.cache.maxEntries", GraftSession.codegenCacheEntries.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -28,14 +28,18 @@ object ParquetLayout {
 
   /** Write `df` hive-partitioned by `partCols`, each file sorted on
     * `sortCols`. Layout contract: ≤ `spark.sql.shuffle.partitions` files
-    * per partition directory (one repartition, no per-task fan-out). */
+    * per partition directory (one repartition, no per-task fan-out).
+    * `SaveMode.Append` lands the batch as NEW files inside the existing
+    * partition directories (and fresh directories for unseen partition
+    * values) without touching prior files — the index-append path. */
   def writePartitioned(df: DataFrame, path: String,
-      partCols: Seq[String], sortCols: Seq[String]): Unit =
+      partCols: Seq[String], sortCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
     df.repartition(partCols.map(col): _*)
       .sortWithinPartitions((partCols ++ sortCols).map(col): _*)
       .write
       .partitionBy(partCols: _*)
-      .mode(SaveMode.Overwrite)
+      .mode(mode)
       .parquet(path)
 
   /** Read a partitioned layout back. Plain `spark.read.parquet` — partition

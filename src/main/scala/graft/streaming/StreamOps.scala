@@ -230,12 +230,23 @@ object StreamOps {
     * min-hashes → 4 losslessly-packed band signatures. Each doc fans out
     * to its 4 band records; state is keyed by the LSH BUCKET
     * (band, sig1, sig2) — exactly the batch join key — and holds the
-    * first-`bucketCap` members' (id, distinct word set). An arriving doc
-    * is verified by EXACT Jaccard against every held member of its bucket
-    * (the batch confirm stage, same ROUND-half-up-4 spelling, same ≥
-    * threshold cut); confirmed pairs emit as (min id, max id, jaccard)
+    * first-`bucketCap` members' (id, distinct word-HASH set). An arriving
+    * doc is verified by EXACT Jaccard against every held member of its
+    * bucket (the batch confirm stage, same ROUND-half-up-4 spelling, same
+    * ≥ threshold cut); confirmed pairs emit as (min id, max id, jaccard)
     * and a downstream streaming dropDuplicates collapses the cross-band
     * repeats the batch pipeline's candidate `distinct()` removes.
+    *
+    * State holds 64-bit word hashes ([[StreamMinhash.wordHash]]), not the
+    * words (r17 verdict #4): Jaccard is a pure set statistic, so computing
+    * it over hashed sets gives identical verdicts whenever the hash is
+    * injective on the compared documents' vocabulary — at FNV-1a-64 width
+    * a collision inside a compared pair's union (~10³ words) has
+    * probability ~10⁻¹³, and the hashes never leave the operator (output
+    * pairs carry ids + jaccard only). The footprint drops from
+    * per-member word strings to 8 bytes/word — StreamingSpec measures the
+    * reduction on the fixture corpus — which at real document sizes is the
+    * difference between megabytes and tens of KB per hot bucket.
     *
     * Parity contract (spec-pinned): with in-order-by-doc_id delivery and
     * buckets under the cap, the emitted pair set EQUALS batch
@@ -247,16 +258,50 @@ object StreamOps {
     * cached (the [[semDedupStream]] admission shape) while the first
     * cap members' pairs stand.
     *
-    * State is bounded by construction: ≤ bucketCap · (8 bytes +
-    * |word set|) per bucket regardless of stream length, in the
-    * checkpointed store (RocksDB at scale — required by the
-    * transformWithState API this runs on). The pair-dedup stage keeps
-    * one (id1, id2) key per emitted pair; production ingest bounds it
-    * with dropDuplicatesWithinWatermark when the stream carries event
-    * time. Buckets are the state keys, so verification parallelizes
-    * across the shuffle exactly like the batch bucket join. */
+    * State is bounded by construction: ≤ bucketCap · 8·(2 + |word set|)
+    * bytes per bucket regardless of stream length, in the checkpointed
+    * store (RocksDB at scale — required by the transformWithState API
+    * this runs on). The pair-dedup stage keeps one (id1, id2) key per
+    * emitted pair — unbounded on an endless stream; when the input
+    * carries event time, use [[neardupStreamWithinWatermark]], whose
+    * pair dedup expires with the watermark. Buckets are the state keys,
+    * so verification parallelizes across the shuffle exactly like the
+    * batch bucket join. */
   def neardupStream(ds: Dataset[DocRecord], threshold: Double = 0.6,
       bucketCap: Int = graft.operators.Dedup.MinhashBucketCap): Dataset[NearDupPair] = {
+    import ds.sparkSession.implicits._
+    neardupPairs(ds.map(d => TimedDocRecord(d.doc_id, d.text, 0L)), threshold, bucketCap)
+      .dropDuplicates("id1", "id2")
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .as[NearDupPair]
+  }
+
+  /** [[neardupStream]] for event-timed ingest (r17 ADVICE #4 — the
+    * [[dedupByContent]] shape): the cross-band pair dedup runs as
+    * `dropDuplicatesWithinWatermark`, so its state expires `watermark`
+    * past each pair's event time instead of growing one row per distinct
+    * pair forever. A pair's event time is the LATER member's `tsUs` —
+    * deterministic across the bands that re-emit it (both emissions carry
+    * the same two members), so the within-watermark dedup always sees the
+    * duplicates at one timestamp. Bucket-member state is unchanged
+    * (bounded by construction); only the pair-dedup state gains the TTL. */
+  def neardupStreamWithinWatermark(ds: Dataset[TimedDocRecord], watermark: String,
+      threshold: Double = 0.6,
+      bucketCap: Int = graft.operators.Dedup.MinhashBucketCap): Dataset[NearDupPair] = {
+    import ds.sparkSession.implicits._
+    neardupPairs(ds, threshold, bucketCap)
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("id1", "id2")
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .as[NearDupPair]
+  }
+
+  /** Shared core of the two near-dup ingest spellings: band fan-out →
+    * bucket-keyed transformWithState → confirmed pairs WITH the cross-band
+    * repeats still present (callers own the dedup discipline). */
+  private def neardupPairs(ds: Dataset[TimedDocRecord], threshold: Double,
+      bucketCap: Int): Dataset[NearDupPairT] = {
     import ds.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, ValueState}
     val k = graft.operators.Dedup.ShingleWords
@@ -267,56 +312,62 @@ object StreamOps {
       if (words.length < k) Iterator.empty
       else {
         val mh = StreamMinhash.signature(words)
-        val wset = words.distinct.toSeq
+        val wset = {
+          val s = scala.collection.mutable.HashSet.empty[Long]
+          words.foreach(w => s += StreamMinhash.wordHash(w))
+          s.toSeq.sorted
+        }
         (0 until nBands).iterator.map { b =>
           BandRecord(b,
             mh(b * 4) * StreamMinhash.PackBase + mh(b * 4 + 1),
             mh(b * 4 + 2) * StreamMinhash.PackBase + mh(b * 4 + 3),
-            d.doc_id, wset)
+            d.doc_id, d.tsUs, wset)
         }
       }
     }
     def r4(x: Double): Double =
       java.math.BigDecimal.valueOf(x)
         .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-    val proc = new StatefulProcessor[(Int, Long, Long), BandRecord, NearDupPair] {
+    val proc = new StatefulProcessor[(Int, Long, Long), BandRecord, NearDupPairT] {
       @transient private var st: ValueState[BucketMembers] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
         st = getHandle.getValueState[BucketMembers]("members",
           org.apache.spark.sql.Encoders.product[BucketMembers],
           org.apache.spark.sql.streaming.TTLConfig.NONE)
       override def handleInputRows(key: (Int, Long, Long), rows: Iterator[BandRecord],
-                                   tv: TimerValues): Iterator[NearDupPair] = {
-        val prev = if (st.exists()) st.get() else BucketMembers(Vector.empty, Vector.empty)
+                                   tv: TimerValues): Iterator[NearDupPairT] = {
+        val prev =
+          if (st.exists()) st.get()
+          else BucketMembers(Vector.empty, Vector.empty, Vector.empty)
         var ids = prev.ids.toVector
-        var sets = prev.words.map(_.toSet).toVector
+        var tss = prev.ts.toVector
+        var sets = prev.wh.map(_.toSet).toVector
         // in-order contract: within a micro-batch the bucket's arrivals
         // process in doc_id order, so batch-boundary placement never
         // changes which pairs confirm
         val out = rows.toSeq.sortBy(_.doc_id).flatMap { r =>
           if (ids.size >= bucketCap) Iterator.empty
           else {
-            val ws = r.words.toSet
+            val ws = r.wh.toSet
             val pairs = ids.indices.iterator.flatMap { i =>
               val inter = sets(i).count(ws.contains)
               val j = r4(inter.toDouble / (sets(i).size + ws.size - inter))
               if (j >= threshold && ids(i) != r.doc_id)
-                Iterator.single(NearDupPair(
-                  math.min(ids(i), r.doc_id), math.max(ids(i), r.doc_id), j))
+                Iterator.single(NearDupPairT(
+                  math.min(ids(i), r.doc_id), math.max(ids(i), r.doc_id), j,
+                  math.max(tss(i), r.tsUs)))
               else Iterator.empty
             }.toVector
-            ids :+= r.doc_id; sets :+= ws
+            ids :+= r.doc_id; tss :+= r.tsUs; sets :+= ws
             pairs
           }
         }
-        st.update(BucketMembers(ids, sets.map(_.toSeq.sorted)))
+        st.update(BucketMembers(ids, tss, sets.map(_.toSeq.sorted)))
         out.iterator
       }
     }
     banded.groupByKey(r => (r.band, r.sig1, r.sig2))
       .transformWithState(proc, TimeMode.None(), OutputMode.Append())
-      .dropDuplicates("id1", "id2")
-      .as[NearDupPair]
   }
 
   /** Per-key running aggregate via explicit state — the Spark-native shape
@@ -614,20 +665,31 @@ case class KeyedEvent(key: String, ts: java.sql.Timestamp, value: Double)
 /** Streaming-ingest document record for [[StreamOps.neardupStream]]. */
 case class DocRecord(doc_id: Long, text: String)
 
+/** [[DocRecord]] with event time in epoch-micros — the input of
+  * [[StreamOps.neardupStreamWithinWatermark]] (tsUs = 0 on the untimed
+  * path). */
+case class TimedDocRecord(doc_id: Long, text: String, tsUs: Long)
+
 /** One LSH band record of a document: the bucket key (band, packed band
-  * signature halves) plus the doc's distinct word set for the exact-Jaccard
-  * confirm stage. */
+  * signature halves) plus the doc's event time and sorted distinct 64-bit
+  * word hashes ([[StreamMinhash.wordHash]]) for the exact-Jaccard confirm
+  * stage. */
 case class BandRecord(band: Int, sig1: Long, sig2: Long, doc_id: Long,
-                      words: Seq[String])
+                      tsUs: Long, wh: Seq[Long])
 
 /** Confirmed near-dup pair — the q50 output contract: id1 < id2, exact
   * word-set Jaccard rounded half-up to 4 dp. */
 case class NearDupPair(id1: Long, id2: Long, jaccard: Double)
 
+/** [[NearDupPair]] plus the pair's event time (the later member's tsUs) —
+  * the internal row the watermarked pair dedup keys its TTL on. */
+case class NearDupPairT(id1: Long, id2: Long, jaccard: Double, tsUs: Long)
+
 /** Per-bucket member cache for [[StreamOps.neardupStream]]: the first
-  * `bucketCap` members' ids and sorted distinct word sets, in arrival
-  * order. Bounded by construction — the state never holds the corpus. */
-case class BucketMembers(ids: Seq[Long], words: Seq[Seq[String]])
+  * `bucketCap` members' ids, event times, and sorted distinct word-hash
+  * sets, in arrival order. Bounded by construction — the state never
+  * holds the corpus, and holds hashes (8 B/word), never text. */
+case class BucketMembers(ids: Seq[Long], ts: Seq[Long], wh: Seq[Seq[Long]])
 
 /** The MinHash pipeline's per-record spelling for streaming ingest: the
   * SAME math as the batch `MinhashSig` kernel (base hash = Java
@@ -665,6 +727,23 @@ object StreamMinhash {
       i += 1
     }
     mins
+  }
+
+  /** FNV-1a 64-bit over UTF-8 bytes — the word-set compaction hash for
+    * [[StreamOps.neardupStream]]'s bucket state. Internal to the operator
+    * (hashes never appear in output), so the only requirement is practical
+    * injectivity over a compared pair's vocabulary: at 64 bits a collision
+    * within a ~10³-word union has probability ~10⁻¹³. */
+  private[graft] def wordHash(w: String): Long = {
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
   }
 }
 
