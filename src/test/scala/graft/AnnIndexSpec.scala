@@ -88,14 +88,91 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     scanStrings.foreach(s =>
       assert(s.contains(idxPath) || !s.contains("parquet"),
         s"serve plan read a non-index parquet source: $s"))
-    // partition pruning: the codes scan must carry a cluster partition
-    // filter (the probe join drives it — dynamic pruning or a pushed
-    // IN-list; either spells PartitionFilters on the scan node)
+    // partition pruning: the codes scan must carry a NON-EMPTY cluster
+    // partition filter (the probe join drives it — dynamic pruning or a
+    // pushed IN-list; either spells PartitionFilters on the scan node).
+    // r17 ADVICE #1: isDefined alone would keep passing after a regression
+    // to full-index code scans; the filter list itself is the pin.
     val codesScan = scans.collectFirst {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
         if f.toString.contains("codes") => f
     }
     assert(codesScan.isDefined, "no codes scan in the serve plan")
+    assert(codesScan.get.partitionFilters.nonEmpty,
+      s"codes scan carries no partition filter — full-index scan:\n${codesScan.get}")
+  }
+
+  test("online append lands new files only — existing shards byte-untouched — " +
+      "and appended-index search ≡ the monolithic rebuild (q159)") {
+    val e = corpus
+    val cents = Similarity.ivfCentroids(e, Similarity.sqrtStride(e))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = Similarity.pqCodebook(e, 8, 16, 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_append").toString
+    Similarity.writeIndexWith(e.filter(col("vec_id") % 10 =!= 7), cents, cb, s"$tmp/apx")
+    // (relative path → (size, mtime)) of every data file in the artifact
+    def listing(root: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(root))
+        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+        .map(f => f.getAbsolutePath.stripPrefix(root) ->
+          (f.length(), f.lastModified())).toMap
+    }
+    val before = listing(s"$tmp/apx")
+    Similarity.appendToIndex(spark, s"$tmp/apx", e.filter(col("vec_id") % 10 === 7))
+    val after = listing(s"$tmp/apx")
+    before.foreach { case (path, stamp) =>
+      assert(after.get(path).contains(stamp),
+        s"append rewrote an existing shard file: $path")
+    }
+    assert(after.size > before.size, "append landed no new files")
+    // appended ≡ rebuilt: same frozen quantizers, union corpus
+    Similarity.writeIndexWith(e, cents, cb, s"$tmp/mono")
+    val q = e.filter(col("vec_id") < 20).toDF("qid", "qv")
+    def serve(p: String) =
+      Similarity.searchIndex(Similarity.loadIndex(spark, p), q).orderBy("qid", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(serve(s"$tmp/apx") == serve(s"$tmp/mono"),
+      "appended-index search diverged from the monolithic rebuild")
+    GraftSession.releasePersisted(spark)
+  }
+
+  test("streaming ingest appends compose: foreachBatch micro-batch appends " +
+      "≡ the monolithic rebuild over the union corpus") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val e = corpus
+    val cents = Similarity.ivfCentroids(e, Similarity.sqrtStride(e))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = Similarity.pqCodebook(e, 8, 16, 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_sappend").toString
+    Similarity.writeIndexWith(e.filter(col("vec_id") % 5 =!= 3), cents, cb, s"$tmp/idx")
+    val arriving = e.filter(col("vec_id") % 5 === 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val (h1, h2) = arriving.splitAt(arriving.size / 2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val query = ms.toDS().toDF("vec_id", "v").writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) Similarity.appendToIndex(sp, s"$tmp/idx", b)
+      }
+      .start()
+    ms.addData(h1); query.processAllAvailable()
+    ms.addData(h2); query.processAllAvailable()
+    query.stop()
+    Similarity.writeIndexWith(e, cents, cb, s"$tmp/mono")
+    val q = e.filter(col("vec_id") < 20).toDF("qid", "qv")
+    def serve(p: String) =
+      Similarity.searchIndex(Similarity.loadIndex(spark, p), q).orderBy("qid", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(serve(s"$tmp/idx") == serve(s"$tmp/mono"),
+      "micro-batch-appended index diverged from the monolithic rebuild")
+    GraftSession.releasePersisted(spark)
   }
 
   test("sharded build + merge ≡ the monolithic artifact (q158 ≡ q157)") {
