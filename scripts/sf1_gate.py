@@ -125,8 +125,22 @@ def main():
                               check=True).stdout.strip()
     except Exception:  # noqa: BLE001 - meta must never block the gate
         head = "unknown"
+    # The RUNTIME-SURFACE commit (last change under src/build.sbt/budgets):
+    # artifact-only commits after the stamp (this file, bench recordings,
+    # docs) cannot invalidate sf1 evidence, so currency is judged against
+    # the code commit, mechanically, in Bench (r17 verdict #6 — equality
+    # must not rest on a docs-only-gap argument).
+    try:
+        code = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--",
+             "src", "build.sbt", "scan_budgets.json"],
+            cwd="/root/repo", capture_output=True, text=True,
+            check=True).stdout.strip()
+    except Exception:  # noqa: BLE001
+        code = "unknown"
     out["_meta"] = {
         "sf1_head_commit": head,
+        "sf1_code_commit": code,
         "generated_utc": datetime.datetime.now(
             datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
         "sf1_dir": sf1dir, "lanes_gated": gated, "hash_green": ok,

@@ -563,18 +563,25 @@ object Bench {
     val extWorstPct = math.max(loadCold.extCpuPct, loadWarm.extCpuPct)
     val contended = extWorstPct > HostLoad.ContendedPct
 
-    // sf1-gate currency (r14 verdict #8): CORRECTNESS_sf1.json carries a
-    // _meta.sf1_head_commit stamp (scripts/sf1_gate.py); surfacing it here
-    // makes a stale 10×-scale correctness artifact visible in EVERY bench
-    // recording instead of resting on an mtime argument.
+    // sf1-gate currency (r14 verdict #8; self-adjudicating since r18 —
+    // r17 verdict #6): CORRECTNESS_sf1.json carries the HEAD it was
+    // generated at AND the last RUNTIME-SURFACE commit (src/build.sbt/
+    // budgets) at that point; the recording compares the latter against
+    // the current runtime-surface commit mechanically, so artifact/docs
+    // commits after the stamp can't fake staleness and a real code gap
+    // can't hide behind a docs-only argument.
     val sf1GateCommit = Bench.sf1GateCommit("CORRECTNESS_sf1.json")
+    val sf1CodeCommit = Bench.sf1GateMeta("CORRECTNESS_sf1.json", "sf1_code_commit")
+    val curCodeCommit = Bench.currentCodeCommit()
+    val sf1Fresh = sf1CodeCommit != "absent" && curCodeCommit != "absent" &&
+      sf1CodeCommit == curCodeCommit
 
     val detailPath = "bench_detail.json"
     val pw = new java.io.PrintWriter(detailPath)
-    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"host_load":$loadJson,"scale_drill":{"factor":$drillFactor,"all_gated_ok":$drillAllGatedOk,"queries":$drillJson,"known_superlinear":$drillKnownJson,"stage_attribution":$drillStagesJson,"bigram_vol_base":$drillVolBase,"bigram_vol_scaled":$drillVolBig,"bigram_vol_ratio":$drillVolRatio%.2f},"serve_scale":{"q":$serveQ,"sec_q":$serveBase%.2f,"sec_q10":$serveBig%.2f,"ratio":$serveRatio%.2f},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"text_gate":{"factor_lo":$textGateLo,"factor_hi":$textGateHi,"mode":"linear-replacement-marginal","bigram_vol_base":$tgV1,"bigram_vol_lo":$tgVLo,"bigram_vol_hi":$tgVHi,"vol_ratio":$tgVolRatio%.2f,"marginal_bar":${ScaleDrill.marginalBar}%.2f,"all_ok":$textGateAllOk,"queries":$textGateJson},"queries":$detail,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"drill_regressed":$drillRegressedJson,"drill_regression_checked":$drillHostClean,"baseline_resets":$resetsLedger,"sf1_gate_commit":"$sf1GateCommit","failures":$failJson,"sf":"$sfDir"}""")
+    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"host_load":$loadJson,"scale_drill":{"factor":$drillFactor,"all_gated_ok":$drillAllGatedOk,"queries":$drillJson,"known_superlinear":$drillKnownJson,"stage_attribution":$drillStagesJson,"bigram_vol_base":$drillVolBase,"bigram_vol_scaled":$drillVolBig,"bigram_vol_ratio":$drillVolRatio%.2f},"serve_scale":{"q":$serveQ,"sec_q":$serveBase%.2f,"sec_q10":$serveBig%.2f,"ratio":$serveRatio%.2f},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"text_gate":{"factor_lo":$textGateLo,"factor_hi":$textGateHi,"mode":"linear-replacement-marginal","bigram_vol_base":$tgV1,"bigram_vol_lo":$tgVLo,"bigram_vol_hi":$tgVHi,"vol_ratio":$tgVolRatio%.2f,"marginal_bar":${ScaleDrill.marginalBar}%.2f,"all_ok":$textGateAllOk,"queries":$textGateJson},"queries":$detail,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"drill_regressed":$drillRegressedJson,"drill_regression_checked":$drillHostClean,"baseline_resets":$resetsLedger,"sf1_gate_commit":"$sf1GateCommit","sf1_gate_code_commit":"$sf1CodeCommit","sf1_gate_fresh":$sf1Fresh,"failures":$failJson,"sf":"$sfDir"}""")
     finally pw.close()
 
-    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scan_gate_lanes":$scanLanes,"scan_gate_violations":${scanViolations.size},"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_all_gated_ok":$drillAllGatedOk,"scale_drill_vol_ratio":$drillVolRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"serve_scale_q":$serveQ,"serve_scale_ratio":$serveRatio%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"text_gate_factor_lo":$textGateLo,"text_gate_factor_hi":$textGateHi,"text_gate_max_wall_ratio$textGateLo":$textGateMaxRatio%.2f,"text_gate_max_marginal":$textGateMaxMarginal%.2f,"text_gate_all_ok":$textGateAllOk,"text_gate_vol_ratio":$tgVolRatio%.2f,"ext_cpu_cold_pct":${loadCold.extCpuPct}%.2f,"ext_cpu_warm_pct":${loadWarm.extCpuPct}%.2f,"gc_cold_sec":${loadCold.gcSec}%.2f,"gc_warm_sec":${loadWarm.gcSec}%.2f,"iowait_cold_pct":${loadCold.ioWaitPct}%.2f,"iowait_warm_pct":${loadWarm.ioWaitPct}%.2f,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"drill_regressed":$drillRegressedJson,"drill_regression_checked":$drillHostClean,"contended":$contended,"sf1_gate_commit":"$sf1GateCommit","sf":"$sfDir","detail":"$detailPath"}"""
+    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"failures":$failJson,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scan_gate_lanes":$scanLanes,"scan_gate_violations":${scanViolations.size},"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_all_gated_ok":$drillAllGatedOk,"scale_drill_vol_ratio":$drillVolRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"serve_scale_q":$serveQ,"serve_scale_ratio":$serveRatio%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"text_gate_factor_lo":$textGateLo,"text_gate_factor_hi":$textGateHi,"text_gate_max_wall_ratio$textGateLo":$textGateMaxRatio%.2f,"text_gate_max_marginal":$textGateMaxMarginal%.2f,"text_gate_all_ok":$textGateAllOk,"text_gate_vol_ratio":$tgVolRatio%.2f,"ext_cpu_cold_pct":${loadCold.extCpuPct}%.2f,"ext_cpu_warm_pct":${loadWarm.extCpuPct}%.2f,"gc_cold_sec":${loadCold.gcSec}%.2f,"gc_warm_sec":${loadWarm.gcSec}%.2f,"iowait_cold_pct":${loadCold.ioWaitPct}%.2f,"iowait_warm_pct":${loadWarm.ioWaitPct}%.2f,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"drill_regressed":$drillRegressedJson,"drill_regression_checked":$drillHostClean,"contended":$contended,"sf1_gate_commit":"$sf1GateCommit","sf1_gate_code_commit":"$sf1CodeCommit","sf1_gate_fresh":$sf1Fresh,"sf":"$sfDir","detail":"$detailPath"}"""
     // The summary survives in THREE places so no capture window can lose it
     // (r8's artifact held a log-noise tail and parsed:null):
     //  1. a file the judge can always read back,
@@ -604,17 +611,34 @@ object Bench {
     * missing, pre-stamp-format, or unparseable (never throws: artifact
     * currency must not be able to crash a recording). Pinned in
     * BenchGateSpec. */
-  def sf1GateCommit(path: String): String =
+  def sf1GateCommit(path: String): String = sf1GateMeta(path, "sf1_head_commit")
+
+  /** Any `_meta` string of the sf1 artifact — "absent" when the file is
+    * missing, pre-stamp-format, or unparseable (never throws). */
+  def sf1GateMeta(path: String, key: String): String =
     try {
       val f = new java.io.File(path)
       if (!f.isFile) "absent"
       else {
         import org.json4s._
-        (jackson.JsonMethods.parse(f) \ "_meta" \ "sf1_head_commit") match {
+        (jackson.JsonMethods.parse(f) \ "_meta" \ key) match {
           case JString(c) => c
           case _ => "absent"
         }
       }
+    } catch { case _: Exception => "absent" }
+
+  /** The current runtime-surface commit (last change under src/, build.sbt,
+    * or the scan budgets) — the freshness reference for the sf1 stamp's
+    * `sf1_code_commit`. Best-effort: "absent" on any failure (a recording
+    * must never die on a git hiccup). */
+  def currentCodeCommit(): String =
+    try {
+      val p = new ProcessBuilder("git", "log", "-1", "--format=%H", "--",
+        "src", "build.sbt", "scan_budgets.json").redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else "absent"
     } catch { case _: Exception => "absent" }
 
   /** Pipeline throughput (BASELINE.md planned metric): generate → Confluent-
