@@ -185,6 +185,10 @@ object SparkEntry {
     // frozen quantizers (the FAISS-add shape); appended ≡ rebuilt, so the
     // lane gates on the q157 oracle (r17 verdict Next #3)
     "q159_ann_index_append" -> (Similarity.q159AnnIndexAppend _),
+    // q160 (r18): append-then-compact ≡ rebuild — the segment-merge half
+    // of the ingest lifecycle (streaming appends accrete per-batch files;
+    // compaction re-lands them one file per cluster, search-identical)
+    "q160_ann_index_compact" -> (Similarity.q160AnnIndexCompact _),
     // r7: weighted sampling w/o replacement (Efraimidis–Spirakis, md5 stream)
     "q115_weighted_sample" -> ((s, d) => TextAnalysis.q115WeightedSample(s, d)),
     // r7: per-doc bigram-rarity quality score (integer LM-perplexity proxy)
@@ -862,6 +866,8 @@ object SparkEntry {
     // append ≡ rebuild under frozen quantizers: the appended index holds
     // exactly the monolithic build's rows, same oracle again
     "q159_ann_index_append" -> annIndexServeOracle,
+    // compaction is a pure re-layout: same rows, same oracle
+    "q160_ann_index_compact" -> annIndexServeOracle,
     "q154_hybrid_rrf" -> hybridRrfOracle,
     "q155_hybrid_bm25_ann" -> hybridBm25AnnOracle,
     "q156_curation_neardup" -> curationNearDupOracle,

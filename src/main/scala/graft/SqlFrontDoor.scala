@@ -532,6 +532,7 @@ object SqlFrontDoor {
     // s159: SQL text cannot run the append side effect either — the twin is
     // the same inline index+shortlist+rerank replay (append ≡ rebuild)
     "q159_ann_index_append" -> annIndexServeSql,
+    "q160_ann_index_compact" -> annIndexServeSql,
     "q155_hybrid_bm25_ann" -> hybridBm25AnnSparkSql,
     "q156_curation_neardup" -> curationNearDupSparkSql,
     "q154_hybrid_rrf" -> { // hybrid RRF as text: split/explode tokenization,

@@ -941,6 +941,63 @@ object Similarity {
     searchIndex(loadIndex(s, path), q).orderBy("qid", "rnk")
   }
 
+  /** Compact an index artifact in place: re-land the codes table one file
+    * per cluster (cid-sorted) and the vectors table as fresh cid-range
+    * files — the segment-merge half of the ingest lifecycle. A streaming
+    * [[appendToIndex]] loop accretes one small file per (cluster, batch);
+    * at micro-batch cadence that is the classic small-file bomb (listing
+    * cost grows per batch, row groups shrink toward per-file overhead),
+    * and every production vector store ships the countermeasure (FAISS
+    * rebuild/merge of inverted lists, Milvus segment compaction).
+    * Quantizers are untouched; codes/vectors are pure re-layouts of the
+    * same rows, so search over the compacted artifact is row-identical
+    * (q160 gates it on the q157 oracle; AnnIndexSpec pins the file-count
+    * collapse). Each table lands in a side directory first and swaps in
+    * by rename, so an interrupted compaction leaves the artifact
+    * serving its pre-compaction layout, never a half-written one. */
+  def compactIndex(s: SparkSession, path: String): Unit = {
+    val codes = s.read.parquet(s"$path/codes")
+      .withColumn("cluster", col("cluster").cast("long"))
+    val vecs = s.read.parquet(s"$path/vectors")
+    graft.sources.ParquetLayout.writePartitioned(
+      codes, s"$path/codes_compacting", Seq("cluster"), Seq("cid"))
+    writeVectors(vecs, s"$path/vectors_compacting")
+    def swap(name: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      val cur = new java.io.File(s"$path/$name")
+      val next = new java.io.File(s"$path/${name}_compacting")
+      val retired = new java.io.File(s"$path/${name}_retired")
+      rm(retired)
+      require(cur.renameTo(retired) && next.renameTo(cur),
+        s"compactIndex: atomic swap failed for $name under $path")
+      rm(retired)
+    }
+    swap("codes"); swap("vectors")
+  }
+
+  /** Q160 — append-then-compact ≡ rebuild: the q159 ingest (base build +
+    * online append, which accretes per-batch files) followed by
+    * [[compactIndex]], served against the q157 query set. Output gates on
+    * the same computed oracle as q157/q158/q159: compaction is a pure
+    * re-layout, so the WHOLE lifecycle — build, append, compact, serve —
+    * provably never changes a search result. */
+  def q160AnnIndexCompact(s: SparkSession, dir: String): DataFrame = {
+    val M = 8; val K = 16; val Dim = 64
+    val e = emb(s, dir).select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 20).toDF("qid", "qv")
+    val cents = ivfCentroids(e, sqrtStride(e))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = pqCodebook(e, M, K, Dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val path = indexPathFor(dir) + "_compact"
+    writeIndexWith(e.filter(col("vec_id") % 10 =!= 7), cents, cb, path)
+    appendToIndex(s, path, e.filter(col("vec_id") % 10 === 7))
+    compactIndex(s, path)
+    searchIndex(loadIndex(s, path), q).orderBy("qid", "rnk")
+  }
+
   /** Load a [[writeIndex]] artifact. Partition-column values come back as
     * directory strings — cast cluster to long so joins against cent_id
     * stay type-exact. */

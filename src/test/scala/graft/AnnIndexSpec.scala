@@ -140,6 +140,45 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftSession.releasePersisted(spark)
   }
 
+  test("compaction collapses append-accreted files and is search-identical " +
+      "(q160)") {
+    val e = corpus
+    val cents = Similarity.ivfCentroids(e, Similarity.sqrtStride(e))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = Similarity.pqCodebook(e, 8, 16, 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_compact").toString
+    Similarity.writeIndexWith(e.filter(col("vec_id") % 4 === 0), cents, cb, s"$tmp/idx")
+    // three appends — the streaming-accretion shape: one file per
+    // (cluster, batch) piles up in the hot cluster directories
+    (1 to 3).foreach(k =>
+      Similarity.appendToIndex(spark, s"$tmp/idx", e.filter(col("vec_id") % 4 === k)))
+    def dataFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p))
+        .count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    }
+    val q = e.filter(col("vec_id") < 20).toDF("qid", "qv")
+    def serve() =
+      Similarity.searchIndex(Similarity.loadIndex(spark, s"$tmp/idx"), q)
+        .orderBy("qid", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val beforeFiles = dataFiles(s"$tmp/idx/codes")
+    val beforeRows = serve()
+    Similarity.compactIndex(spark, s"$tmp/idx")
+    val afterFiles = dataFiles(s"$tmp/idx/codes")
+    assert(afterFiles < beforeFiles,
+      s"compaction did not reduce code files: $beforeFiles -> $afterFiles")
+    assert(serve() == beforeRows, "compaction changed search results")
+    // no leftover side/retired directories — the swap completed
+    val names = Option(new java.io.File(s"$tmp/idx").listFiles()).toSeq.flatten.map(_.getName)
+    assert(!names.exists(n => n.contains("compacting") || n.contains("retired")),
+      s"compaction left transient dirs: $names")
+    GraftSession.releasePersisted(spark)
+  }
+
   test("streaming ingest appends compose: foreachBatch micro-batch appends " +
       "≡ the monolithic rebuild over the union corpus") {
     val sp = spark
