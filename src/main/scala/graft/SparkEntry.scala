@@ -189,6 +189,11 @@ object SparkEntry {
     // of the ingest lifecycle (streaming appends accrete per-batch files;
     // compaction re-lands them one file per cluster, search-identical)
     "q160_ann_index_compact" -> (Similarity.q160AnnIndexCompact _),
+    // q161 (r18): ExactSubstr duplicate-span discovery (Lee et al. 2021) —
+    // the span-level complement of the document-level dedup ladder: k-gram
+    // occurrence relation, one corpus-wide multiplicity shuffle, per-doc
+    // interval merge; emits trim-ready (doc_id, span_start, span_end)
+    "q161_exact_substr_spans" -> (Dedup.q161ExactSubstrSpans _),
     // r7: weighted sampling w/o replacement (Efraimidis–Spirakis, md5 stream)
     "q115_weighted_sample" -> ((s, d) => TextAnalysis.q115WeightedSample(s, d)),
     // r7: per-doc bigram-rarity quality score (integer LM-perplexity proxy)
@@ -868,6 +873,12 @@ object SparkEntry {
     "q159_ann_index_append" -> annIndexServeOracle,
     // compaction is a pure re-layout: same rows, same oracle
     "q160_ann_index_compact" -> annIndexServeOracle,
+    "q161_exact_substr_spans" -> // ExactSubstr (Lee et al. 2021): k-gram
+      // md5 occurrences -> corpus-wide multiplicity window -> per-doc
+      // interval merge; the injected header/footer canaries (q92 rule)
+      // guarantee cross-doc spans AND exercise the merge (5 overlapping
+      // header windows -> one 12-token span; %15 docs carry two spans)
+      "WITH base AS (SELECT doc_id, concat(CASE WHEN doc_id % 3 = 0 THEN 'shared license header text appears before many documents in the crawl corpus ' ELSE '' END, text, CASE WHEN doc_id % 5 = 0 THEN ' subscribe to our newsletter for updates and special offers' ELSE '' END) AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), w AS (SELECT doc_id, string_split_regex(trim(t), '\\s+') AS ws FROM base), u AS (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i, unnest(ws) AS _w FROM w), g AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS h FROM u WHERE i + 7 <= len(ws)), d AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS copies FROM g), o AS (SELECT doc_id, pos FROM d WHERE copies >= 2), m AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 THEN 1 ELSE 0 END AS fresh FROM o), i2 AS (SELECT doc_id, pos, SUM(fresh) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM m), sp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end FROM i2 GROUP BY doc_id, span_id) SELECT doc_id, CAST(span_start AS BIGINT) AS span_start, CAST(span_end AS BIGINT) AS span_end, CAST(span_end - span_start AS BIGINT) AS span_tokens FROM sp ORDER BY doc_id, span_start",
     "q154_hybrid_rrf" -> hybridRrfOracle,
     "q155_hybrid_bm25_ann" -> hybridBm25AnnOracle,
     "q156_curation_neardup" -> curationNearDupOracle,

@@ -140,6 +140,11 @@ object SqlFrontDoor {
       // unnest -> LATERAL VIEW posexplode (0- vs 1-based i: order-only, not
       // output); string_agg(ORDER BY) -> concat_ws/transform/array_sort
       "WITH base AS (SELECT doc_id, concat(text, CASE WHEN doc_id % 5 = 0 THEN ' the quick brown fox jumps over the lazy dog' ELSE '' END) AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), tok AS (SELECT doc_id, i, word FROM base LATERAL VIEW posexplode(split(trim(t), '\\\\s+')) x AS i, word), m AS (SELECT doc_id, i, word, CASE WHEN substring(md5(word), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END AS b FROM tok), pw AS (SELECT doc_id, i, word, SUM(b) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid FROM m), pas AS (SELECT doc_id, pid, md5(concat_ws(' ', transform(array_sort(collect_list(struct(i, word))), s -> s.word))) AS pmd5 FROM pw GROUP BY doc_id, pid), g AS (SELECT pmd5, COUNT(*) AS copies, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS keeper FROM pas GROUP BY pmd5) SELECT COUNT(*) AS n_unique_passages, CAST(SUM(copies) AS BIGINT) AS n_passages, CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS cross_doc_groups, CAST(SUM(CASE WHEN n_docs >= 2 THEN copies END) AS BIGINT) AS cross_doc_copies, CAST(SUM(CASE WHEN n_docs >= 2 THEN keeper END) AS BIGINT) AS keeper_sum FROM g",
+    "q161_exact_substr_spans" -> // string_split_regex -> split; range lateral
+      // -> posexplode over transform(sequence) (pos IS the window start both
+      // ways); ws[i+1:i+8] -> slice(ws, i+1, 8); len-guard moves to a
+      // subquery so slice never sees a sub-k doc
+      "WITH base AS (SELECT doc_id, concat(CASE WHEN doc_id % 3 = 0 THEN 'shared license header text appears before many documents in the crawl corpus ' ELSE '' END, text, CASE WHEN doc_id % 5 = 0 THEN ' subscribe to our newsletter for updates and special offers' ELSE '' END) AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), w AS (SELECT doc_id, ws FROM (SELECT doc_id, split(trim(t), '\\\\s+') AS ws FROM base) WHERE size(ws) >= 8), g AS (SELECT doc_id, pos, h FROM w LATERAL VIEW posexplode(transform(sequence(0, size(ws) - 8), i -> md5(concat_ws(' ', slice(ws, i + 1, 8))))) x AS pos, h), d AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS copies FROM g), o AS (SELECT doc_id, pos FROM d WHERE copies >= 2), m AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 THEN 1 ELSE 0 END AS fresh FROM o), i2 AS (SELECT doc_id, pos, SUM(fresh) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM m), sp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end FROM i2 GROUP BY doc_id, span_id) SELECT doc_id, CAST(span_start AS BIGINT) AS span_start, CAST(span_end AS BIGINT) AS span_end, CAST(span_end - span_start AS BIGINT) AS span_tokens FROM sp ORDER BY doc_id, span_start",
     "q93_inverted_index" -> // string_agg(ORDER BY) -> concat_ws over sorted list
       "WITH tok AS (SELECT doc_id, explode(split(trim(lower(text)), '\\\\s+')) AS term FROM documents WHERE text IS NOT NULL), ft AS (SELECT doc_id, term FROM tok WHERE length(term) >= 3), td AS (SELECT term, doc_id, COUNT(*) AS tf_d FROM ft GROUP BY 1, 2), st AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf_d) AS BIGINT) AS tf FROM td GROUP BY term), r AS (SELECT term, doc_id, ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM td), p AS (SELECT term, concat_ws(',', transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING))) AS posting FROM r WHERE rn <= 5 GROUP BY term) SELECT st.term, df, tf, posting FROM st JOIN p ON st.term = p.term ORDER BY df DESC, st.term LIMIT 50",
     "q94_hopping_windows" -> // epoch_ns -> raw bigint ts; unnest([0,1]) -> explode(array)

@@ -983,4 +983,102 @@ object Dedup {
       .select("id1", "id2", "lev")
       .orderBy("id1", "id2")
   }
+
+  // ------------------------------------------- exact-substring span dedup
+
+  /** Token width of an ExactSubstr match window (Lee et al. 2021 use 50 BPE
+    * tokens on real corpora; 8 words keeps the fixture docs — ~60 words —
+    * able to carry several disjoint spans). */
+  val ExactSubstrK = 8
+
+  /** Q161 — exact-substring duplicate spans (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", the ExactSubstr side of
+    * that paper's NearDup/ExactSubstr pair): every MAXIMAL token range of a
+    * document that is covered by k-token windows occurring verbatim anywhere
+    * else in the corpus. This is the span-DISCOVERY primitive the document-
+    * level ladder (q28 exact, q50 MinHash, q152 SemDeDup) cannot express:
+    * those keep or drop whole documents, while ExactSubstr localizes the
+    * duplicated text itself (licence headers, boilerplate footers, quoted
+    * passages) so a curation pass can trim spans and keep the remainder.
+    * q92's CDC passages are the probabilistic cousin (content-defined
+    * chunk-then-hash: recall only for whole shared chunks); this lane is the
+    * exact-recall path — every duplicated run ≥ k tokens is found, at any
+    * offset, regardless of chunk boundaries.
+    *
+    * Algorithm, Spark-first (the paper builds one corpus-wide suffix array;
+    * the distributed equivalent is the k-gram occurrence relation):
+    *   1. one map-side pass per doc: rolling k-token windows hashed with
+    *      md5 over the space-rejoined words (array HOFs + one posexplode —
+    *      the q92 zero-shuffle chunking discipline; md5 is the portable
+    *      gate DuckDB replays byte-exactly),
+    *   2. corpus-wide multiplicity per hash: `count() OVER (PARTITION BY h)`
+    *      — ONE shuffle, hash-partitioned, the distributed spelling of the
+    *      suffix-array group; occurrences with copies ≥ 2 (self-overlap
+    *      counts, as in the paper) survive,
+    *   3. per-doc interval merge of surviving [pos, pos+k) windows: equal
+    *      widths make the classic running-max island scan a single lag —
+    *      a window over (doc_id, pos) whose partitions are the per-doc
+    *      duplicated positions (≤ tokens/doc, row-local rows).
+    * Output: (doc_id, span_start, span_end, span_tokens), token-indexed,
+    * half-open, overlap-or-adjacent windows merged. Σ span_tokens is the
+    * paper's "duplicated bytes" accounting; the spans are directly usable
+    * as trim instructions.
+    *
+    * Scale (100 TB): the occurrence stream is N_tokens rows of
+    * (doc_id, pos, 16-byte hash) — linear, never a suffix array in memory;
+    * the h-shuffle is the only corpus-wide exchange and carries no text
+    * (hot boilerplate hashes sort within their partition — no per-key
+    * state). Only duplicated occurrences (sparse on real crawls) reach the
+    * per-doc merge. Exactness is modulo md5 collision over 8-word windows
+    * (the engineering trade every production ExactSubstr variant ships).
+    *
+    * Conformance injection (the q92 canary rule — the lane must not pass
+    * vacuously on all-unique text): every 3rd doc gets a shared 12-word
+    * licence-header prefix (5 overlapping windows → ONE merged span, so the
+    * interval merge is exercised, not just window equality) and every 5th
+    * doc a shared 9-word footer suffix; doc_id % 15 == 0 docs carry BOTH —
+    * two disjoint spans in one document. The oracle replays the injection. */
+  def q161ExactSubstrSpans(s: SparkSession, dir: String): DataFrame = {
+    val header = "shared license header text appears before many documents in the crawl corpus"
+    val footer = "subscribe to our newsletter for updates and special offers"
+    val base = docs(s, dir)
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), concat(
+        when(col("doc_id") % 3 === 0, header + " ").otherwise(""),
+        col("text"),
+        when(col("doc_id") % 5 === 0, " " + footer).otherwise("")).as("text"))
+    exactSubstrSpans(base)
+  }
+
+  /** The ExactSubstr core over any (doc_id, text) frame — see
+    * [[q161ExactSubstrSpans]] for semantics and the scale contract. */
+  def exactSubstrSpans(d: DataFrame, k: Int = ExactSubstrK): DataFrame = {
+    // ~N_tokens fan-out must not be serialized by the source layout (q92)
+    val words = Scale.ensureParallel(d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= k)
+    val grams = words.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), size(col("w")) - k),
+        i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(k)))))).as(Seq("pos", "h")))
+    val dupOcc = grams
+      .withColumn("copies", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("copies") >= 2)
+      .select("doc_id", "pos")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    dupOcc
+      .withColumn("prev", lag("pos", 1).over(byPos))
+      // equal-width intervals sorted by start: the previous window's end is
+      // lag(pos)+k, so overlap-or-adjacency is pos <= prev+k — no running
+      // max needed
+      .withColumn("fresh",
+        when(col("prev").isNull || col("pos") > col("prev") + k, 1L).otherwise(0L))
+      .withColumn("span_id", sum("fresh").over(byPos))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min("pos").as("s0"), (max("pos") + k).as("s1"))
+      .select(col("doc_id"),
+        col("s0").cast("long").as("span_start"),
+        col("s1").cast("long").as("span_end"),
+        (col("s1") - col("s0")).cast("long").as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
 }

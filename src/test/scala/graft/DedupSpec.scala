@@ -221,4 +221,41 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expect.count(_._4) > 0, "fixture must exercise real dup verdicts")
     assert(expect.count(_._4) < e.size / 2, "most of the corpus must survive")
   }
+
+  test("exactSubstrSpans: duplicated k-token runs localize to exact merged " +
+    "spans at any offset; unique text and sub-k docs emit nothing (q161)") {
+    val k = Dedup.ExactSubstrK
+    // 12 shared words — 5 overlapping k=8 windows that must merge to ONE span
+    val boiler = (0 until 12).map(i => s"dup$i").mkString(" ")
+    val uniq = (0 until 30).map(i => s"only$i").mkString(" ")   // doc-1-only
+    val uniq2 = (0 until 30).map(i => s"solo$i").mkString(" ")  // doc-2-only
+    val d = docsDf(Seq(
+      1L -> s"$boiler $uniq",                 // span at offset 0
+      2L -> s"$uniq2 $boiler",                // the SAME span at offset 30
+      3L -> s"$boiler mid0 mid1 mid2 mid3 mid4 mid5 mid6 mid7 mid8 $boiler",
+      // ^ two disjoint copies in one doc: spans [0,12) and [21,33)
+      4L -> (60 until 90).map(i => s"none$i").mkString(" "),    // all unique
+      5L -> "dup0 dup1 dup2"))                // < k tokens: no windows at all
+    val got = Dedup.exactSubstrSpans(d, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 12L, 12L),
+      (2L, 30L, 42L, 12L),
+      (3L, 0L, 12L, 12L), (3L, 21L, 33L, 12L)),
+      s"span inventory diverges from construction: $got")
+  }
+
+  test("exactSubstrSpans merges overlap chains across distinct window " +
+    "hashes (a 19-word shared run is one span, not windows)") {
+    val k = Dedup.ExactSubstrK
+    val run = (0 until 19).map(i => s"chain$i").mkString(" ")
+    val d = docsDf(Seq(
+      1L -> (run + " " + (0 until 20).map(i => s"u$i").mkString(" ")),
+      2L -> ((0 until 20).map(i => s"v$i").mkString(" ") + " " + run)))
+    val got = Dedup.exactSubstrSpans(d, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 12 distinct window hashes per copy, every adjacent pair overlapping:
+    // the island scan must fuse them into a single 19-token span per doc
+    assert(got == Set((1L, 0L, 19L), (2L, 20L, 39L)), s"got $got")
+  }
 }
