@@ -194,6 +194,12 @@ object SparkEntry {
     // occurrence relation, one corpus-wide multiplicity shuffle, per-doc
     // interval merge; emits trim-ready (doc_id, span_start, span_end)
     "q161_exact_substr_spans" -> (Dedup.q161ExactSubstrSpans _),
+    // q162 (r18): leakage-free train/val/test split — assignment is a pure
+    // function of the content fingerprint (no membership table, no join,
+    // re-crawl-stable), exact-dup clusters co-locate by construction and
+    // the lane emits the audit proving it, plus the measured residual
+    // prefix-level near-dup leakage a content-hash split cannot prevent
+    "q162_leakage_free_split" -> (graft.operators.Curation.q162LeakageFreeSplit _),
     // r7: weighted sampling w/o replacement (Efraimidis–Spirakis, md5 stream)
     "q115_weighted_sample" -> ((s, d) => TextAnalysis.q115WeightedSample(s, d)),
     // r7: per-doc bigram-rarity quality score (integer LM-perplexity proxy)
@@ -1085,6 +1091,11 @@ object SparkEntry {
       // md5(text) → 5-shingle decon vs the every-100th-doc benchmark →
       // md5-rank quota k=15 → md5-rank global positions.
       "WITH ne AS (SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), q AS (SELECT * FROM ne WHERE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) >= 0.45), k AS (SELECT md5(text) AS fp, MIN(doc_id) AS keep FROM q GROUP BY 1), d AS (SELECT q.* FROM q JOIN k ON md5(q.text) = fp AND q.doc_id = keep), qw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM q), shc AS (SELECT doc_id, array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i FROM qw WHERE len(words) >= 5) t), bw AS (SELECT string_split_regex(trim(text), '\\s+') AS words FROM documents WHERE doc_id % 100 = 0), bsh AS (SELECT DISTINCT array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh FROM (SELECT words, unnest(generate_series(1, len(words) - 4)) AS i FROM bw WHERE len(words) >= 5) t), contam AS (SELECT DISTINCT doc_id FROM shc JOIN bsh USING (sh)), c AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM contam)), r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(concat('curate|', CAST(doc_id AS VARCHAR))), doc_id) AS rnk FROM c), cap AS (SELECT doc_id FROM r WHERE rnk <= 15), p AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY md5(concat('curate|pos|', CAST(doc_id AS VARCHAR))), doc_id) AS pos FROM cap) SELECT (SELECT COUNT(*) FROM ne) AS n_non_empty, (SELECT COUNT(*) FROM q) AS n_quality, (SELECT COUNT(*) FROM d) AS n_dedup, (SELECT COUNT(*) FROM c) AS n_clean, (SELECT COUNT(*) FROM cap) AS n_capped, CAST((SELECT SUM(doc_id) FROM cap) AS BIGINT) AS kept_id_sum, CAST((SELECT SUM(doc_id * pos) FROM p) AS BIGINT) AS pos_checksum",
+    "q162_leakage_free_split" -> // split = bucket(md5('q162|' || md5(text)))
+      // — the q115 dyadic-hex spelling both engines compute identically;
+      // canary replacement (every %100==7 doc) forms one multi-doc exact
+      // cluster that must co-locate (max_cluster pins it, exact_leak 0)
+      "WITH ne AS (SELECT doc_id, CASE WHEN doc_id % 100 = 7 THEN 'this exact passage appears verbatim in several crawl snapshots of the corpus' ELSE text END AS text FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), f AS (SELECT doc_id, text, md5(text) AS fp FROM ne), a AS (SELECT doc_id, text, fp, CAST(concat('0x', substring(md5(concat('q162|', fp)), 1, 8)) AS BIGINT) % 10 AS h FROM f), sp AS (SELECT doc_id, text, fp, CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split FROM a), ps AS (SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_clusters, CAST(SUM(length(text)) AS BIGINT) AS n_chars FROM sp GROUP BY split), bf AS (SELECT fp, COUNT(DISTINCT split) AS n_splits, COUNT(*) AS sz FROM sp GROUP BY fp), el AS (SELECT CAST(SUM(CASE WHEN n_splits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_leak_groups, CAST(MAX(sz) AS BIGINT) AS max_cluster FROM bf), pg AS (SELECT lower(substring(trim(text), 1, 24)) AS sig, COUNT(DISTINCT split) AS n_splits, COUNT(DISTINCT fp) AS n_fps FROM sp GROUP BY sig), pl AS (SELECT CAST(SUM(CASE WHEN n_splits >= 2 AND n_fps >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS prefix_leak_groups FROM pg) SELECT split, n_docs, n_clusters, n_chars, exact_leak_groups, max_cluster, prefix_leak_groups FROM ps, el, pl ORDER BY split",
     "q112_percentile_disc_sharded" -> // same oracle rule as q107: the
       // sharded decomposition must reproduce the built-in exactly
       "SELECT l_returnflag, quantile_disc(l_extendedprice, 0.25) AS p25, quantile_disc(l_extendedprice, 0.5) AS p50, quantile_disc(l_extendedprice, 0.9) AS p90, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",

@@ -145,6 +145,9 @@ object SqlFrontDoor {
       // ways); ws[i+1:i+8] -> slice(ws, i+1, 8); len-guard moves to a
       // subquery so slice never sees a sub-k doc
       "WITH base AS (SELECT doc_id, concat(CASE WHEN doc_id % 3 = 0 THEN 'shared license header text appears before many documents in the crawl corpus ' ELSE '' END, text, CASE WHEN doc_id % 5 = 0 THEN ' subscribe to our newsletter for updates and special offers' ELSE '' END) AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), w AS (SELECT doc_id, ws FROM (SELECT doc_id, split(trim(t), '\\\\s+') AS ws FROM base) WHERE size(ws) >= 8), g AS (SELECT doc_id, pos, h FROM w LATERAL VIEW posexplode(transform(sequence(0, size(ws) - 8), i -> md5(concat_ws(' ', slice(ws, i + 1, 8))))) x AS pos, h), d AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS copies FROM g), o AS (SELECT doc_id, pos FROM d WHERE copies >= 2), m AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 THEN 1 ELSE 0 END AS fresh FROM o), i2 AS (SELECT doc_id, pos, SUM(fresh) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM m), sp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end FROM i2 GROUP BY doc_id, span_id) SELECT doc_id, CAST(span_start AS BIGINT) AS span_start, CAST(span_end AS BIGINT) AS span_end, CAST(span_end - span_start AS BIGINT) AS span_tokens FROM sp ORDER BY doc_id, span_start",
+    "q162_leakage_free_split" -> // CAST('0x…' AS BIGINT) -> conv(hex,16,10)
+      // (Spark does not parse 0x-prefixed casts; same dyadic value)
+      "WITH ne AS (SELECT doc_id, CASE WHEN doc_id % 100 = 7 THEN 'this exact passage appears verbatim in several crawl snapshots of the corpus' ELSE text END AS text FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), f AS (SELECT doc_id, text, md5(text) AS fp FROM ne), a AS (SELECT doc_id, text, fp, CAST(conv(substring(md5(concat('q162|', fp)), 1, 8), 16, 10) AS BIGINT) % 10 AS h FROM f), sp AS (SELECT doc_id, text, fp, CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split FROM a), ps AS (SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_clusters, CAST(SUM(length(text)) AS BIGINT) AS n_chars FROM sp GROUP BY split), bf AS (SELECT fp, COUNT(DISTINCT split) AS n_splits, COUNT(*) AS sz FROM sp GROUP BY fp), el AS (SELECT CAST(SUM(CASE WHEN n_splits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_leak_groups, CAST(MAX(sz) AS BIGINT) AS max_cluster FROM bf), pg AS (SELECT lower(substring(trim(text), 1, 24)) AS sig, COUNT(DISTINCT split) AS n_splits, COUNT(DISTINCT fp) AS n_fps FROM sp GROUP BY sig), pl AS (SELECT CAST(SUM(CASE WHEN n_splits >= 2 AND n_fps >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS prefix_leak_groups FROM pg) SELECT split, n_docs, n_clusters, n_chars, exact_leak_groups, max_cluster, prefix_leak_groups FROM ps, el, pl ORDER BY split",
     "q93_inverted_index" -> // string_agg(ORDER BY) -> concat_ws over sorted list
       "WITH tok AS (SELECT doc_id, explode(split(trim(lower(text)), '\\\\s+')) AS term FROM documents WHERE text IS NOT NULL), ft AS (SELECT doc_id, term FROM tok WHERE length(term) >= 3), td AS (SELECT term, doc_id, COUNT(*) AS tf_d FROM ft GROUP BY 1, 2), st AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf_d) AS BIGINT) AS tf FROM td GROUP BY term), r AS (SELECT term, doc_id, ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM td), p AS (SELECT term, concat_ws(',', transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING))) AS posting FROM r WHERE rn <= 5 GROUP BY term) SELECT st.term, df, tf, posting FROM st JOIN p ON st.term = p.term ORDER BY df DESC, st.term LIMIT 50",
     "q94_hopping_windows" -> // epoch_ns -> raw bigint ts; unnest([0,1]) -> explode(array)

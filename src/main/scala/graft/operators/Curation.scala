@@ -239,4 +239,85 @@ object Curation {
       .toDF("n_non_empty", "n_quality", "n_dedup", "n_neardup", "n_semdedup",
         "n_clean", "n_capped", "kept_id_sum", "pos_checksum")
   }
+
+  // --------------------------------------------- leakage-free split (q162)
+
+  /** Q162 — leakage-free train/val/test split: assignment is a pure
+    * function of the CONTENT fingerprint, not the document id, so every
+    * exact-duplicate cluster lands in one split by construction — the
+    * eval-contamination failure mode of naive per-row splits ("the test
+    * set is in the training set because the crawl stored it twice") is
+    * structurally impossible, and the lane EMITS the audit that proves it
+    * rather than asserting it in prose.
+    *
+    *   split(doc) = bucket(md5("q162|" ++ md5(text))) → 8/1/1 train/val/test
+    *
+    * Scale (100 TB): no membership table and no join — a doc's split is
+    * recomputable from its bytes alone by any engine at any time (the
+    * property that makes the split STABLE under re-crawls: a duplicate
+    * arriving next year lands in the same split as its twin). The only
+    * shuffles are the audit groupBys on 16-byte fingerprints. Contrast
+    * with random-split-then-persist, which needs the membership table
+    * shipped to every consumer and re-leaks on every refresh.
+    *
+    * Emitted audits:
+    *   - exact_leak_groups: fingerprint groups straddling >1 split — 0 by
+    *     construction (the lane's theorem, made observable);
+    *   - prefix_leak_groups: 24-char-normalized-prefix groups (the q121
+    *     blocking sig) straddling splits with ≥2 distinct fingerprints —
+    *     the RESIDUAL near-duplicate leakage a content-hash split cannot
+    *     prevent (measurably nonzero on the fixture), i.e. the honest
+    *     reason production pipelines run q50/q152 BEFORE splitting;
+    *   - max_cluster: largest exact-dup cluster (canary ≥ 2, non-vacuity).
+    *
+    * Conformance canary (q92 rule): every doc_id % 100 == 7 doc's text is
+    * replaced by a fixed passage, forming one multi-doc exact-dup cluster
+    * that must co-locate; the oracle replays the replacement. */
+  def q162LeakageFreeSplit(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val canary = "this exact passage appears verbatim in several crawl snapshots of the corpus"
+    val ne = graft.Tables(s, dir, "documents")
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 100 === 7, canary).otherwise(col("text")).as("text"))
+    val withFp = ne.select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
+    val assigned = withFp
+      .withColumn("h",
+        conv(substring(md5(concat(lit("q162|"), col("fp"))), 1, 8), 16, 10)
+          .cast("long") % 10)
+      .withColumn("split",
+        when(col("h") < 8, "train").when(col("h") === 8, "val").otherwise("test"))
+    // one (fp, split) pre-aggregation feeds BOTH the per-split stats and the
+    // exact-leak audit: map-side partial agg collapses each duplicate
+    // cluster to one row per (fp, split) before the exchange, and the two
+    // downstream rollups re-aggregate that tiny frame — one corpus scan,
+    // one corpus-wide shuffle for three outputs
+    val lvl = assigned.groupBy("fp", "split")
+      .agg(count(lit(1)).as("sz"), sum(length(col("text"))).as("chars"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perSplit = lvl.groupBy("split")
+      .agg(sum("sz").as("n_docs"), count(lit(1)).as("n_clusters"),
+        sum("chars").as("n_chars"))
+    // (fp, split) rows are distinct by construction, so count(*) per fp IS
+    // the distinct-split count
+    val exactLeak = lvl.groupBy("fp")
+      .agg(count(lit(1)).as("n_splits"), sum("sz").as("csz"))
+      .agg(sum(when(col("n_splits") >= 2, 1L).otherwise(0L)).as("exact_leak_groups"),
+        max(col("csz")).as("max_cluster"))
+    val prefixLeak = assigned
+      .select(lower(substring(trim(col("text")), 1, 24)).as("sig"),
+        col("fp"), col("split"))
+      .groupBy("sig")
+      .agg(countDistinct(col("split")).as("n_splits"),
+        countDistinct(col("fp")).as("n_fps"))
+      .agg(sum(when(col("n_splits") >= 2 && col("n_fps") >= 2, 1L).otherwise(0L))
+        .as("prefix_leak_groups"))
+    // two 1-row audit frames broadcast onto three split rows — no keys
+    perSplit.crossJoin(exactLeak).crossJoin(prefixLeak)
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("exact_leak_groups").cast("long").as("exact_leak_groups"),
+        col("max_cluster").cast("long").as("max_cluster"),
+        col("prefix_leak_groups").cast("long").as("prefix_leak_groups"))
+      .orderBy("split")
+  }
 }

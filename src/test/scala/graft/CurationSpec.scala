@@ -150,4 +150,41 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
           "position key is correlated with quota-survivor key")
     }
   }
+
+  test("q162: content-hash split co-locates every exact-dup cluster; the " +
+    "naive doc_id split demonstrably leaks on the same corpus") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Curation.q162LeakageFreeSplit(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("test", "train", "val"))
+    val total = out.map(_.getLong(1)).sum
+    assert(total > 0 && out.forall(_.getLong(1) > 0), "all three splits populated")
+    out.foreach { r =>
+      assert(r.getLong(4) == 0L, s"exact_leak_groups must be 0: $r")
+      assert(r.getLong(5) >= 2L, "canary cluster missing — co-location vacuous")
+    }
+    // 8/1/1 target: train carries the bulk (binomial slack at 500 docs)
+    val train = out.find(_.getString(0) == "train").get.getLong(1)
+    assert(train > total * 6 / 10, s"train=$train of $total — hash bucketing broken")
+
+    // negative control: assigning by doc_id hash (the naive spelling this
+    // operator exists to replace) splits a 20-copy duplicate cluster across
+    // splits (P(no leak) = 0.8^20 + 0.1^20·2 ≈ 1% — and the ids are fixed,
+    // so the outcome is deterministic once recorded), while the content-hash
+    // rule cannot by construction
+    val sq = spark.sqlContext
+    import sq.implicits._
+    val cluster = (0L until 20L).map(i => (i * 37L + 3L, "twenty identical crawl copies"))
+      .toDF("doc_id", "text")
+    def buckets(key: org.apache.spark.sql.Column): Long = cluster
+      .withColumn("h",
+        conv(substring(md5(concat(lit("q162|"), key)), 1, 8), 16, 10)
+          .cast("long") % 10)
+      .select(countDistinct(when(col("h") < 8, "train")
+        .when(col("h") === 8, "val").otherwise("test")))
+      .first().getLong(0)
+    assert(buckets(col("doc_id").cast("string")) >= 2L,
+      "naive per-doc split did not leak — the negative control lost its teeth")
+    assert(buckets(md5(col("text"))) == 1L,
+      "content-hash split scattered a single-fingerprint cluster")
+  }
 }
