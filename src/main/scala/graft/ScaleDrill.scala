@@ -333,15 +333,34 @@ object ScaleDrill {
     val all = drillQueries.map(n => n -> SparkEntry.baseQueries(n)) ++
       extraDrillQueries.toSeq :+ ("curation_flow" -> curationFlow)
     val rows = all.map { case (name, fn) =>
-      // One UNTIMED warmup pair first (r15): the ×N side is each lane's
-      // FIRST-ever execution at that input scale in this JVM, so tiered
-      // compilation re-profiles the hot generated loops mid-measurement —
-      // q114 (the most codegen-stage-heavy drill plan) recorded x10 bests
-      // of 1.57 s and 4.80 s in two same-code bench runs purely on whether
-      // the C2 recompile settled before or during the timed pairs (GC log
-      // clean, plans identical). A settle execution per side costs ~90 s
-      // of drill wall and removes the JIT lifecycle from the ratio.
-      once(fn, baseDir); once(fn, bigDir)
+      // UNTIMED warmup to CONVERGENCE per side (r18, was one fixed pair
+      // since r15): a single settle execution is not enough for the
+      // codegen-heaviest lanes — the drill phase loads ~13.5k generated
+      // classes and logs 366 s of JIT-compiler time against 413 s of wall
+      // (bench_detail, r18 run 1), so a timed pass that starts while the
+      // C2 queue is still draining executes INTERPRETED generated loops:
+      // q114's isolated idle-host reps read {11.8, 5.7, 2.1, 1.8} on the
+      // x10 side — the THIRD pass is the first compiled one — and the r18
+      // recorded gate flagged its ratio at 3.11 (x10 4.33 vs base 1.39,
+      // pairs=3) on a plan whose converged ratio is ~1.2. Warm each side
+      // until a pass stops improving by >25% (cap 3 extra passes), so
+      // compilation happens off the clock on BOTH sides — matching how a
+      // long-lived cluster actually serves — and the timed pairs measure
+      // plans, not the compile queue. Known-superlinear lanes are
+      // recorded-not-gated and keep the cheap single-pair warm.
+      def settle(dir: String): Unit = {
+        var prev = once(fn, dir)
+        var extra = 0
+        var improving = true
+        while (improving && extra < 3) {
+          val cur = once(fn, dir)
+          improving = cur < prev * 0.75
+          prev = cur
+          extra += 1
+        }
+      }
+      if (knownSuperlinear.contains(name)) { once(fn, baseDir); once(fn, bigDir) }
+      else { settle(baseDir); settle(bigDir) }
       val b1 = once(fn, baseDir); val x1 = once(fn, bigDir)
       val b2 = once(fn, baseDir); val x2 = once(fn, bigDir)
       var (b, x) = (math.min(b1, b2), math.min(x1, x2))
