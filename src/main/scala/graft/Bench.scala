@@ -61,6 +61,33 @@ object Bench {
     "q153_ivfpq_rerank" -> 2.5)
   def fenceX(lane: String): Double = BimodalFenceX.getOrElse(lane, 1.5)
 
+  /** bench_drill_baseline.json → lane → best x10 wall seconds. A file
+    * without the `_unit` stamp is the pre-r15 RATIO format — reinterpreting
+    * ratios (~1-2.5) as x10 wall seconds would flag false regressions
+    * forever and min() would pin them into the baseline; treat it like an
+    * unreadable file and start fresh (r15 ADVICE #3). */
+  def readDrillBaseline(): Map[String, Double] =
+    try {
+      val f = new java.io.File("bench_drill_baseline.json")
+      if (!f.isFile) Map.empty
+      else {
+        import org.json4s._
+        val obj = jackson.JsonMethods.parse(f).asInstanceOf[JObject].obj
+        if (!obj.exists { case (k, v) =>
+            k == "_unit" && v == JString("x10_wall_sec_best") }) {
+          System.err.println(
+            "[bench] drill baseline lacks _unit=x10_wall_sec_best (stale format) — starting fresh")
+          Map.empty
+        } else obj.collect {
+          case (k, JDouble(v)) if k != "_unit" => k -> v
+          case (k, JInt(v)) if k != "_unit" => k -> v.toDouble
+        }.toMap
+      }
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] drill baseline unreadable (${e.getMessage}) — starting fresh")
+      Map.empty
+    }
+
   /** Lanes EXEMPT from the cross-run drill x10-wall ratchet. For q114 the
     * same-code clean-host x10 wall spans 1.1–3.7 s across r17 recordings
     * (the bimodal codegen-cache modes above, widest on this lane): a
@@ -165,8 +192,18 @@ object Bench {
     // stderr: r7 shipped a green-looking artifact around a crashed drill,
     // and an empty drill result is otherwise indistinguishable from one
     var drillCrash: Option[String] = None
+    // The cross-run x10-wall fence thresholds ride INTO the drill (r18):
+    // a lane whose timed pairs would flag the wall ratchet earns one extra
+    // pair while the drill dirs still exist — the same mode-vs-regression
+    // adjudication the ratio gate's burst re-measure performs, applied to
+    // the fence statistic. A codegen-mode flap clears on the immediate
+    // retry; a real slowdown persists and flags with pairs=3 evidence.
+    val prevX10ForFence = readDrillBaseline()
+    val wallFence: Map[String, Double] = prevX10ForFence.map { case (k, prev) =>
+      k -> math.max(prev * Bench.fenceX(k), prev + 0.5)
+    }
     val ((drill, drillVolBase, drillVolBig), loadDrill) = HostLoad.around {
-      try ScaleDrill.run(spark, sfDir, drillDir.toString, drillFactor)
+      try ScaleDrill.run(spark, sfDir, drillDir.toString, drillFactor, wallFence)
       catch { case e: Throwable =>
         System.err.println(s"[bench] scale drill failed: ${e.getMessage}")
         drillCrash = Some(s"scale_drill:crashed(${e.getClass.getSimpleName})")
@@ -323,32 +360,7 @@ object Bench {
     val drillRatioPath = "bench_drill_baseline.json"
     val curX10: Map[String, Double] = drillGated.map { case (k, _, x, _) =>
       k -> x }.toMap
-    val prevX10: Map[String, Double] =
-      try {
-        val f = new java.io.File(drillRatioPath)
-        if (!f.isFile) Map.empty
-        else {
-          import org.json4s._
-          val obj = jackson.JsonMethods.parse(f).asInstanceOf[JObject].obj
-          // a file without the _unit stamp is the pre-r15 RATIO format —
-          // reinterpreting ratios (~1-2.5) as x10 wall seconds would flag
-          // false regressions forever and min() would pin them into the
-          // baseline; treat it like an unreadable file and start fresh
-          // (r15 ADVICE #3)
-          if (!obj.exists { case (k, v) =>
-              k == "_unit" && v == JString("x10_wall_sec_best") }) {
-            System.err.println(
-              "[bench] drill baseline lacks _unit=x10_wall_sec_best (stale format) — starting fresh")
-            Map.empty
-          } else obj.collect {
-            case (k, JDouble(v)) if k != "_unit" => k -> v
-            case (k, JInt(v)) if k != "_unit" => k -> v.toDouble
-          }.toMap
-        }
-      } catch { case e: Exception =>
-        System.err.println(s"[bench] drill baseline unreadable (${e.getMessage}) — starting fresh")
-        Map.empty
-      }
+    val prevX10: Map[String, Double] = prevX10ForFence
     val drillHostClean = ratchetSf && loadDrill.extCpuPct >= 0 &&
       loadDrill.extCpuPct <= HostLoad.ContendedPct
     val drillRegressed: Seq[(String, Double, Double)] =
@@ -535,12 +547,45 @@ object Bench {
     // harness's per-lane resolution; the fence names real regressions
     // (q49's catch was +18 s), the drill/scan/text gates own scale
     // behavior below it.
-    val regressed: Seq[(String, Double, Double)] =
+    def laneFlag(k: String, now: Double): Boolean =
+      prevBest.get(k).exists(prev =>
+        now > prev * Bench.fenceX(k) && now - prev > 0.3)
+    val flagged0: Seq[(String, Double)] =
       if (!hostCleanForDiff) Seq.empty
-      else curBest.toSeq.sorted.collect {
-        case (k, now) if prevBest.get(k).exists(prev =>
-            now > prev * Bench.fenceX(k) && now - prev > 0.3) =>
-          (k, prevBest(k), now)
+      else curBest.toSeq.sorted.filter { case (k, now) => laneFlag(k, now) }
+    // Burst re-measure for fence-flagged suite lanes (r18): the fence
+    // compares best-of-2 against an 18-round min()-pinned best, so the
+    // codegen/JIT mode spread (measured 1.6–2× on this population: q94,
+    // q113, q117, q56 each flagged once across three same-code clean-host
+    // r18 recordings and cleared on the adjacent run) flags 1–2 rotating
+    // healthy lanes per run. Up to two immediate retries in the same JVM
+    // adjudicate mode-vs-regression ON the recording: a mode flap clears
+    // (the retry lands near the ratcheted best), a real regression — the
+    // fence's historical catches were ≥3×/+18 s — persists through both.
+    val remeasured: Map[String, Double] = flagged0.map { case (k, now) =>
+      val fn = SparkEntry.baseQueries(k)
+      var best = now
+      var tries = 0
+      while (tries < 2 && laneFlag(k, best)) {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] fence re-measure $k failed: ${e.getMessage}")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        GraftSession.releasePersisted(spark)
+        best = math.min(best, sec)
+        tries += 1
+      }
+      if (!laneFlag(k, best))
+        System.err.println(f"[bench] lane fence cleared on re-measure: $k " +
+          f"${curBest(k)}%.2f s -> $best%.2f s (${tries} retries)")
+      k -> best
+    }.toMap
+    val curBestAdj = curBest ++ remeasured
+    val regressed: Seq[(String, Double, Double)] =
+      flagged0.collect { case (k, _) if laneFlag(k, curBestAdj(k)) =>
+        (k, prevBest(k), curBestAdj(k))
       }
     regressed.foreach { case (k, prev, now) =>
       System.err.println(f"[bench] lane regression: $k $prev%.2f s -> $now%.2f s")
@@ -550,9 +595,9 @@ object Bench {
     }.mkString("[", ",", "]")
     // ratchet the baseline down with this round's bests
     if (ratchetSf) try {
-      val merged = (prevBest.keySet ++ curBest.keySet).toSeq.sorted.map { k =>
+      val merged = (prevBest.keySet ++ curBestAdj.keySet).toSeq.sorted.map { k =>
         val v = math.min(prevBest.getOrElse(k, Double.MaxValue),
-          curBest.getOrElse(k, Double.MaxValue))
+          curBestAdj.getOrElse(k, Double.MaxValue))
         f""" "$k": $v%.3f"""
       }
       java.nio.file.Files.writeString(java.nio.file.Paths.get(lanePath),
