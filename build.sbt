@@ -27,8 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // 60 distinct query plans × 2 bench passes generate far more JIT'd codegen
-  // classes than the 240 MB default code cache holds; exhaustion silently
-  // disables the JIT and the tail of a long run degrades several-fold
-  "-XX:ReservedCodeCacheSize=512m",
+  // 160+ distinct query plans × suite passes + the 10× drill load ~30k
+  // classes per bench run; at 512 MB the code cache saturates by the warm
+  // pass and UseCodeCacheFlushing evicts warm nmethods, which recompile
+  // when hot again — the r18 run-4 warm pass logged 54 s of JIT time
+  // against 56 loaded classes (pure recompilation churn) and ran 33%
+  // slower than the same-code run-2 pass. 1 GB keeps the whole run's
+  // nmethods resident; host_load's code_cache_used_mb tracks occupancy
+  // in the artifact so a future re-saturation names itself.
+  "-XX:ReservedCodeCacheSize=1g",
 )

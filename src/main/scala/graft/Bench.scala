@@ -767,11 +767,14 @@ object HostLoad {
 
   final case class Sample(la1: Double, busyJiffies: Long, iowaitJiffies: Long,
                           procCpuNs: Long, gcMs: Long, jitMs: Long,
-                          loadedClasses: Long, wallNs: Long)
+                          loadedClasses: Long, codeCacheUsed: Long,
+                          codeCacheMax: Long, wallNs: Long)
   final case class Phase(wallSec: Double, procCpuSec: Double,
                          extCpuPct: Double, la1Start: Double, la1End: Double,
                          gcSec: Double, ioWaitPct: Double,
-                         jitSec: Double, classesLoaded: Long) {
+                         jitSec: Double, classesLoaded: Long,
+                         codeCacheUsedMb: Double = -1.0,
+                         codeCacheMaxMb: Double = -1.0) {
     // explicit-locale formatting, NEVER Locale.setDefault: this is library
     // code reachable from the test suite, and flipping the JVM default to
     // ROOT (empty language tag) broke every later Derby CREATE DATABASE in
@@ -780,7 +783,7 @@ object HostLoad {
     def json: String = {
       def n(d: Double) =
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-      s"""{"wall_sec":${n(wallSec)},"proc_cpu_sec":${n(procCpuSec)},"ext_cpu_pct":${n(extCpuPct)},"la1_start":${n(la1Start)},"la1_end":${n(la1End)},"gc_sec":${n(gcSec)},"iowait_pct":${n(ioWaitPct)},"jit_sec":${n(jitSec)},"classes_loaded":$classesLoaded}"""
+      s"""{"wall_sec":${n(wallSec)},"proc_cpu_sec":${n(procCpuSec)},"ext_cpu_pct":${n(extCpuPct)},"la1_start":${n(la1Start)},"la1_end":${n(la1End)},"gc_sec":${n(gcSec)},"iowait_pct":${n(ioWaitPct)},"jit_sec":${n(jitSec)},"classes_loaded":$classesLoaded,"code_cache_used_mb":${n(codeCacheUsedMb)},"code_cache_max_mb":${n(codeCacheMaxMb)}}"""
     }
   }
 
@@ -829,7 +832,19 @@ object HostLoad {
     val classes = try {
       java.lang.management.ManagementFactory.getClassLoadingMXBean.getTotalLoadedClassCount
     } catch { case _: Exception => -1L }
-    Sample(la1, busy, iowait, proc, gc, jit, classes, System.nanoTime())
+    // code-cache occupancy (r18): the segmented CodeHeap pools. When used
+    // approaches max, UseCodeCacheFlushing starts evicting warm nmethods,
+    // which recompile when hot again — the run-4 warm pass logged 54 s of
+    // JIT time against 56 loaded classes, i.e. pure recompilation churn.
+    // With this in the artifact, a saturated cache names itself.
+    val (ccUsed, ccMax) = try {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+      if (pools.isEmpty) (-1L, -1L)
+      else (pools.map(_.getUsage.getUsed).sum, pools.map(_.getUsage.getMax).sum)
+    } catch { case _: Exception => (-1L, -1L) }
+    Sample(la1, busy, iowait, proc, gc, jit, classes, ccUsed, ccMax, System.nanoTime())
   }
 
   /** Run `f`, returning its result plus the load profile of the interval. */
@@ -860,7 +875,9 @@ object HostLoad {
     val classesLoaded =
       if (before.loadedClasses < 0 || after.loadedClasses < 0) -1L
       else after.loadedClasses - before.loadedClasses
+    val ccUsedMb = if (after.codeCacheUsed < 0) -1.0 else after.codeCacheUsed / 1048576.0
+    val ccMaxMb = if (after.codeCacheMax < 0) -1.0 else after.codeCacheMax / 1048576.0
     (r, Phase(wallSec, procSec, extPct, before.la1, after.la1, gcSec, ioWaitPct,
-      jitSec, classesLoaded))
+      jitSec, classesLoaded, ccUsedMb, ccMaxMb))
   }
 }
