@@ -51,6 +51,14 @@ object ScaleDrill {
     * is where that buffer either holds or breaks. */
   val drillQueries: Seq[String] = Seq(
     "q50_neardup_confirmed", // documents: LSH near-dup pipeline
+    "q161_exact_substr_spans", // documents (r18): ExactSubstr — the k-gram
+                             // occurrence stream is token-linear and the
+                             // multiplicity window shuffles 16-byte hashes;
+                             // splice copies make MOST grams duplicated at
+                             // ×10 (every copy shares its between-splice
+                             // windows), so the island merge sees ~full
+                             // volume — the honest worst case; text lane,
+                             // gates at the measured volume ratio
     "q56_window_dist",       // orders: sharded distribution windows
     "q87_ann_recall",        // embeddings: ANN truth + IVF + LSH
     "q92_cdc_passages",      // documents: content-defined passage dedup
@@ -279,7 +287,8 @@ object ScaleDrill {
     * human). */
   val textLanes: Set[String] =
     Set("q50_neardup_confirmed", "q92_cdc_passages", "q116_bigram_rarity",
-      "curation_flow", "q151_decode_ivf", "q156_curation_neardup")
+      "curation_flow", "q151_decode_ivf", "q156_curation_neardup",
+      "q161_exact_substr_spans")
 
   /** The self-adjudicating PASS bar per gated lane: sublinear-per-input.
     * Text lanes pass while time ratio ≤ the measured bigram-volume ratio
