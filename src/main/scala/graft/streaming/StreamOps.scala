@@ -657,6 +657,78 @@ object StreamOps {
     * be off by 1 µs, putting boundary events in the wrong window. */
   def nanosToTimestamp(c: Column): Column =
     timestamp_micros((c.cast("decimal(38,0)") / lit(1000)).cast("long"))
+
+  /** Online exact-substring duplicate discovery — the streaming twin of
+    * batch [[graft.operators.Dedup.exactSubstrSpans]] (q161): each arriving
+    * document fans out to its k-token rolling windows, and a window-hash-
+    * keyed [[StatefulProcessor]] emits every occurrence that belongs to a
+    * duplicated window (≥ 2 occurrences corpus-to-date). When a window's
+    * SECOND occurrence arrives, the first is emitted RETROACTIVELY beside
+    * it (across micro-batch boundaries — the state carries the pending
+    * first); third and later occurrences emit themselves on arrival. Each
+    * (doc, pos) emits at most once, so no downstream dedup state is
+    * needed. Callers reassemble maximal spans with the batch lane's
+    * island merge (equal-width intervals: new span iff pos > prev + k) —
+    * the emitted occurrence set EQUALS the batch pipeline's duplicated-
+    * occurrence relation, so the merged spans equal q161's, pinned in
+    * StreamingSpec across a micro-batch split.
+    *
+    * Hash note: the stream keys on FNV-1a-64 of the space-rejoined window
+    * (the [[StreamMinhash.wordHash]] footprint discipline) where the batch
+    * lane uses md5 — equality of WINDOWS is the semantic, hashes never
+    * appear in output, and a 64-bit collision between distinct windows in
+    * one corpus is ~10⁻⁸ at 10⁹ distinct windows (the same engineering
+    * trade the batch lane's scaladoc documents for md5).
+    *
+    * State: one (firstDoc, firstPos, count) row per DISTINCT window seen —
+    * the exact-recall price of online ExactSubstr, ~28 B/window in the
+    * checkpointed RocksDB store, growing with distinct-window volume, NOT
+    * with duplicate volume. A 100 TB ingest bounds it one of two ways,
+    * both semantic trades this twin leaves to the caller: an event-time
+    * TTL (dups across the horizon are missed) or a Bloom-filter pre-gate
+    * (the BFF shape: lossy, constant space). */
+  def exactSubstrStream(ds: Dataset[DocRecord],
+      k: Int = graft.operators.Dedup.ExactSubstrK): Dataset[ExactSubstrOcc] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, ValueState}
+    val grams = ds.flatMap { d =>
+      val words =
+        if (d.text == null) Array.empty[String] else d.text.trim.split("\\s+")
+      if (words.length < k) Iterator.empty
+      else (0 to words.length - k).iterator.map { i =>
+        GramOcc(StreamMinhash.wordHash(words.slice(i, i + k).mkString(" ")),
+          d.doc_id, i)
+      }
+    }
+    val proc = new StatefulProcessor[Long, GramOcc, ExactSubstrOcc] {
+      @transient private var st: ValueState[GramFirst] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[GramFirst]("first",
+          org.apache.spark.sql.Encoders.product[GramFirst],
+          org.apache.spark.sql.streaming.TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[GramOcc],
+                                   tv: TimerValues): Iterator[ExactSubstrOcc] = {
+        // deterministic in-batch order; the emitted SET is order-invariant
+        // (every occurrence of a duplicated window emits exactly once),
+        // ordering only fixes WHICH occurrence the state calls "first"
+        val rs = rows.toSeq.sortBy(r => (r.doc_id, r.pos))
+        var cur: Option[GramFirst] = if (st.exists()) Some(st.get()) else None
+        val out = Vector.newBuilder[ExactSubstrOcc]
+        rs.foreach { r =>
+          cur match {
+            case None => cur = Some(GramFirst(r.doc_id, r.pos, 1L))
+            case Some(f) =>
+              if (f.n == 1L) out += ExactSubstrOcc(f.doc, f.pos)
+              out += ExactSubstrOcc(r.doc_id, r.pos)
+              cur = Some(f.copy(n = f.n + 1))
+          }
+        }
+        cur.foreach(st.update)
+        out.result().iterator
+      }
+    }
+    grams.groupByKey(_.h).transformWithState(proc, TimeMode.None(), OutputMode.Append())
+  }
 }
 
 /** Input shape for runningPerKey — (key, event-time, value). */
@@ -746,6 +818,20 @@ object StreamMinhash {
     h
   }
 }
+
+/** One k-token window occurrence for [[StreamOps.exactSubstrStream]]:
+  * the 64-bit window hash (state key), owning doc, 0-based token start. */
+case class GramOcc(h: Long, doc_id: Long, pos: Int)
+
+/** A duplicated-window occurrence emitted by
+  * [[StreamOps.exactSubstrStream]] — the streaming spelling of q161's
+  * duplicated-occurrence relation, island-merged by the caller. */
+case class ExactSubstrOcc(doc: Long, pos: Int)
+
+/** Per-window state for [[StreamOps.exactSubstrStream]]: the first-seen
+  * occurrence (retro-emitted when the second arrives) and the running
+  * occurrence count. One row per distinct window, ~28 B. */
+case class GramFirst(doc: Long, pos: Int, n: Long)
 
 /** Streaming-ingest embedding record (vec_id + raw float vector). */
 case class EmbRecord(vec_id: Long, embedding: Seq[Float])

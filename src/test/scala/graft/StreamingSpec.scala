@@ -655,6 +655,67 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("exactSubstrStream ≡ batch q161 spans on the fixture corpus " +
+      "(retro-emission across a micro-batch split)") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val k = graft.operators.Dedup.ExactSubstrK
+      // the q161 lane's canary injection, replicated on the stream input so
+      // both sides see the identical corpus
+      val header = "shared license header text appears before many documents in the crawl corpus"
+      val footer = "subscribe to our newsletter for updates and special offers"
+      val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text").collect()
+        .filter(r => r.getString(1) != null && r.getString(1).trim.nonEmpty)
+        .map { r =>
+          val id = r.getLong(0)
+          val t = (if (id % 3 == 0) header + " " else "") + r.getString(1) +
+            (if (id % 5 == 0) " " + footer else "")
+          DocRecord(id, t)
+        }.sortBy(_.doc_id)
+      val expected = graft.operators.Dedup
+        .q161ExactSubstrSpans(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      GraftSession.releasePersisted(spark)
+      // split mid-corpus: canary dups straddle the boundary, so the
+      // second batch must retro-emit firsts recorded in the first
+      val (batch1, batch2) = docs.splitAt(docs.length / 2)
+      val in = MemoryStream[DocRecord]
+      val q = StreamOps.exactSubstrStream(in.toDS()).toDF()
+        .writeStream.format("memory").queryName("exsubstr")
+        .outputMode("append").start()
+      try {
+        in.addData(batch1.toIndexedSeq); q.processAllAvailable()
+        in.addData(batch2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val occ = spark.table("exsubstr")
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      // each duplicated occurrence must emit exactly once
+      assert(occ.length == occ.distinct.length, "an occurrence emitted twice")
+      // the batch lane's island merge, replayed driver-side over the
+      // stream's occurrence set
+      val spans = occ.groupBy(_._1).flatMap { case (doc, os) =>
+        val ps = os.map(_._2).sorted
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var s0 = ps.head; var last = ps.head
+        ps.tail.foreach { p =>
+          if (p > last + k) { out += ((doc, s0.toLong, (last + k).toLong)); s0 = p }
+          last = p
+        }
+        out += ((doc, s0.toLong, (last + k).toLong))
+        out
+      }.toSet
+      assert(spans == expected,
+        s"stream/batch spans diverged: only-stream=${(spans -- expected).take(3)} " +
+          s"only-batch=${(expected -- spans).take(3)}")
+      assert(expected.nonEmpty, "vacuous parity: batch found no spans")
+    } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("hashed bucket state is measurably smaller than raw word-set state " +
       "(r17 verdict #4)") {
     // the compaction claim, MEASURED on the fixture corpus as the bytes the
