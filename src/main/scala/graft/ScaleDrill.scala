@@ -359,13 +359,18 @@ object ScaleDrill {
       // plans, not the compile queue. Known-superlinear lanes are
       // recorded-not-gated and keep the cheap single-pair warm.
       def settle(dir: String): Unit = {
-        var prev = once(fn, dir)
+        // ADVICE r18: compare against the RUNNING MINIMUM, not the previous
+        // pass — a noisy slow pass must not reset the comparison point (the
+        // old `prev = cur` let cur > prev mask continued convergence, so a
+        // steadily-but-slowly converging lane stopped warming while still
+        // in the compile-queue regime).
+        var best = once(fn, dir)
         var extra = 0
         var improving = true
         while (improving && extra < 3) {
           val cur = once(fn, dir)
-          improving = cur < prev * 0.75
-          prev = cur
+          improving = cur < best * 0.75
+          best = math.min(best, cur)
           extra += 1
         }
       }

@@ -193,6 +193,13 @@ object SparkEntry {
     // the span-level complement of the document-level dedup ladder: k-gram
     // occurrence relation, one corpus-wide multiplicity shuffle, per-doc
     // interval merge; emits trim-ready (doc_id, span_start, span_end)
+    // q165 (r19): index deletion — tombstone markers, serve anti-join,
+    // compaction applies them physically (FAISS remove_ids / the LSM
+    // delete-marker shape); delete→serve ≡ rebuild-without-rows
+    "q165_ann_index_delete" -> (Similarity.q165AnnIndexDelete _),
+    // q166 (r19): filtered vector search — metadata predicate restricts
+    // candidates BEFORE ranking (the Milvus/pgvector pre-filter shape)
+    "q166_ann_filtered_search" -> (Similarity.q166AnnFilteredSearch _),
     "q161_exact_substr_spans" -> (Dedup.q161ExactSubstrSpans _),
     // q162 (r18): leakage-free train/val/test split — assignment is a pure
     // function of the content fingerprint (no membership table, no join,
@@ -200,6 +207,17 @@ object SparkEntry {
     // the lane emits the audit proving it, plus the measured residual
     // prefix-level near-dup leakage a content-hash split cannot prevent
     "q162_leakage_free_split" -> (graft.operators.Curation.q162LeakageFreeSplit _),
+    // q163 (r19): trim-and-keep — q161's spans APPLIED (Lee et al. train on
+    // the TRIMMED corpus): discover → token-indexed cut → re-discover;
+    // per-doc kept/trimmed accounting + the corpus fixpoint audit
+    // (residual_spans = what a second pass still finds — 0 on the fixture)
+    "q163_exact_substr_trim" -> (Dedup.q163TrimSpans _),
+    // q164 (r19): near-dup-AWARE split — q162's own measured residual
+    // closed: confirmed near-dup pairs (q50) → connected components (q79)
+    // → split per cluster representative min-fp, so near-dup clusters
+    // co-locate; emits the paired positive/negative audit (cluster
+    // assignment leaks 0 pairs, the naive per-doc rule leaks > 0)
+    "q164_neardup_aware_split" -> (graft.operators.Curation.q164NearDupAwareSplit _),
     // r7: weighted sampling w/o replacement (Efraimidis–Spirakis, md5 stream)
     "q115_weighted_sample" -> ((s, d) => TextAnalysis.q115WeightedSample(s, d)),
     // r7: per-doc bigram-rarity quality score (integer LM-perplexity proxy)
@@ -349,6 +367,100 @@ object SparkEntry {
       "sc AS (SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2), " +
       "p AS (SELECT * FROM sc WHERE jaccard >= 0.6) " +
       "SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, COALESCE(ROUND(AVG(jaccard), 4), 0.0) AS avg_jaccard, COALESCE(ROUND(MAX(jaccard), 4), 0.0) AS max_jaccard FROM p"
+  }
+
+  /** The q161 ExactSubstr span chain as DuckDB CTEs, parameterized by a
+    * name prefix and a source CTE exposing (doc_id, t) — q163 runs the
+    * chain TWICE (pre-trim discovery, post-trim fixpoint audit), so the
+    * spelling lives once. Yields `${p}sp` = (doc_id, span_start,
+    * span_end), half-open token ranges, k = 8. */
+  private def duckSpanCtes(p: String, src: String): String =
+    s"${p}w AS (SELECT doc_id, string_split_regex(trim(t), '\\s+') AS ws FROM $src), " +
+      s"${p}u AS (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i, unnest(ws) AS _w FROM ${p}w), " +
+      s"${p}g AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS h FROM ${p}u WHERE i + 7 <= len(ws)), " +
+      s"${p}d AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS copies FROM ${p}g), " +
+      s"${p}o AS (SELECT doc_id, pos FROM ${p}d WHERE copies >= 2), " +
+      s"${p}m AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 THEN 1 ELSE 0 END AS fresh FROM ${p}o), " +
+      s"${p}i2 AS (SELECT doc_id, pos, SUM(fresh) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM ${p}m), " +
+      s"${p}sp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end FROM ${p}i2 GROUP BY doc_id, span_id)"
+
+  /** The shared q161/q163 canaried corpus CTE (doc_id, t). */
+  private val duckSpanBase: String =
+    "base AS (SELECT doc_id, concat(CASE WHEN doc_id % 3 = 0 THEN 'shared license header text appears before many documents in the crawl corpus ' ELSE '' END, text, CASE WHEN doc_id % 5 = 0 THEN ' subscribe to our newsletter for updates and special offers' ELSE '' END) AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)"
+
+  /** q163: discover → trim → re-discover replayed in DuckDB — the span
+    * chain over the canaried corpus, a NOT EXISTS token cut (1-based i vs
+    * the chain's 0-based pos), string_agg re-join, and the chain AGAIN
+    * over the trimmed text for the fixpoint audit. */
+  private def exactSubstrTrimOracle: String =
+    s"WITH $duckSpanBase, ${duckSpanCtes("", "base")}, " +
+      "tok AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM (SELECT doc_id, string_split_regex(trim(t), '\\s+') AS ws FROM base) z), " +
+      "kept AS (SELECT t.doc_id, t.i, t.w FROM tok t WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = t.doc_id AND t.i - 1 >= sp.span_start AND t.i - 1 < sp.span_end)), " +
+      "trimmed AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS t, COUNT(*) AS kept FROM kept GROUP BY doc_id), " +
+      "acct AS (SELECT b.doc_id, CAST(COALESCE(tr.kept, 0) AS BIGINT) AS kept_tokens, CAST(len(string_split_regex(trim(b.t), '\\s+')) - COALESCE(tr.kept, 0) AS BIGINT) AS trimmed_tokens FROM base b LEFT JOIN trimmed tr USING (doc_id)), " +
+      duckSpanCtes("r", "trimmed") + ", " +
+      "res AS (SELECT CAST(COUNT(*) AS BIGINT) AS residual_spans, CAST(COALESCE(SUM(span_end - span_start), 0) AS BIGINT) AS residual_tokens FROM rsp) " +
+      "SELECT a.doc_id, kept_tokens, trimmed_tokens, residual_spans, residual_tokens FROM acct a, res ORDER BY a.doc_id"
+
+  /** The q164 near-dup canary text (DuckDB dialect), group token g<div500>
+    * interleaved every third word — see Curation.neardupCanaryText. */
+  private def duckNeardupCanary(idExpr: String): String = {
+    val g = s"CAST($idExpr // 500 AS VARCHAR)"
+    s"concat('neardup canary cluster g', $g, ' alpha beta g', $g, ' gamma delta g', $g, " +
+      s"' epsilon zeta g', $g, ' eta theta g', $g, ' iota kappa g', $g, ' lambda mu g', $g, " +
+      s"' nu xi g', $g, ' omicron pi g', $g, ' rho sigma v', CAST($idExpr AS VARCHAR))"
+  }
+
+  /** q164: the near-dup-aware split replayed end to end — the q50
+    * LSH→Jaccard pipeline over the canaried corpus, exact-group
+    * contraction to min-id reps, a RECURSIVE transitive-closure min-label
+    * (the q79 fixpoint in closed recursive form — clusters are small, the
+    * closure is bounded by Σ|component|²), the per-component min-fp split
+    * assignment, and the paired leak audits. */
+  private def neardupAwareSplitOracle: String = {
+    import Dedup.{MinHashK, MinhashP, minhashA, minhashB}
+    val mins = (0 until MinHashK)
+      .map(i => s"MIN((${minhashA(i)} * x + ${minhashB(i)}) % $MinhashP) AS mh$i")
+      .mkString(", ")
+    val bandSel = (0 until 4).map { b =>
+      def mh(r: Int) = s"mh${b * 4 + r}"
+      s"SELECT doc_id, $b AS band, ${mh(0)} * 2147483648 + ${mh(1)} AS sig1, ${mh(2)} * 2147483648 + ${mh(3)} AS sig2 FROM sig"
+    }.mkString(" UNION ALL ")
+    def splitCase(src: String): String =
+      s"CASE WHEN CAST(concat('0x', substring(md5(concat('q164|', $src)), 1, 8)) AS BIGINT) % 10 < 8 THEN 'train' " +
+        s"WHEN CAST(concat('0x', substring(md5(concat('q164|', $src)), 1, 8)) AS BIGINT) % 10 = 8 THEN 'val' ELSE 'test' END"
+    s"WITH RECURSIVE d AS (SELECT doc_id, CASE WHEN doc_id % 50 = 3 THEN ${duckNeardupCanary("doc_id")} ELSE text END AS text FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), " +
+      // ---- the q50 confirmed-pair replay over the canaried corpus
+      "w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM d), " +
+      "fw AS (SELECT doc_id, words FROM w WHERE len(words) >= 3), " +
+      "sh AS (SELECT doc_id, unnest(list_transform(range(0, len(words) - 2), i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh FROM fw), " +
+      s"hx AS (SELECT doc_id, ${duckBaseHash("sh")} AS x FROM sh), " +
+      s"sig AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id), " +
+      s"b AS ($bandSel), " +
+      "bc AS (SELECT doc_id, band, sig1, sig2, COUNT(*) OVER (PARTITION BY band, sig1, sig2) AS bn FROM b), " +
+      s"bands AS (SELECT doc_id, band, sig1, sig2 FROM bc WHERE bn <= ${Dedup.MinhashBucketCap}), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2 FROM bands a JOIN bands b2 ON a.band = b2.band AND a.sig1 = b2.sig1 AND a.sig2 = b2.sig2 AND a.doc_id < b2.doc_id), " +
+      "tok AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word FROM d) x), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1), " +
+      "inter AS (SELECT id1, id2, COUNT(*) AS inter FROM cand JOIN tok wa ON id1 = wa.doc_id JOIN tok wb ON id2 = wb.doc_id AND wa.word = wb.word GROUP BY 1, 2), " +
+      "prs AS (SELECT id1, id2 FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.6), " +
+      // ---- contract exact groups, close components, assign per min-fp
+      "f2 AS (SELECT doc_id, md5(text) AS fp FROM d), " +
+      "rep AS (SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS rep FROM f2), " +
+      "redge AS (SELECT DISTINCT r1.rep AS src, r2.rep AS dst FROM prs JOIN rep r1 ON prs.id1 = r1.doc_id JOIN rep r2 ON prs.id2 = r2.doc_id WHERE r1.rep <> r2.rep), " +
+      "sym AS (SELECT src, dst FROM redge UNION SELECT dst AS src, src AS dst FROM redge), " +
+      "reach AS (SELECT src AS a, dst AS b FROM sym UNION SELECT reach.a, sym.dst AS b FROM reach JOIN sym ON reach.b = sym.src), " +
+      "lbl AS (SELECT a, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a), " +
+      "cmp AS (SELECT r.doc_id, r.fp, COALESCE(l.comp, r.rep) AS comp FROM rep r LEFT JOIN lbl l ON l.a = r.rep), " +
+      "rfp AS (SELECT comp, MIN(fp) AS rep_fp FROM cmp GROUP BY comp), " +
+      s"spl AS (SELECT c.doc_id, c.fp, c.comp, ${splitCase("rfp.rep_fp")} AS split FROM cmp c JOIN rfp USING (comp)), " +
+      s"nspl AS (SELECT doc_id, ${splitCase("fp")} AS nsplit FROM cmp), " +
+      // ---- audits
+      "ps AS (SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT comp) AS n_components FROM spl GROUP BY split), " +
+      "lk AS (SELECT CAST(COALESCE(SUM(CASE WHEN a1.split <> a2.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS neardup_leak_pairs, CAST(COALESCE(SUM(CASE WHEN n1.nsplit <> n2.nsplit THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_leak_pairs FROM prs JOIN spl a1 ON prs.id1 = a1.doc_id JOIN spl a2 ON prs.id2 = a2.doc_id JOIN nspl n1 ON prs.id1 = n1.doc_id JOIN nspl n2 ON prs.id2 = n2.doc_id), " +
+      "el AS (SELECT CAST(SUM(CASE WHEN nsp >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_leak_groups FROM (SELECT fp, COUNT(DISTINCT split) AS nsp FROM spl GROUP BY fp) z), " +
+      "mc AS (SELECT CAST(MAX(csz) AS BIGINT) AS max_component FROM (SELECT comp, COUNT(*) AS csz FROM spl GROUP BY comp) z) " +
+      "SELECT split, n_docs, n_components, neardup_leak_pairs, naive_leak_pairs, exact_leak_groups, max_component FROM ps, lk, el, mc ORDER BY split"
   }
 
   /** q156: the q111 composed-curation closed form with the production
@@ -576,10 +688,16 @@ object SparkEntry {
     * The Spark lane computes these FROM THE PERSISTED ARTIFACT — parquet
     * round-trips every double bit-exactly, so saved-index search hashing
     * equal to this inline replay IS the save/load identity proof. */
-  private def annIndexServeOracle: String = materializeCtes(
+  private def annIndexServeOracle: String = annIndexServeOracleWhere("")
+
+  /** [[annIndexServeOracle]] with an extra candidate-relation predicate —
+    * q165 removes the deleted ids (`AND cd.scid % 10 <> 7`), q166 pushes
+    * the metadata filter; the quantizer/query CTEs stay untouched, which
+    * is precisely the "same frozen quantizers" contract both lanes gate. */
+  private def annIndexServeOracleWhere(candFilter: String): String = materializeCtes(
     s"WITH $sqlEmb, $sqlCentroids, $sqlAssign, $sqlPqCore, " +
       s"pr AS (SELECT qid, cluster FROM (SELECT qid, cent_id AS cluster, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY csim DESC, cent_id) AS rk FROM (SELECT q.qid, c.cent_id, ${sqlCosine("qv", "cv", 64)} AS csim FROM q CROSS JOIN c) s) r WHERE rk <= 4), " +
-      "parts AS (SELECT l.qid, cd.scid AS cid, l.m, l.lv, l.nv FROM codes cd JOIN asg ON asg.vid = cd.scid JOIN pr ON pr.cluster = asg.cluster JOIN lut l ON l.qid = pr.qid AND l.m = cd.m AND l.code = cd.code WHERE l.qid <> cd.scid), " +
+      s"parts AS (SELECT l.qid, cd.scid AS cid, l.m, l.lv, l.nv FROM codes cd JOIN asg ON asg.vid = cd.scid JOIN pr ON pr.cluster = asg.cluster JOIN lut l ON l.qid = pr.qid AND l.m = cd.m AND l.code = cd.code WHERE l.qid <> cd.scid$candFilter), " +
       s"$sqlAdcScore, " +
       s"short AS (SELECT qid, cid FROM (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM scored) r WHERE rk <= ${graft.operators.Similarity.RerankR}), " +
       s"rr AS (SELECT sh.qid, sh.cid, ROUND(${sqlCosine("q.qv", "e.v", 64)}, 4) AS rsim FROM short sh JOIN q ON q.qid = sh.qid JOIN e ON e.vec_id = sh.cid) " +
@@ -879,6 +997,12 @@ object SparkEntry {
     "q159_ann_index_append" -> annIndexServeOracle,
     // compaction is a pure re-layout: same rows, same oracle
     "q160_ann_index_compact" -> annIndexServeOracle,
+    // delete ≡ rebuild-without-rows under the SAME full-corpus quantizers:
+    // the q157 replay with the tombstoned ids out of the candidate relation
+    "q165_ann_index_delete" -> annIndexServeOracleWhere(" AND cd.scid % 10 <> 7"),
+    // filtered search: the metadata predicate pushed into the candidates
+    "q166_ann_filtered_search" -> annIndexServeOracleWhere(
+      " AND cd.scid IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)"),
     "q161_exact_substr_spans" -> // ExactSubstr (Lee et al. 2021): k-gram
       // md5 occurrences -> corpus-wide multiplicity window -> per-doc
       // interval merge; the injected header/footer canaries (q92 rule)
@@ -888,6 +1012,10 @@ object SparkEntry {
     "q154_hybrid_rrf" -> hybridRrfOracle,
     "q155_hybrid_bm25_ann" -> hybridBm25AnnOracle,
     "q156_curation_neardup" -> curationNearDupOracle,
+    // trim ≡ replayed cut: the q161 chain, the NOT EXISTS token cut, and
+    // the chain again over the trimmed text (the fixpoint audit)
+    "q163_exact_substr_trim" -> exactSubstrTrimOracle,
+    "q164_neardup_aware_split" -> neardupAwareSplitOracle,
     "q36_cosine_topk" ->
       "WITH f0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings), f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM f0), d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot, SUM(q.v * q.v) AS qq, SUM(c.v * c.v) AS cc FROM f q JOIN f c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id GROUP BY 1, 2), r AS (SELECT qid, cid, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d), rk AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM r) SELECT qid, cid, sim, rnk FROM rk WHERE rnk <= 5 ORDER BY qid, rnk",
     "q37_neardup_embedding" ->

@@ -348,7 +348,8 @@ object SqlFrontDoor {
   /** Shared IVF-PQ CTE prefix (s114/s153): everything through the ADC
     * `scored` relation plus the exact `truth`/`h`/`d`/`sc`/`nn`/`nq`
     * accounting tails both twins end on. */
-  private def ivfPqCommonCtes: String = {
+  private def ivfPqCommonCtes: String = ivfPqCommonCtes("")
+  private def ivfPqCommonCtes(candFilter: String): String = {
     val M = 8; val K = 16
     val cbCols = (0 until M).map(m =>
       s"sort_array(collect_list(named_struct('cent_id', vec_id, 'centv', slice(v, ${m * 8 + 1}, 8)))) AS cb$m").mkString(", ")
@@ -377,7 +378,7 @@ object SqlFrontDoor {
       s"q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20), " +
       "pr AS (SELECT qid, cluster FROM (SELECT q.qid, c.cent_id AS cluster, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY graft_cosine(q.qv, c.centv) DESC, c.cent_id) AS prnk FROM q CROSS JOIN cents0 c) z WHERE prnk <= 4), " +
       s"qlut AS (SELECT qid, $qlut AS lut, nlut, sqrt(aggregate(qv, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)) AS qn FROM q CROSS JOIN cb), " +
-      s"scored AS (SELECT ql.qid, codes.cid, nanvl(${fold("lut")} / (qn * sqrt(${fold("nlut")})), CAST(-2.0 AS DOUBLE)) AS sim FROM qlut ql JOIN pr ON ql.qid = pr.qid JOIN codes ON codes.cluster = pr.cluster WHERE ql.qid <> codes.cid), " +
+      s"scored AS (SELECT ql.qid, codes.cid, nanvl(${fold("lut")} / (qn * sqrt(${fold("nlut")})), CAST(-2.0 AS DOUBLE)) AS sim FROM qlut ql JOIN pr ON ql.qid = pr.qid JOIN codes ON codes.cluster = pr.cluster WHERE ql.qid <> codes.cid$candFilter), " +
       "top AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM scored) t WHERE rnk <= 10), " +
       "truth AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM (SELECT qid, b.vec_id AS cid, round(graft_cosine(qv, b.v), 4) AS sim FROM q JOIN e b ON qid <> b.vec_id) raw) t WHERE rnk <= 10), " +
       "h AS (SELECT COUNT(*) AS hits FROM truth LEFT SEMI JOIN top ON truth.qid = top.qid AND truth.cid = top.cid), " +
@@ -416,6 +417,95 @@ object SqlFrontDoor {
       "FROM rh CROSS JOIN h CROSS JOIN d CROSS JOIN rp CROSS JOIN sc CROSS JOIN nn CROSS JOIN nq"
   }
 
+  /** The q161 ExactSubstr span chain as Spark-dialect CTEs (split /
+    * posexplode-over-transform(sequence) / slice — the s161 spellings),
+    * parameterized by CTE-name prefix and a (doc_id, t) source so s163 can
+    * run it twice (pre-trim discovery + post-trim fixpoint audit). */
+  private def sparkSpanCtes(p: String, src: String): String =
+    s"${p}w AS (SELECT doc_id, ws FROM (SELECT doc_id, split(trim(t), '\\\\s+') AS ws FROM $src) WHERE size(ws) >= 8), " +
+      s"${p}g AS (SELECT doc_id, pos, h FROM ${p}w LATERAL VIEW posexplode(transform(sequence(0, size(ws) - 8), i -> md5(concat_ws(' ', slice(ws, i + 1, 8))))) x AS pos, h), " +
+      s"${p}d AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS copies FROM ${p}g), " +
+      s"${p}o AS (SELECT doc_id, pos FROM ${p}d WHERE copies >= 2), " +
+      s"${p}m AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 THEN 1 ELSE 0 END AS fresh FROM ${p}o), " +
+      s"${p}i2 AS (SELECT doc_id, pos, SUM(fresh) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM ${p}m), " +
+      s"${p}sp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end FROM ${p}i2 GROUP BY doc_id, span_id)"
+
+  /** s163: discover → trim → re-discover as Spark text — the s161 chain, a
+    * NOT EXISTS token cut over posexplode positions (0-based, matching the
+    * chain's pos directly), the q92 collect_list/array_sort re-join, and
+    * the chain again over the trimmed text for the fixpoint audit. */
+  private def exactSubstrTrimSparkSql: String =
+    "WITH base AS (SELECT doc_id, concat(CASE WHEN doc_id % 3 = 0 THEN 'shared license header text appears before many documents in the crawl corpus ' ELSE '' END, text, CASE WHEN doc_id % 5 = 0 THEN ' subscribe to our newsletter for updates and special offers' ELSE '' END) AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), " +
+      sparkSpanCtes("", "base") + ", " +
+      "tok AS (SELECT doc_id, i, w FROM (SELECT doc_id, split(trim(t), '\\\\s+') AS ws FROM base) LATERAL VIEW posexplode(ws) x AS i, w), " +
+      "kept AS (SELECT t.doc_id, t.i, t.w FROM tok t WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = t.doc_id AND t.i >= sp.span_start AND t.i < sp.span_end)), " +
+      "trimmed AS (SELECT doc_id, concat_ws(' ', transform(array_sort(collect_list(struct(i, w))), s -> s.w)) AS t, COUNT(*) AS kept FROM kept GROUP BY doc_id), " +
+      "acct AS (SELECT b.doc_id, CAST(COALESCE(tr.kept, 0) AS BIGINT) AS kept_tokens, CAST(size(split(trim(b.t), '\\\\s+')) - COALESCE(tr.kept, 0) AS BIGINT) AS trimmed_tokens FROM base b LEFT JOIN trimmed tr ON b.doc_id = tr.doc_id), " +
+      sparkSpanCtes("r", "trimmed") + ", " +
+      "res AS (SELECT CAST(COUNT(*) AS BIGINT) AS residual_spans, CAST(COALESCE(SUM(span_end - span_start), 0) AS BIGINT) AS residual_tokens FROM rsp) " +
+      "SELECT a.doc_id, kept_tokens, trimmed_tokens, residual_spans, residual_tokens FROM acct a CROSS JOIN res ORDER BY a.doc_id"
+
+  /** s164: the near-dup-aware split as Spark text. The s50 LSH→Jaccard
+    * spelling over the canaried corpus, exact-group contraction, then
+    * min-label connected components as a WALK-DOUBLED bounded closure
+    * (Spark's recursive CTEs accept only UNION ALL, which cannot express
+    * a cyclic closure). Plan-size discipline: Spark INLINES CTEs, so
+    * every reference to a CTE re-expands the whole minhash chain under
+    * it — the first spelling (unrolled gather+jump rounds, audits joining
+    * a components CTE five ways) expanded the chain ~200× and spent 200 s
+    * at sf0.001 in the analyzer alone. This spelling holds it to ~13
+    * copies: self-looped edges squared twice (sp1→sp2→sp4 = all walks of
+    * length ≤ 4, one chain ref per squaring), rep_fp as a WINDOW over the
+    * component (windows don't duplicate their input the way a groupBy+
+    * self-join does), and the three split/fp/component audits folded into
+    * ONE pass via GROUPING SETS. Walk-≤4 min-label equals the true
+    * component min for components of radius ≤ 4; measured rep-graph
+    * diameter is 1 at sf0.01, 2 at sf0.1 (canary clusters are cliques by
+    * construction), and the DuckDB oracle computes the TRUE recursive
+    * fixpoint — a deeper component fails the gate loudly, never silently. */
+  private def neardupAwareSplitSparkSql: String = {
+    val g = "CAST(doc_id div 500 AS STRING)"
+    val canary =
+      s"concat('neardup canary cluster g', $g, ' alpha beta g', $g, ' gamma delta g', $g, " +
+        s"' epsilon zeta g', $g, ' eta theta g', $g, ' iota kappa g', $g, ' lambda mu g', $g, " +
+        s"' nu xi g', $g, ' omicron pi g', $g, ' rho sigma v', CAST(doc_id AS STRING))"
+    def splitCase(src: String): String =
+      s"CASE WHEN CAST(conv(substring(md5(concat('q164|', $src)), 1, 8), 16, 10) AS BIGINT) % 10 < 8 THEN 'train' " +
+        s"WHEN CAST(conv(substring(md5(concat('q164|', $src)), 1, 8), 16, 10) AS BIGINT) % 10 = 8 THEN 'val' ELSE 'test' END"
+    s"WITH d AS (SELECT doc_id, CASE WHEN doc_id % 50 = 3 THEN $canary ELSE text END AS text FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), " +
+      "w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM d), " +
+      "f AS (SELECT doc_id, words FROM w WHERE size(words) >= 3), " +
+      s"shh AS (SELECT doc_id, ${baseHashSql("sh")} AS h FROM (SELECT doc_id, explode(transform(sequence(0, size(words) - 3), i -> concat_ws(' ', slice(words, i + 1, 3)))) AS sh FROM f) t), " +
+      s"sig AS ($minhashSigSql), " +
+      s"b AS (SELECT doc_id, explode($bandStructsSql) AS bs FROM sig), " +
+      "bb AS (SELECT doc_id, bs.band AS band, bs.sig1 AS sig1, bs.sig2 AS sig2 FROM b), " +
+      "bc AS (SELECT doc_id, band, sig1, sig2, COUNT(*) OVER (PARTITION BY band, sig1, sig2) AS bn FROM bb), " +
+      s"bands AS (SELECT doc_id, band, sig1, sig2 FROM bc WHERE bn <= ${graft.operators.Dedup.MinhashBucketCap}), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2 FROM bands a JOIN bands b2 ON a.band = b2.band AND a.sig1 = b2.sig1 AND a.sig2 = b2.sig2 AND a.doc_id < b2.doc_id), " +
+      "tok AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS word FROM d) x), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1), " +
+      "inter AS (SELECT id1, id2, COUNT(*) AS inter FROM cand JOIN tok wa ON id1 = wa.doc_id JOIN tok wb ON id2 = wb.doc_id AND wa.word = wb.word GROUP BY 1, 2), " +
+      "prs AS (SELECT id1, id2 FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.6), " +
+      "f2 AS (SELECT doc_id, md5(text) AS fp FROM d), " +
+      "rep AS (SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS rep FROM f2), " +
+      // both edge directions from ONE prs reference (explode, not a
+      // self-union — a union would double the chain copies under it)
+      "syme AS (SELECT DISTINCT e.src AS src, e.dst AS dst FROM (SELECT explode(array(named_struct('src', r1.rep, 'dst', r2.rep), named_struct('src', r2.rep, 'dst', r1.rep))) AS e FROM prs JOIN rep r1 ON prs.id1 = r1.doc_id JOIN rep r2 ON prs.id2 = r2.doc_id WHERE r1.rep <> r2.rep) t), " +
+      "nds AS (SELECT DISTINCT rep AS id FROM rep), " +
+      "sp1 AS (SELECT src, dst FROM syme UNION SELECT id AS src, id AS dst FROM nds), " +
+      "sp2 AS (SELECT DISTINCT a.src, b.dst FROM sp1 a JOIN sp1 b ON a.dst = b.src), " +
+      "sp4 AS (SELECT DISTINCT a.src, b.dst FROM sp2 a JOIN sp2 b ON a.dst = b.src), " +
+      "cmp0 AS (SELECT src AS id, MIN(dst) AS lbl FROM sp4 GROUP BY src), " +
+      s"spl AS (SELECT doc_id, fp, comp, ${splitCase("rep_fp")} AS split FROM (SELECT r.doc_id, r.fp, c.lbl AS comp, MIN(r.fp) OVER (PARTITION BY c.lbl) AS rep_fp FROM rep r JOIN cmp0 c ON c.id = r.rep) t), " +
+      s"nspl AS (SELECT doc_id, ${splitCase("fp")} AS nsplit FROM f2), " +
+      "gs AS (SELECT split, comp, fp, COUNT(*) AS n, grouping_id() AS gid FROM spl GROUP BY GROUPING SETS ((split, comp), (fp, split), (comp))), " +
+      "ps AS (SELECT split, CAST(SUM(n) AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_components FROM gs WHERE gid = 1 GROUP BY split), " +
+      "lk AS (SELECT CAST(COALESCE(SUM(CASE WHEN a1.split <> a2.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS neardup_leak_pairs, CAST(COALESCE(SUM(CASE WHEN n1.nsplit <> n2.nsplit THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_leak_pairs FROM prs JOIN spl a1 ON prs.id1 = a1.doc_id JOIN spl a2 ON prs.id2 = a2.doc_id JOIN nspl n1 ON prs.id1 = n1.doc_id JOIN nspl n2 ON prs.id2 = n2.doc_id), " +
+      "el AS (SELECT CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_leak_groups FROM (SELECT fp, COUNT(*) AS c FROM gs WHERE gid = 2 GROUP BY fp) z), " +
+      "mc AS (SELECT CAST(MAX(n) AS BIGINT) AS max_component FROM gs WHERE gid = 5) " +
+      "SELECT split, n_docs, n_components, neardup_leak_pairs, naive_leak_pairs, exact_leak_groups, max_component FROM ps CROSS JOIN lk CROSS JOIN el CROSS JOIN mc ORDER BY split"
+  }
+
   /** Saved-index serve (q157) SQL twin: the INLINE replay of the index +
     * shortlist + rerank math (SQL text cannot run the save/load side
     * effect), emitting the reranked top-10 rows — so conformance of the
@@ -423,9 +513,15 @@ object SqlFrontDoor {
     * is precisely the saved ≡ inline identity. Unreferenced trailing CTEs
     * of the common prefix (truth/recall accounting) are pruned by the
     * analyzer. */
-  private def annIndexServeSql: String = {
+  private def annIndexServeSql: String = annIndexServeSqlWhere("")
+
+  /** [[annIndexServeSql]] with an extra candidate predicate (s165 removes
+    * the deleted ids, s166 pushes the metadata filter) — the SQL-text twin
+    * of the lanes that serve a modified artifact; the text replays the
+    * same inline math minus the same candidates. */
+  private def annIndexServeSqlWhere(candFilter: String): String = {
     val r = graft.operators.Similarity.RerankR
-    ivfPqCommonCtes + ", " +
+    ivfPqCommonCtes(candFilter) + ", " +
       s"short AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM scored) t WHERE rnk <= $r), " +
       "rr AS (SELECT short.qid, short.cid, round(graft_cosine(q.qv, e2.v), 4) AS rsim FROM short JOIN q ON q.qid = short.qid JOIN e e2 ON e2.vec_id = short.cid) " +
       "SELECT qid, cid, CAST(rnk AS BIGINT) AS rnk, rsim FROM (SELECT qid, cid, rsim, row_number() OVER (PARTITION BY qid ORDER BY rsim DESC, cid) AS rnk FROM rr) t WHERE rnk <= 10 ORDER BY qid, rnk"
@@ -532,6 +628,8 @@ object SqlFrontDoor {
       "SELECT (SELECT COUNT(*) FROM ne) AS n_non_empty, (SELECT COUNT(*) FROM q) AS n_quality, (SELECT COUNT(*) FROM d) AS n_dedup, (SELECT COUNT(*) FROM nd) AS n_neardup, (SELECT COUNT(*) FROM sd) AS n_semdedup, (SELECT COUNT(*) FROM cl) AS n_clean, (SELECT COUNT(*) FROM cap) AS n_capped, CAST((SELECT SUM(doc_id) FROM cap) AS BIGINT) AS kept_id_sum, CAST((SELECT SUM(doc_id * pos) FROM pp) AS BIGINT) AS pos_checksum"
 
   val rowsOnlySql: Map[String, String] = Map(
+    "q163_exact_substr_trim" -> exactSubstrTrimSparkSql,
+    "q164_neardup_aware_split" -> neardupAwareSplitSparkSql,
     "q113_pq_recall" -> pqSql,
     "q114_ivfpq_recall" -> ivfPqSql,
     "q153_ivfpq_rerank" -> ivfPqRerankSql,
@@ -541,6 +639,11 @@ object SqlFrontDoor {
     // the same inline index+shortlist+rerank replay (append ≡ rebuild)
     "q159_ann_index_append" -> annIndexServeSql,
     "q160_ann_index_compact" -> annIndexServeSql,
+    // s165/s166: SQL text cannot run the delete/build side effects — the
+    // twins replay the inline serve math minus the same candidate sets
+    "q165_ann_index_delete" -> annIndexServeSqlWhere(" AND codes.cid % 10 <> 7"),
+    "q166_ann_filtered_search" -> annIndexServeSqlWhere(
+      " AND codes.cid IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)"),
     "q155_hybrid_bm25_ann" -> hybridBm25AnnSparkSql,
     "q156_curation_neardup" -> curationNearDupSparkSql,
     "q154_hybrid_rrf" -> { // hybrid RRF as text: split/explode tokenization,

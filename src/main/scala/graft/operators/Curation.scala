@@ -68,12 +68,26 @@ object Curation {
     *                  pass through — you cannot semantically dedup what
     *                  was never embedded). None keeps the r6 exact-only
     *                  canonical flow (q111's gated shape).
+    * @param exactSubstrTrim when true, the q163 span-trim stage runs FIRST
+    *                  (r18 verdict Next #1's ladder integration): q161's
+    *                  duplicated spans are discovered over the non-empty
+    *                  input and CUT (Dedup.trimSpans), so every downstream
+    *                  stage — quality, fingerprints, near-dup signatures,
+    *                  decontamination shingles — operates on the trimmed
+    *                  text, exactly as Lee et al. train on the trimmed
+    *                  corpus. Funnel accounting gains two entries computed
+    *                  from the persisted narrow projection (never a second
+    *                  corpus scan): `span_trim_docs` (docs that lost ≥1
+    *                  token among non-empty survivors) and
+    *                  `span_trim_tokens` (Σ tokens cut). A doc trimmed to
+    *                  emptiness leaves the ladder at the non_empty stage.
     * @return (curated frame: all input columns + `pos`, the deterministic
     *         1..n training order; per-stage funnel counts) */
   def curate(docs: DataFrame, benchmark: DataFrame,
       minAlphaRatio: Double = 0.45, quotaPerSource: Int = 1000,
       seed: String = "curate",
-      nearDupEmbeddings: Option[DataFrame] = None): (DataFrame, Seq[StageCount]) = {
+      nearDupEmbeddings: Option[DataFrame] = None,
+      exactSubstrTrim: Boolean = false): (DataFrame, Seq[StageCount]) = {
     val acc = scala.collection.mutable.ArrayBuffer
       .empty[(String, org.apache.spark.sql.Observation)]
     def stage(name: String, d: DataFrame): DataFrame = {
@@ -86,8 +100,20 @@ object Curation {
     // input, one raw-input rebalance when the source is few unsplittable
     // files (see Scale.ensureParallel — the r5 drill's single-threaded-map
     // failure mode)
-    val input = Scale.ensureParallel(docs)
+    val raw = Scale.ensureParallel(docs)
     val nonEmptyPred = col("text").isNotNull && length(trim(col("text"))) > 0
+    // the opt-in ExactSubstr trim stage: discovery over the non-empty raw
+    // corpus, the cut applied to the full input (NULL text passes through
+    // as "" and falls out at non_empty exactly like before). The trim
+    // accounting column rides into the narrow projection so the funnel
+    // reads it from the ONE persisted materialization — an Observation
+    // here would sit under both the spine and the returned join and hit
+    // the duplicate-CollectMetrics race the stage discipline above bans.
+    val input = if (!exactSubstrTrim) raw
+      else Dedup.trimSpans(raw,
+          Dedup.exactSubstrSpans(
+            raw.filter(nonEmptyPred).select(col("doc_id"), col("text"))))
+        .drop("kept_tokens")
     val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
       .cast("double") / length(col("text"))
     // r17 (r16 verdict #5): ONE narrow tokenized projection — the quality
@@ -95,11 +121,13 @@ object Curation {
     // computed here exactly once; spine and every build side below read
     // this cache instead of re-scanning the corpus per stage. Text itself
     // is projected away before the persist.
+    val narrowCols = Seq(col("doc_id"), col("source"),
+      (alpha >= minAlphaRatio).as("__q"),
+      Dedup.contentFp(col("text")).as("__fp"),
+      Dedup.wordsOf(col("text")).as("__words")) ++
+      (if (exactSubstrTrim) Seq(col("trimmed_tokens").as("__trim")) else Nil)
     val narrow = input.filter(nonEmptyPred)
-      .select(col("doc_id"), col("source"),
-        (alpha >= minAlphaRatio).as("__q"),
-        Dedup.contentFp(col("text")).as("__fp"),
-        Dedup.wordsOf(col("text")).as("__words"))
+      .select(narrowCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nonEmpty = stage("non_empty", narrow)
     val quality = stage("quality_gate", nonEmpty.filter(col("__q")))
@@ -162,7 +190,16 @@ object Curation {
     // observation fires exactly once) and fills the id cache every
     // downstream consumer reads instead of re-deriving the chain
     ids.count()
-    val funnel = acc.map { case (name, obs) =>
+    // trim accounting reads the PERSISTED narrow blocks (cheap cached agg,
+    // not a corpus re-scan) — see the exactSubstrTrim scaladoc
+    val trimStages = if (!exactSubstrTrim) Nil else {
+      val r = narrow.agg(
+        coalesce(sum(when(col("__trim") > 0, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum("__trim"), lit(0L))).first()
+      Seq(StageCount("span_trim_docs", r.getLong(0)),
+        StageCount("span_trim_tokens", r.getLong(1)))
+    }
+    val funnel = trimStages ++ acc.map { case (name, obs) =>
       StageCount(name, obs.get("rows").asInstanceOf[Long])
     }.toList
     // The position stage derives its hash from a DISTINCT seed ("<seed>|pos").
@@ -171,7 +208,7 @@ object Curation {
     // it for the global order would front-load large sources and the final
     // shuffle would not be independent of selection. Both fan-out branches
     // inside deterministicShuffle read the persisted id blocks.
-    val ordered = input.join(
+    val ordered = input.drop("trimmed_tokens").join(
       TextAnalysis.deterministicShuffle(ids, "doc_id", seed + "|pos"),
       Seq("doc_id"))
     (ordered, funnel)
@@ -318,6 +355,110 @@ object Curation {
         col("exact_leak_groups").cast("long").as("exact_leak_groups"),
         col("max_cluster").cast("long").as("max_cluster"),
         col("prefix_leak_groups").cast("long").as("prefix_leak_groups"))
+      .orderBy("split")
+  }
+
+  // ----------------------------------------- near-dup-aware split (q164)
+
+  /** The q164 near-dup conformance canary (q92 rule): every doc_id % 50 ==
+    * 3 doc becomes a member of a ~10-doc near-dup cluster keyed by
+    * doc_id div 500 — the group token is interleaved every third word so
+    * cross-GROUP texts share almost no 3-shingles (LSH buckets stay
+    * group-local, ~10 members at EVERY scale factor — never near the
+    * bucket cap), while within a group only the trailing per-doc variant
+    * token differs (word-set Jaccard ≈ 0.92 — well above the 0.6
+    * confirm threshold). */
+  private[graft] def neardupCanaryText(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val g = concat(lit("g"), floor(docId / 500).cast("long").cast("string"))
+    concat(lit("neardup canary cluster "), g,
+      lit(" alpha beta "), g, lit(" gamma delta "), g, lit(" epsilon zeta "), g,
+      lit(" eta theta "), g, lit(" iota kappa "), g, lit(" lambda mu "), g,
+      lit(" nu xi "), g, lit(" omicron pi "), g, lit(" rho sigma v"),
+      docId.cast("string"))
+  }
+
+  /** Q164 — near-dup-AWARE train/val/test split (r18 verdict Next #2):
+    * closes q162's own measured residual. q162 co-locates exact-duplicate
+    * clusters by construction but honestly reports the near-dup leakage a
+    * content-hash split cannot prevent; this lane composes the existing
+    * oracle-gated pieces into the production fix its scaladoc names:
+    *
+    *   confirmed near-dup pairs (the q50 LSH→Jaccard pipeline, threshold
+    *   0.6) → connected components over exact-group REPRESENTATIVES (the
+    *   q79 operator; exact-dup groups contract to their min-id rep first,
+    *   so a giant identical-text cluster is ONE node, never a chain) →
+    *   split = bucket(md5("q164|" ++ component MIN content fingerprint))
+    *
+    * Assignment is per CLUSTER, a pure function of the cluster's minimum
+    * content fingerprint — exact dups share fp (same singleton rule as
+    * q162), near-dups share a component, so BOTH co-locate. The lane
+    * emits the paired positive/negative audit: `neardup_leak_pairs` =
+    * confirmed pairs straddling splits under THIS assignment (0 — the
+    * theorem, made observable) vs `naive_leak_pairs` = the same pairs
+    * under q162's per-doc rule with the same seed (> 0 on the canaried
+    * fixture — the residual this lane closes). `exact_leak_groups` stays
+    * 0; `max_component` ≥ the canary cluster size pins non-vacuity.
+    *
+    * Scale (100 TB): the q50 pipeline is the corpus's near-dedup scale
+    * path (bucketed, capped, never all-pairs); components run on the
+    * CONTRACTED rep graph (nodes = distinct fingerprints with ≥1 edge —
+    * sparse on real crawls); everything downstream shuffles 16-byte
+    * fingerprints and 8-byte labels only. */
+  def q164NearDupAwareSplit(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ne = graft.Tables(s, dir, "documents")
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 50 === 3, neardupCanaryText(col("doc_id")))
+          .otherwise(col("text")).as("text"))
+    val f = ne.select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
+    def splitOf(fpCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val h = conv(substring(md5(concat(lit("q164|"), fpCol)), 1, 8), 16, 10)
+        .cast("long") % 10
+      when(h < 8, "train").when(h === 8, "val").otherwise("test")
+    }
+    // exact-dup groups contract to their min-id representative BEFORE the
+    // component pass (the closed form q79's oracle pins) — a mega exact
+    // cluster is one node, and the iterative operator starts from its
+    // fixpoint for the exact half
+    val rep = f.withColumn("rep",
+      min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+    val pairs = Dedup.confirmedNearDups(ne)
+      .select(col("id1"), col("id2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r1 = rep.select(col("doc_id").as("id1"), col("rep").as("rep1"))
+    val r2 = rep.select(col("doc_id").as("id2"), col("rep").as("rep2"))
+    val redge = pairs.join(r1, Seq("id1")).join(r2, Seq("id2"))
+      .filter(col("rep1") =!= col("rep2"))
+      .select(col("rep1").as("src"), col("rep2").as("dst")).distinct()
+    val nodes = rep.select(col("rep").as("id")).distinct()
+    val comp = Dedup.connectedComponents(nodes, redge)
+      .select(col("id").as("rep"), col("lbl").as("comp"))
+    val assigned = rep.join(comp, Seq("rep"))
+    val repFp = assigned.groupBy("comp").agg(min("fp").as("rep_fp"))
+    val docSplit = assigned.join(repFp, Seq("comp"))
+      .select(col("doc_id"), col("fp"), col("comp"), splitOf(col("rep_fp")).as("split"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perSplit = docSplit.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("comp").as("n_components"))
+    val s1 = docSplit.select(col("doc_id").as("id1"), col("split").as("sp1"),
+      splitOf(col("fp")).as("nv1"))
+    val s2 = docSplit.select(col("doc_id").as("id2"), col("split").as("sp2"),
+      splitOf(col("fp")).as("nv2"))
+    val pairSplits = pairs.join(s1, Seq("id1")).join(s2, Seq("id2"))
+    val leak = pairSplits.agg(
+      sum(when(col("sp1") =!= col("sp2"), 1L).otherwise(0L)).as("neardup_leak_pairs"),
+      sum(when(col("nv1") =!= col("nv2"), 1L).otherwise(0L)).as("naive_leak_pairs"))
+    val exactLeak = docSplit.groupBy("fp")
+      .agg(countDistinct("split").as("nsp"))
+      .agg(sum(when(col("nsp") >= 2, 1L).otherwise(0L)).as("exact_leak_groups"))
+    val maxComp = docSplit.groupBy("comp").agg(count(lit(1)).as("csz"))
+      .agg(max("csz").as("max_component"))
+    perSplit.crossJoin(leak).crossJoin(exactLeak).crossJoin(maxComp)
+      .select(col("split"), col("n_docs"), col("n_components"),
+        coalesce(col("neardup_leak_pairs"), lit(0L)).cast("long").as("neardup_leak_pairs"),
+        coalesce(col("naive_leak_pairs"), lit(0L)).cast("long").as("naive_leak_pairs"),
+        col("exact_leak_groups").cast("long").as("exact_leak_groups"),
+        col("max_component").cast("long").as("max_component"))
       .orderBy("split")
   }
 }

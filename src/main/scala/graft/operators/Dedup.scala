@@ -1038,16 +1038,23 @@ object Dedup {
     * interval merge is exercised, not just window equality) and every 5th
     * doc a shared 9-word footer suffix; doc_id % 15 == 0 docs carry BOTH —
     * two disjoint spans in one document. The oracle replays the injection. */
-  def q161ExactSubstrSpans(s: SparkSession, dir: String): DataFrame = {
+  def q161ExactSubstrSpans(s: SparkSession, dir: String): DataFrame =
+    exactSubstrSpans(exactSubstrCorpus(s, dir))
+
+  /** The q161/q163 conformance corpus: the documents table with the
+    * header/footer duplication canaries injected (q92 rule — the span
+    * lanes must not pass vacuously on all-unique text). Shared by the
+    * discovery lane (q161) and the trim lane (q163) so the two gate the
+    * SAME spans. */
+  private[graft] def exactSubstrCorpus(s: SparkSession, dir: String): DataFrame = {
     val header = "shared license header text appears before many documents in the crawl corpus"
     val footer = "subscribe to our newsletter for updates and special offers"
-    val base = docs(s, dir)
+    docs(s, dir)
       .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
       .select(col("doc_id"), concat(
         when(col("doc_id") % 3 === 0, header + " ").otherwise(""),
         col("text"),
         when(col("doc_id") % 5 === 0, " " + footer).otherwise("")).as("text"))
-    exactSubstrSpans(base)
   }
 
   /** The ExactSubstr core over any (doc_id, text) frame — see
@@ -1080,5 +1087,69 @@ object Dedup {
         col("s1").cast("long").as("span_end"),
         (col("s1") - col("s0")).cast("long").as("span_tokens"))
       .orderBy("doc_id", "span_start")
+  }
+
+  /** APPLY [[exactSubstrSpans]]' output — cut the spans out, keep the
+    * remainder (Lee et al. 2021 train on the TRIMMED corpus; discovery
+    * without application is only half the operator). Token-indexed cuts
+    * against the same whitespace tokenization the discovery pass used;
+    * remainders re-join with single spaces.
+    *
+    * Input: `docs` with (doc_id, text, ...any other columns); `spans` with
+    * (doc_id, span_start, span_end) half-open token ranges. Output: the
+    * input columns with `text` REPLACED by the trimmed text, plus
+    * `kept_tokens` / `trimmed_tokens` accounting columns (a doc with no
+    * spans keeps its text verbatim-modulo-whitespace-normalization:
+    * re-joining on single spaces is the same normalization the k-gram
+    * hashes applied, so discovery and application agree on positions).
+    *
+    * Scale (100 TB): one broadcast-free row-local pass — spans collapse to
+    * ≤ tokens/doc structs per doc (a (doc_id)-keyed shuffle of 24-byte
+    * rows, the only exchange), then per-row array HOFs (`filter` with the
+    * index lambda over the words array) cut inside one projection. Nothing
+    * corpus-wide, nothing quadratic; cost ∝ Σ tokens. */
+  def trimSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__sp"))
+    val others = docs.columns.filterNot(_ == "text")
+    docs.join(sp, Seq("doc_id"), "left")
+      .withColumn("__w", wordsOf(col("text")))
+      .withColumn("__spn", coalesce(col("__sp"), array()))
+      // token i survives iff no span covers it; i is the 0-based index the
+      // discovery pass positions refer to
+      .withColumn("__kept", filter(col("__w"), (_, i) =>
+        !exists(col("__spn"), s =>
+          i >= s.getField("span_start") && i < s.getField("span_end"))))
+      .select(others.map(col) :+
+        concat_ws(" ", col("__kept")).as("text") :+
+        size(col("__kept")).cast("long").as("kept_tokens") :+
+        (size(col("__w")) - size(col("__kept"))).cast("long").as("trimmed_tokens"): _*)
+  }
+
+  /** Q163 — ExactSubstr trim-and-keep (r18 verdict Next #1): q161's spans
+    * APPLIED. Runs discover → [[trimSpans]] → re-discover on the trimmed
+    * corpus, and emits per-doc (kept_tokens, trimmed_tokens) beside the
+    * corpus-level FIXPOINT AUDIT: residual_spans / residual_tokens = what a
+    * second discovery pass still finds. Trimming removes EVERY occurrence
+    * of every duplicated window (the all-copies variant — q161's span
+    * relation is per-occurrence, so applying it verbatim cuts all copies),
+    * hence any window surviving inside a preserved island was unique
+    * before and stays unique; the only possible residual is a stitched
+    * window (prefix+suffix re-joined across a mid-doc cut) colliding
+    * across docs — absent in the fixture (DedupSpec pins residual = 0, the
+    * fixpoint). One corpus re-scan + the q161 h-shuffle twice — linear.
+    *
+    * The canaried corpus is [[exactSubstrCorpus]] — the SAME injected
+    * spans q161 gates, so this lane provably trims the spans that lane
+    * discovered (header docs lose 12+ tokens, footer docs 9+). */
+  def q163TrimSpans(s: SparkSession, dir: String): DataFrame = {
+    val base = exactSubstrCorpus(s, dir)
+    val trimmed = trimSpans(base, exactSubstrSpans(base))
+    val residual = exactSubstrSpans(trimmed.select(col("doc_id"), col("text")))
+      .agg(count(lit(1)).cast("long").as("residual_spans"),
+        coalesce(sum("span_tokens"), lit(0L)).cast("long").as("residual_tokens"))
+    trimmed.select(col("doc_id"), col("kept_tokens"), col("trimmed_tokens"))
+      .crossJoin(broadcast(residual))
+      .orderBy("doc_id")
   }
 }

@@ -729,6 +729,88 @@ object StreamOps {
     }
     grams.groupByKey(_.h).transformWithState(proc, TimeMode.None(), OutputMode.Append())
   }
+
+  /** [[exactSubstrStream]] with BOUNDED state — the event-time-horizon
+    * variant (r18 verdict "What's wrong" #1 / Next #3): the base twin's
+    * per-distinct-window state grows with distinct-window volume forever,
+    * which a long-horizon 100 TB ingest cannot afford. This variant keys
+    * the same (first, count) state but schedules an EVENT-TIME TIMER at
+    * each window's last-seen event time: the timer fires once the
+    * watermark passes it — i.e. a window's state lives for exactly the
+    * `watermark` delay beyond its latest occurrence (the chained-extension
+    * contract `dropDuplicatesWithinWatermark` ships, spelled with
+    * transformWithState timers because the emission logic needs the
+    * first-occurrence retro-emit the built-in cannot express).
+    *
+    * Semantic trade, documented: duplicate occurrences separated by more
+    * than the horizon are MISSED — the evicted first is never retro-
+    * emitted, and the late re-occurrence restarts as a fresh first. Within
+    * the horizon the emitted occurrence set equals the batch q161
+    * relation (StreamingSpec pins parity across a micro-batch split, and
+    * separately that eviction actually happens — a re-occurrence after
+    * the horizon emits nothing).
+    *
+    * State per LIVE window: ~36 B (doc, pos, n, timerMs) + one timer row —
+    * bounded by the distinct windows of the last `watermark` of event
+    * time, not the stream's lifetime. */
+  def exactSubstrStreamWithinWatermark(ds: Dataset[TimedDocRecord], watermark: String,
+      k: Int = graft.operators.Dedup.ExactSubstrK): Dataset[ExactSubstrOcc] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    val grams = ds.flatMap { d =>
+      val words =
+        if (d.text == null) Array.empty[String] else d.text.trim.split("\\s+")
+      if (words.length < k) Iterator.empty
+      else (0 to words.length - k).iterator.map { i =>
+        TimedGramOcc(StreamMinhash.wordHash(words.slice(i, i + k).mkString(" ")),
+          d.doc_id, i, new java.sql.Timestamp(d.tsUs / 1000))
+      }
+    }.withWatermark("eventTime", watermark)
+    val proc = new StatefulProcessor[Long, TimedGramOcc, ExactSubstrOcc] {
+      @transient private var st: ValueState[GramFirstT] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[GramFirstT]("firstT",
+          org.apache.spark.sql.Encoders.product[GramFirstT], TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[TimedGramOcc],
+                                   tv: TimerValues): Iterator[ExactSubstrOcc] = {
+        // same deterministic order + emit-once contract as the base twin
+        val rs = rows.toSeq.sortBy(r => (r.doc_id, r.pos))
+        var cur: Option[GramFirstT] = if (st.exists()) Some(st.get()) else None
+        val out = Vector.newBuilder[ExactSubstrOcc]
+        rs.foreach { r =>
+          cur match {
+            case None => cur = Some(GramFirstT(r.doc_id, r.pos, 1L, -1L))
+            case Some(f) =>
+              if (f.n == 1L) out += ExactSubstrOcc(f.doc, f.pos)
+              out += ExactSubstrOcc(r.doc_id, r.pos)
+              cur = Some(f.copy(n = f.n + 1))
+          }
+        }
+        // eviction timer rides the window's last-seen event time, only ever
+        // extended FORWARD (an out-of-order batch must not shorten the
+        // horizon); the stale timer is deleted so each window holds one
+        val lastMs = rs.map(_.eventTime.getTime).max
+        cur.foreach { f =>
+          val next = math.max(f.timerMs, lastMs)
+          if (next != f.timerMs) {
+            if (f.timerMs >= 0L) getHandle.deleteTimer(f.timerMs)
+            getHandle.registerTimer(next)
+          }
+          st.update(f.copy(timerMs = next))
+        }
+        out.result().iterator
+      }
+      override def handleExpiredTimer(key: Long, tv: TimerValues,
+          info: ExpiredTimerInfo): Iterator[ExactSubstrOcc] = {
+        // the watermark passed the window's last occurrence: evict. A
+        // pending never-retro-emitted first is dropped with it (the
+        // documented outside-the-horizon miss).
+        st.clear()
+        Iterator.empty
+      }
+    }
+    grams.groupByKey(_.h).transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
+  }
 }
 
 /** Input shape for runningPerKey — (key, event-time, value). */
@@ -832,6 +914,16 @@ case class ExactSubstrOcc(doc: Long, pos: Int)
   * occurrence (retro-emitted when the second arrives) and the running
   * occurrence count. One row per distinct window, ~28 B. */
 case class GramFirst(doc: Long, pos: Int, n: Long)
+
+/** [[GramOcc]] with the owning document's event time — the input row of
+  * [[StreamOps.exactSubstrStreamWithinWatermark]] (the watermark column). */
+case class TimedGramOcc(h: Long, doc_id: Long, pos: Int,
+                        eventTime: java.sql.Timestamp)
+
+/** [[GramFirst]] plus the scheduled eviction timer's timestamp (epoch ms;
+  * -1 = none yet) — the watermarked variant's per-window state, evicted
+  * when the event-time watermark passes the last occurrence. */
+case class GramFirstT(doc: Long, pos: Int, n: Long, timerMs: Long)
 
 /** Streaming-ingest embedding record (vec_id + raw float vector). */
 case class EmbRecord(vec_id: Long, embedding: Seq[Float])

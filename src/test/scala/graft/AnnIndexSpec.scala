@@ -270,4 +270,83 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       served.select("cid").distinct(), Seq("cid"), "left_semi").count()
     assert(rerCount <= qn, s"rerank working set $rerCount exceeds Q·R=$qn")
   }
+
+  test("deletion lifecycle (q165): tombstones land as markers only, " +
+      "delete→serve ≡ rebuild-without-rows, compaction applies + clears them") {
+    val e = corpus
+    val cents = Similarity.ivfCentroids(e, Similarity.sqrtStride(e))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = Similarity.pqCodebook(e, 8, 16, 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_delete").toString
+    Similarity.writeIndexWith(e, cents, cb, s"$tmp/full")
+    def listing(root: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(root))
+        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+        .map(f => f.getAbsolutePath.stripPrefix(root) ->
+          (f.length(), f.lastModified())).toMap
+    }
+    // 1. the delete writes ONLY tombstone files — codes/vectors untouched,
+    //    so serve cost cannot grow with deletions (r18 Next #4's file pin)
+    val beforeCodes = listing(s"$tmp/full/codes")
+    val beforeVecs = listing(s"$tmp/full/vectors")
+    Similarity.deleteFromIndex(spark, s"$tmp/full",
+      e.filter(col("vec_id") % 10 === 7).select("vec_id"))
+    assert(listing(s"$tmp/full/codes") == beforeCodes, "delete touched codes files")
+    assert(listing(s"$tmp/full/vectors") == beforeVecs, "delete touched vector files")
+    assert(new java.io.File(s"$tmp/full/tombstones").exists(), "no tombstone table")
+    // 2. delete→serve ≡ rebuild over the remaining rows under the SAME
+    //    frozen quantizers
+    Similarity.writeIndexWith(e.filter(col("vec_id") % 10 =!= 7), cents, cb, s"$tmp/rebuilt")
+    val q = e.filter(col("vec_id") < 20).toDF("qid", "qv")
+    def serve(p: String) =
+      Similarity.searchIndex(Similarity.loadIndex(spark, p), q).orderBy("qid", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val tombstoned = serve(s"$tmp/full")
+    assert(tombstoned == serve(s"$tmp/rebuilt"),
+      "tombstoned serve diverged from the rebuild-without-rows")
+    // the delete is not vacuous: some deleted cid was in the pre-delete top-10
+    val deletedSet = e.filter(col("vec_id") % 10 === 7)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(tombstoned.forall(r => !deletedSet.contains(r._2)),
+      "a deleted cid surfaced in the served results")
+    // 3. compaction applies tombstones physically and clears the marker
+    //    table; serve is identical before/after
+    Similarity.compactIndex(spark, s"$tmp/full")
+    assert(!new java.io.File(s"$tmp/full/tombstones").exists(),
+      "compaction left the tombstone table behind")
+    val compacted = Similarity.loadIndex(spark, s"$tmp/full")
+    assert(compacted.tombstones.isEmpty)
+    val leftover = compacted.codes.filter(col("cid") % 10 === 7).count()
+    assert(leftover == 0L, s"compaction kept $leftover tombstoned code rows")
+    assert(serve(s"$tmp/full") == tombstoned,
+      "compaction changed the served ranking")
+    GraftSession.releasePersisted(spark)
+  }
+
+  test("filtered search (q166): every result satisfies the predicate and is " +
+      "the exact top-k of the FILTERED candidate set") {
+    val raw = Tables(spark, sfDir, "embeddings")
+    val e = corpus
+    val q = e.filter(col("vec_id") < 20).toDF("qid", "qv")
+    val allowedDf = raw.filter(col("label") % 3 === 0).select(col("vec_id").as("cid"))
+    val allowed = allowedDf.collect().map(_.getLong(0)).toSet
+    val idx = Similarity.loadIndex(spark, idxPath)
+    val got = Similarity.searchIndex(idx, q, allowed = Some(allowedDf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.forall(r => allowed.contains(r._2)),
+      "a result violated the metadata predicate")
+    // pre-filter, not post-filter: unfiltered serve then intersect would
+    // come back SHORT; the filtered ranks must be dense 1..n per query
+    val byQ = got.groupBy(_._1)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq,
+        s"ranks not dense for query $qid — post-filtering suspected")
+    }
+    GraftSession.releasePersisted(spark)
+  }
 }

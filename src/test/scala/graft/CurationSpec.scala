@@ -187,4 +187,56 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buckets(md5(col("text"))) == 1L,
       "content-hash split scattered a single-fingerprint cluster")
   }
+
+  test("q164: cluster-level split co-locates near-dup clusters (leak pairs " +
+    "0) where q162's per-doc rule measurably leaks on the SAME corpus") {
+    val out =
+      try graft.operators.Curation.q164NearDupAwareSplit(spark, sfDir).collect()
+      finally graft.GraftSession.releasePersisted(spark)
+    assert(out.map(_.getString(0)).toSeq == Seq("test", "train", "val"))
+    assert(out.forall(_.getLong(1) > 0), "all three splits populated")
+    out.foreach { r =>
+      // the paired positive/negative result: the theorem made observable vs
+      // the residual the naive per-doc-fingerprint rule leaves
+      assert(r.getLong(3) == 0L, s"neardup_leak_pairs must be 0: $r")
+      assert(r.getLong(4) > 0L,
+        s"naive_leak_pairs must be > 0 on the canaried corpus (contrast lost): $r")
+      assert(r.getLong(5) == 0L, s"exact_leak_groups must be 0: $r")
+      assert(r.getLong(6) >= 10L,
+        s"max_component below the canary cluster size — mining vacuous: $r")
+    }
+    // components never straddle: Σ per-split components = total components
+    val totalComps = out.map(_.getLong(2)).sum
+    assert(totalComps > 0)
+  }
+
+  test("curate with exactSubstrTrim: the ladder runs on the TRIMMED text " +
+    "(boilerplate spans gone downstream) with trim funnel accounting") {
+    val sq = spark.sqlContext
+    import sq.implicits._
+    val boiler = (0 until 12).map(i => s"legal$i").mkString(" ")
+    // 40 docs, each: shared 12-token boilerplate prefix + 30 unique alpha
+    // words; plus 10 clean docs. Every boilerplate copy must be trimmed.
+    val docs = ((0L until 40L).map { i =>
+      (i, "s" + (i % 2), s"$boiler " + (0 until 30).map(j => s"alpha${i}x$j").mkString(" "))
+    } ++ (100L until 110L).map { i =>
+      (i, "s0", (0 until 30).map(j => s"beta${i}x$j").mkString(" "))
+    }).toDF("doc_id", "source", "text")
+    val benchmark = docs.filter(col("doc_id") === 999L).select("doc_id", "text") // empty
+    val (out, funnel) = graft.operators.Curation.curate(
+      docs, benchmark, minAlphaRatio = 0.0, quotaPerSource = 1000,
+      exactSubstrTrim = true)
+    val rows = out.select("doc_id", "text").collect()
+    graft.GraftSession.releasePersisted(spark)
+    val f = funnel.map(sc => sc.stage -> sc.rows).toMap
+    assert(f("span_trim_docs") == 40L, s"span_trim_docs: $funnel")
+    assert(f("span_trim_tokens") == 40L * 12L, s"span_trim_tokens: $funnel")
+    // downstream stages saw trimmed text: no surviving doc carries the
+    // boilerplate, and all 50 docs survive (trim ≠ drop)
+    assert(rows.length == 50, s"kept ${rows.length}")
+    assert(rows.forall(r => !r.getString(1).contains("legal0")),
+      "boilerplate survived the trim into the curated output")
+    // and the funnel's regular stages still chain
+    assert(f("non_empty") == 50L && f("quality_gate") == 50L)
+  }
 }

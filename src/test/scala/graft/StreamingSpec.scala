@@ -716,6 +716,186 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("exactSubstrStreamWithinWatermark ≡ batch q161 inside the horizon " +
+      "(r18 Next #3: the bounded-state variant keeps exact parity when all " +
+      "occurrences are within the watermark delay)") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val k = graft.operators.Dedup.ExactSubstrK
+      val header = "shared license header text appears before many documents in the crawl corpus"
+      val footer = "subscribe to our newsletter for updates and special offers"
+      // event times spread one second per doc — the whole corpus spans
+      // ~500 s, inside the 1-hour horizon, so parity must be EXACT
+      val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text").collect()
+        .filter(r => r.getString(1) != null && r.getString(1).trim.nonEmpty)
+        .map { r =>
+          val id = r.getLong(0)
+          val t = (if (id % 3 == 0) header + " " else "") + r.getString(1) +
+            (if (id % 5 == 0) " " + footer else "")
+          // base epoch well past 0: a row whose event time equals the
+          // uninitialized watermark (epoch 0) is dropped as late
+          graft.streaming.TimedDocRecord(id, t, (1700000000L + id) * 1000000L)
+        }.sortBy(_.doc_id)
+      val expected = graft.operators.Dedup
+        .q161ExactSubstrSpans(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      GraftSession.releasePersisted(spark)
+      val (batch1, batch2) = docs.splitAt(docs.length / 2)
+      val in = MemoryStream[graft.streaming.TimedDocRecord]
+      val q = StreamOps.exactSubstrStreamWithinWatermark(in.toDS(), "1 hour").toDF()
+        .writeStream.format("memory").queryName("exsubstrwm")
+        .outputMode("append").start()
+      try {
+        in.addData(batch1.toIndexedSeq); q.processAllAvailable()
+        in.addData(batch2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val occ = spark.table("exsubstrwm")
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(occ.length == occ.distinct.length, "an occurrence emitted twice")
+      val spans = occ.groupBy(_._1).flatMap { case (doc, os) =>
+        val ps = os.map(_._2).sorted
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var s0 = ps.head; var last = ps.head
+        ps.tail.foreach { p =>
+          if (p > last + k) { out += ((doc, s0.toLong, (last + k).toLong)); s0 = p }
+          last = p
+        }
+        out += ((doc, s0.toLong, (last + k).toLong))
+        out
+      }.toSet
+      assert(spans == expected,
+        s"watermarked stream diverged inside the horizon: " +
+          s"only-stream=${(spans -- expected).take(3)} " +
+          s"only-batch=${(expected -- spans).take(3)}")
+      assert(expected.nonEmpty, "vacuous parity: batch found no spans")
+    } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("exactSubstrStreamWithinWatermark EVICTS: a re-occurrence beyond the " +
+      "horizon emits nothing (the state actually expired)") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val shared = "one two three four five six seven eight"
+      def rec(id: Long, text: String, sec: Long) =
+        graft.streaming.TimedDocRecord(id, text, (1700000000L + sec) * 1000000L)
+      val filler1 = "f1a f1b f1c f1d f1e f1f f1g f1h" // unique windows
+      val filler2 = "f2a f2b f2c f2d f2e f2f f2g f2h"
+      val in = MemoryStream[graft.streaming.TimedDocRecord]
+      val q = StreamOps.exactSubstrStreamWithinWatermark(in.toDS(), "10 seconds").toDF()
+        .writeStream.format("memory").queryName("exsubstrev")
+        .outputMode("append").start()
+      try {
+        // batch 1: the window's first occurrence at t=0
+        in.addData(rec(1, shared, 0)); q.processAllAvailable()
+        // batch 2: advance the watermark far past 0+10 s (event at t=1 h);
+        // the eviction timer for doc 1's window becomes expired
+        in.addData(rec(2, filler1, 3600)); q.processAllAvailable()
+        // batch 3: another filler batch — timers fire against the advanced
+        // watermark here, so the eviction provably happens BEFORE doc 3
+        in.addData(rec(3, filler2, 3601)); q.processAllAvailable()
+        // batch 4: the SAME window re-occurs beyond the horizon — with the
+        // first evicted it must be treated as a fresh first (no emission)
+        in.addData(rec(4, shared, 3602)); q.processAllAvailable()
+      } finally q.stop()
+      val occ = spark.table("exsubstrev").collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(occ.isEmpty,
+        s"state did not expire: occurrences emitted across the horizon: ${occ.toSeq}")
+      // control: the same feed with everything INSIDE the horizon does emit
+      val in2 = MemoryStream[graft.streaming.TimedDocRecord]
+      val q2 = StreamOps.exactSubstrStreamWithinWatermark(in2.toDS(), "10 seconds").toDF()
+        .writeStream.format("memory").queryName("exsubstrev2")
+        .outputMode("append").start()
+      try {
+        in2.addData(rec(1, shared, 0)); q2.processAllAvailable()
+        in2.addData(rec(4, shared, 2)); q2.processAllAvailable()
+      } finally q2.stop()
+      val occ2 = spark.table("exsubstrev2").collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(occ2.toSet == Set((1L, 0), (4L, 0)),
+        s"control pair inside the horizon should emit both occurrences: ${occ2.toSeq}")
+    } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("exactSubstrStreamWithinWatermark: RocksDB kill/restart resumes to " +
+      "batch parity (the r18 drill on the new variant)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sp = spark
+      import sp.implicits._
+      val k = graft.operators.Dedup.ExactSubstrK
+      val sfDir = "/root/testdata/sf0.001"
+      val tmp = java.nio.file.Files.createTempDirectory("graftexsub")
+      val src = s"$tmp/src"; val ckpt = s"$tmp/ckpt"
+      val header = "shared license header text appears before many documents in the crawl corpus"
+      val footer = "subscribe to our newsletter for updates and special offers"
+      val all = Tables(sp, sfDir, "documents")
+        .select("doc_id", "text").collect()
+        .filter(r => r.getString(1) != null && r.getString(1).trim.nonEmpty)
+        .map { r =>
+          val id = r.getLong(0)
+          val t = (if (id % 3 == 0) header + " " else "") + r.getString(1) +
+            (if (id % 5 == 0) " " + footer else "")
+          graft.streaming.TimedDocRecord(id, t, (1700000000L + id) * 1000000L)
+        }.sortBy(_.doc_id)
+      val expected = graft.operators.Dedup.q161ExactSubstrSpans(sp, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      GraftSession.releasePersisted(sp)
+      all.grouped(math.max(1, all.length / 4 + 1)).foreach { chunk =>
+        sp.createDataset(chunk.toSeq).toDF()
+          .coalesce(1).write.mode("append").parquet(src)
+        Thread.sleep(5)
+      }
+      val schema = sp.read.parquet(src).schema
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Int)]
+      def start() =
+        StreamOps.exactSubstrStreamWithinWatermark(
+          StreamingPipeline.fileSource(sp, src, schema, maxFilesPerTrigger = 1)
+            .as[graft.streaming.TimedDocRecord], "1 hour")
+          .toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.collect().foreach(r => got.add((r.getLong(0), r.getInt(1)))): Unit
+          }.start()
+      val q1 = start()
+      try {
+        while (q1.recentProgress.count(_.numInputRows > 0) < 1) Thread.sleep(50)
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        val rocksMetrics = q2.lastProgress.stateOperators
+          .flatMap(_.customMetrics.keySet.toArray(Array.empty[String]))
+          .filter(_.startsWith("rocksdb"))
+        assert(rocksMetrics.nonEmpty, "RocksDB state store did not engage")
+      } finally q2.stop()
+      import scala.jdk.CollectionConverters._
+      val occ = got.asScala.toSeq
+      val spans = occ.groupBy(_._1).flatMap { case (doc, os) =>
+        val ps = os.map(_._2).sorted
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var s0 = ps.head; var last = ps.head
+        ps.tail.foreach { p =>
+          if (p > last + k) { out += ((doc, s0.toLong, (last + k).toLong)); s0 = p }
+          last = p
+        }
+        out += ((doc, s0.toLong, (last + k).toLong))
+        out
+      }.toSet
+      assert(spans == expected, "kill/restart diverged from the batch q161 spans")
+      assert(expected.nonEmpty, "vacuous drill: no spans")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("hashed bucket state is measurably smaller than raw word-set state " +
       "(r17 verdict #4)") {
     // the compaction claim, MEASURED on the fixture corpus as the bytes the
