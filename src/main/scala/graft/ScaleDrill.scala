@@ -59,6 +59,16 @@ object ScaleDrill {
                              // windows), so the island merge sees ~full
                              // volume — the honest worst case; text lane,
                              // gates at the measured volume ratio
+    "q163_exact_substr_trim", // documents (r19): ExactSubstr APPLIED —
+                             // discover + token-cut + re-discover is two
+                             // q161 passes and one row-local trim, all
+                             // token-linear; text lane, gates at the
+                             // measured volume ratio like q161
+    "q164_neardup_aware_split", // documents (r19): the near-dup-aware
+                             // split — the q50 banded pipeline (volume-
+                             // bound), component contraction over the
+                             // sparse rep graph, and 16-byte-key audit
+                             // shuffles; text lane at the volume bar
     "q56_window_dist",       // orders: sharded distribution windows
     "q87_ann_recall",        // embeddings: ANN truth + IVF + LSH
     "q92_cdc_passages",      // documents: content-defined passage dedup
@@ -137,6 +147,16 @@ object ScaleDrill {
                              // ∝ appended rows — the lane's point), serve.
                              // Gates at 2.5 like q157: every pass is linear
                              // in N and the serve half query-proportional
+    "q165_ann_index_delete", // embeddings (r19): deletion — full build
+                             // (linear), tombstone write (∝ |ids|), serve
+                             // with the broadcast anti-join. Gates at 2.5
+                             // like q157: the delete path must add nothing
+                             // corpus-proportional beyond the build
+    "q166_ann_filtered_search", // embeddings (r19): filtered serve — the
+                             // q157 round trip plus a broadcast semi-join
+                             // of the metadata selection into the
+                             // candidate set; gates at 2.5: the filter
+                             // must stay invisible under data growth
     "q156_curation_neardup", // documents×embeddings (r16): the composed
                              // curation funnel WITH the near-dup ladder —
                              // curation_flow's stages plus q50's banded
@@ -288,7 +308,8 @@ object ScaleDrill {
   val textLanes: Set[String] =
     Set("q50_neardup_confirmed", "q92_cdc_passages", "q116_bigram_rarity",
       "curation_flow", "q151_decode_ivf", "q156_curation_neardup",
-      "q161_exact_substr_spans")
+      "q161_exact_substr_spans", "q163_exact_substr_trim",
+      "q164_neardup_aware_split")
 
   /** The self-adjudicating PASS bar per gated lane: sublinear-per-input.
     * Text lanes pass while time ratio ≤ the measured bigram-volume ratio
