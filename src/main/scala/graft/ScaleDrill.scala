@@ -69,6 +69,10 @@ object ScaleDrill {
                              // bound), component contraction over the
                              // sparse rep graph, and 16-byte-key audit
                              // shuffles; text lane at the volume bar
+    "q167_curation_trimmed", // documents (r19): the trim-FIRST curation
+                             // funnel — the q163 span chain + the q111
+                             // ladder, all token-linear stages over the
+                             // trimmed corpus; text lane at the volume bar
     "q56_window_dist",       // orders: sharded distribution windows
     "q87_ann_recall",        // embeddings: ANN truth + IVF + LSH
     "q92_cdc_passages",      // documents: content-defined passage dedup
@@ -309,7 +313,7 @@ object ScaleDrill {
     Set("q50_neardup_confirmed", "q92_cdc_passages", "q116_bigram_rarity",
       "curation_flow", "q151_decode_ivf", "q156_curation_neardup",
       "q161_exact_substr_spans", "q163_exact_substr_trim",
-      "q164_neardup_aware_split")
+      "q164_neardup_aware_split", "q167_curation_trimmed")
 
   /** The self-adjudicating PASS bar per gated lane: sublinear-per-input.
     * Text lanes pass while time ratio ≤ the measured bigram-volume ratio

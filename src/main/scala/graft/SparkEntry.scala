@@ -218,6 +218,11 @@ object SparkEntry {
     // co-locate; emits the paired positive/negative audit (cluster
     // assignment leaks 0 pairs, the naive per-doc rule leaks > 0)
     "q164_neardup_aware_split" -> (graft.operators.Curation.q164NearDupAwareSplit _),
+    // q167 (r19): the trim-FIRST curation funnel — q111's flow with the
+    // ExactSubstr span-trim stage enabled; the oracle-gated ladder
+    // integration (trim removes shared boilerplate BEFORE quality/dedup/
+    // decon, so boilerplate-sharing docs survive decon instead of dying)
+    "q167_curation_trimmed" -> (graft.operators.Curation.q167CurationTrimmed _),
     // r7: weighted sampling w/o replacement (Efraimidis–Spirakis, md5 stream)
     "q115_weighted_sample" -> ((s, d) => TextAnalysis.q115WeightedSample(s, d)),
     // r7: per-doc bigram-rarity quality score (integer LM-perplexity proxy)
@@ -462,6 +467,36 @@ object SparkEntry {
       "mc AS (SELECT CAST(MAX(csz) AS BIGINT) AS max_component FROM (SELECT comp, COUNT(*) AS csz FROM spl GROUP BY comp) z) " +
       "SELECT split, n_docs, n_components, neardup_leak_pairs, naive_leak_pairs, exact_leak_groups, max_component FROM ps, lk, el, mc ORDER BY split"
   }
+
+  /** q167: the trim-FIRST curation funnel's closed form — the q163 span
+    * chain (prefix `z`, over the canaried SOURCE-carrying corpus), the
+    * NOT EXISTS token cut + re-join, then the q111 funnel tail over the
+    * TRIMMED text (quality/dedup/decon/quota/positions), with the
+    * benchmark shingles built from the RAW canaried docs (the eval set is
+    * not trimmed) and the trim accounting over post-trim non-empty docs —
+    * exactly curate(exactSubstrTrim = true)'s narrow-projection read. */
+  private def curationTrimmedOracle: String =
+    "WITH base AS (SELECT doc_id, source, concat(CASE WHEN doc_id % 3 = 0 THEN 'shared license header text appears before many documents in the crawl corpus ' ELSE '' END, text, CASE WHEN doc_id % 5 = 0 THEN ' subscribe to our newsletter for updates and special offers' ELSE '' END) AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), " +
+      duckSpanCtes("z", "base") + ", " +
+      "tok AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM (SELECT doc_id, string_split_regex(trim(t), '\\s+') AS ws FROM base) x), " +
+      "kept AS (SELECT t.doc_id, t.i, t.w FROM tok t WHERE NOT EXISTS (SELECT 1 FROM zsp WHERE zsp.doc_id = t.doc_id AND t.i - 1 >= zsp.span_start AND t.i - 1 < zsp.span_end)), " +
+      "trimmed AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS t2, COUNT(*) AS kept FROM kept GROUP BY doc_id), " +
+      "tc AS (SELECT b.doc_id, b.source, COALESCE(tr.t2, '') AS text, len(string_split_regex(trim(b.t), '\\s+')) - COALESCE(tr.kept, 0) AS tt FROM base b LEFT JOIN trimmed tr USING (doc_id)), " +
+      "ne AS (SELECT doc_id, source, text, tt FROM tc WHERE length(trim(text)) > 0), " +
+      "ta AS (SELECT CAST(COALESCE(SUM(CASE WHEN tt > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS trim_docs, CAST(COALESCE(SUM(tt), 0) AS BIGINT) AS trim_tokens FROM ne), " +
+      "q AS (SELECT * FROM ne WHERE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) >= 0.45), " +
+      "k AS (SELECT md5(text) AS fp, MIN(doc_id) AS keep FROM q GROUP BY 1), " +
+      "d AS (SELECT q.* FROM q JOIN k ON md5(q.text) = fp AND q.doc_id = keep), " +
+      "qw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM q), " +
+      "shc AS (SELECT doc_id, array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i FROM qw WHERE len(words) >= 5) t), " +
+      "bw AS (SELECT string_split_regex(trim(t), '\\s+') AS words FROM base WHERE doc_id % 100 = 0), " +
+      "bsh AS (SELECT DISTINCT array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh FROM (SELECT words, unnest(generate_series(1, len(words) - 4)) AS i FROM bw WHERE len(words) >= 5) t), " +
+      "contam AS (SELECT DISTINCT doc_id FROM shc JOIN bsh USING (sh)), " +
+      "c AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM contam)), " +
+      "r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(concat('curate|', CAST(doc_id AS VARCHAR))), doc_id) AS rnk FROM c), " +
+      "cap AS (SELECT doc_id FROM r WHERE rnk <= 15), " +
+      "p AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY md5(concat('curate|pos|', CAST(doc_id AS VARCHAR))), doc_id) AS pos FROM cap) " +
+      "SELECT ta.trim_docs, ta.trim_tokens, (SELECT COUNT(*) FROM ne) AS n_non_empty, (SELECT COUNT(*) FROM q) AS n_quality, (SELECT COUNT(*) FROM d) AS n_dedup, (SELECT COUNT(*) FROM c) AS n_clean, (SELECT COUNT(*) FROM cap) AS n_capped, CAST((SELECT SUM(doc_id) FROM cap) AS BIGINT) AS kept_id_sum, CAST((SELECT SUM(doc_id * pos) FROM p) AS BIGINT) AS pos_checksum FROM ta"
 
   /** q156: the q111 composed-curation closed form with the production
     * near-dup ladder inserted (r15 verdict #5) — q50's LSH→Jaccard victim
@@ -1016,6 +1051,7 @@ object SparkEntry {
     // the chain again over the trimmed text (the fixpoint audit)
     "q163_exact_substr_trim" -> exactSubstrTrimOracle,
     "q164_neardup_aware_split" -> neardupAwareSplitOracle,
+    "q167_curation_trimmed" -> curationTrimmedOracle,
     "q36_cosine_topk" ->
       "WITH f0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings), f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM f0), d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot, SUM(q.v * q.v) AS qq, SUM(c.v * c.v) AS cc FROM f q JOIN f c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id GROUP BY 1, 2), r AS (SELECT qid, cid, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d), rk AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM r) SELECT qid, cid, sim, rnk FROM rk WHERE rnk <= 5 ORDER BY qid, rnk",
     "q37_neardup_embedding" ->

@@ -506,6 +506,33 @@ object SqlFrontDoor {
       "SELECT split, n_docs, n_components, neardup_leak_pairs, naive_leak_pairs, exact_leak_groups, max_component FROM ps CROSS JOIN lk CROSS JOIN el CROSS JOIN mc ORDER BY split"
   }
 
+  /** s167: the trim-first curation funnel as Spark text — the s163 span
+    * chain (prefix z) over the source-carrying canaried corpus, the token
+    * cut + collect_list re-join, then the s111 funnel tail over the
+    * trimmed text with benchmark shingles from the RAW canaried docs. */
+  private def curationTrimmedSparkSql: String =
+    "WITH base AS (SELECT doc_id, source, concat(CASE WHEN doc_id % 3 = 0 THEN 'shared license header text appears before many documents in the crawl corpus ' ELSE '' END, text, CASE WHEN doc_id % 5 = 0 THEN ' subscribe to our newsletter for updates and special offers' ELSE '' END) AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), " +
+      sparkSpanCtes("z", "base") + ", " +
+      "tok AS (SELECT doc_id, i, w FROM (SELECT doc_id, split(trim(t), '\\\\s+') AS ws FROM base) LATERAL VIEW posexplode(ws) x AS i, w), " +
+      "kept AS (SELECT t.doc_id, t.i, t.w FROM tok t WHERE NOT EXISTS (SELECT 1 FROM zsp WHERE zsp.doc_id = t.doc_id AND t.i >= zsp.span_start AND t.i < zsp.span_end)), " +
+      "trimmed AS (SELECT doc_id, concat_ws(' ', transform(array_sort(collect_list(struct(i, w))), s -> s.w)) AS t2, COUNT(*) AS kept FROM kept GROUP BY doc_id), " +
+      "tc AS (SELECT b.doc_id, b.source, COALESCE(tr.t2, '') AS text, CAST(size(split(trim(b.t), '\\\\s+')) - COALESCE(tr.kept, 0) AS BIGINT) AS tt FROM base b LEFT JOIN trimmed tr ON b.doc_id = tr.doc_id), " +
+      "ne AS (SELECT doc_id, source, text, tt FROM tc WHERE length(trim(text)) > 0), " +
+      "ta AS (SELECT CAST(COALESCE(SUM(CASE WHEN tt > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS trim_docs, CAST(COALESCE(SUM(tt), 0) AS BIGINT) AS trim_tokens FROM ne), " +
+      "q AS (SELECT * FROM ne WHERE CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS DOUBLE) / length(text) >= 0.45), " +
+      "k AS (SELECT md5(text) AS fp, MIN(doc_id) AS keep FROM q GROUP BY 1), " +
+      "d AS (SELECT q.* FROM q JOIN k ON md5(q.text) = fp AND q.doc_id = keep), " +
+      "qw AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM q), " +
+      "shc AS (SELECT doc_id, concat_ws(' ', slice(words, CAST(i AS INT), 5)) AS sh FROM (SELECT doc_id, words, explode(sequence(1, size(words) - 4)) AS i FROM qw WHERE size(words) >= 5) t), " +
+      "bw AS (SELECT split(trim(t), '\\\\s+') AS words FROM base WHERE doc_id % 100 = 0), " +
+      "bsh AS (SELECT DISTINCT concat_ws(' ', slice(words, CAST(i AS INT), 5)) AS sh FROM (SELECT words, explode(sequence(1, size(words) - 4)) AS i FROM bw WHERE size(words) >= 5) t), " +
+      "contam AS (SELECT DISTINCT doc_id FROM shc JOIN bsh USING (sh)), " +
+      "c AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM contam)), " +
+      "r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(concat('curate|', CAST(doc_id AS STRING))), doc_id) AS rnk FROM c), " +
+      "cap AS (SELECT doc_id FROM r WHERE rnk <= 15), " +
+      "p AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY md5(concat('curate|pos|', CAST(doc_id AS STRING))), doc_id) AS pos FROM cap) " +
+      "SELECT ta.trim_docs, ta.trim_tokens, (SELECT COUNT(*) FROM ne) AS n_non_empty, (SELECT COUNT(*) FROM q) AS n_quality, (SELECT COUNT(*) FROM d) AS n_dedup, (SELECT COUNT(*) FROM c) AS n_clean, (SELECT COUNT(*) FROM cap) AS n_capped, CAST((SELECT SUM(doc_id) FROM cap) AS BIGINT) AS kept_id_sum, CAST((SELECT SUM(doc_id * pos) FROM p) AS BIGINT) AS pos_checksum FROM ta"
+
   /** Saved-index serve (q157) SQL twin: the INLINE replay of the index +
     * shortlist + rerank math (SQL text cannot run the save/load side
     * effect), emitting the reranked top-10 rows — so conformance of the
@@ -630,6 +657,7 @@ object SqlFrontDoor {
   val rowsOnlySql: Map[String, String] = Map(
     "q163_exact_substr_trim" -> exactSubstrTrimSparkSql,
     "q164_neardup_aware_split" -> neardupAwareSplitSparkSql,
+    "q167_curation_trimmed" -> curationTrimmedSparkSql,
     "q113_pq_recall" -> pqSql,
     "q114_ivfpq_recall" -> ivfPqSql,
     "q153_ivfpq_rerank" -> ivfPqRerankSql,

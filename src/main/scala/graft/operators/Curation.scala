@@ -358,6 +358,46 @@ object Curation {
       .orderBy("split")
   }
 
+  /** Q167 — the TRIM-FIRST curation funnel: q111's composed flow with the
+    * ExactSubstr span-trim stage enabled (`curate(exactSubstrTrim = true)`)
+    * — the oracle-gated proof of the q163 ladder integration, run over the
+    * q161-canaried corpus so the trim is guaranteed non-vacuous at every
+    * SF. The canaries also DEMONSTRATE the stage's value end-to-end:
+    * benchmark docs (every 100th) carry the injected footer (and often the
+    * header), so WITHOUT the trim their shingles would decontaminate every
+    * header/footer doc out of the corpus; the trim removes those spans
+    * from corpus AND the spans' other copies first, so the funnel keeps
+    * documents whose only sin was shared boilerplate — Lee et al.'s
+    * trim-don't-drop result as a funnel delta. Output = the q111 funnel
+    * columns plus (trim_docs, trim_tokens) from the span_trim funnel
+    * entries. One row. */
+  def q167CurationTrimmed(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val header = "shared license header text appears before many documents in the crawl corpus"
+    val footer = "subscribe to our newsletter for updates and special offers"
+    val docs = graft.Tables(s, dir, "documents")
+    val ne = col("text").isNotNull && length(trim(col("text"))) > 0
+    val canaried = docs.select(col("doc_id"), col("source"),
+      when(ne, concat(
+        when(col("doc_id") % 3 === 0, header + " ").otherwise(""),
+        col("text"),
+        when(col("doc_id") % 5 === 0, " " + footer).otherwise("")))
+        .otherwise(col("text")).as("text"))
+    val benchmark = canaried.filter(col("doc_id") % 100 === 0).select("doc_id", "text")
+    val (ordered, funnel) = curate(canaried, benchmark, quotaPerSource = 15,
+      exactSubstrTrim = true)
+    val sums = ordered.agg(
+      sum(col("doc_id")).cast("long").as("kept_id_sum"),
+      sum(col("doc_id") * col("pos")).cast("long").as("pos_checksum")).first()
+    graft.GraftSession.releasePersisted(s)
+    val f = funnel.map(sc => sc.stage -> sc.rows).toMap
+    import s.implicits._
+    Seq((f("span_trim_docs"), f("span_trim_tokens"), f("non_empty"),
+      f("quality_gate"), f("exact_dedup"), f("decontaminated"), f("quota_capped"),
+      sums.getLong(0), sums.getLong(1)))
+      .toDF("trim_docs", "trim_tokens", "n_non_empty", "n_quality", "n_dedup",
+        "n_clean", "n_capped", "kept_id_sum", "pos_checksum")
+  }
+
   // ----------------------------------------- near-dup-aware split (q164)
 
   /** The q164 near-dup conformance canary (q92 rule): every doc_id % 50 ==

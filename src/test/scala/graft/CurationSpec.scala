@@ -239,4 +239,42 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the funnel's regular stages still chain
     assert(f("non_empty") == 50L && f("quality_gate") == 50L)
   }
+
+  test("q167: trim-first funnel KEEPS boilerplate-sharing docs that the " +
+    "untrimmed funnel loses to decontamination (Lee et al.'s trim-don't-drop)") {
+    import org.apache.spark.sql.functions._
+    val header = "shared license header text appears before many documents in the crawl corpus"
+    val footer = "subscribe to our newsletter for updates and special offers"
+    val docs = Tables(spark, sfDir, "documents")
+    val ne = col("text").isNotNull && length(trim(col("text"))) > 0
+    val canaried = docs.select(col("doc_id"), col("source"),
+      when(ne, concat(
+        when(col("doc_id") % 3 === 0, header + " ").otherwise(""),
+        col("text"),
+        when(col("doc_id") % 5 === 0, " " + footer).otherwise("")))
+        .otherwise(col("text")).as("text"))
+    val benchmark = canaried.filter(col("doc_id") % 100 === 0).select("doc_id", "text")
+    // benchmark docs (every 100th) all carry the footer and some the
+    // header, so WITHOUT the trim their shingles decontaminate every
+    // header/footer doc; WITH the trim the shared spans are cut from the
+    // corpus first and those docs survive to the clean stage
+    def cleanCount(trim: Boolean): Long = {
+      val (_, funnel) = Curation.curate(canaried, benchmark,
+        quotaPerSource = 15, exactSubstrTrim = trim)
+      // drive the one materialization so observations fire
+      val n = funnel.map(sc => sc.stage -> sc.rows).toMap
+      graft.GraftSession.releasePersisted(spark)
+      n("decontaminated")
+    }
+    val without = cleanCount(trim = false)
+    val withTrim = cleanCount(trim = true)
+    assert(withTrim > without,
+      s"trim did not rescue boilerplate docs: clean with=$withTrim without=$without")
+    // the untrimmed run must actually show the damage (canary non-vacuous)
+    // every %3 doc shares header shingles and every %5 doc footer shingles
+    // with the benchmark (whose members carry both) — roughly half the
+    // corpus must fall without the trim
+    assert(without < 300, s"untrimmed decon kept $without — canary lost its teeth")
+    assert(withTrim > 400, s"trimmed decon kept only $withTrim of ~470")
+  }
 }
