@@ -64,6 +64,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.cache.maxEntries", codegenCacheEntries.toString)
+      .config("spark.sql.analyzer.maxIterations", "400") // s168's linear CTE chain (see tune())
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = {
@@ -78,6 +79,12 @@ object GraftSession {
   def tune(s: SparkSession): SparkSession = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
+    // the s168 BPE twin is a deliberately LINEAR ~90-CTE chain (the
+    // anti-2^N spelling of an iterative algorithm as one statement);
+    // resolving it takes more analyzer fixpoint rounds than the default
+    // 100 — a pure iteration CAP, not a cost knob (every other plan still
+    // converges in the same handful of rounds it always did)
+    s.conf.set("spark.sql.analyzer.maxIterations", "400")
     s
   }
 

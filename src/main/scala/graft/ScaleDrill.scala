@@ -73,6 +73,28 @@ object ScaleDrill {
                              // funnel — the q163 span chain + the q111
                              // ladder, all token-linear stages over the
                              // trimmed corpus; text lane at the volume bar
+    "q168_bpe_train",        // documents (r19): BPE training — one
+                             // token-linear word-count pass, then NMerges
+                             // rounds over the DISTINCT-WORD table (the
+                             // Zipf bound: vocab grows sublinearly in
+                             // corpus volume, so the drill is where the
+                             // "merge loop never touches the corpus"
+                             // claim is measured); text lane at the
+                             // volume bar
+    "q169_quality_classifier", // documents (r19): NB quality filter — one
+                             // corpus explode + the token-keyed model
+                             // join-back, the q116 blow-up class (a Zipf
+                             // head that shuffles instead of broadcasts
+                             // is exactly what the ×10 side would catch);
+                             // text lane at the volume bar
+    "q170_bpe_tokenize",     // documents (r19): BPE apply — the q168
+                             // chain plus ONE corpus re-pass joined to
+                             // the vocab table; text lane at the volume
+                             // bar (cost ∝ token volume, vocab sublinear)
+    "q171_ann_adaptive_search", // embeddings (r19): adaptive-nprobe
+                             // filtered serve — the q157 family plus a
+                             // centroid-sized cumulative window; fixed
+                             // 2.5 bar like the other serve lanes
     "q56_window_dist",       // orders: sharded distribution windows
     "q87_ann_recall",        // embeddings: ANN truth + IVF + LSH
     "q92_cdc_passages",      // documents: content-defined passage dedup
@@ -313,7 +335,8 @@ object ScaleDrill {
     Set("q50_neardup_confirmed", "q92_cdc_passages", "q116_bigram_rarity",
       "curation_flow", "q151_decode_ivf", "q156_curation_neardup",
       "q161_exact_substr_spans", "q163_exact_substr_trim",
-      "q164_neardup_aware_split", "q167_curation_trimmed")
+      "q164_neardup_aware_split", "q167_curation_trimmed",
+      "q168_bpe_train", "q169_quality_classifier", "q170_bpe_tokenize")
 
   /** The self-adjudicating PASS bar per gated lane: sublinear-per-input.
     * Text lanes pass while time ratio ≤ the measured bigram-volume ratio

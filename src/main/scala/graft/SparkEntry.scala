@@ -223,6 +223,25 @@ object SparkEntry {
     // integration (trim removes shared boilerplate BEFORE quality/dedup/
     // decon, so boilerplate-sharing docs survive decon instead of dying)
     "q167_curation_trimmed" -> (graft.operators.Curation.q167CurationTrimmed _),
+    // q168 (r19): BPE tokenizer training (Sennrich et al. 2016) — ONE
+    // corpus pass to the word-frequency table (the Zipf compression),
+    // then NMerges pair-count → argmax → greedy-left fuse rounds over the
+    // VOCAB table only; emits the merge table + the compression curve
+    "q168_bpe_train" -> (graft.operators.Tokenizer.q168BpeTrain _),
+    // q169 (r19): model-based quality filtering (the FineWeb/DCLM
+    // classifier stage) as multinomial Naive Bayes — train on the 30%
+    // weak-labeled sample in ONE aggregation pass, score the corpus with
+    // ONE token-keyed join; integer micro-nat scores end to end
+    "q169_quality_classifier" -> (graft.operators.Classifier.q169QualityClassifier _),
+    // q170 (r19): BPE APPLY — per-doc token counts under the learned
+    // vocabulary (train without apply can't budget a data mixture); one
+    // corpus re-pass + one word-keyed join against the Zipf-bounded vocab
+    "q170_bpe_tokenize" -> (graft.operators.Tokenizer.q170BpeTokenize _),
+    // q171 (r19): adaptive-nprobe filtered ANN — closes q166's documented
+    // recall caveat: under a selective metadata filter each query expands
+    // probes until the probed clusters hold a shortlist's worth of
+    // allowed candidates (closed-form prefix rule, no grow loop)
+    "q171_ann_adaptive_search" -> (Similarity.q171AnnAdaptiveSearch _),
     // r7: weighted sampling w/o replacement (Efraimidis–Spirakis, md5 stream)
     "q115_weighted_sample" -> ((s, d) => TextAnalysis.q115WeightedSample(s, d)),
     // r7: per-doc bigram-rarity quality score (integer LM-perplexity proxy)
@@ -498,6 +517,85 @@ object SparkEntry {
       "p AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY md5(concat('curate|pos|', CAST(doc_id AS VARCHAR))), doc_id) AS pos FROM cap) " +
       "SELECT ta.trim_docs, ta.trim_tokens, (SELECT COUNT(*) FROM ne) AS n_non_empty, (SELECT COUNT(*) FROM q) AS n_quality, (SELECT COUNT(*) FROM d) AS n_dedup, (SELECT COUNT(*) FROM c) AS n_clean, (SELECT COUNT(*) FROM cap) AS n_capped, CAST((SELECT SUM(doc_id) FROM cap) AS BIGINT) AS kept_id_sum, CAST((SELECT SUM(doc_id * pos) FROM p) AS BIGINT) AS pos_checksum FROM ta"
 
+  /** q168: BPE tokenizer training replayed exactly — word-frequency table,
+    * char+</w> symbol decomposition, then NMerges chained CTE rounds: pair
+    * counts (weighted by word freq, overlap-counting), best pair by
+    * (count DESC, lhs, rhs), greedy-left fuse via list_reduce with the
+    * unit-separator string fold (the SAME fold semantics as the lane's
+    * aggregate() HOF — init = first symbol, a match appends the right
+    * symbol without the separator). DuckDB materializes multiply-referenced
+    * CTEs, so the chain is linear; all arithmetic is integer. */
+  /** The shared BPE training chain (q168/q170): WITH-prefix CTE text up to
+    * the final vocab table wt{NMerges}. Every CTE is AS MATERIALIZED —
+    * DuckDB INLINES plain CTEs, and each round references its predecessor
+    * twice (pair counts + apply), which would re-expand the base 2^N
+    * times. */
+  private def bpeChainCtes: String = {
+    import graft.operators.Tokenizer.{MaxWordLen, NMerges}
+    val sb = new StringBuilder
+    sb ++= "WITH wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents WHERE text IS NOT NULL) t " +
+      s"WHERE regexp_full_match(word, '[a-z]+') AND length(word) <= $MaxWordLen GROUP BY word), "
+    sb ++= "wt0 AS MATERIALIZED (SELECT word, freq, list_append(list_transform(range(1, length(word) + 1), i -> substr(word, CAST(i AS INT), 1)), '</w>') AS syms FROM wf), "
+    sb ++= "t0 AS MATERIALIZED (SELECT SUM(freq * len(syms)) AS tot FROM wt0), "
+    for (i <- 1 to NMerges) {
+      val p = i - 1
+      sb ++= s"pc$i AS MATERIALIZED (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (SELECT freq, unnest(list_transform(range(1, len(syms)), j -> {'a': syms[j], 'b': syms[j + 1]})) AS p FROM wt$p) e GROUP BY 1, 2), "
+      sb ++= s"b$i AS MATERIALIZED (SELECT a AS ba, b AS bb, cnt FROM pc$i ORDER BY cnt DESC, a, b LIMIT 1), "
+      sb ++= s"wt$i AS MATERIALIZED (SELECT word, freq, string_split(list_reduce(syms, (acc, x) -> CASE WHEN x = bb AND (acc = ba OR suffix(acc, chr(31) || ba)) THEN acc || x ELSE acc || chr(31) || x END), chr(31)) AS syms FROM wt$p, b$i), "
+      sb ++= s"t$i AS MATERIALIZED (SELECT SUM(freq * len(syms)) AS tot FROM wt$i), "
+    }
+    sb.toString
+  }
+
+  private def bpeTrainOracle: String = {
+    import graft.operators.Tokenizer.NMerges
+    bpeChainCtes + "fin AS (" +
+      (1 to NMerges).map { i =>
+        val p = i - 1
+        s"SELECT CAST($i AS BIGINT) AS merge_rank, ba AS lhs, bb AS rhs, ba || bb AS merged, cnt AS pair_count, CAST(t$p.tot - t$i.tot AS BIGINT) AS merges_applied, CAST(t$i.tot AS BIGINT) AS symbols_after FROM b$i, t$p, t$i"
+      }.mkString(" UNION ALL ") +
+      ") SELECT * FROM fin ORDER BY merge_rank"
+  }
+
+  /** q170: tokenize-under-the-learned-vocab replayed — the q168 chain to
+    * wt{NMerges}, then one corpus re-pass LEFT-joined to the final vocab
+    * (membership IS the pre-tokenizer conformance test; the vocab was
+    * built from this corpus). */
+  private def bpeTokenizeOracle: String = {
+    import graft.operators.Tokenizer.NMerges
+    bpeChainCtes +
+      "dt AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), " +
+      s"vz AS MATERIALIZED (SELECT word, CAST(len(syms) AS BIGINT) AS nsym FROM wt$NMerges) " +
+      "SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(CASE WHEN vz.nsym IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_conforming, CAST(COALESCE(SUM(vz.nsym), 0) AS BIGINT) AS bpe_tokens " +
+      "FROM dt LEFT JOIN vz ON dt.word = vz.word GROUP BY dt.doc_id ORDER BY dt.doc_id"
+  }
+
+  /** q169: the Naive-Bayes quality classifier RETRAINED in DuckDB — the
+    * whole model (per-token class counts over the 30% labeled sample,
+    * Laplace smoothing, integer micro-nat quantization of each log-odds,
+    * +1-smoothed class priors) is one aggregation chain, so the oracle
+    * replays training AND corpus scoring exactly; the ln-determinism
+    * argument is q115's (< 1-ulp libm agreement; a flip needs the true
+    * value within ~1e-10 of a .5 micro-nat grid point), and every SUM is
+    * over BIGINTs, so the pred threshold is an integer compare. */
+  private def qualityClassifierOracle: String = {
+    import graft.operators.Classifier.{MinAlphaRatio, TrainKeep, TrainMod}
+    "WITH base AS (SELECT doc_id, doc_id % " + TrainMod + " < " + TrainKeep + " AS is_train, " +
+      s"CASE WHEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) >= $MinAlphaRatio THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS heur_label, text " +
+      "FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), " +
+      "toks AS (SELECT doc_id, is_train, heur_label, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM base), " +
+      "counts AS (SELECT tok, CAST(SUM(CASE WHEN heur_label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp, CAST(SUM(CASE WHEN heur_label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cn FROM toks WHERE is_train GROUP BY tok), " +
+      "sc AS (SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cn) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS v FROM counts), " +
+      "pr AS (SELECT CAST(SUM(CASE WHEN heur_label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dpos, CAST(SUM(CASE WHEN heur_label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dneg FROM base WHERE is_train), " +
+      "lo AS (SELECT tok, CAST(ROUND((ln(cp + 1.0) - ln(cn + 1.0) - ln(np + v) + ln(nn + v)) * 1000000) AS BIGINT) AS loq FROM counts, sc), " +
+      "oov AS (SELECT CAST(ROUND((ln(0 + 1.0) - ln(0 + 1.0) - ln(np + v) + ln(nn + v)) * 1000000) AS BIGINT) AS loq FROM sc), " +
+      "scored AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, CAST(SUM(COALESCE(lo.loq, oov.loq)) AS BIGINT) AS tok_score FROM toks t LEFT JOIN lo ON t.tok = lo.tok CROSS JOIN oov GROUP BY t.doc_id) " +
+      "SELECT b.doc_id, b.is_train, b.heur_label, s.n_tokens, " +
+      "s.tok_score + CAST(ROUND((ln(dpos + 1.0) - ln(dneg + 1.0)) * 1000000) AS BIGINT) AS score_micronats, " +
+      "CASE WHEN s.tok_score + CAST(ROUND((ln(dpos + 1.0) - ln(dneg + 1.0)) * 1000000) AS BIGINT) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pred " +
+      "FROM base b JOIN scored s USING (doc_id) CROSS JOIN pr ORDER BY doc_id"
+  }
+
   /** q156: the q111 composed-curation closed form with the production
     * near-dup ladder inserted (r15 verdict #5) — q50's LSH→Jaccard victim
     * set (replayed over the quality passers, the same pure-text contract
@@ -738,6 +836,28 @@ object SparkEntry {
       s"rr AS (SELECT sh.qid, sh.cid, ROUND(${sqlCosine("q.qv", "e.v", 64)}, 4) AS rsim FROM short sh JOIN q ON q.qid = sh.qid JOIN e ON e.vec_id = sh.cid) " +
       "SELECT qid, cid, CAST(rk AS BIGINT) AS rnk, rsim FROM (SELECT qid, cid, rsim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rsim DESC, cid) AS rk FROM rr) r WHERE rk <= 10 ORDER BY qid, rnk",
     Seq("scored"))
+
+  /** q171: the q166 filtered-serve oracle with the ADAPTIVE probe prefix —
+    * per-cluster allowed counts, the full centroid ranking, one cumulative
+    * window, probes kept while the count before them is under the RerankR
+    * floor (never fewer than the static 4); n_probes joined into the
+    * projection. Quantizer/query CTEs untouched — the frozen-quantizer
+    * contract all serve lanes share. */
+  private def annAdaptiveServeOracle: String = materializeCtes(
+    s"WITH $sqlEmb, $sqlCentroids, $sqlAssign, $sqlPqCore, " +
+      "alw AS (SELECT vec_id FROM embeddings WHERE label % 10 = 7), " +
+      "acnt AS (SELECT asg.cluster, CAST(COUNT(*) AS BIGINT) AS ac FROM asg JOIN alw ON alw.vec_id = asg.vid GROUP BY asg.cluster), " +
+      s"prr AS (SELECT qid, cent_id AS cluster, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY csim DESC, cent_id) AS rk FROM (SELECT q.qid, c.cent_id, ${sqlCosine("qv", "cv", 64)} AS csim FROM q CROSS JOIN c) s), " +
+      "prc AS (SELECT prr.qid, prr.cluster, prr.rk, COALESCE(acnt.ac, 0) AS ac FROM prr LEFT JOIN acnt ON acnt.cluster = prr.cluster), " +
+      "prw AS (SELECT qid, cluster, rk, ac, SUM(ac) OVER (PARTITION BY qid ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM prc), " +
+      s"pr AS (SELECT qid, cluster FROM prw WHERE rk <= 4 OR cum - ac < ${graft.operators.Similarity.RerankR}), " +
+      "np AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_probes FROM pr GROUP BY qid), " +
+      s"parts AS (SELECT l.qid, cd.scid AS cid, l.m, l.lv, l.nv FROM codes cd JOIN asg ON asg.vid = cd.scid JOIN pr ON pr.cluster = asg.cluster JOIN lut l ON l.qid = pr.qid AND l.m = cd.m AND l.code = cd.code WHERE l.qid <> cd.scid AND cd.scid IN (SELECT vec_id FROM alw)), " +
+      s"$sqlAdcScore, " +
+      s"short AS (SELECT qid, cid FROM (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk FROM scored) r WHERE rk <= ${graft.operators.Similarity.RerankR}), " +
+      s"rr AS (SELECT sh.qid, sh.cid, ROUND(${sqlCosine("q.qv", "e.v", 64)}, 4) AS rsim FROM short sh JOIN q ON q.qid = sh.qid JOIN e ON e.vec_id = sh.cid) " +
+      "SELECT r.qid, r.cid, CAST(r.rk AS BIGINT) AS rnk, r.rsim, np.n_probes FROM (SELECT qid, cid, rsim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rsim DESC, cid) AS rk FROM rr) r JOIN np ON np.qid = r.qid WHERE r.rk <= 10 ORDER BY r.qid, rnk",
+    Seq("scored", "pr"))
 
   /** q154: hybrid RRF replayed end to end — distinct-token overlap ranks
     * (the q33 tokenization spelling), exact ROUND(cos,4) vector ranks,
@@ -1052,6 +1172,10 @@ object SparkEntry {
     "q163_exact_substr_trim" -> exactSubstrTrimOracle,
     "q164_neardup_aware_split" -> neardupAwareSplitOracle,
     "q167_curation_trimmed" -> curationTrimmedOracle,
+    "q168_bpe_train" -> bpeTrainOracle,
+    "q169_quality_classifier" -> qualityClassifierOracle,
+    "q170_bpe_tokenize" -> bpeTokenizeOracle,
+    "q171_ann_adaptive_search" -> annAdaptiveServeOracle,
     "q36_cosine_topk" ->
       "WITH f0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings), f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM f0), d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot, SUM(q.v * q.v) AS qq, SUM(c.v * c.v) AS cc FROM f q JOIN f c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id GROUP BY 1, 2), r AS (SELECT qid, cid, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d), rk AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM r) SELECT qid, cid, sim, rnk FROM rk WHERE rnk <= 5 ORDER BY qid, rnk",
     "q37_neardup_embedding" ->

@@ -349,7 +349,16 @@ object SqlFrontDoor {
     * `scored` relation plus the exact `truth`/`h`/`d`/`sc`/`nn`/`nq`
     * accounting tails both twins end on. */
   private def ivfPqCommonCtes: String = ivfPqCommonCtes("")
-  private def ivfPqCommonCtes(candFilter: String): String = {
+  private def ivfPqCommonCtes(candFilter: String): String =
+    ivfPqCommonCtes(candFilter, None)
+
+  /** `adaptive = Some((allowedSubquerySql, floor))` swaps the static
+    * nprobe-4 probe CTE for the q171 prefix rule — probes expand in
+    * centroid-similarity order until the probed clusters hold ≥ floor
+    * allowed candidates (never fewer than the static 4) — and adds the
+    * per-query `np` (n_probes) CTE for the final projection. */
+  private def ivfPqCommonCtes(candFilter: String,
+                              adaptive: Option[(String, Int)]): String = {
     val M = 8; val K = 16
     val cbCols = (0 until M).map(m =>
       s"sort_array(collect_list(named_struct('cent_id', vec_id, 'centv', slice(v, ${m * 8 + 1}, 8)))) AS cb$m").mkString(", ")
@@ -376,7 +385,17 @@ object SqlFrontDoor {
       s"asgn AS (SELECT vec_id AS cid, v, $assignFold AS cluster FROM e CROSS JOIN ca), " +
       s"codes AS (SELECT cid, cluster, $codesArr AS codes FROM asgn CROSS JOIN cb), " +
       s"q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20), " +
-      "pr AS (SELECT qid, cluster FROM (SELECT q.qid, c.cent_id AS cluster, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY graft_cosine(q.qv, c.centv) DESC, c.cent_id) AS prnk FROM q CROSS JOIN cents0 c) z WHERE prnk <= 4), " +
+      (adaptive match {
+        case None =>
+          "pr AS (SELECT qid, cluster FROM (SELECT q.qid, c.cent_id AS cluster, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY graft_cosine(q.qv, c.centv) DESC, c.cent_id) AS prnk FROM q CROSS JOIN cents0 c) z WHERE prnk <= 4), "
+        case Some((allowedSql, floor)) =>
+          s"acnt AS (SELECT cluster, CAST(COUNT(1) AS BIGINT) AS ac FROM codes WHERE cid IN ($allowedSql) GROUP BY cluster), " +
+            "prr AS (SELECT q.qid, c.cent_id AS cluster, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY graft_cosine(q.qv, c.centv) DESC, c.cent_id) AS rk FROM q CROSS JOIN cents0 c), " +
+            "prc AS (SELECT prr.qid, prr.cluster, prr.rk, COALESCE(acnt.ac, CAST(0 AS BIGINT)) AS ac FROM prr LEFT JOIN acnt ON acnt.cluster = prr.cluster), " +
+            "prw AS (SELECT qid, cluster, rk, ac, SUM(ac) OVER (PARTITION BY qid ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM prc), " +
+            s"pr AS (SELECT qid, cluster FROM prw WHERE rk <= 4 OR cum - ac < $floor), " +
+            "np AS (SELECT qid, CAST(COUNT(1) AS BIGINT) AS n_probes FROM pr GROUP BY qid), "
+      }) +
       s"qlut AS (SELECT qid, $qlut AS lut, nlut, sqrt(aggregate(qv, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)) AS qn FROM q CROSS JOIN cb), " +
       s"scored AS (SELECT ql.qid, codes.cid, nanvl(${fold("lut")} / (qn * sqrt(${fold("nlut")})), CAST(-2.0 AS DOUBLE)) AS sim FROM qlut ql JOIN pr ON ql.qid = pr.qid JOIN codes ON codes.cluster = pr.cluster WHERE ql.qid <> codes.cid$candFilter), " +
       "top AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM scored) t WHERE rnk <= 10), " +
@@ -506,6 +525,93 @@ object SqlFrontDoor {
       "SELECT split, n_docs, n_components, neardup_leak_pairs, naive_leak_pairs, exact_leak_groups, max_component FROM ps CROSS JOIN lk CROSS JOIN el CROSS JOIN mc ORDER BY split"
   }
 
+  /** s168: BPE training as ONE Spark SQL statement. The merge loop is
+    * inherently sequential, and a naive unroll references each round's
+    * vocab CTE twice (pair-count side + apply side) — Spark INLINES
+    * multiply-referenced CTEs, so that spelling re-expands the base 2^N
+    * times (the q164 lesson). This twin keeps the chain LINEAR — each
+    * round references the previous exactly once — by computing the
+    * round's best pair as analytic windows over the pair-exploded rows
+    * (SUM per (pa,pb) partition, then FIRST_VALUE over the global
+    * (cnt DESC, pa, pb) order), filtering back to one row per word, and
+    * fusing with the same unit-separator string fold the lane uses. The
+    * merge HISTORY threads through the chain as an array-of-structs
+    * column (identical on every row), so the final extraction reads ONE
+    * row's history instead of re-referencing 12 intermediate CTEs; a
+    * rank-0 entry carries the initial symbol mass for rank 1's
+    * merges_applied delta. Twin-only divergence: the global best-pair
+    * window is a single-partition sort of the pair-exploded VOCAB table
+    * (bounded by Σ word lengths over DISTINCT words — the Zipf bound),
+    * where the DataFrame lane's driver loop keeps every round fully
+    * distributed; the reachability statement is the point here, the lane
+    * is the scale path. Fully-fused words (|syms| = 1) ride the OUTER
+    * posexplode with NULL pair slots: their cnt is NULLed so DESC
+    * NULLS LAST can never elect them, and `pos IS NULL` keeps them in
+    * the vocabulary (their freq still counts toward symbols_after). */
+  private def bpeTrainSparkSql: String = {
+    import graft.operators.Tokenizer.NMerges
+    bpeChainSparkCtes +
+      s"fin AS (SELECT hist FROM w$NMerges ORDER BY word LIMIT 1), " +
+      "m AS (SELECT inline(hist) FROM fin), " +
+      "l AS (SELECT mr, ml, mrt, mc, aft, LAG(aft) OVER (ORDER BY mr) AS paft FROM m) " +
+      "SELECT mr AS merge_rank, ml AS lhs, mrt AS rhs, concat(ml, mrt) AS merged, mc AS pair_count, CAST(paft - aft AS BIGINT) AS merges_applied, aft AS symbols_after FROM l WHERE mr >= 1 ORDER BY merge_rank"
+  }
+
+  /** s170: the s168 linear chain to w{NMerges}, then one corpus re-pass
+    * left-joined to the final vocab (the q170 membership contract). */
+  private def bpeTokenizeSparkSql: String = {
+    import graft.operators.Tokenizer.NMerges
+    bpeChainSparkCtes +
+      "dt AS (SELECT doc_id, explode(split(trim(lower(text)), '\\\\s+')) AS word FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), " +
+      s"vz AS (SELECT word, CAST(size(syms) AS BIGINT) AS nsym FROM w$NMerges) " +
+      "SELECT dt.doc_id, CAST(COUNT(1) AS BIGINT) AS n_words, SUM(CASE WHEN vz.nsym IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS n_conforming, COALESCE(SUM(vz.nsym), CAST(0 AS BIGINT)) AS bpe_tokens " +
+      "FROM dt LEFT JOIN vz ON dt.word = vz.word GROUP BY dt.doc_id ORDER BY dt.doc_id"
+  }
+
+  /** The shared s168/s170 LINEAR chain (see [[bpeTrainSparkSql]]'s design
+    * scaladoc): WITH-prefix text up to w{NMerges} (word, freq, syms, hist). */
+  private def bpeChainSparkCtes: String = {
+    import graft.operators.Tokenizer.{MaxWordLen, NMerges}
+    val sb = new StringBuilder
+    sb ++= "WITH w0a AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), array('</w>')) AS syms " +
+      "FROM (SELECT explode(split(trim(lower(text)), '\\\\s+')) AS word FROM documents WHERE text IS NOT NULL) t " +
+      s"WHERE word RLIKE '^[a-z]+$$' AND length(word) <= $MaxWordLen GROUP BY word), "
+    sb ++= "w0 AS (SELECT word, freq, syms, array(struct(CAST(0 AS BIGINT) AS mr, '' AS ml, '' AS mrt, CAST(0 AS BIGINT) AS mc, SUM(freq * size(syms)) OVER () AS aft)) AS hist FROM w0a), "
+    for (i <- 1 to NMerges) {
+      val p = i - 1
+      sb ++= s"e$i AS (SELECT word, freq, syms, hist, pos, p.a AS pa, p.b AS pb FROM w$p LATERAL VIEW OUTER posexplode(CASE WHEN size(syms) >= 2 THEN transform(sequence(1, size(syms) - 1), j -> struct(element_at(syms, j) AS a, element_at(syms, CAST(j + 1 AS INT)) AS b)) ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END) t AS pos, p), "
+      sb ++= s"c$i AS (SELECT *, CASE WHEN pa IS NULL THEN CAST(NULL AS BIGINT) ELSE SUM(freq) OVER (PARTITION BY pa, pb) END AS cnt FROM e$i), "
+      sb ++= s"b$i AS (SELECT *, FIRST_VALUE(pa) OVER ww AS ba, FIRST_VALUE(pb) OVER ww AS bb, FIRST_VALUE(cnt) OVER ww AS bcnt FROM c$i WINDOW ww AS (ORDER BY cnt DESC, pa, pb ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)), "
+      sb ++= s"g$i AS (SELECT word, freq, syms, hist, ba, bb, bcnt FROM b$i WHERE pos = 0 OR pos IS NULL), "
+      sb ++= s"a$i AS (SELECT word, freq, hist, ba, bb, bcnt, split(aggregate(slice(syms, 2, size(syms) - 1), element_at(syms, 1), (acc, x) -> CASE WHEN x = bb AND (acc = ba OR endswith(acc, concat(chr(31), ba))) THEN concat(acc, x) ELSE concat(acc, chr(31), x) END), '\\\\x1F') AS syms FROM g$i), "
+      sb ++= s"x$i AS (SELECT *, SUM(freq * size(syms)) OVER () AS aft FROM a$i), "
+      sb ++= s"w$i AS (SELECT word, freq, syms, concat(hist, array(struct(CAST($i AS BIGINT) AS mr, ba AS ml, bb AS mrt, bcnt AS mc, aft AS aft))) AS hist FROM x$i), "
+    }
+    sb.toString
+  }
+
+  /** s169: the Naive-Bayes quality classifier as Spark text — the oracle's
+    * train + score chain with the Spark dialect spellings (explode
+    * tokenization, ln/round/cast). Same integer micro-nat arithmetic, so
+    * lane equality is row-for-row exact. */
+  private def qualityClassifierSparkSql: String = {
+    import graft.operators.Classifier.{MinAlphaRatio, TrainKeep, TrainMod}
+    "WITH base AS (SELECT doc_id, doc_id % " + TrainMod + " < " + TrainKeep + " AS is_train, " +
+      s"CASE WHEN CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS DOUBLE) / length(text) >= $MinAlphaRatio THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS heur_label, text " +
+      "FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), " +
+      "toks AS (SELECT doc_id, is_train, heur_label, explode(split(trim(lower(text)), '\\\\s+')) AS tok FROM base), " +
+      "counts AS (SELECT tok, SUM(CASE WHEN heur_label = 1 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS cp, SUM(CASE WHEN heur_label = 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS cn FROM toks WHERE is_train GROUP BY tok), " +
+      "sc AS (SELECT SUM(cp) AS np, SUM(cn) AS nn, CAST(COUNT(1) AS BIGINT) AS v FROM counts), " +
+      "pr AS (SELECT SUM(CASE WHEN heur_label = 1 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS dpos, SUM(CASE WHEN heur_label = 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS dneg FROM base WHERE is_train), " +
+      "lo AS (SELECT tok, CAST(ROUND((ln(cp + 1.0D) - ln(cn + 1.0D) - ln(np + v) + ln(nn + v)) * 1000000) AS BIGINT) AS loq FROM counts CROSS JOIN sc), " +
+      "oov AS (SELECT CAST(ROUND((ln(0 + 1.0D) - ln(0 + 1.0D) - ln(np + v) + ln(nn + v)) * 1000000) AS BIGINT) AS loq FROM sc), " +
+      "scored AS (SELECT t.doc_id, CAST(COUNT(1) AS BIGINT) AS n_tokens, SUM(COALESCE(lo.loq, oov.loq)) AS tok_score FROM toks t LEFT JOIN lo ON t.tok = lo.tok CROSS JOIN oov GROUP BY t.doc_id) " +
+      "SELECT b.doc_id, b.is_train, b.heur_label, s.n_tokens, " +
+      "s.tok_score + CAST(ROUND((ln(dpos + 1.0D) - ln(dneg + 1.0D)) * 1000000) AS BIGINT) AS score_micronats, " +
+      "CASE WHEN s.tok_score + CAST(ROUND((ln(dpos + 1.0D) - ln(dneg + 1.0D)) * 1000000) AS BIGINT) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pred " +
+      "FROM base b JOIN scored s USING (doc_id) CROSS JOIN pr ORDER BY doc_id"
+  }
+
   /** s167: the trim-first curation funnel as Spark text — the s163 span
     * chain (prefix z) over the source-carrying canaried corpus, the token
     * cut + collect_list re-join, then the s111 funnel tail over the
@@ -552,6 +658,18 @@ object SqlFrontDoor {
       s"short AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM scored) t WHERE rnk <= $r), " +
       "rr AS (SELECT short.qid, short.cid, round(graft_cosine(q.qv, e2.v), 4) AS rsim FROM short JOIN q ON q.qid = short.qid JOIN e e2 ON e2.vec_id = short.cid) " +
       "SELECT qid, cid, CAST(rnk AS BIGINT) AS rnk, rsim FROM (SELECT qid, cid, rsim, row_number() OVER (PARTITION BY qid ORDER BY rsim DESC, cid) AS rnk FROM rr) t WHERE rnk <= 10 ORDER BY qid, rnk"
+  }
+
+  /** s171: the s166 filtered-serve twin with the adaptive probe prefix —
+    * the same inline index/shortlist/rerank replay, probes chosen by the
+    * q171 cumulative-floor rule, n_probes joined into the projection. */
+  private def annAdaptiveServeSparkSql: String = {
+    val r = graft.operators.Similarity.RerankR
+    val allowedSql = "SELECT vec_id FROM embeddings WHERE label % 10 = 7"
+    ivfPqCommonCtes(s" AND codes.cid IN ($allowedSql)", Some((allowedSql, r))) + ", " +
+      s"short AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM scored) t WHERE rnk <= $r), " +
+      "rr AS (SELECT short.qid, short.cid, round(graft_cosine(q.qv, e2.v), 4) AS rsim FROM short JOIN q ON q.qid = short.qid JOIN e e2 ON e2.vec_id = short.cid) " +
+      "SELECT t.qid, t.cid, CAST(t.rnk AS BIGINT) AS rnk, t.rsim, np.n_probes FROM (SELECT qid, cid, rsim, row_number() OVER (PARTITION BY qid ORDER BY rsim DESC, cid) AS rnk FROM rr) t JOIN np ON np.qid = t.qid WHERE t.rnk <= 10 ORDER BY t.qid, t.rnk"
   }
 
   /** Hybrid BM25 + IVF-PQ-rerank (q155) SQL twin: the s153 index/shortlist/
@@ -658,6 +776,9 @@ object SqlFrontDoor {
     "q163_exact_substr_trim" -> exactSubstrTrimSparkSql,
     "q164_neardup_aware_split" -> neardupAwareSplitSparkSql,
     "q167_curation_trimmed" -> curationTrimmedSparkSql,
+    "q168_bpe_train" -> bpeTrainSparkSql,
+    "q169_quality_classifier" -> qualityClassifierSparkSql,
+    "q170_bpe_tokenize" -> bpeTokenizeSparkSql,
     "q113_pq_recall" -> pqSql,
     "q114_ivfpq_recall" -> ivfPqSql,
     "q153_ivfpq_rerank" -> ivfPqRerankSql,
@@ -672,6 +793,7 @@ object SqlFrontDoor {
     "q165_ann_index_delete" -> annIndexServeSqlWhere(" AND codes.cid % 10 <> 7"),
     "q166_ann_filtered_search" -> annIndexServeSqlWhere(
       " AND codes.cid IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)"),
+    "q171_ann_adaptive_search" -> annAdaptiveServeSparkSql,
     "q155_hybrid_bm25_ann" -> hybridBm25AnnSparkSql,
     "q156_curation_neardup" -> curationNearDupSparkSql,
     "q154_hybrid_rrf" -> { // hybrid RRF as text: split/explode tokenization,

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the classifier stage of the modern
+  * curation recipes (FineWeb-Edu's educational-value classifier, DCLM's
+  * fastText filter): train a text classifier on a LABELED SAMPLE, score
+  * the whole corpus, keep what the model likes. The engine's ladder so
+  * far filters on hand heuristics (q30/q85 ratios, q116 rarity); this
+  * operator adds the learned stage.
+  *
+  * Spelled as multinomial Naive Bayes with Laplace smoothing, because NB
+  * training IS one aggregation pass — per-token class counts — which
+  * makes the whole model exactly replayable in SQL (the DuckDB oracle
+  * retrains it), where a fastText/LR loop would be a gradient black box.
+  * At 100 TB the shapes are identical: one pass over the labeled sample
+  * builds the model (vocab-sized, Zipf-bounded), one token-keyed join
+  * scores the corpus.
+  *
+  * Weak supervision: the labeled sample is `doc_id % 10 < 3` (the
+  * deterministic 30% — stands in for the human/LLM-annotated subset) and
+  * its label is the house heuristic gate (alpha-ratio ≥ 0.45, the q85/
+  * curate quality signal). The spec's learnability check trains on a
+  * SEPARABLE constructed corpus and requires held-out recovery, so the
+  * mechanism is tested independently of this fixture labeling.
+  *
+  * Float discipline: every per-token log-odds is quantized to integer
+  * MICRO-NATS (round(ln·1e6) — the q115 ln-determinism argument: both
+  * engines' ln agree to < 1 ulp, and a 1-ulp flip at a .5 micro-nat
+  * boundary needs the true value within ~1e-10 of the grid), then summed
+  * EXACTLY as BIGINTs, so the keep decision (score > 0) is an integer
+  * compare — no float accumulation order anywhere.
+  */
+object Classifier {
+
+  /** Labeled-sample modulus: doc_id % TrainMod < TrainKeep is train. */
+  val TrainMod = 10
+  val TrainKeep = 3
+  /** The weak-supervision label threshold (the q85/curate alpha gate). */
+  val MinAlphaRatio = 0.45
+
+  /** Q169 — Naive-Bayes quality classifier: train on the 30% sample with
+    * heuristic labels, score EVERY document. Output per doc:
+    * (doc_id, is_train, heur_label, n_tokens, score_micronats, pred) —
+    * heur_label beside pred makes train/held-out agreement a downstream
+    * GROUP BY, and score_micronats is the exact integer posterior
+    * log-odds. */
+  def q169QualityClassifier(s: SparkSession, dir: String): DataFrame =
+    nbQualityClassifier(graft.Tables(s, dir, "documents"))
+
+  /** The operator proper, over any (doc_id, text) frame — see [[q169QualityClassifier]]. */
+  def nbQualityClassifier(input: DataFrame): DataFrame = {
+    val docs = input
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+      .cast("double") / length(col("text"))
+    val base = docs.select(col("doc_id"),
+      (col("doc_id") % TrainMod < TrainKeep).as("is_train"),
+      when(alpha >= MinAlphaRatio, 1L).otherwise(0L).as("heur_label"),
+      col("text"))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // multinomial features: every lowercase whitespace-token OCCURRENCE.
+    // This persisted explode is the ONE corpus scan — priors and the
+    // final per-doc attributes re-derive from its cache (a non-empty doc
+    // always has ≥ 1 token, so distinct doc_ids here ARE the base set),
+    // instead of re-reading documents three more times (r19 scan gate).
+    val toks = base.select(col("doc_id"), col("is_train"), col("heur_label"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .persist(lvl)
+    val docAttrs = toks.select("doc_id", "is_train", "heur_label").distinct()
+    // ---- train: per-token class counts over the labeled sample only
+    val trainToks = toks.filter(col("is_train"))
+    val counts = trainToks.groupBy("tok").agg(
+      sum(when(col("heur_label") === 1, 1L).otherwise(0L)).as("cp"),
+      sum(when(col("heur_label") === 0, 1L).otherwise(0L)).as("cn"))
+      .persist(lvl)
+    // model scalars: class token masses, vocab size, class doc priors —
+    // one broadcast row (the house 1-row-metric crossJoin shape)
+    val masses = counts.agg(
+      sum("cp").as("np"), sum("cn").as("nn"),
+      count(lit(1)).cast("long").as("v"))
+    val priors = docAttrs.filter(col("is_train")).agg(
+      sum(when(col("heur_label") === 1, 1L).otherwise(0L)).as("dpos"),
+      sum(when(col("heur_label") === 0, 1L).otherwise(0L)).as("dneg"))
+    val scalars = broadcast(masses.crossJoin(priors))
+    // per-token integer micro-nat log-odds under Laplace smoothing; the
+    // SAME formula with cp = cn = 0 is the out-of-vocabulary constant
+    def loMicro(cp: org.apache.spark.sql.Column, cn: org.apache.spark.sql.Column) =
+      round((log(cp + lit(1.0)) - log(cn + lit(1.0))
+        - log(col("np") + col("v")) + log(col("nn") + col("v"))) * lit(1e6))
+        .cast("long")
+    val lo = counts.crossJoin(scalars)
+      .select(col("tok"), loMicro(col("cp"), col("cn")).as("loq"))
+    // ---- score the WHOLE corpus: token-keyed left join to the model
+    val scored = toks
+      .join(lo, Seq("tok"), "left")
+      .crossJoin(scalars)
+      .select(col("doc_id"),
+        coalesce(col("loq"), loMicro(lit(0.0), lit(0.0))).as("contrib"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("contrib").as("tok_score"))
+    val out = docAttrs
+      .join(scored, Seq("doc_id"))
+      .crossJoin(scalars)
+      .select(col("doc_id"), col("is_train"), col("heur_label"), col("n_tokens"),
+        // class priors with +1 smoothing — a one-sided labeled sample
+        // (every seed doc passing, or failing, the heuristic) must yield
+        // a finite prior, not ln(0)
+        (col("tok_score") +
+          round((log(col("dpos") + lit(1.0)) - log(col("dneg") + lit(1.0))) * lit(1e6))
+            .cast("long")).as("score_micronats"))
+      .withColumn("pred", when(col("score_micronats") > 0, 1L).otherwise(0L))
+      .orderBy("doc_id")
+    out
+  }
+}

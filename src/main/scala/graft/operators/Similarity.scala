@@ -1094,6 +1094,27 @@ object Similarity {
     searchIndex(loadIndex(s, path), q, allowed = Some(allowed)).orderBy("qid", "rnk")
   }
 
+  /** Q171 — ADAPTIVE-nprobe filtered search: closes q166's own documented
+    * recall caveat (probes chosen by the query alone under-serve a
+    * selective filter). The filter here is label % 10 == 7 (~10% — selective
+    * enough that four static probes rarely hold a full shortlist's worth
+    * of allowed rows), and the floor is RerankR: each query probes the
+    * minimal centroid-similarity prefix whose clusters hold ≥ RerankR
+    * allowed candidates. Output adds per-query n_probes — the audit that
+    * adaptation actually engaged (> NProbe on selective filters, == NProbe
+    * when the filter is broad). Gated on the q157 oracle with the same
+    * prefix rule replayed as one cumulative window. */
+  def q171AnnAdaptiveSearch(s: SparkSession, dir: String): DataFrame = {
+    val raw = emb(s, dir)
+    val e = raw.select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 20).toDF("qid", "qv")
+    val allowed = raw.filter(col("label") % 10 === 7).select(col("vec_id").as("cid"))
+    val path = indexPathFor(dir) + "_adaptive"
+    writeIndex(e, path)
+    searchIndex(loadIndex(s, path), q, allowed = Some(allowed),
+      adaptiveFloor = Some(RerankR)).orderBy("qid", "rnk")
+  }
+
   /** Load a [[writeIndex]] artifact. Partition-column values come back as
     * directory strings — cast cluster to long so joins against cent_id
     * stay type-exact. */
@@ -1134,21 +1155,32 @@ object Similarity {
     * metadata selections are small relative to the corpus; a huge allowed
     * set should instead be its own partition predicate. Recall caveat
     * inherent to IVF pre-filtering: probes are still chosen by the query
-    * alone, so a filter concentrated in unprobed clusters lowers recall —
-    * the production mitigation (raise nprobe under selective filters) is
-    * a parameter change, not a plan change. */
+    * alone, so a filter concentrated in unprobed clusters lowers recall.
+    *
+    * `adaptiveFloor` (q171) IMPLEMENTS the production mitigation for that
+    * caveat: with a floor F set (use RerankR — "enough allowed candidates
+    * to fill the shortlist"), each query keeps expanding probes in
+    * centroid-similarity order until the probed clusters together hold ≥ F
+    * allowed candidates (never fewer than the static NProbe, so a
+    * non-selective filter degenerates to the q166 plan exactly). The
+    * prefix rule is closed-form — keep a probe while the cumulative
+    * allowed count BEFORE it is still under the floor — so there is no
+    * probe-grow loop, just one window over the (query × centroid) ranking
+    * joined to a per-cluster allowed count (|clusters| rows, broadcast).
+    * Output gains a per-query `n_probes` column: the selectivity audit.
+    * Floor semantics intentionally ignore self-exclusion (the count is a
+    * property of the filter, not of the query identity). */
   def searchIndex(idx: AnnIndex, queries: DataFrame, topK: Int = 10,
                   excludeSelf: Boolean = true,
-                  allowed: Option[DataFrame] = None): DataFrame = {
+                  allowed: Option[DataFrame] = None,
+                  adaptiveFloor: Option[Int] = None): DataFrame = {
     val M = PqShape.M; val K = PqShape.K; val Dim = PqShape.Dim; val NProbe = PqShape.NProbe
     val q = queries.toDF("qid", "qv")
     val wp = Window.partitionBy("qid").orderBy(col("csim").desc, col("cluster"))
-    val probes = q.crossJoin(broadcast(idx.centroids))
+    val ranked = q.crossJoin(broadcast(idx.centroids))
       .select(col("qid"), col("cent_id").as("cluster"),
         VectorOps.cosine(col("qv"), col("centv")).as("csim"))
       .withColumn("prnk", row_number().over(wp))
-      .filter(col("prnk") <= NProbe)
-      .select("qid", "cluster")
     val qlut = queryLuts(q, idx.codebook, M, Dim / M)
     // logical deletes: tombstoned ids leave the candidate set HERE, before
     // ADC ranking — a broadcast anti-join (tombstones are small between
@@ -1163,6 +1195,21 @@ object Similarity {
       case Some(a) => liveCodes.join(broadcast(a.select("cid")), Seq("cid"), "left_semi")
       case None => liveCodes
     }
+    val probes = adaptiveFloor match {
+      case None => ranked.filter(col("prnk") <= NProbe).select("qid", "cluster")
+      case Some(floor) =>
+        // q171: minimal probe prefix whose clusters hold >= floor allowed
+        // candidates — keep a probe while the cumulative count BEFORE it
+        // is under the floor (and never fewer than the static NProbe)
+        val acnt = candCodes.groupBy("cluster").agg(count(lit(1)).as("ac"))
+        val wcum = Window.partitionBy("qid").orderBy("prnk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ranked.join(broadcast(acnt), Seq("cluster"), "left")
+          .withColumn("ac", coalesce(col("ac"), lit(0L)))
+          .withColumn("cum", sum("ac").over(wcum))
+          .filter(col("prnk") <= NProbe || col("cum") - col("ac") < floor)
+          .select("qid", "cluster")
+    }
     val adc = broadcast(qlut.join(probes, Seq("qid"))).join(candCodes, Seq("cluster"))
     val scored = (if (excludeSelf) adc.filter(col("qid") =!= col("cid")) else adc)
       .select(col("qid"), col("cid"), adcSim(K))
@@ -1174,9 +1221,16 @@ object Similarity {
       .select(col("qid"), col("cid"),
         round(VectorOps.cosine(col("qv"), col("cv")), 4).as("rsim"))
     val wr = Window.partitionBy("qid").orderBy(col("rsim").desc, col("cid"))
-    rer.withColumn("rnk", row_number().over(wr).cast("long"))
+    val top = rer.withColumn("rnk", row_number().over(wr).cast("long"))
       .filter(col("rnk") <= topK)
       .select("qid", "cid", "rnk", "rsim")
+    adaptiveFloor match {
+      case None => top
+      case Some(_) =>
+        val np = probes.groupBy("qid").agg(count(lit(1)).cast("long").as("n_probes"))
+        top.join(broadcast(np), Seq("qid"))
+          .select("qid", "cid", "rnk", "rsim", "n_probes")
+    }
   }
 
   /** Deterministic per-(process, SF) index location for the gated lanes

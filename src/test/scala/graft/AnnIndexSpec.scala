@@ -349,4 +349,56 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     GraftSession.releasePersisted(spark)
   }
+
+  test("adaptive filtered search (q171): a selective filter expands probes " +
+      "beyond the static NProbe, and a floor covering the whole allowed set " +
+      "makes the served top-k EXACT over the filter") {
+    import graft.functions.VectorOps
+    import graft.operators.PqShape
+    val raw = Tables(spark, sfDir, "embeddings")
+    val e = corpus
+    val q = e.filter(col("vec_id") < 20).toDF("qid", "qv")
+    val allowedDf = raw.filter(col("label") % 10 === 7).select(col("vec_id").as("cid"))
+    val allowedIds = allowedDf.collect().map(_.getLong(0)).toSet
+    assert(allowedIds.nonEmpty)
+    val idx = Similarity.loadIndex(spark, idxPath)
+    val got = Similarity.searchIndex(idx, q, allowed = Some(allowedDf),
+      adaptiveFloor = Some(Similarity.RerankR)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    assert(got.forall(r => allowedIds.contains(r._2)),
+      "a result violated the metadata predicate")
+    // ~10% filter at this SF: four static probes rarely hold 50 allowed
+    // rows — adaptation must have engaged somewhere
+    assert(got.exists(_._5 > PqShape.NProbe.toLong),
+      s"n_probes never exceeded the static ${PqShape.NProbe} — adaptation dead")
+    // n_probes is a per-query constant and never below the static floor
+    got.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._5).distinct.length == 1, s"n_probes varies within query $qid")
+      assert(rs.head._5 >= PqShape.NProbe.toLong)
+    }
+    // floor >= |allowed|: every cluster with allowed rows gets probed, the
+    // shortlist (RerankR >= |allowed| here) covers the whole filtered set,
+    // so the serve IS brute force over the filter — rank-for-rank
+    assert(allowedIds.size <= Similarity.RerankR,
+      "fixture drifted: allowed set no longer fits one shortlist")
+    val gotAll = Similarity.searchIndex(idx, q, allowed = Some(allowedDf),
+      adaptiveFloor = Some(allowedIds.size))
+      .select("qid", "cid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wbt = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("bsim").desc, col("cid"))
+    val brute = q.crossJoin(e.filter(col("vec_id").isInCollection(allowedIds))
+        .select(col("vec_id").as("cid"), col("v")))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(VectorOps.cosine(col("qv"), col("v")), 4).as("bsim"))
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(wbt).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select("qid", "cid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotAll == brute,
+      "all-cluster adaptive serve diverged from brute force over the filter")
+    GraftSession.releasePersisted(spark)
+  }
 }
