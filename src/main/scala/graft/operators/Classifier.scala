@@ -49,8 +49,67 @@ object Classifier {
   def q169QualityClassifier(s: SparkSession, dir: String): DataFrame =
     nbQualityClassifier(graft.Tables(s, dir, "documents"))
 
+  /** The trained model as a driver-side artifact: per-token micro-nat
+    * log-odds, the out-of-vocabulary constant, the prior term. The
+    * broadcast-model shape `semDedupStream` already uses for centroids —
+    * vocab-sized (Zipf-bounded), which is exactly what makes NB/fastText
+    * filters deployable at ingest. */
+  case class NbModel(loq: Map[String, Long], oovLoq: Long, priorQ: Long)
+
+  /** Train the q169 model and collect it (the streaming scorer's input).
+    * Every constant is computed by the SAME Spark expressions the batch
+    * lane uses, so stream scores equal batch scores integer-for-integer. */
+  def trainModel(input: DataFrame): NbModel = {
+    val f = trainFrames(input)
+    val loRows = f.lo.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val consts = f.scalars.select(
+      loMicro(lit(0.0), lit(0.0)).as("oov"),
+      round((log(col("dpos") + lit(1.0)) - log(col("dneg") + lit(1.0))) * lit(1e6))
+        .cast("long").as("prior")).first()
+    NbModel(loRows, consts.getLong(0), consts.getLong(1))
+  }
+
   /** The operator proper, over any (doc_id, text) frame — see [[q169QualityClassifier]]. */
   def nbQualityClassifier(input: DataFrame): DataFrame = {
+    val f = trainFrames(input)
+    // ---- score the WHOLE corpus: token-keyed left join to the model
+    val scored = f.toks
+      .join(f.lo, Seq("tok"), "left")
+      .crossJoin(f.scalars)
+      .select(col("doc_id"),
+        coalesce(col("loq"), loMicro(lit(0.0), lit(0.0))).as("contrib"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("contrib").as("tok_score"))
+    f.docAttrs
+      .join(scored, Seq("doc_id"))
+      .crossJoin(f.scalars)
+      .select(col("doc_id"), col("is_train"), col("heur_label"), col("n_tokens"),
+        // class priors with +1 smoothing — a one-sided labeled sample
+        // (every seed doc passing, or failing, the heuristic) must yield
+        // a finite prior, not ln(0)
+        (col("tok_score") +
+          round((log(col("dpos") + lit(1.0)) - log(col("dneg") + lit(1.0))) * lit(1e6))
+            .cast("long")).as("score_micronats"))
+      .withColumn("pred", when(col("score_micronats") > 0, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  /** Per-token integer micro-nat log-odds under Laplace smoothing; the
+    * SAME formula with cp = cn = 0 is the out-of-vocabulary constant.
+    * Expects np/nn/v in scope (the scalars frame). */
+  private def loMicro(cp: org.apache.spark.sql.Column,
+                      cn: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round((log(cp + lit(1.0)) - log(cn + lit(1.0))
+      - log(col("np") + col("v")) + log(col("nn") + col("v"))) * lit(1e6))
+      .cast("long")
+
+  private case class NbFrames(toks: DataFrame, docAttrs: DataFrame,
+                              lo: DataFrame, scalars: DataFrame)
+
+  /** The shared train pipeline: ONE corpus scan into a persisted token
+    * explode; counts, scalars and the log-odds table derive from its
+    * cache. */
+  private def trainFrames(input: DataFrame): NbFrames = {
     val docs = input
       .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
     val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
@@ -84,34 +143,8 @@ object Classifier {
       sum(when(col("heur_label") === 1, 1L).otherwise(0L)).as("dpos"),
       sum(when(col("heur_label") === 0, 1L).otherwise(0L)).as("dneg"))
     val scalars = broadcast(masses.crossJoin(priors))
-    // per-token integer micro-nat log-odds under Laplace smoothing; the
-    // SAME formula with cp = cn = 0 is the out-of-vocabulary constant
-    def loMicro(cp: org.apache.spark.sql.Column, cn: org.apache.spark.sql.Column) =
-      round((log(cp + lit(1.0)) - log(cn + lit(1.0))
-        - log(col("np") + col("v")) + log(col("nn") + col("v"))) * lit(1e6))
-        .cast("long")
     val lo = counts.crossJoin(scalars)
       .select(col("tok"), loMicro(col("cp"), col("cn")).as("loq"))
-    // ---- score the WHOLE corpus: token-keyed left join to the model
-    val scored = toks
-      .join(lo, Seq("tok"), "left")
-      .crossJoin(scalars)
-      .select(col("doc_id"),
-        coalesce(col("loq"), loMicro(lit(0.0), lit(0.0))).as("contrib"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("contrib").as("tok_score"))
-    val out = docAttrs
-      .join(scored, Seq("doc_id"))
-      .crossJoin(scalars)
-      .select(col("doc_id"), col("is_train"), col("heur_label"), col("n_tokens"),
-        // class priors with +1 smoothing — a one-sided labeled sample
-        // (every seed doc passing, or failing, the heuristic) must yield
-        // a finite prior, not ln(0)
-        (col("tok_score") +
-          round((log(col("dpos") + lit(1.0)) - log(col("dneg") + lit(1.0))) * lit(1e6))
-            .cast("long")).as("score_micronats"))
-      .withColumn("pred", when(col("score_micronats") > 0, 1L).otherwise(0L))
-      .orderBy("doc_id")
-    out
+    NbFrames(toks, docAttrs, lo, scalars)
   }
 }

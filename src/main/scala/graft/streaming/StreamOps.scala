@@ -78,6 +78,43 @@ object StreamOps {
       .unionByName(withFp.filter(col("__fp").isNull).drop("__fp"))
   }
 
+  /** Streaming NB quality scoring — the ingest-time twin of the batch
+    * q169 model-based filter (Classifier.nbQualityClassifier): score
+    * every arriving document against a FROZEN classifier, the way a
+    * crawl pipeline actually deploys its fastText/NB quality model
+    * (train offline on the labeled sample, filter online at ingest).
+    *
+    * The model rides in as a driver-side artifact
+    * ([[graft.operators.Classifier.NbModel]] — per-token integer
+    * micro-nat log-odds + OOV constant + prior; vocab-sized, the
+    * Zipf-bounded broadcast the semDedupStream centroids already
+    * established), so scoring is STATELESS and row-local: no state
+    * store, no shuffle, no watermark — each doc scores inside the
+    * micro-batch it arrives in, and the operator composes with any
+    * downstream dedup/curation stage.
+    *
+    * Parity contract (spec-pinned): tokenization replicates the batch
+    * lane's SQL exactly — space-only trim (SQL `trim` strips U+0020
+    * only, NOT Java trim's ≤U+0020), `\s+` split with limit -1 (Spark's
+    * split keeps trailing empties; Java's default drops them), ROOT
+    * lowercase — and every arithmetic step is the same integer sum, so
+    * stream scores equal batch scores integer-for-integer. */
+  def nbScoreStream(ds: Dataset[DocRecord],
+                    model: graft.operators.Classifier.NbModel): DataFrame = {
+    val s = ds.sparkSession
+    import s.implicits._
+    ds.filter((d: DocRecord) => d.text != null &&
+        d.text.exists(_ != ' ') && d.text.nonEmpty)
+      .map { d =>
+        val trimmed = d.text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        val toks = trimmed.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+        val score = model.priorQ +
+          toks.iterator.map(t => model.loq.getOrElse(t, model.oovLoq)).sum
+        (d.doc_id, toks.length.toLong, score, if (score > 0) 1L else 0L)
+      }
+      .toDF("doc_id", "n_tokens", "score_micronats", "pred")
+  }
+
   /** Streaming SemDeDup — the ingest-time twin of the batch q152 lane
     * (Dedup.q152SemDedup): online embedding near-dup detection against a
     * FROZEN centroid index, the shape a 100 TB crawl pipeline actually

@@ -193,6 +193,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
   }
 
+  test("nbScoreStream scores arriving docs EXACTLY like batch q169 " +
+      "(frozen model, stateless, batch-boundary independent)") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val docsTbl = graft.Tables(sp, sfDir, "documents")
+    // the frozen classifier: trained "offline" by the batch trainer
+    val model = graft.operators.Classifier.trainModel(docsTbl)
+    assert(model.loq.nonEmpty && model.oovLoq != 0L)
+    val all = docsTbl.select(col("doc_id"), col("text")).collect()
+      .map(r => graft.streaming.DocRecord(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id)
+    val in = MemoryStream[graft.streaming.DocRecord]
+    val out = StreamOps.nbScoreStream(in.toDS(), model)
+    // two micro-batches: scoring is stateless so the split cannot matter,
+    // and a doc arriving in batch 2 must score identically to batch 1
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val got = runToMemory(out, "nbscore")(
+      () => in.addData(b1), () => in.addData(b2))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val want = graft.operators.Classifier.nbQualityClassifier(docsTbl)
+      .select("doc_id", "n_tokens", "score_micronats", "pred").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    GraftSession.releasePersisted(sp)
+    assert(got.size == want.size, s"stream ${got.size} docs vs batch ${want.size}")
+    assert(got == want, {
+      val diff = want.collect { case (k, v) if got.get(k) != Some(v) =>
+        s"$k: batch $v vs stream ${got.get(k)}" }.take(5)
+      s"stream/batch score mismatch: ${diff.mkString("; ")}"
+    })
+  }
+
   test("semDedupStreamTws (transformWithState) matches the legacy spelling " +
       "and the batch lane on the fixture corpus") {
     val sp = spark
