@@ -91,6 +91,9 @@ object ScaleDrill {
                              // chain plus ONE corpus re-pass joined to
                              // the vocab table; text lane at the volume
                              // bar (cost ∝ token volume, vocab sublinear)
+    "q172_bpe_artifact",     // documents (r19): tokenizer-as-artifact —
+                             // the q170 math plus the persist/load round
+                             // trip; text lane at the volume bar
     "q171_ann_adaptive_search", // embeddings (r19): adaptive-nprobe
                              // filtered serve — the q157 family plus a
                              // centroid-sized cumulative window; fixed
@@ -336,7 +339,8 @@ object ScaleDrill {
       "curation_flow", "q151_decode_ivf", "q156_curation_neardup",
       "q161_exact_substr_spans", "q163_exact_substr_trim",
       "q164_neardup_aware_split", "q167_curation_trimmed",
-      "q168_bpe_train", "q169_quality_classifier", "q170_bpe_tokenize")
+      "q168_bpe_train", "q169_quality_classifier", "q170_bpe_tokenize",
+      "q172_bpe_artifact")
 
   /** The self-adjudicating PASS bar per gated lane: sublinear-per-input.
     * Text lanes pass while time ratio ≤ the measured bigram-volume ratio

@@ -242,6 +242,10 @@ object SparkEntry {
     // probes until the probed clusters hold a shortlist's worth of
     // allowed candidates (closed-form prefix rule, no grow loop)
     "q171_ann_adaptive_search" -> (Similarity.q171AnnAdaptiveSearch _),
+    // q172 (r19): tokenizer-as-artifact — train → persist → load →
+    // tokenize FROM the loaded model; output ≡ q170 (the save/load
+    // identity, the q157 artifact discipline applied to the tokenizer)
+    "q172_bpe_artifact" -> (graft.operators.Tokenizer.q172BpeArtifactTokenize _),
     // r7: weighted sampling w/o replacement (Efraimidis–Spirakis, md5 stream)
     "q115_weighted_sample" -> ((s, d) => TextAnalysis.q115WeightedSample(s, d)),
     // r7: per-doc bigram-rarity quality score (integer LM-perplexity proxy)
@@ -1176,6 +1180,10 @@ object SparkEntry {
     "q169_quality_classifier" -> qualityClassifierOracle,
     "q170_bpe_tokenize" -> bpeTokenizeOracle,
     "q171_ann_adaptive_search" -> annAdaptiveServeOracle,
+    // artifact-served tokenize gates on the SAME computed replay as the
+    // inline q170 (parquet round-trips strings/longs bit-exactly; the
+    // lane's value is the round trip, which the oracle math can't see)
+    "q172_bpe_artifact" -> bpeTokenizeOracle,
     "q36_cosine_topk" ->
       "WITH f0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings), f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM f0), d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot, SUM(q.v * q.v) AS qq, SUM(c.v * c.v) AS cc FROM f q JOIN f c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id GROUP BY 1, 2), r AS (SELECT qid, cid, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d), rk AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM r) SELECT qid, cid, sim, rnk FROM rk WHERE rnk <= 5 ORDER BY qid, rnk",
     "q37_neardup_embedding" ->

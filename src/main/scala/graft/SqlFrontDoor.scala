@@ -779,6 +779,10 @@ object SqlFrontDoor {
     "q168_bpe_train" -> bpeTrainSparkSql,
     "q169_quality_classifier" -> qualityClassifierSparkSql,
     "q170_bpe_tokenize" -> bpeTokenizeSparkSql,
+    // s172: SQL text cannot run the artifact write/load side effect — the
+    // twin replays the inline chain (the s157 precedent); conformance of
+    // the artifact-serving q-lane against this text IS the round-trip pin
+    "q172_bpe_artifact" -> bpeTokenizeSparkSql,
     "q113_pq_recall" -> pqSql,
     "q114_ivfpq_recall" -> ivfPqSql,
     "q153_ivfpq_rerank" -> ivfPqRerankSql,

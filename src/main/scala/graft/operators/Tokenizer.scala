@@ -141,8 +141,15 @@ object Tokenizer {
       .limit(1).collect()
     val picked = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long, Long)] // rank,a,b,merged,cnt,massBefore
+    // release discipline: a round's vocab may only unpersist AFTER its
+    // child materialized (the pairStats collect of the FOLLOWING round) —
+    // unpersisting before that recomputes the whole lineage back to the
+    // corpus scan (caught by the r19 scan audit at documents=14)
+    var parent: Option[DataFrame] = None
     for (rank <- 1 to NMerges) {
-      val bestRows = pairStats(cur)
+      val bestRows = pairStats(cur) // materializes cur → its parent is now free
+      parent.foreach(_.unpersist(blocking = false))
+      parent = Some(cur)
       // the lane contract requires a corpus that sustains NMerges rounds
       // (any real corpus does by decades; the oracle's UNION replay has no
       // spelling for a short merge table, so fail loudly, not shorter)
@@ -162,7 +169,6 @@ object Tokenizer {
         .select(col("word"), col("freq"),
           split(fuseExpr(a, b), java.util.regex.Pattern.quote(Sep)).as("syms"))
         .persist(lvl)
-      cur.unpersist(blocking = false)
       cur = next
     }
     // masses AFTER each round: rounds 1..N-1 read the following round's
@@ -171,6 +177,7 @@ object Tokenizer {
     val lastTotRows = cur
       .select(col("freq"), explode(pairsExpr).as("p"))
       .agg(coalesce(sum("freq"), lit(0L))).collect()
+    parent.foreach(_.unpersist(blocking = false)) // final vocab materialized above
     val lastMass = lastTotRows(0).getLong(0) + w
     val massAfter = observedTots.toSeq :+ lastMass
     val merges = picked.toSeq.zip(massAfter).map {
@@ -184,6 +191,48 @@ object Tokenizer {
   /** Q168 — BPE tokenizer training over the documents corpus. */
   def q168BpeTrain(s: SparkSession, dir: String): DataFrame =
     bpeTrain(s, graft.Tables(s, dir, "documents").select(col("text")))
+
+  /** Persist a trained tokenizer as a table artifact — merges (the
+    * portable model: rank-ordered pairs any BPE runtime can replay) and
+    * the materialized word→symbols vocabulary (the fast path for
+    * corpus-internal apply). Strings + longs round-trip parquet
+    * bit-exactly, so artifact-served tokenization ≡ inline is an
+    * identity, not an approximation — the q157 ANN-artifact discipline
+    * applied to the tokenizer model. */
+  def writeTokenizer(s: SparkSession, docs: DataFrame, path: String): Unit = {
+    val (merges, vocab) = trainWithVocab(s, docs)
+    merges.write.mode("overwrite").parquet(path + "/merges")
+    vocab.write.mode("overwrite").parquet(path + "/vocab")
+    vocab.unpersist(blocking = false)
+  }
+
+  /** Load a [[writeTokenizer]] artifact: (merges, vocab). */
+  def loadTokenizer(s: SparkSession, path: String): (DataFrame, DataFrame) =
+    (s.read.parquet(path + "/merges"), s.read.parquet(path + "/vocab"))
+
+  /** Deterministic per-(process, SF) tokenizer artifact location — the
+    * indexPathFor contract (rebuilt every run: the lane grades the round
+    * trip; pid-scoped so concurrent harnesses never cross-serve). */
+  private[graft] def tokenizerPathFor(dir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_bpe_tok_p" + ProcessHandle.current().pid() + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+
+  /** Q172 — tokenizer-as-artifact round trip: train → WRITE the model →
+    * LOAD it back → tokenize the corpus FROM THE LOADED ARTIFACT. Output
+    * = exactly q170's (the save/load identity — same columns, same
+    * integers), gated on the same computed oracle; the s172 twin replays
+    * inline (SQL text cannot run the save side effect — the s157
+    * precedent), so lane conformance IS the round-trip proof. This is
+    * how a tokenizer actually ships to a 1000-executor job: trained
+    * once, persisted, broadcast-loaded by every consumer. */
+  def q172BpeArtifactTokenize(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(s, dir, "documents")
+    val path = tokenizerPathFor(dir)
+    writeTokenizer(s, docs.select(col("text")), path)
+    val (_, vocab) = loadTokenizer(s, path)
+    tokenizeWith(docs, vocab)
+  }
 
   /** Q170 — tokenize the corpus under the learned vocabulary: the APPLY
     * half (train without apply can't budget a data mixture). Per doc:
@@ -201,11 +250,16 @@ object Tokenizer {
   /** The operator proper, over any (doc_id, text) frame — see [[q170BpeTokenize]]. */
   def bpeTokenize(s: SparkSession, docs: DataFrame): DataFrame = {
     val (_, vocab) = trainWithVocab(s, docs.select(col("text")))
-    val toks = docs
+    tokenizeWith(docs, vocab)
+  }
+
+  /** The apply tail shared by q170 (inline vocab) and q172 (loaded
+    * artifact): one corpus pass left-joined to (word → |syms|). */
+  def tokenizeWith(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs
       .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
       .select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
-    val out = toks
       .join(vocab.select(col("word"), size(col("syms")).cast("long").as("nsym")),
         Seq("word"), "left")
       .groupBy("doc_id")
@@ -213,6 +267,4 @@ object Tokenizer {
         sum(when(col("nsym").isNotNull, 1L).otherwise(0L)).as("n_conforming"),
         coalesce(sum("nsym"), lit(0L)).as("bpe_tokens"))
       .orderBy("doc_id")
-    out
-  }
 }

@@ -190,6 +190,37 @@ class TokenizerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("tokenizer artifact (q172): merges + vocab round-trip parquet, and " +
+    "tokenize-from-loaded-artifact ≡ tokenize-inline row-for-row") {
+    import org.apache.spark.sql.Row
+    val texts: Seq[(Long, String)] = Seq.tabulate(25) { i =>
+      val stems = Seq("walk", "talk", "jump", "lift", "play", "rest")
+      val sufs = Seq("", "ing", "ed", "er", "s")
+      (i.toLong, (0 until 9).map { j =>
+        stems((i + j) % stems.size) + sufs((i * 5 + j) % sufs.size)
+      }.mkString(" "))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(texts.map { case (i, t) => Row(i, t) }, 2),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val path = java.nio.file.Files.createTempDirectory("graft_tok_spec").toString
+    Tokenizer.writeTokenizer(spark, df.select("text"), path)
+    val (merges, vocab) = Tokenizer.loadTokenizer(spark, path)
+    // the persisted merge table IS the train output (strings/longs
+    // round-trip parquet bit-exactly)
+    val inlineMerges = Tokenizer.bpeTrain(spark, df.select("text"))
+      .collect().map(_.toSeq).toSet
+    assert(merges.collect().map(_.toSeq).toSet == inlineMerges)
+    // vocab is total over the corpus pre-tokenizer's admissions
+    assert(vocab.count() ==
+      texts.flatMap(_._2.split(" ")).filter(w => w.matches("[a-z]+")).distinct.size)
+    // artifact-served apply ≡ inline apply, row-for-row
+    val inline = Tokenizer.bpeTokenize(spark, df).collect().map(_.toSeq).toSeq
+    val served = Tokenizer.tokenizeWith(df, vocab).collect().map(_.toSeq).toSeq
+    assert(served == inline,
+      "artifact-served tokenization diverged from inline")
+  }
+
   test("pre-tokenizer: case folds, non-letter tokens and over-long words " +
     "are excluded, whitespace splits") {
     val long = "x" * (Tokenizer.MaxWordLen + 1)
