@@ -25,6 +25,7 @@ import json
 import math
 import subprocess
 import sys
+import time
 
 import duckdb
 
@@ -70,12 +71,21 @@ def canon(df):
 
 def main():
     sf1dir, voutdir, outjson = sys.argv[1], sys.argv[2], sys.argv[3]
-    con = duckdb.connect()
-    # the sandbox restricts memory syscalls: a long single-connection run
-    # over heavy interpolated-SQL oracles can die with "failed to allocate"
-    # unless the allocator is given explicit headroom
-    con.execute("SET memory_limit='48GB'")
-    views(con, sf1dir)
+
+    # ONE CONNECTION PER QUERY (r19): a single long-lived connection
+    # accumulates buffer-pool pressure across 344 heavy oracles and starts
+    # flapping "failed to allocate" near its limit (73 spurious OOM fails
+    # on an otherwise idle machine once the BPE-chain oracles joined the
+    # surface). A fresh connection fully releases memory between queries;
+    # re-registering ten views costs microseconds. Spill goes to an
+    # explicit temp dir so big sorts degrade to disk instead of erroring.
+    def fresh_con():
+        c = duckdb.connect()
+        c.execute("SET memory_limit='48GB'")
+        c.execute("SET temp_directory='/tmp/graft_duck_spill'")
+        views(c, sf1dir)
+        return c
+
     oracle = json.load(open(f"{voutdir}/oracle_sql.json"))
     out = {}
     for name in sorted(oracle):
@@ -93,6 +103,23 @@ def main():
                          "excluded": "golden-snapshot oracle (sf0.01-bound)"}
             print(name, "excluded: golden snapshot")
             continue
+        # connection setup can catch the machine at a bad instant (a just-
+        # exited JVM's pages not yet reclaimed); one bounded retry, and any
+        # setup failure records as this lane's error instead of killing
+        # the remaining lanes
+        try:
+            con = fresh_con()
+        except Exception:  # noqa: BLE001
+            time.sleep(10)
+            try:
+                con = fresh_con()
+            except Exception as ex:  # noqa: BLE001
+                out[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": None,
+                             "oracle_rows": None,
+                             "err": "conn: " + str(ex)[:280]}
+                print(name, None, out[name]["err"])
+                continue
         try:
             exp = con.execute(oracle[name]).fetchdf()
             got = con.execute(
@@ -112,6 +139,8 @@ def main():
             out[name] = {"rows_match": None, "schema_match": None,
                          "hash_match": None, "spark_rows": None,
                          "oracle_rows": None, "err": str(ex)[:300]}
+        finally:
+            con.close()
         print(name, out[name]["hash_match"], out[name].get("err") or "")
     ok = sum(1 for v in out.values() if v["hash_match"])
     excl = sum(1 for v in out.values() if v.get("excluded"))

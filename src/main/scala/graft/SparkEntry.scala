@@ -417,18 +417,26 @@ object SparkEntry {
     "base AS (SELECT doc_id, concat(CASE WHEN doc_id % 3 = 0 THEN 'shared license header text appears before many documents in the crawl corpus ' ELSE '' END, text, CASE WHEN doc_id % 5 = 0 THEN ' subscribe to our newsletter for updates and special offers' ELSE '' END) AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)"
 
   /** q163: discover → trim → re-discover replayed in DuckDB — the span
-    * chain over the canaried corpus, a NOT EXISTS token cut (1-based i vs
-    * the chain's 0-based pos), string_agg re-join, and the chain AGAIN
+    * chain over the canaried corpus, an equi ANTI JOIN token cut against
+    * the exploded span positions (1-based i vs the chain's 0-based pos;
+    * the earlier correlated-range NOT EXISTS spelling needed >48 GB in
+    * DuckDB at sf1 scale — spans are few, so exploding their positions
+    * turns the cut into a cheap hash anti-join), string_agg re-join, and the chain AGAIN
     * over the trimmed text for the fixpoint audit. */
-  private def exactSubstrTrimOracle: String =
+  private def exactSubstrTrimOracle: String = materializeCtes(
     s"WITH $duckSpanBase, ${duckSpanCtes("", "base")}, " +
       "tok AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM (SELECT doc_id, string_split_regex(trim(t), '\\s+') AS ws FROM base) z), " +
-      "kept AS (SELECT t.doc_id, t.i, t.w FROM tok t WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = t.doc_id AND t.i - 1 >= sp.span_start AND t.i - 1 < sp.span_end)), " +
+      "cutpos AS (SELECT doc_id, unnest(generate_series(span_start, span_end - 1)) AS cpos FROM sp), " +
+      "kept AS (SELECT t.doc_id, t.i, t.w FROM tok t ANTI JOIN cutpos c ON c.doc_id = t.doc_id AND c.cpos = t.i - 1), " +
       "trimmed AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS t, COUNT(*) AS kept FROM kept GROUP BY doc_id), " +
       "acct AS (SELECT b.doc_id, CAST(COALESCE(tr.kept, 0) AS BIGINT) AS kept_tokens, CAST(len(string_split_regex(trim(b.t), '\\s+')) - COALESCE(tr.kept, 0) AS BIGINT) AS trimmed_tokens FROM base b LEFT JOIN trimmed tr USING (doc_id)), " +
       duckSpanCtes("r", "trimmed") + ", " +
       "res AS (SELECT CAST(COUNT(*) AS BIGINT) AS residual_spans, CAST(COALESCE(SUM(span_end - span_start), 0) AS BIGINT) AS residual_tokens FROM rsp) " +
-      "SELECT a.doc_id, kept_tokens, trimmed_tokens, residual_spans, residual_tokens FROM acct a, res ORDER BY a.doc_id"
+      "SELECT a.doc_id, kept_tokens, trimmed_tokens, residual_spans, residual_tokens FROM acct a, res ORDER BY a.doc_id",
+    // multi-referenced backbone stages pinned: without MATERIALIZED the
+    // final projection's references re-inline the whole chain and the
+    // co-resident copies OOM'd DuckDB at sf1 scale (48 GB)
+    Seq("base", "kept", "trimmed", "acct"))
 
   /** The q164 near-dup canary text (DuckDB dialect), group token g<div500>
     * interleaved every third word — see Curation.neardupCanaryText. */
@@ -498,11 +506,12 @@ object SparkEntry {
     * benchmark shingles built from the RAW canaried docs (the eval set is
     * not trimmed) and the trim accounting over post-trim non-empty docs —
     * exactly curate(exactSubstrTrim = true)'s narrow-projection read. */
-  private def curationTrimmedOracle: String =
+  private def curationTrimmedOracle: String = materializeCtes(
     "WITH base AS (SELECT doc_id, source, concat(CASE WHEN doc_id % 3 = 0 THEN 'shared license header text appears before many documents in the crawl corpus ' ELSE '' END, text, CASE WHEN doc_id % 5 = 0 THEN ' subscribe to our newsletter for updates and special offers' ELSE '' END) AS t FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), " +
       duckSpanCtes("z", "base") + ", " +
       "tok AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM (SELECT doc_id, string_split_regex(trim(t), '\\s+') AS ws FROM base) x), " +
-      "kept AS (SELECT t.doc_id, t.i, t.w FROM tok t WHERE NOT EXISTS (SELECT 1 FROM zsp WHERE zsp.doc_id = t.doc_id AND t.i - 1 >= zsp.span_start AND t.i - 1 < zsp.span_end)), " +
+      "cutpos AS (SELECT doc_id, unnest(generate_series(span_start, span_end - 1)) AS cpos FROM zsp), " +
+      "kept AS (SELECT t.doc_id, t.i, t.w FROM tok t ANTI JOIN cutpos c ON c.doc_id = t.doc_id AND c.cpos = t.i - 1), " +
       "trimmed AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS t2, COUNT(*) AS kept FROM kept GROUP BY doc_id), " +
       "tc AS (SELECT b.doc_id, b.source, COALESCE(tr.t2, '') AS text, len(string_split_regex(trim(b.t), '\\s+')) - COALESCE(tr.kept, 0) AS tt FROM base b LEFT JOIN trimmed tr USING (doc_id)), " +
       "ne AS (SELECT doc_id, source, text, tt FROM tc WHERE length(trim(text)) > 0), " +
@@ -519,7 +528,11 @@ object SparkEntry {
       "r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(concat('curate|', CAST(doc_id AS VARCHAR))), doc_id) AS rnk FROM c), " +
       "cap AS (SELECT doc_id FROM r WHERE rnk <= 15), " +
       "p AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY md5(concat('curate|pos|', CAST(doc_id AS VARCHAR))), doc_id) AS pos FROM cap) " +
-      "SELECT ta.trim_docs, ta.trim_tokens, (SELECT COUNT(*) FROM ne) AS n_non_empty, (SELECT COUNT(*) FROM q) AS n_quality, (SELECT COUNT(*) FROM d) AS n_dedup, (SELECT COUNT(*) FROM c) AS n_clean, (SELECT COUNT(*) FROM cap) AS n_capped, CAST((SELECT SUM(doc_id) FROM cap) AS BIGINT) AS kept_id_sum, CAST((SELECT SUM(doc_id * pos) FROM p) AS BIGINT) AS pos_checksum FROM ta"
+      "SELECT ta.trim_docs, ta.trim_tokens, (SELECT COUNT(*) FROM ne) AS n_non_empty, (SELECT COUNT(*) FROM q) AS n_quality, (SELECT COUNT(*) FROM d) AS n_dedup, (SELECT COUNT(*) FROM c) AS n_clean, (SELECT COUNT(*) FROM cap) AS n_capped, CAST((SELECT SUM(doc_id) FROM cap) AS BIGINT) AS kept_id_sum, CAST((SELECT SUM(doc_id * pos) FROM p) AS BIGINT) AS pos_checksum FROM ta",
+    // every stage the final projection's scalar subqueries touch is
+    // pinned: un-materialized, each subquery re-inlines its whole chain
+    // and the concurrent copies OOM'd DuckDB at sf1 scale (48 GB)
+    Seq("base", "kept", "trimmed", "ne", "q", "d", "contam", "c", "cap", "p"))
 
   /** q168: BPE tokenizer training replayed exactly — word-frequency table,
     * char+</w> symbol decomposition, then NMerges chained CTE rounds: pair
@@ -543,7 +556,11 @@ object SparkEntry {
     sb ++= "t0 AS MATERIALIZED (SELECT SUM(freq * len(syms)) AS tot FROM wt0), "
     for (i <- 1 to NMerges) {
       val p = i - 1
-      sb ++= s"pc$i AS MATERIALIZED (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (SELECT freq, unnest(list_transform(range(1, len(syms)), j -> {'a': syms[j], 'b': syms[j + 1]})) AS p FROM wt$p) e GROUP BY 1, 2), "
+      // pc is referenced exactly once (by b) — leaving it inlined lets the
+      // pair explosion STREAM through the aggregation instead of pinning
+      // vocab×len rows per round in the oracle engine's memory (the sf1
+      // gate OOM'd with 12 of these materialized simultaneously)
+      sb ++= s"pc$i AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (SELECT freq, unnest(list_transform(range(1, len(syms)), j -> {'a': syms[j], 'b': syms[j + 1]})) AS p FROM wt$p) e GROUP BY 1, 2), "
       sb ++= s"b$i AS MATERIALIZED (SELECT a AS ba, b AS bb, cnt FROM pc$i ORDER BY cnt DESC, a, b LIMIT 1), "
       sb ++= s"wt$i AS MATERIALIZED (SELECT word, freq, string_split(list_reduce(syms, (acc, x) -> CASE WHEN x = bb AND (acc = ba OR suffix(acc, chr(31) || ba)) THEN acc || x ELSE acc || chr(31) || x END), chr(31)) AS syms FROM wt$p, b$i), "
       sb ++= s"t$i AS MATERIALIZED (SELECT SUM(freq * len(syms)) AS tot FROM wt$i), "
