@@ -23,6 +23,7 @@ import decimal
 import hashlib
 import json
 import math
+import os
 import subprocess
 import sys
 import time
@@ -80,10 +81,21 @@ def main():
     # re-registering ten views costs microseconds. Spill goes to an
     # explicit temp dir so big sorts degrade to disk instead of erroring.
     def fresh_con():
+        # r19 ADVICE: close a half-initialized connection if setup dies
+        # mid-way (SET/views after connect) — otherwise the retry path
+        # leaks a 48GB-limit connection exactly in the low-memory moment
+        # the retry exists to survive. Spill dir is pid-scoped so two
+        # concurrent gate runs never share (and never cross-delete)
+        # spill files.
         c = duckdb.connect()
-        c.execute("SET memory_limit='48GB'")
-        c.execute("SET temp_directory='/tmp/graft_duck_spill'")
-        views(c, sf1dir)
+        try:
+            c.execute("SET memory_limit='48GB'")
+            c.execute(
+                f"SET temp_directory='/tmp/graft_duck_spill_{os.getpid()}'")
+            views(c, sf1dir)
+        except Exception:
+            c.close()
+            raise
         return c
 
     oracle = json.load(open(f"{voutdir}/oracle_sql.json"))

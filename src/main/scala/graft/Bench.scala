@@ -604,11 +604,48 @@ object Bench {
     val regressedJson = regressed.map { case (k, prev, now) =>
       f"""{"lane":"$k","prev":$prev%.2f,"now":$now%.2f}"""
     }.mkString("[", ",", "]")
-    // ratchet the baseline down with this round's bests
+    // Suite-LEVEL rate fence (r19 verdict #2: the per-lane fence's 0.3 s
+    // absolute floor makes sub-second lanes individually unguardable, so
+    // a uniform ~35% drift across a hundred small lanes shipped with
+    // regressed:[] — structurally invisible). Statistic: the suite's
+    // best-sum over lanes PRESENT IN THE RATCHET vs the ratchet's sum
+    // over the same lanes (new lanes excluded — they have no baseline, so
+    // they can neither mask nor fake a drift). Above 1.25× on a clean
+    // host, burst re-measure with ONE extra full pass in the same JVM —
+    // the lane fence's adjudication applied at suite level: a JIT/
+    // codegen-weather mode clears on the retry (the r19 decomposition:
+    // 466 s of JIT against 1088 s of drill wall), a real uniform
+    // regression persists and is named in the artifact with numbers.
+    val suiteFenceX = 1.25
+    def suiteRatioOf(cur: Map[String, Double]): Double = {
+      val common = prevBest.keySet intersect cur.keySet
+      val prevSum = common.toSeq.map(prevBest).sum
+      if (prevSum <= 0) -1.0 else common.toSeq.map(cur).sum / prevSum
+    }
+    var curBestFinal = curBestAdj
+    var suiteFenceExtraPasses = 0
+    if (hostCleanForDiff && suiteRatioOf(curBestFinal) > suiteFenceX) {
+      System.err.println(f"[bench] suite rate fence tripped " +
+        f"(${suiteRatioOf(curBestFinal)}%.2fx) — burst re-measuring one full pass")
+      val extra = onePass()
+      suiteFenceExtraPasses = 1
+      val extraBy = extra.collect { case (k, v, true) => k -> v }.toMap
+      curBestFinal = curBestFinal.map { case (k, v) =>
+        k -> math.min(v, extraBy.getOrElse(k, v))
+      }
+    }
+    val suiteRatio = suiteRatioOf(curBestFinal)
+    val suiteRateRegressed = hostCleanForDiff && suiteRatio > suiteFenceX
+    if (suiteRateRegressed)
+      System.err.println(f"[bench] suite rate regression: best-sum " +
+        f"$suiteRatio%.2fx the ratchet over common lanes (bar $suiteFenceX%.2f, " +
+        f"persisted through the extra pass)")
+    // ratchet the baseline down with this round's bests (including any
+    // suite-fence extra-pass improvements)
     if (ratchetSf) try {
-      val merged = (prevBest.keySet ++ curBestAdj.keySet).toSeq.sorted.map { k =>
+      val merged = (prevBest.keySet ++ curBestFinal.keySet).toSeq.sorted.map { k =>
         val v = math.min(prevBest.getOrElse(k, Double.MaxValue),
-          curBestAdj.getOrElse(k, Double.MaxValue))
+          curBestFinal.getOrElse(k, Double.MaxValue))
         f""" "$k": $v%.3f"""
       }
       java.nio.file.Files.writeString(java.nio.file.Paths.get(lanePath),
@@ -642,10 +679,10 @@ object Bench {
 
     val detailPath = "bench_detail.json"
     val pw = new java.io.PrintWriter(detailPath)
-    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"host_load":$loadJson,"scale_drill":{"factor":$drillFactor,"all_gated_ok":$drillAllGatedOk,"queries":$drillJson,"known_superlinear":$drillKnownJson,"stage_attribution":$drillStagesJson,"bigram_vol_base":$drillVolBase,"bigram_vol_scaled":$drillVolBig,"bigram_vol_ratio":$drillVolRatio%.2f},"serve_scale":{"q":$serveQ,"sec_q":$serveBase%.2f,"sec_q10":$serveBig%.2f,"ratio":$serveRatio%.2f},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"text_gate":{"factor_lo":$textGateLo,"factor_hi":$textGateHi,"mode":"linear-replacement-marginal","bigram_vol_base":$tgV1,"bigram_vol_lo":$tgVLo,"bigram_vol_hi":$tgVHi,"vol_ratio":$tgVolRatio%.2f,"marginal_bar":${ScaleDrill.marginalBar}%.2f,"all_ok":$textGateAllOk,"queries":$textGateJson},"queries":$detail,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"drill_regressed":$drillRegressedJson,"drill_regression_checked":$drillHostClean,"baseline_resets":$resetsLedger,"sf1_gate_commit":"$sf1GateCommit","sf1_gate_code_commit":"$sf1CodeCommit","sf1_gate_fresh":$sf1Fresh,"failures":$failJson,"sf":"$sfDir"}""")
+    try pw.println(f"""{"total":$total%.3f,"total_warm":$totalWarm%.3f,"total_best":$totalBest%.3f,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed_versions":$pipelineRpsMixed%.0f,"pipeline_rows_per_sec_after_suite":$pipelineRpsAfter%.0f,"host_load":$loadJson,"scale_drill":{"factor":$drillFactor,"all_gated_ok":$drillAllGatedOk,"queries":$drillJson,"known_superlinear":$drillKnownJson,"stage_attribution":$drillStagesJson,"bigram_vol_base":$drillVolBase,"bigram_vol_scaled":$drillVolBig,"bigram_vol_ratio":$drillVolRatio%.2f},"serve_scale":{"q":$serveQ,"sec_q":$serveBase%.2f,"sec_q10":$serveBig%.2f,"ratio":$serveRatio%.2f},"text_probe":{"factor":$probeFactor,"bigram_vol_base":$probeVolBase,"bigram_vol_scaled":$probeVolBig,"vol_ratio":$probeVolRatio%.2f,"queries":$probeJson},"text_gate":{"factor_lo":$textGateLo,"factor_hi":$textGateHi,"mode":"linear-replacement-marginal","bigram_vol_base":$tgV1,"bigram_vol_lo":$tgVLo,"bigram_vol_hi":$tgVHi,"vol_ratio":$tgVolRatio%.2f,"marginal_bar":${ScaleDrill.marginalBar}%.2f,"all_ok":$textGateAllOk,"queries":$textGateJson},"queries":$detail,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"suite_ratio":$suiteRatio%.3f,"suite_fence_bar":$suiteFenceX%.2f,"suite_rate_regressed":$suiteRateRegressed,"suite_fence_extra_passes":$suiteFenceExtraPasses,"drill_regressed":$drillRegressedJson,"drill_regression_checked":$drillHostClean,"baseline_resets":$resetsLedger,"sf1_gate_commit":"$sf1GateCommit","sf1_gate_code_commit":"$sf1CodeCommit","sf1_gate_fresh":$sf1Fresh,"failures":$failJson,"sf":"$sfDir"}""")
     finally pw.close()
 
-    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"n_registered":${SparkEntry.baseQueries.size},"bench_skipped":${benchSkip.toSeq.sorted.map(k => "\"" + k + ":plan already timed as q107 (RelationalOpsSpec pins row equality); drill-gated separately\"").mkString("[", ",", "]")},"failures":$failJson,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scan_gate_lanes":$scanLanes,"scan_gate_violations":${scanViolations.size},"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_all_gated_ok":$drillAllGatedOk,"scale_drill_vol_ratio":$drillVolRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"serve_scale_q":$serveQ,"serve_scale_ratio":$serveRatio%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"text_gate_factor_lo":$textGateLo,"text_gate_factor_hi":$textGateHi,"text_gate_max_wall_ratio$textGateLo":$textGateMaxRatio%.2f,"text_gate_max_marginal":$textGateMaxMarginal%.2f,"text_gate_all_ok":$textGateAllOk,"text_gate_vol_ratio":$tgVolRatio%.2f,"ext_cpu_cold_pct":${loadCold.extCpuPct}%.2f,"ext_cpu_warm_pct":${loadWarm.extCpuPct}%.2f,"gc_cold_sec":${loadCold.gcSec}%.2f,"gc_warm_sec":${loadWarm.gcSec}%.2f,"iowait_cold_pct":${loadCold.ioWaitPct}%.2f,"iowait_warm_pct":${loadWarm.ioWaitPct}%.2f,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"drill_regressed":$drillRegressedJson,"drill_regression_checked":$drillHostClean,"contended":$contended,"sf1_gate_commit":"$sf1GateCommit","sf1_gate_code_commit":"$sf1CodeCommit","sf1_gate_fresh":$sf1Fresh,"sf":"$sfDir","detail":"$detailPath"}"""
+    val summary = f"""{"metric":"total_best","value":$totalBest%.2f,"unit":"sec","total":$total%.2f,"total_warm":$totalWarm%.2f,"total_best":$totalBest%.2f,"n_queries":${cold.size},"n_registered":${SparkEntry.baseQueries.size},"bench_skipped":${benchSkip.toSeq.sorted.map(k => "\"" + k + ":plan already timed as q107 (RelationalOpsSpec pins row equality); drill-gated separately\"").mkString("[", ",", "]")},"failures":$failJson,"jvm_pre_main_sec":$jvmPreMainSec%.2f,"pipeline_rows_per_sec":$pipelineRps%.0f,"pipeline_rows_per_sec_mixed":$pipelineRpsMixed%.0f,"scan_gate_lanes":$scanLanes,"scan_gate_violations":${scanViolations.size},"scale_drill_factor":$drillFactor,"scale_drill_max_ratio":$drillMaxRatio%.2f,"scale_drill_all_gated_ok":$drillAllGatedOk,"scale_drill_vol_ratio":$drillVolRatio%.2f,"scale_drill_known_max":${if (drillKnown.isEmpty) -1.0 else drillKnown.map { case (_, b, x, _) => x / math.max(b, 1e-9) }.max}%.2f,"serve_scale_q":$serveQ,"serve_scale_ratio":$serveRatio%.2f,"text_probe_factor":$probeFactor,"text_probe_max_ratio":$probeMaxRatio%.2f,"text_probe_vol_ratio":$probeVolRatio%.2f,"text_gate_factor_lo":$textGateLo,"text_gate_factor_hi":$textGateHi,"text_gate_max_wall_ratio$textGateLo":$textGateMaxRatio%.2f,"text_gate_max_marginal":$textGateMaxMarginal%.2f,"text_gate_all_ok":$textGateAllOk,"text_gate_vol_ratio":$tgVolRatio%.2f,"ext_cpu_cold_pct":${loadCold.extCpuPct}%.2f,"ext_cpu_warm_pct":${loadWarm.extCpuPct}%.2f,"gc_cold_sec":${loadCold.gcSec}%.2f,"gc_warm_sec":${loadWarm.gcSec}%.2f,"iowait_cold_pct":${loadCold.ioWaitPct}%.2f,"iowait_warm_pct":${loadWarm.ioWaitPct}%.2f,"regressed":$regressedJson,"regression_checked":$hostCleanForDiff,"suite_ratio":$suiteRatio%.3f,"suite_fence_bar":$suiteFenceX%.2f,"suite_rate_regressed":$suiteRateRegressed,"suite_fence_extra_passes":$suiteFenceExtraPasses,"drill_regressed":$drillRegressedJson,"drill_regression_checked":$drillHostClean,"contended":$contended,"sf1_gate_commit":"$sf1GateCommit","sf1_gate_code_commit":"$sf1CodeCommit","sf1_gate_fresh":$sf1Fresh,"sf":"$sfDir","detail":"$detailPath"}"""
     // The summary survives in THREE places so no capture window can lose it
     // (r8's artifact held a log-noise tail and parsed:null):
     //  1. a file the judge can always read back,

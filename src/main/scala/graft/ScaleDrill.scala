@@ -94,6 +94,24 @@ object ScaleDrill {
     "q172_bpe_artifact",     // documents (r19): tokenizer-as-artifact —
                              // the q170 math plus the persist/load round
                              // trip; text lane at the volume bar
+    "q173_bpe_encode_unseen", // documents (r20): merge-replay encode of
+                             // held-out text — one persisted corpus
+                             // explode + the row-local replay over
+                             // DISTINCT words (Zipf-bounded, so the
+                             // drill is where "replay cost is per
+                             // distinct word" is measured); text lane
+                             // at the volume bar. The per-dir artifact
+                             // memo means timed pairs measure the
+                             // ENCODE leg (train settles off-clock —
+                             // the deploy shape)
+    "q174_nb_model_artifact", // documents (r20): NB train→persist→load→
+                             // score — the q169 cost plus the artifact
+                             // round trip; text lane at the volume bar
+    "q175_curated_split",    // documents (r20): curate→near-dup-aware
+                             // split composition — two trim-chain
+                             // evaluations + the q50 banded pipeline
+                             // over survivors; text lane at the volume
+                             // bar
     "q171_ann_adaptive_search", // embeddings (r19): adaptive-nprobe
                              // filtered serve — the q157 family plus a
                              // centroid-sized cumulative window; fixed
@@ -340,7 +358,8 @@ object ScaleDrill {
       "q161_exact_substr_spans", "q163_exact_substr_trim",
       "q164_neardup_aware_split", "q167_curation_trimmed",
       "q168_bpe_train", "q169_quality_classifier", "q170_bpe_tokenize",
-      "q172_bpe_artifact")
+      "q172_bpe_artifact", "q173_bpe_encode_unseen",
+      "q174_nb_model_artifact", "q175_curated_split")
 
   /** The self-adjudicating PASS bar per gated lane: sublinear-per-input.
     * Text lanes pass while time ratio ≤ the measured bigram-volume ratio

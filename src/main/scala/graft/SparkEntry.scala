@@ -246,6 +246,21 @@ object SparkEntry {
     // tokenize FROM the loaded model; output ≡ q170 (the save/load
     // identity, the q157 artifact discipline applied to the tokenizer)
     "q172_bpe_artifact" -> (graft.operators.Tokenizer.q172BpeArtifactTokenize _),
+    // q173 (r20): merge-replay encode of UNSEEN text — the persisted
+    // tokenizer serving held-out docs (train on the even half, replay-
+    // segment the odd half from the loaded artifact; OOV words tokenized,
+    // not just counted — closes the r19 artifact gap)
+    "q173_bpe_encode_unseen" -> (graft.operators.Tokenizer.q173BpeEncodeUnseen _),
+    // q174 (r20): the NB quality model as a PERSISTED artifact — train →
+    // write → load → score from the loaded tables (the q172/q157
+    // discipline applied to the classifier; nbScoreStream deploys from
+    // the same artifact via Classifier.loadModel)
+    "q174_nb_model_artifact" -> (graft.operators.Classifier.q174NbModelArtifact _),
+    // q175 (r20): curate → near-dup-aware split COMPOSED (the production
+    // order: trim, quality, dedup, decontaminate, THEN component-split
+    // the survivors; trim-proof canary clusters prove the split still
+    // co-locates near-dups after the ladder)
+    "q175_curated_split" -> (graft.operators.Curation.q175CuratedSplit _),
     // r7: weighted sampling w/o replacement (Efraimidis–Spirakis, md5 stream)
     "q115_weighted_sample" -> ((s, d) => TextAnalysis.q115WeightedSample(s, d)),
     // r7: per-doc bigram-rarity quality score (integer LM-perplexity proxy)
@@ -534,6 +549,90 @@ object SparkEntry {
     // and the concurrent copies OOM'd DuckDB at sf1 scale (48 GB)
     Seq("base", "kept", "trimmed", "ne", "q", "d", "contam", "c", "cap", "p"))
 
+  /** q175: the curate→near-dup-aware-split COMPOSITION replayed end to
+    * end — the q167 trim-funnel chain (span discovery, token cut,
+    * quality/dedup/decon/quota over the TRIMMED corpus, with the q175
+    * trim-proof canary replacing doc_id % 20 == 3 texts and the q167
+    * header/footer canaries on everything else), then the q164 chain
+    * (LSH → exact-Jaccard confirm → exact-group contraction → RECURSIVE
+    * component closure → per-component min-fp split, seed "q175|") over
+    * the SURVIVORS. Quota rank bound 1,000,000 (present, not binding —
+    * the composition is under test; q90 owns binding). Backbones
+    * hand-annotated MATERIALIZED (the sf1 OOM discipline; the regex
+    * helper can't anchor past WITH RECURSIVE). */
+  private def curatedSplitOracle: String = {
+    import Dedup.{MinHashK, MinhashP, minhashA, minhashB}
+    val mins = (0 until MinHashK)
+      .map(i => s"MIN((${minhashA(i)} * x + ${minhashB(i)}) % $MinhashP) AS mh$i")
+      .mkString(", ")
+    val bandSel = (0 until 4).map { b =>
+      def mh(r: Int) = s"mh${b * 4 + r}"
+      s"SELECT doc_id, $b AS band, ${mh(0)} * 2147483648 + ${mh(1)} AS sig1, ${mh(2)} * 2147483648 + ${mh(3)} AS sig2 FROM sig"
+    }.mkString(" UNION ALL ")
+    def splitCase(src: String): String =
+      s"CASE WHEN CAST(concat('0x', substring(md5(concat('q175|', $src)), 1, 8)) AS BIGINT) % 10 < 8 THEN 'train' " +
+        s"WHEN CAST(concat('0x', substring(md5(concat('q175|', $src)), 1, 8)) AS BIGINT) % 10 = 8 THEN 'val' ELSE 'test' END"
+    val g = "CAST(doc_id // 200 AS VARCHAR)"
+    val dd = "CAST(doc_id AS VARCHAR)"
+    val canary = s"concat('trimsafe neardup canary g', $g, ' alpha beta g', $g, " +
+      s"' u', $dd, 'a gamma delta g', $g, ' epsilon zeta g', $g, ' canary u', $dd, " +
+      s"'b eta theta g', $g, ' alpha iota g', $g, ' beta u', $dd, 'c kappa g', $g, " +
+      s"' gamma delta g', $g, ' eta theta v', $dd)"
+    s"WITH RECURSIVE base AS MATERIALIZED (SELECT doc_id, source, CASE WHEN doc_id % 10 = 3 THEN $canary ELSE " +
+      "concat(CASE WHEN doc_id % 3 = 0 THEN 'shared license header text appears before many documents in the crawl corpus ' ELSE '' END, text, CASE WHEN doc_id % 5 = 0 THEN ' subscribe to our newsletter for updates and special offers' ELSE '' END) END AS t " +
+      "FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), " +
+      duckSpanCtes("z", "base") + ", " +
+      "tok AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w FROM (SELECT doc_id, string_split_regex(trim(t), '\\s+') AS ws FROM base) x), " +
+      "cutpos AS (SELECT doc_id, unnest(generate_series(span_start, span_end - 1)) AS cpos FROM zsp), " +
+      "kept AS MATERIALIZED (SELECT t.doc_id, t.i, t.w FROM tok t ANTI JOIN cutpos cp ON cp.doc_id = t.doc_id AND cp.cpos = t.i - 1), " +
+      "trimmed AS MATERIALIZED (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS t2, COUNT(*) AS kept FROM kept GROUP BY doc_id), " +
+      "tc AS MATERIALIZED (SELECT b.doc_id, b.source, COALESCE(tr.t2, '') AS text, len(string_split_regex(trim(b.t), '\\s+')) - COALESCE(tr.kept, 0) AS tt FROM base b LEFT JOIN trimmed tr USING (doc_id)), " +
+      "ne AS MATERIALIZED (SELECT doc_id, source, text, tt FROM tc WHERE length(trim(text)) > 0), " +
+      "ta AS MATERIALIZED (SELECT CAST(COALESCE(SUM(CASE WHEN tt > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS trim_docs, CAST(COALESCE(SUM(tt), 0) AS BIGINT) AS trim_tokens FROM ne), " +
+      "q AS MATERIALIZED (SELECT * FROM ne WHERE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) >= 0.45), " +
+      "k AS (SELECT md5(text) AS fp, MIN(doc_id) AS keep FROM q GROUP BY 1), " +
+      "d AS MATERIALIZED (SELECT q.* FROM q JOIN k ON md5(q.text) = fp AND q.doc_id = keep), " +
+      "qw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM q), " +
+      "shc AS (SELECT doc_id, array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i FROM qw WHERE len(words) >= 5) t), " +
+      "bw AS (SELECT string_split_regex(trim(t), '\\s+') AS words FROM base WHERE doc_id % 100 = 0), " +
+      "bsh AS (SELECT DISTINCT array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS sh FROM (SELECT words, unnest(generate_series(1, len(words) - 4)) AS i FROM bw WHERE len(words) >= 5) t), " +
+      "contam AS MATERIALIZED (SELECT DISTINCT doc_id FROM shc JOIN bsh USING (sh)), " +
+      "c0 AS MATERIALIZED (SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM contam)), " +
+      "r AS (SELECT doc_id, source, text, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(concat('curate|', CAST(doc_id AS VARCHAR))), doc_id) AS rnk FROM c0), " +
+      "c AS MATERIALIZED (SELECT doc_id, text FROM r WHERE rnk <= 1000000), " +
+      // ---- the q164 chain over the cleaned survivors (trimmed text)
+      "w2 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM c), " +
+      "fw AS (SELECT doc_id, words FROM w2 WHERE len(words) >= 3), " +
+      "sh2 AS (SELECT doc_id, unnest(list_transform(range(0, len(words) - 2), i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh FROM fw), " +
+      s"hx AS (SELECT doc_id, ${duckBaseHash("sh")} AS x FROM sh2), " +
+      s"sig AS MATERIALIZED (SELECT doc_id, $mins FROM hx GROUP BY doc_id), " +
+      s"b AS ($bandSel), " +
+      "bc AS (SELECT doc_id, band, sig1, sig2, COUNT(*) OVER (PARTITION BY band, sig1, sig2) AS bn FROM b), " +
+      s"bands AS (SELECT doc_id, band, sig1, sig2 FROM bc WHERE bn <= ${Dedup.MinhashBucketCap}), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2 FROM bands a JOIN bands b2 ON a.band = b2.band AND a.sig1 = b2.sig1 AND a.sig2 = b2.sig2 AND a.doc_id < b2.doc_id), " +
+      "tok2 AS MATERIALIZED (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word FROM c) x), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok2 GROUP BY 1), " +
+      "inter AS (SELECT id1, id2, COUNT(*) AS inter FROM cand JOIN tok2 wa ON id1 = wa.doc_id JOIN tok2 wb ON id2 = wb.doc_id AND wa.word = wb.word GROUP BY 1, 2), " +
+      "prs AS MATERIALIZED (SELECT id1, id2 FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.6), " +
+      "f2 AS MATERIALIZED (SELECT doc_id, md5(text) AS fp FROM c), " +
+      "rep AS MATERIALIZED (SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS rep FROM f2), " +
+      "redge AS (SELECT DISTINCT r1.rep AS src, r2.rep AS dst FROM prs JOIN rep r1 ON prs.id1 = r1.doc_id JOIN rep r2 ON prs.id2 = r2.doc_id WHERE r1.rep <> r2.rep), " +
+      "sym AS MATERIALIZED (SELECT src, dst FROM redge UNION SELECT dst AS src, src AS dst FROM redge), " +
+      "reach AS (SELECT src AS a, dst AS b FROM sym UNION SELECT reach.a, sym.dst AS b FROM reach JOIN sym ON reach.b = sym.src), " +
+      "lbl AS (SELECT a, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a), " +
+      "cmp AS (SELECT r2.doc_id, r2.fp, COALESCE(l.comp, r2.rep) AS comp FROM rep r2 LEFT JOIN lbl l ON l.a = r2.rep), " +
+      "rfp AS (SELECT comp, MIN(fp) AS rep_fp FROM cmp GROUP BY comp), " +
+      s"spl AS MATERIALIZED (SELECT cm.doc_id, cm.fp, cm.comp, ${splitCase("rfp.rep_fp")} AS split FROM cmp cm JOIN rfp USING (comp)), " +
+      s"nspl AS MATERIALIZED (SELECT doc_id, ${splitCase("fp")} AS nsplit FROM cmp), " +
+      "ps AS (SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT comp) AS n_components FROM spl GROUP BY split), " +
+      "lk AS (SELECT CAST(COALESCE(SUM(CASE WHEN a1.split <> a2.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS neardup_leak_pairs, CAST(COALESCE(SUM(CASE WHEN n1.nsplit <> n2.nsplit THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_leak_pairs FROM prs JOIN spl a1 ON prs.id1 = a1.doc_id JOIN spl a2 ON prs.id2 = a2.doc_id JOIN nspl n1 ON prs.id1 = n1.doc_id JOIN nspl n2 ON prs.id2 = n2.doc_id), " +
+      "el AS (SELECT CAST(SUM(CASE WHEN nsp >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_leak_groups FROM (SELECT fp, COUNT(DISTINCT split) AS nsp FROM spl GROUP BY fp) z), " +
+      "mc AS (SELECT CAST(MAX(csz) AS BIGINT) AS max_component FROM (SELECT comp, COUNT(*) AS csz FROM spl GROUP BY comp) z) " +
+      "SELECT split, n_docs, n_components, neardup_leak_pairs, naive_leak_pairs, exact_leak_groups, max_component, " +
+      "ta.trim_docs, ta.trim_tokens, (SELECT COUNT(*) FROM ne) AS n_non_empty, (SELECT COUNT(*) FROM q) AS n_quality, (SELECT COUNT(*) FROM d) AS n_dedup, (SELECT COUNT(*) FROM c0) AS n_clean, (SELECT COUNT(*) FROM c) AS n_capped " +
+      "FROM ps, lk, el, mc, ta ORDER BY split"
+  }
+
   /** q168: BPE tokenizer training replayed exactly — word-frequency table,
     * char+</w> symbol decomposition, then NMerges chained CTE rounds: pair
     * counts (weighted by word freq, overlap-counting), best pair by
@@ -547,10 +646,14 @@ object SparkEntry {
     * DuckDB INLINES plain CTEs, and each round references its predecessor
     * twice (pair counts + apply), which would re-expand the base 2^N
     * times. */
-  private def bpeChainCtes: String = {
+  private def bpeChainCtes: String = bpeChainCtesWhere("")
+
+  /** [[bpeChainCtes]] with an extra document predicate — q173 trains the
+    * replayed model on the doc_id-even HALF of the corpus. */
+  private def bpeChainCtesWhere(docAnd: String): String = {
     import graft.operators.Tokenizer.{MaxWordLen, NMerges}
     val sb = new StringBuilder
-    sb ++= "WITH wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents WHERE text IS NOT NULL) t " +
+    sb ++= s"WITH wf AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents WHERE text IS NOT NULL$docAnd) t " +
       s"WHERE regexp_full_match(word, '[a-z]+') AND length(word) <= $MaxWordLen GROUP BY word), "
     sb ++= "wt0 AS MATERIALIZED (SELECT word, freq, list_append(list_transform(range(1, length(word) + 1), i -> substr(word, CAST(i AS INT), 1)), '</w>') AS syms FROM wf), "
     sb ++= "t0 AS MATERIALIZED (SELECT SUM(freq * len(syms)) AS tot FROM wt0), "
@@ -589,6 +692,32 @@ object SparkEntry {
       s"vz AS MATERIALIZED (SELECT word, CAST(len(syms) AS BIGINT) AS nsym FROM wt$NMerges) " +
       "SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(CASE WHEN vz.nsym IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_conforming, CAST(COALESCE(SUM(vz.nsym), 0) AS BIGINT) AS bpe_tokens " +
       "FROM dt LEFT JOIN vz ON dt.word = vz.word GROUP BY dt.doc_id ORDER BY dt.doc_id"
+  }
+
+  /** q173: merge-replay encode of UNSEEN text replayed in DuckDB — the
+    * q168 training chain restricted to the doc_id-even half, then a
+    * SECOND fold chain (ht0..htN) that seeds every DISTINCT held-out
+    * conforming word with chars + </w> and applies each round's
+    * MATERIALIZED best pair (b$i) via the same list_reduce fold — rank-
+    * ordered replay, exactly the lane's expression-literal fold. The
+    * final per-doc aggregation left-joins occurrences to the replayed
+    * lengths and to the train vocabulary (wt0's word set) for the OOV
+    * audit. */
+  private def bpeEncodeUnseenOracle: String = {
+    import graft.operators.Tokenizer.{MaxWordLen, NMerges}
+    val sb = new StringBuilder
+    sb ++= bpeChainCtesWhere(" AND doc_id % 2 = 0")
+    sb ++= "hc AS (SELECT doc_id, text || ' oovcanaryz' || substr('abcdefg', CAST(doc_id % 7 AS INT) + 1, 1) AS text FROM documents WHERE doc_id % 2 <> 0), "
+    sb ++= "hd AS MATERIALIZED (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM hc WHERE text IS NOT NULL AND length(trim(text)) > 0), "
+    sb ++= s"ht0 AS MATERIALIZED (SELECT word, list_append(list_transform(range(1, length(word) + 1), i -> substr(word, CAST(i AS INT), 1)), '</w>') AS syms FROM (SELECT DISTINCT word FROM hd WHERE regexp_full_match(word, '[a-z]+') AND length(word) <= $MaxWordLen) t), "
+    for (i <- 1 to NMerges) {
+      val p = i - 1
+      sb ++= s"ht$i AS MATERIALIZED (SELECT word, string_split(list_reduce(syms, (acc, x) -> CASE WHEN x = bb AND (acc = ba OR suffix(acc, chr(31) || ba)) THEN acc || x ELSE acc || chr(31) || x END), chr(31)) AS syms FROM ht$p, b$i), "
+    }
+    sb ++= s"hv AS MATERIALIZED (SELECT word, CAST(len(syms) AS BIGINT) AS nsym FROM ht$NMerges), "
+    sb ++= "tv AS MATERIALIZED (SELECT word FROM wt0) "
+    sb ++= "SELECT hd.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(CASE WHEN hv.nsym IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_conforming, CAST(SUM(CASE WHEN hv.nsym IS NOT NULL AND tv.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, CAST(COALESCE(SUM(hv.nsym), 0) AS BIGINT) AS bpe_tokens FROM hd LEFT JOIN hv ON hd.word = hv.word LEFT JOIN tv ON hd.word = tv.word GROUP BY hd.doc_id ORDER BY hd.doc_id"
+    sb.toString
   }
 
   /** q169: the Naive-Bayes quality classifier RETRAINED in DuckDB — the
@@ -1201,6 +1330,11 @@ object SparkEntry {
     // inline q170 (parquet round-trips strings/longs bit-exactly; the
     // lane's value is the round trip, which the oracle math can't see)
     "q172_bpe_artifact" -> bpeTokenizeOracle,
+    "q173_bpe_encode_unseen" -> bpeEncodeUnseenOracle,
+    // q174 serves the loaded artifact; the retrain oracle is q169's (the
+    // save/load identity — longs/strings round-trip parquet bit-exactly)
+    "q174_nb_model_artifact" -> qualityClassifierOracle,
+    "q175_curated_split" -> curatedSplitOracle,
     "q36_cosine_topk" ->
       "WITH f0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings), f AS (SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM f0), d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.v * c.v) AS dot, SUM(q.v * q.v) AS qq, SUM(c.v * c.v) AS cc FROM f q JOIN f c ON q.i = c.i AND q.vec_id < 5 AND q.vec_id <> c.vec_id GROUP BY 1, 2), r AS (SELECT qid, cid, ROUND(dot / (SQRT(qq) * SQRT(cc)), 4) AS sim FROM d), rk AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM r) SELECT qid, cid, sim, rnk FROM rk WHERE rnk <= 5 ORDER BY qid, rnk",
     "q37_neardup_embedding" ->

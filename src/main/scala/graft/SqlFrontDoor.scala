@@ -525,6 +525,76 @@ object SqlFrontDoor {
       "SELECT split, n_docs, n_components, neardup_leak_pairs, naive_leak_pairs, exact_leak_groups, max_component FROM ps CROSS JOIN lk CROSS JOIN el CROSS JOIN mc ORDER BY split"
   }
 
+  /** s175: the curate→split composition as Spark text — the s167 trim/
+    * funnel chain (with the q175 trim-proof canary on doc_id % 20 == 3
+    * docs and header/footer on the rest, quota bound 1,000,000), then the
+    * s164 LSH/walk-doubled-closure chain over the survivors (seed
+    * "q175|"), funnel columns cross-joined onto the three split rows. */
+  private def curatedSplitSparkSql: String = {
+    val g = "CAST(doc_id div 200 AS STRING)"
+    val dd = "CAST(doc_id AS STRING)"
+    val canary = s"concat('trimsafe neardup canary g', $g, ' alpha beta g', $g, " +
+      s"' u', $dd, 'a gamma delta g', $g, ' epsilon zeta g', $g, ' canary u', $dd, " +
+      s"'b eta theta g', $g, ' alpha iota g', $g, ' beta u', $dd, 'c kappa g', $g, " +
+      s"' gamma delta g', $g, ' eta theta v', $dd)"
+    def splitCase(src: String): String =
+      s"CASE WHEN CAST(conv(substring(md5(concat('q175|', $src)), 1, 8), 16, 10) AS BIGINT) % 10 < 8 THEN 'train' " +
+        s"WHEN CAST(conv(substring(md5(concat('q175|', $src)), 1, 8), 16, 10) AS BIGINT) % 10 = 8 THEN 'val' ELSE 'test' END"
+    s"WITH base AS (SELECT doc_id, source, CASE WHEN doc_id % 10 = 3 THEN $canary ELSE " +
+      "concat(CASE WHEN doc_id % 3 = 0 THEN 'shared license header text appears before many documents in the crawl corpus ' ELSE '' END, text, CASE WHEN doc_id % 5 = 0 THEN ' subscribe to our newsletter for updates and special offers' ELSE '' END) END AS t " +
+      "FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), " +
+      sparkSpanCtes("z", "base") + ", " +
+      "tok AS (SELECT doc_id, i, w FROM (SELECT doc_id, split(trim(t), '\\\\s+') AS ws FROM base) LATERAL VIEW posexplode(ws) x AS i, w), " +
+      "kept AS (SELECT t.doc_id, t.i, t.w FROM tok t WHERE NOT EXISTS (SELECT 1 FROM zsp WHERE zsp.doc_id = t.doc_id AND t.i >= zsp.span_start AND t.i < zsp.span_end)), " +
+      "trimmed AS (SELECT doc_id, concat_ws(' ', transform(array_sort(collect_list(struct(i, w))), s -> s.w)) AS t2, COUNT(*) AS kept FROM kept GROUP BY doc_id), " +
+      "tc AS (SELECT b.doc_id, b.source, COALESCE(tr.t2, '') AS text, CAST(size(split(trim(b.t), '\\\\s+')) - COALESCE(tr.kept, 0) AS BIGINT) AS tt FROM base b LEFT JOIN trimmed tr ON b.doc_id = tr.doc_id), " +
+      "ne AS (SELECT doc_id, source, text, tt FROM tc WHERE length(trim(text)) > 0), " +
+      "ta AS (SELECT CAST(COALESCE(SUM(CASE WHEN tt > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS trim_docs, CAST(COALESCE(SUM(tt), 0) AS BIGINT) AS trim_tokens FROM ne), " +
+      "q AS (SELECT * FROM ne WHERE CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS DOUBLE) / length(text) >= 0.45), " +
+      "k AS (SELECT md5(text) AS fp, MIN(doc_id) AS keep FROM q GROUP BY 1), " +
+      "d AS (SELECT q.* FROM q JOIN k ON md5(q.text) = fp AND q.doc_id = keep), " +
+      "qw AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM q), " +
+      "shc AS (SELECT doc_id, concat_ws(' ', slice(words, CAST(i AS INT), 5)) AS sh FROM (SELECT doc_id, words, explode(sequence(1, size(words) - 4)) AS i FROM qw WHERE size(words) >= 5) t), " +
+      "bw AS (SELECT split(trim(t), '\\\\s+') AS words FROM base WHERE doc_id % 100 = 0), " +
+      "bsh AS (SELECT DISTINCT concat_ws(' ', slice(words, CAST(i AS INT), 5)) AS sh FROM (SELECT words, explode(sequence(1, size(words) - 4)) AS i FROM bw WHERE size(words) >= 5) t), " +
+      "contam AS (SELECT DISTINCT doc_id FROM shc JOIN bsh USING (sh)), " +
+      "c0 AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM contam)), " +
+      "rr AS (SELECT doc_id, text, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(concat('curate|', CAST(doc_id AS STRING))), doc_id) AS rnk FROM c0), " +
+      "c AS (SELECT doc_id, text FROM rr WHERE rnk <= 1000000), " +
+      // ---- the s164 chain over the cleaned survivors
+      "w3 AS (SELECT doc_id, split(trim(text), '\\\\s+') AS words FROM c), " +
+      "f3 AS (SELECT doc_id, words FROM w3 WHERE size(words) >= 3), " +
+      s"shh AS (SELECT doc_id, ${baseHashSql("sh")} AS h FROM (SELECT doc_id, explode(transform(sequence(0, size(words) - 3), i -> concat_ws(' ', slice(words, i + 1, 3)))) AS sh FROM f3) t), " +
+      s"sig AS ($minhashSigSql), " +
+      s"b AS (SELECT doc_id, explode($bandStructsSql) AS bs FROM sig), " +
+      "bb AS (SELECT doc_id, bs.band AS band, bs.sig1 AS sig1, bs.sig2 AS sig2 FROM b), " +
+      "bc AS (SELECT doc_id, band, sig1, sig2, COUNT(*) OVER (PARTITION BY band, sig1, sig2) AS bn FROM bb), " +
+      s"bands AS (SELECT doc_id, band, sig1, sig2 FROM bc WHERE bn <= ${graft.operators.Dedup.MinhashBucketCap}), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2 FROM bands a JOIN bands b2 ON a.band = b2.band AND a.sig1 = b2.sig1 AND a.sig2 = b2.sig2 AND a.doc_id < b2.doc_id), " +
+      "tok3 AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS word FROM c) x), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok3 GROUP BY 1), " +
+      "inter AS (SELECT id1, id2, COUNT(*) AS inter FROM cand JOIN tok3 wa ON id1 = wa.doc_id JOIN tok3 wb ON id2 = wb.doc_id AND wa.word = wb.word GROUP BY 1, 2), " +
+      "prs AS (SELECT id1, id2 FROM inter JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2 WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.6), " +
+      "f2 AS (SELECT doc_id, md5(text) AS fp FROM c), " +
+      "rep AS (SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS rep FROM f2), " +
+      "syme AS (SELECT DISTINCT e.src AS src, e.dst AS dst FROM (SELECT explode(array(named_struct('src', r1.rep, 'dst', r2.rep), named_struct('src', r2.rep, 'dst', r1.rep))) AS e FROM prs JOIN rep r1 ON prs.id1 = r1.doc_id JOIN rep r2 ON prs.id2 = r2.doc_id WHERE r1.rep <> r2.rep) t), " +
+      "nds AS (SELECT DISTINCT rep AS id FROM rep), " +
+      "sp1 AS (SELECT src, dst FROM syme UNION SELECT id AS src, id AS dst FROM nds), " +
+      "sp2 AS (SELECT DISTINCT a.src, b.dst FROM sp1 a JOIN sp1 b ON a.dst = b.src), " +
+      "sp4 AS (SELECT DISTINCT a.src, b.dst FROM sp2 a JOIN sp2 b ON a.dst = b.src), " +
+      "cmp0 AS (SELECT src AS id, MIN(dst) AS lbl FROM sp4 GROUP BY src), " +
+      s"spl AS (SELECT doc_id, fp, comp, ${splitCase("rep_fp")} AS split FROM (SELECT r2.doc_id, r2.fp, c2.lbl AS comp, MIN(r2.fp) OVER (PARTITION BY c2.lbl) AS rep_fp FROM rep r2 JOIN cmp0 c2 ON c2.id = r2.rep) t), " +
+      s"nspl AS (SELECT doc_id, ${splitCase("fp")} AS nsplit FROM f2), " +
+      "gs AS (SELECT split, comp, fp, COUNT(*) AS n, grouping_id() AS gid FROM spl GROUP BY GROUPING SETS ((split, comp), (fp, split), (comp))), " +
+      "ps AS (SELECT split, CAST(SUM(n) AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_components FROM gs WHERE gid = 1 GROUP BY split), " +
+      "lk AS (SELECT CAST(COALESCE(SUM(CASE WHEN a1.split <> a2.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS neardup_leak_pairs, CAST(COALESCE(SUM(CASE WHEN n1.nsplit <> n2.nsplit THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_leak_pairs FROM prs JOIN spl a1 ON prs.id1 = a1.doc_id JOIN spl a2 ON prs.id2 = a2.doc_id JOIN nspl n1 ON prs.id1 = n1.doc_id JOIN nspl n2 ON prs.id2 = n2.doc_id), " +
+      "el AS (SELECT CAST(SUM(CASE WHEN cg >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_leak_groups FROM (SELECT fp, COUNT(*) AS cg FROM gs WHERE gid = 2 GROUP BY fp) z), " +
+      "mc AS (SELECT CAST(MAX(n) AS BIGINT) AS max_component FROM gs WHERE gid = 5) " +
+      "SELECT split, n_docs, n_components, neardup_leak_pairs, naive_leak_pairs, exact_leak_groups, max_component, " +
+      "ta.trim_docs, ta.trim_tokens, (SELECT COUNT(*) FROM ne) AS n_non_empty, (SELECT COUNT(*) FROM q) AS n_quality, (SELECT COUNT(*) FROM d) AS n_dedup, (SELECT COUNT(*) FROM c0) AS n_clean, (SELECT COUNT(*) FROM c) AS n_capped " +
+      "FROM ps CROSS JOIN lk CROSS JOIN el CROSS JOIN mc CROSS JOIN ta ORDER BY split"
+  }
+
   /** s168: BPE training as ONE Spark SQL statement. The merge loop is
     * inherently sequential, and a naive unroll references each round's
     * vocab CTE twice (pair-count side + apply side) — Spark INLINES
@@ -587,6 +657,41 @@ object SqlFrontDoor {
       sb ++= s"x$i AS (SELECT *, SUM(freq * size(syms)) OVER () AS aft FROM a$i), "
       sb ++= s"w$i AS (SELECT word, freq, syms, concat(hist, array(struct(CAST($i AS BIGINT) AS mr, ba AS ml, bb AS mrt, bcnt AS mc, aft AS aft))) AS hist FROM x$i), "
     }
+    sb.toString
+  }
+
+  /** s173: merge-replay encode of UNSEEN text as one Spark-SQL statement.
+    * Linear-chain discipline (the s168 design — every CTE referenced
+    * exactly once, or Spark's CTE inlining re-expands the base 2^N
+    * times): the held-out DISTINCT conforming words ride THROUGH the
+    * training chain as freq-0 / is_train=false rows, so each round's fuse
+    * applies to them for free; pair counts and the best-pair election
+    * restrict to is_train rows (a held-out-only pair carries NULL cnt,
+    * and DESC's NULLS-LAST default means it can never be elected — the
+    * same guard the chain already uses for pairless fully-fused words).
+    * A word present in BOTH halves rides twice and collapses in the final
+    * GROUP BY word (identical folds → identical syms; MAX(is_train) is
+    * the vocab-membership flag). */
+  private def bpeEncodeUnseenSparkSql: String = {
+    import graft.operators.Tokenizer.{MaxWordLen, NMerges}
+    val sb = new StringBuilder
+    sb ++= "WITH tr AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, true AS is_train FROM (SELECT explode(split(trim(lower(text)), '\\\\s+')) AS word FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0) t " +
+      s"WHERE word RLIKE '^[a-z]+$$' AND length(word) <= $MaxWordLen GROUP BY word), "
+    sb ++= "hc AS (SELECT doc_id, concat(text, ' oovcanaryz', substring('abcdefg', CAST(doc_id % 7 + 1 AS INT), 1)) AS text FROM documents WHERE doc_id % 2 <> 0), "
+    sb ++= "hw AS (SELECT DISTINCT word, CAST(0 AS BIGINT) AS freq, false AS is_train FROM (SELECT explode(split(trim(lower(text)), '\\\\s+')) AS word FROM hc WHERE text IS NOT NULL AND length(trim(text)) > 0) t " +
+      s"WHERE word RLIKE '^[a-z]+$$' AND length(word) <= $MaxWordLen), "
+    sb ++= "w0 AS (SELECT word, freq, is_train, concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), array('</w>')) AS syms FROM (SELECT * FROM tr UNION ALL SELECT * FROM hw) u), "
+    for (i <- 1 to NMerges) {
+      val p = i - 1
+      sb ++= s"e$i AS (SELECT word, freq, is_train, syms, pos, p.a AS pa, p.b AS pb FROM w$p LATERAL VIEW OUTER posexplode(CASE WHEN size(syms) >= 2 THEN transform(sequence(1, size(syms) - 1), j -> struct(element_at(syms, j) AS a, element_at(syms, CAST(j + 1 AS INT)) AS b)) ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END) t AS pos, p), "
+      sb ++= s"c$i AS (SELECT *, CASE WHEN pa IS NULL THEN CAST(NULL AS BIGINT) ELSE SUM(CASE WHEN is_train THEN freq END) OVER (PARTITION BY pa, pb) END AS cnt FROM e$i), "
+      sb ++= s"b$i AS (SELECT *, FIRST_VALUE(pa) OVER ww AS ba, FIRST_VALUE(pb) OVER ww AS bb FROM c$i WINDOW ww AS (ORDER BY cnt DESC, pa, pb ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)), "
+      sb ++= s"g$i AS (SELECT word, freq, is_train, syms, ba, bb FROM b$i WHERE pos = 0 OR pos IS NULL), "
+      sb ++= s"w$i AS (SELECT word, freq, is_train, split(aggregate(slice(syms, 2, size(syms) - 1), element_at(syms, 1), (acc, x) -> CASE WHEN x = bb AND (acc = ba OR endswith(acc, concat(chr(31), ba))) THEN concat(acc, x) ELSE concat(acc, chr(31), x) END), '\\\\x1F') AS syms FROM g$i), "
+    }
+    sb ++= "dt AS (SELECT doc_id, explode(split(trim(lower(text)), '\\\\s+')) AS word FROM hc WHERE text IS NOT NULL AND length(trim(text)) > 0), "
+    sb ++= s"vz AS (SELECT word, MAX(CASE WHEN is_train THEN 1 ELSE 0 END) AS in_vocab, MIN(CAST(size(syms) AS BIGINT)) AS nsym FROM w$NMerges GROUP BY word) "
+    sb ++= "SELECT dt.doc_id, CAST(COUNT(1) AS BIGINT) AS n_words, SUM(CASE WHEN vz.nsym IS NOT NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS n_conforming, SUM(CASE WHEN vz.nsym IS NOT NULL AND vz.in_vocab = 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS n_oov, COALESCE(SUM(vz.nsym), CAST(0 AS BIGINT)) AS bpe_tokens FROM dt LEFT JOIN vz ON dt.word = vz.word GROUP BY dt.doc_id ORDER BY dt.doc_id"
     sb.toString
   }
 
@@ -776,13 +881,18 @@ object SqlFrontDoor {
     "q163_exact_substr_trim" -> exactSubstrTrimSparkSql,
     "q164_neardup_aware_split" -> neardupAwareSplitSparkSql,
     "q167_curation_trimmed" -> curationTrimmedSparkSql,
+    "q175_curated_split" -> curatedSplitSparkSql,
     "q168_bpe_train" -> bpeTrainSparkSql,
     "q169_quality_classifier" -> qualityClassifierSparkSql,
+    // s174: SQL text cannot run the model write/load side effect — the
+    // twin replays the inline retrain+score chain (the s172 precedent)
+    "q174_nb_model_artifact" -> qualityClassifierSparkSql,
     "q170_bpe_tokenize" -> bpeTokenizeSparkSql,
     // s172: SQL text cannot run the artifact write/load side effect — the
     // twin replays the inline chain (the s157 precedent); conformance of
     // the artifact-serving q-lane against this text IS the round-trip pin
     "q172_bpe_artifact" -> bpeTokenizeSparkSql,
+    "q173_bpe_encode_unseen" -> bpeEncodeUnseenSparkSql,
     "q113_pq_recall" -> pqSql,
     "q114_ivfpq_recall" -> ivfPqSql,
     "q153_ivfpq_rerank" -> ivfPqRerankSql,

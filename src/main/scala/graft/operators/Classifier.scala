@@ -58,7 +58,9 @@ object Classifier {
 
   /** Train the q169 model and collect it (the streaming scorer's input).
     * Every constant is computed by the SAME Spark expressions the batch
-    * lane uses, so stream scores equal batch scores integer-for-integer. */
+    * lane uses, so stream scores equal batch scores integer-for-integer.
+    * Releases its training caches before returning (r19 verdict hygiene
+    * #4) — the collected NbModel is self-contained. */
   def trainModel(input: DataFrame): NbModel = {
     val f = trainFrames(input)
     val loRows = f.lo.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -66,7 +68,98 @@ object Classifier {
       loMicro(lit(0.0), lit(0.0)).as("oov"),
       round((log(col("dpos") + lit(1.0)) - log(col("dneg") + lit(1.0))) * lit(1e6))
         .cast("long").as("prior")).first()
+    f.release()
     NbModel(loRows, consts.getLong(0), consts.getLong(1))
+  }
+
+  // ------------------------------------------- model artifact (q174)
+
+  /** Persist a trained quality model as a TABLE artifact — the per-token
+    * micro-nat log-odds table plus the 1-row scalars frame (class masses,
+    * vocab size, doc priors). Longs and strings round-trip parquet
+    * bit-exactly, so artifact-served scoring ≡ inline is an identity —
+    * the q172/q157 write→load→serve discipline applied to the classifier
+    * (r19 verdict Next #3: "train once, score every ingest" needs the
+    * model to OUTLIVE the training session). Training caches are released
+    * here: the write is the materializing action, so nothing lazy still
+    * needs them (the trainFrames hygiene note). */
+  def writeModel(s: SparkSession, input: DataFrame, path: String): Unit = {
+    val f = trainFrames(input)
+    f.lo.write.mode("overwrite").parquet(path + "/log_odds")
+    f.scalars.write.mode("overwrite").parquet(path + "/scalars")
+    f.release()
+  }
+
+  /** Load a [[writeModel]] artifact: (log-odds table, scalars row). */
+  def loadModelFrames(s: SparkSession, path: String): (DataFrame, DataFrame) =
+    (s.read.parquet(path + "/log_odds"), s.read.parquet(path + "/scalars"))
+
+  /** Load a [[writeModel]] artifact into the driver-side [[NbModel]] the
+    * streaming scorer consumes — the ingest-deploy path: train offline,
+    * persist, and every stream job broadcast-loads the frozen model
+    * (vocab-sized, the Zipf bound). */
+  def loadModel(s: SparkSession, path: String): NbModel = {
+    val (lo, scalars) = loadModelFrames(s, path)
+    val loRows = lo.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val consts = scalars.select(
+      loMicro(lit(0.0), lit(0.0)).as("oov"),
+      round((log(col("dpos") + lit(1.0)) - log(col("dneg") + lit(1.0))) * lit(1e6))
+        .cast("long").as("prior")).first()
+    NbModel(loRows, consts.getLong(0), consts.getLong(1))
+  }
+
+  /** Score any (doc_id, text) corpus from LOADED model frames — the
+    * artifact-serve tail: ONE corpus scan (attrs ride the token explode,
+    * first()-folded back out of the aggregation), a token-keyed left join
+    * to the log-odds table (broadcast-or-shuffle by size, unhinted), the
+    * 1-row scalars broadcast twice (OOV constant inside the sum, prior
+    * after it). Output ≡ [[nbQualityClassifier]] row-for-row. */
+  def scoreWith(docs: DataFrame, lo: DataFrame, scalars: DataFrame): DataFrame = {
+    val sc = broadcast(scalars)
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+      .cast("double") / length(col("text"))
+    val toks = docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        (col("doc_id") % TrainMod < TrainKeep).as("is_train"),
+        when(alpha >= MinAlphaRatio, 1L).otherwise(0L).as("heur_label"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    toks.join(lo, Seq("tok"), "left")
+      .crossJoin(sc)
+      .select(col("doc_id"), col("is_train"), col("heur_label"),
+        coalesce(col("loq"), loMicro(lit(0.0), lit(0.0))).as("contrib"))
+      .groupBy("doc_id")
+      .agg(first("is_train").as("is_train"),
+        first("heur_label").as("heur_label"),
+        count(lit(1)).as("n_tokens"), sum("contrib").as("tok_score"))
+      .crossJoin(sc)
+      .select(col("doc_id"), col("is_train"), col("heur_label"), col("n_tokens"),
+        (col("tok_score") +
+          round((log(col("dpos") + lit(1.0)) - log(col("dneg") + lit(1.0))) * lit(1e6))
+            .cast("long")).as("score_micronats"))
+      .withColumn("pred", when(col("score_micronats") > 0, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic per-(process, SF) model artifact location — the
+    * tokenizerPathFor contract. */
+  private[graft] def modelPathFor(dir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_nb_model_p" + ProcessHandle.current().pid() + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+
+  /** Q174 — quality-model-as-artifact round trip: train → WRITE the model
+    * → LOAD it back → score the whole corpus FROM THE LOADED ARTIFACT.
+    * Output = exactly q169's (same columns, same integers), gated on the
+    * same computed retrain oracle; the s174 twin replays inline (SQL text
+    * cannot run the save side effect — the s157/s172 precedent), so lane
+    * conformance IS the round-trip proof. */
+  def q174NbModelArtifact(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(s, dir, "documents")
+    val path = modelPathFor(dir)
+    writeModel(s, docs, path)
+    val (lo, scalars) = loadModelFrames(s, path)
+    scoreWith(docs, lo, scalars)
   }
 
   /** The operator proper, over any (doc_id, text) frame — see [[q169QualityClassifier]]. */
@@ -103,8 +196,14 @@ object Classifier {
       - log(col("np") + col("v")) + log(col("nn") + col("v"))) * lit(1e6))
       .cast("long")
 
+  /** `release` unpersists the training caches (toks explode + counts) —
+    * callable only AFTER a materializing action consumed them (collect or
+    * artifact write); [[nbQualityClassifier]]'s returned LAZY plan still
+    * references the caches, so the inline lane instead relies on the
+    * caller's unpersist/releasePersisted sweep (the bpeTokenize note). */
   private case class NbFrames(toks: DataFrame, docAttrs: DataFrame,
-                              lo: DataFrame, scalars: DataFrame)
+                              lo: DataFrame, scalars: DataFrame,
+                              release: () => Unit)
 
   /** The shared train pipeline: ONE corpus scan into a persisted token
     * explode; counts, scalars and the log-odds table derive from its
@@ -145,6 +244,9 @@ object Classifier {
     val scalars = broadcast(masses.crossJoin(priors))
     val lo = counts.crossJoin(scalars)
       .select(col("tok"), loMicro(col("cp"), col("cn")).as("loq"))
-    NbFrames(toks, docAttrs, lo, scalars)
+    NbFrames(toks, docAttrs, lo, scalars, () => {
+      toks.unpersist(blocking = false)
+      counts.unpersist(blocking = false): Unit
+    })
   }
 }

@@ -450,9 +450,17 @@ object Curation {
       .select(col("doc_id"),
         when(col("doc_id") % 50 === 3, neardupCanaryText(col("doc_id")))
           .otherwise(col("text")).as("text"))
+    nearDupAwareSplit(ne, "q164")
+  }
+
+  /** The near-dup-aware split operator proper, over any non-empty
+    * (doc_id, text) corpus — see [[q164NearDupAwareSplit]] for the
+    * algorithm scaladoc; `seed` keys the md5 bucket hash so different
+    * consumers (q164 raw, q175 post-curation) draw independent splits. */
+  def nearDupAwareSplit(ne: DataFrame, seed: String): DataFrame = {
     val f = ne.select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
     def splitOf(fpCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val h = conv(substring(md5(concat(lit("q164|"), fpCol)), 1, 8), 16, 10)
+      val h = conv(substring(md5(concat(lit(seed + "|"), fpCol)), 1, 8), 16, 10)
         .cast("long") % 10
       when(h < 8, "train").when(h === 8, "val").otherwise("test")
     }
@@ -500,5 +508,81 @@ object Curation {
         col("exact_leak_groups").cast("long").as("exact_leak_groups"),
         col("max_component").cast("long").as("max_component"))
       .orderBy("split")
+  }
+
+  // ------------------------------- curate → split composition (q175)
+
+  /** The q175 TRIM-PROOF near-dup canary: high word-set Jaccard within a
+    * group (0.6364 — above the 0.6 confirm bar), below-bar across groups
+    * (0.5652 — both exact rationals, safely off the rounding boundary),
+    * and NO 8-token window shared between any two docs: every run of
+    * shared tokens is exactly 7 long and separated by a doc-unique token
+    * (u<d>a/b/c, v<d>), so ExactSubstr trim — which cuts any ≥2-copy
+    * 8-gram — provably never touches it. This is what lets ONE corpus
+    * exercise the full production order: trim cuts the header/footer
+    * boilerplate (injected on NON-canary docs), then the split must still
+    * co-locate the surviving near-dup clusters. 13 shared words + the
+    * group token g<g> (g = doc_id div 200); 4 doc-unique tokens. */
+  private[graft] def trimSafeCanaryText(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val g = concat(lit("g"), floor(docId / 200).cast("long").cast("string"))
+    val d = docId.cast("string")
+    concat(
+      lit("trimsafe neardup canary "), g, lit(" alpha beta "), g,
+      lit(" u"), d, lit("a gamma delta "), g, lit(" epsilon zeta "), g,
+      lit(" canary u"), d, lit("b eta theta "), g, lit(" alpha iota "), g,
+      lit(" beta u"), d, lit("c kappa "), g, lit(" gamma delta "), g,
+      lit(" eta theta v"), d)
+  }
+
+  /** Q175 — the PRODUCTION sequence composed end-to-end (r19 verdict Next
+    * #4): `curate(exactSubstrTrim = true)` first — trim shared spans,
+    * quality-gate, exact-dedup, decontaminate — then the q164 near-dup-
+    * aware split over the SURVIVORS' TRIMMED texts ("components on the
+    * cleaned corpus"). One gated output carries the funnel AND the split
+    * audits, so the composition itself is what the oracle replays:
+    * ladder → edges → components → assignment.
+    *
+    * Fixture: doc_id % 10 == 3 docs become [[trimSafeCanaryText]] members
+    * (~10-doc clusters the TRIM CANNOT DISSOLVE — the q164 canary's
+    * identical 30-token prefixes would be discovered as duplicated spans
+    * and cut, leaving singletons, which is itself a true and measurable
+    * production effect but would make this lane's split audit vacuous);
+    * all other docs carry the q167 header/footer trim canaries, so the
+    * trim stage is non-vacuous in the SAME run. Quota is set not to bind
+    * (1,000,000/source — a split consumes the whole cleaned corpus; the
+    * quota stage stays in the chain because the composition is the thing
+    * under test, and q90/q111 own its binding behavior).
+    *
+    * Audits: neardup_leak_pairs = 0 (the theorem, now proven to hold
+    * POST-curation); naive_leak_pairs = the same confirmed pairs under
+    * the per-doc rule (the residual the composition closes). */
+  def q175CuratedSplit(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val header = "shared license header text appears before many documents in the crawl corpus"
+    val footer = "subscribe to our newsletter for updates and special offers"
+    val docs = graft.Tables(s, dir, "documents")
+    val ne = col("text").isNotNull && length(trim(col("text"))) > 0
+    val canaried = docs.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 10 === 3 && ne, trimSafeCanaryText(col("doc_id")))
+        .otherwise(when(ne, concat(
+          when(col("doc_id") % 3 === 0, header + " ").otherwise(""),
+          col("text"),
+          when(col("doc_id") % 5 === 0, " " + footer).otherwise("")))
+          .otherwise(col("text"))).as("text"))
+    val benchmark = canaried.filter(col("doc_id") % 100 === 0).select("doc_id", "text")
+    val (ordered, funnel) = curate(canaried, benchmark, quotaPerSource = 1000000,
+      exactSubstrTrim = true)
+    // survivors with their TRIMMED text (curate's returned join reads the
+    // trimmed input when exactSubstrTrim is on)
+    val survivors = ordered.select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val split = nearDupAwareSplit(survivors, "q175")
+    val f = funnel.map(sc => sc.stage -> sc.rows).toMap
+    import s.implicits._
+    val funnelDf = Seq((f("span_trim_docs"), f("span_trim_tokens"),
+      f("non_empty"), f("quality_gate"), f("exact_dedup"),
+      f("decontaminated"), f("quota_capped")))
+      .toDF("trim_docs", "trim_tokens", "n_non_empty", "n_quality", "n_dedup",
+        "n_clean", "n_capped")
+    split.crossJoin(broadcast(funnelDf)).orderBy("split")
   }
 }

@@ -81,19 +81,24 @@ object Tokenizer {
       "j -> struct(element_at(syms, j) AS a, element_at(syms, CAST(j + 1 AS INT)) AS b)) " +
       "ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END")
 
-  /** The greedy-left BPE fuse for merge pair (a, b): fold syms into a
-    * SEP-joined string where a matched (last == a, current == b) appends
-    * b with NO separator. Init = first symbol (syms always ≥ 2: one char
-    * + Eow), exactly list_reduce's seeding, so oracle and lane share one
-    * semantics. */
-  private def fuseExpr(a: String, b: String): Column =
+  /** The greedy-left BPE fuse for merge pair (a, b) over an ARBITRARY
+    * symbol-array column: fold syms into a SEP-joined string where a
+    * matched (last == a, current == b) appends b with NO separator. Init
+    * = first symbol (syms always ≥ 2: one char + Eow), exactly
+    * list_reduce's seeding, so oracle and lane share one semantics. The
+    * column parameter is what lets [[replayMerges]] nest NMerges of these
+    * into one row-local expression. */
+  private def fuseOn(syms: Column, a: String, b: String): Column =
     aggregate(
-      expr("slice(syms, 2, size(syms) - 1)"),
-      element_at(col("syms"), 1),
+      slice(syms, lit(2), size(syms) - 1),
+      element_at(syms, 1),
       (acc, x) =>
         when(x === lit(b) && (acc === lit(a) || acc.endsWith(lit(Sep + a))),
           concat(acc, x))
           .otherwise(concat(acc, lit(Sep), x)))
+
+  /** [[fuseOn]] bound to the training loop's `syms` column. */
+  private def fuseExpr(a: String, b: String): Column = fuseOn(col("syms"), a, b)
 
   /** Train NMerges BPE merges over a text corpus. Returns the merge table
     * (rank, left, right, merged, pair_count, merges_applied,
@@ -188,9 +193,23 @@ object Tokenizer {
       "merges_applied", "symbols_after"), cur)
   }
 
-  /** Q168 — BPE tokenizer training over the documents corpus. */
-  def q168BpeTrain(s: SparkSession, dir: String): DataFrame =
-    bpeTrain(s, graft.Tables(s, dir, "documents").select(col("text")))
+  /** Q168 — BPE tokenizer training over the documents corpus, gated via
+    * the PERSISTED merge table: the lane that pays the family's training
+    * run and grades the TRAIN leg (the oracle retrains in DuckDB, so
+    * parquet round-tripping the merges is part of what's gated — strings
+    * and longs round-trip bit-exactly). Deliberately retrains on EVERY
+    * call — never [[ensureTokenizer]] — because this lane's scale drill
+    * is where the "merge loop never touches the corpus" claim is
+    * measured (r19: ratio 1.08 vs the 12.23 volume bar); a memoized
+    * train would reduce the drill to timing a 12-row parquet read. The
+    * write still feeds the family memo, so q170/q172 reuse it. */
+  def q168BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(s, dir, "documents")
+    val path = tokenizerPathFor(dir)
+    writeTokenizer(s, docs.select(col("text")), path)
+    builtArtifacts.add(path): Unit
+    loadTokenizer(s, path)._1.orderBy("merge_rank")
+  }
 
   /** Persist a trained tokenizer as a table artifact — merges (the
     * portable model: rank-ordered pairs any BPE runtime can replay) and
@@ -218,6 +237,30 @@ object Tokenizer {
       "graft_bpe_tok_p" + ProcessHandle.current().pid() + "_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")).toString
 
+  /** Artifact paths this PROCESS already trained and wrote — the lane
+    * family's shared-training memo (r19 verdict What's wrong #3: the
+    * three BPE lanes each re-ran the 12-round training loop, ~16% of the
+    * whole bench suite measuring one computation three times). The memo
+    * key IS the pid+SF-scoped [[tokenizerPathFor]] path, so a fresh
+    * process always retrains (the round trip stays graded per process,
+    * exactly the q157 index discipline) while re-runs within one process
+    * — the suite's cold/warm passes, the q/s lane pairs — re-serve the
+    * identical deterministic artifact. */
+  private val builtArtifacts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Train-once-per-(process, path): write the [[writeTokenizer]] artifact
+    * unless this process already did. Training is deterministic in `docs`,
+    * so every consumer reads the same model regardless of which lane paid
+    * the training cost. */
+  def ensureTokenizer(s: SparkSession, docs: DataFrame, path: String): Unit =
+    if (!builtArtifacts.contains(path)) this.synchronized {
+      if (!builtArtifacts.contains(path)) {
+        writeTokenizer(s, docs, path)
+        builtArtifacts.add(path): Unit
+      }
+    }
+
   /** Q172 — tokenizer-as-artifact round trip: train → WRITE the model →
     * LOAD it back → tokenize the corpus FROM THE LOADED ARTIFACT. Output
     * = exactly q170's (the save/load identity — same columns, same
@@ -225,11 +268,15 @@ object Tokenizer {
     * inline (SQL text cannot run the save side effect — the s157
     * precedent), so lane conformance IS the round-trip proof. This is
     * how a tokenizer actually ships to a 1000-executor job: trained
-    * once, persisted, broadcast-loaded by every consumer. */
+    * once, persisted, broadcast-loaded by every consumer — and since r20
+    * the lane family LIVES that sentence: q168/q170/q172 share one
+    * [[ensureTokenizer]] training run per (process, SF) and each gates a
+    * different leg (train table / apply / artifact serve) of the same
+    * persisted model. */
   def q172BpeArtifactTokenize(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables(s, dir, "documents")
     val path = tokenizerPathFor(dir)
-    writeTokenizer(s, docs.select(col("text")), path)
+    ensureTokenizer(s, docs.select(col("text")), path)
     val (_, vocab) = loadTokenizer(s, path)
     tokenizeWith(docs, vocab)
   }
@@ -243,11 +290,24 @@ object Tokenizer {
     * this corpus, so a conforming word always hits and a non-conforming
     * word never can — no second regex pass). At 100 TB the vocab side is
     * the Zipf-bounded model artifact: broadcast it when it fits, else a
-    * word-keyed shuffle join. */
-  def q170BpeTokenize(s: SparkSession, dir: String): DataFrame =
-    bpeTokenize(s, graft.Tables(s, dir, "documents"))
+    * word-keyed shuffle join. Serves from the SHARED per-process artifact
+    * ([[ensureTokenizer]]); the inline [[bpeTokenize]] spelling remains
+    * for programmatic callers and is spec-pinned equal. */
+  def q170BpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(s, dir, "documents")
+    val path = tokenizerPathFor(dir)
+    ensureTokenizer(s, docs.select(col("text")), path)
+    val (_, vocab) = loadTokenizer(s, path)
+    tokenizeWith(docs, vocab)
+  }
 
-  /** The operator proper, over any (doc_id, text) frame — see [[q170BpeTokenize]]. */
+  /** The INLINE operator over any (doc_id, text) frame — train + apply in
+    * one lazy plan, no artifact (see [[q170BpeTokenize]] for the
+    * artifact-served lane spelling). NOTE (r19 ADVICE): the returned
+    * frame's laziness means the persisted vocab CANNOT be unpersisted
+    * here — it stays pinned under the plan until the caller materializes
+    * and releases it (unpersist or GraftSession.releasePersisted), the
+    * same contract as Curation.curate's narrow projection. */
   def bpeTokenize(s: SparkSession, docs: DataFrame): DataFrame = {
     val (_, vocab) = trainWithVocab(s, docs.select(col("text")))
     tokenizeWith(docs, vocab)
@@ -267,4 +327,115 @@ object Tokenizer {
         sum(when(col("nsym").isNotNull, 1L).otherwise(0L)).as("n_conforming"),
         coalesce(sum("nsym"), lit(0L)).as("bpe_tokens"))
       .orderBy("doc_id")
+
+  // ------------------------------------------- merge-replay apply (q173)
+
+  /** Merge-REPLAY encode (r19 verdict Next #1 — closes the artifact's
+    * out-of-vocabulary gap): segment ANY conforming word, seen in training
+    * or not, by decomposing it to chars + [[Eow]] and applying the learned
+    * merge table IN RANK ORDER — each merge one greedy-left [[fuseOn]]
+    * fold, the same kernel the trainer evolves its vocabulary with. For an
+    * in-vocab word this reproduces the trainer's final symbol sequence
+    * EXACTLY (induction: the trainer applies the identical fuse sequence
+    * to the identical char seed — TokenizerSpec pins the agreement); for
+    * an unseen word it produces the segmentation subword-nmt's apply
+    * yields when, as here, every created pair is replayed in creation
+    * order. (The deliberate, documented divergence from priority-queue
+    * apply: HuggingFace re-scans for the LOWEST-rank pair after every
+    * fuse; rank-order replay never revisits earlier ranks. The two agree
+    * whenever a fuse cannot create an earlier-rank pair — in particular on
+    * every in-vocab word, where agreement with the trainer is the property
+    * the persisted artifact actually promises.)
+    *
+    * Input: a (word) frame — call it on DISTINCT words (the Zipf bound:
+    * segmentation cost is per distinct word, not per occurrence). The
+    * merge list is the 12-row persisted model riding in as expression
+    * LITERALS — the same bounded driver-side artifact the trainer already
+    * collects one row per round of — so the whole replay is a chain of
+    * row-local projections: no join, no shuffle, no state. Each round is
+    * its own withColumn REBINDING `syms` (never a nested expression:
+    * [[fuseOn]] references its input 3×, so literal nesting would copy
+    * the subtree 3^NMerges times and hang the analyzer — the expression-
+    * level form of the q164 CTE-inlining lesson; CollapseProject keeps
+    * the bound references because the aggregate HOF is not cheap-to-
+    * inline). Returns (word, nsym). */
+  def replayMerges(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val seeded = words.withColumn("syms", concat(
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+      array(lit(Eow))))
+    val replayed = merges.foldLeft(seeded) { case (d, (a, b)) =>
+      d.withColumn("syms",
+        split(fuseOn(col("syms"), a, b), java.util.regex.Pattern.quote(Sep)))
+    }
+    replayed.select(col("word"), size(col("syms")).cast("long").as("nsym"))
+  }
+
+  /** Encode a corpus the tokenizer never saw: replay-segment every
+    * conforming word (in-vocab or not), and audit vocabulary coverage.
+    * Output per doc: n_words (whitespace tokens), n_conforming (words the
+    * pre-tokenizer admits — all of them now TOKENIZED, the q170 gap this
+    * closes), n_oov (conforming words absent from the training vocab —
+    * segmented by replay alone), bpe_tokens (Σ replayed subword counts).
+    *
+    * 100 TB shape: ONE corpus pass — the token explode is persisted
+    * (MEMORY_AND_DISK, the Classifier.trainFrames one-scan discipline)
+    * because both the distinct-word replay frame and the per-doc
+    * occurrence aggregation read it; replay runs over the DISTINCT-word
+    * frame (Zipf-bounded) as a row-local expression; the join back to
+    * occurrences and the vocab-membership join are word-keyed
+    * (broadcast-or-shuffle by size, unhinted). The returned plan is lazy,
+    * so the cache stays pinned until the caller's unpersist/
+    * releasePersisted sweep (the bpeTokenize contract). */
+  def encodeUnseen(docs: DataFrame, vocab: DataFrame,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val conforming = words
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) <= MaxWordLen)
+      .select("word").distinct()
+    val replayed = replayMerges(conforming, merges)
+    val inVocab = vocab.select(col("word"), lit(1L).as("in_vocab"))
+    words
+      .join(replayed, Seq("word"), "left")
+      .join(inVocab, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("nsym").isNotNull, 1L).otherwise(0L)).as("n_conforming"),
+        sum(when(col("nsym").isNotNull && col("in_vocab").isNull, 1L)
+          .otherwise(0L)).as("n_oov"),
+        coalesce(sum("nsym"), lit(0L)).as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Q173 — the persisted tokenizer serving HELD-OUT text (the artifact's
+    * actual deployment: eval sets, a new crawl): train on the doc_id-even
+    * HALF of the corpus, persist, load, then merge-replay-encode the odd
+    * half from the loaded artifact. Every odd doc is unseen by training;
+    * its in-vocab words exercise the replay ≡ vocab agreement, its OOV
+    * words exercise the segmentation q170 could not perform at all. The
+    * fixture's two halves share one synthetic word pool, so each held-out
+    * doc additionally carries an OOV conformance CANARY (the q92 rule —
+    * ` oovcanaryz[a-g]`, letters-only so the pre-tokenizer admits it,
+    * impossible in the even half by construction) making n_oov non-vacuous
+    * at every SF; the oracle replays the injection. The DuckDB oracle
+    * retrains the half-corpus model and replays the same rank-ordered
+    * fold per held-out word via list_reduce. */
+  def q173BpeEncodeUnseen(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(s, dir, "documents")
+    val path = tokenizerPathFor(dir) + "_half"
+    ensureTokenizer(s, docs.filter(col("doc_id") % 2 === 0).select(col("text")), path)
+    val (merges, vocab) = loadTokenizer(s, path)
+    val mergeList = merges.orderBy("merge_rank").select("lhs", "rhs")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val held = docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"),
+        // concat null-propagates: a NULL text stays NULL and still falls
+        // out at encodeUnseen's non-empty filter
+        concat(col("text"), lit(" oovcanaryz"),
+          expr("substring('abcdefg', CAST(doc_id % 7 + 1 AS INT), 1)")).as("text"))
+    encodeUnseen(held, vocab, mergeList)
+  }
 }

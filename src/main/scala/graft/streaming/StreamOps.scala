@@ -98,7 +98,19 @@ object StreamOps {
     * only, NOT Java trim's ≤U+0020), `\s+` split with limit -1 (Spark's
     * split keeps trailing empties; Java's default drops them), ROOT
     * lowercase — and every arithmetic step is the same integer sum, so
-    * stream scores equal batch scores integer-for-integer. */
+    * stream scores equal batch scores integer-for-integer.
+    *
+    * Locale caveat (r19 ADVICE): the ROOT lowercase here matches Spark's
+    * `lower()` bit-for-bit on ASCII (UTF8String's fast path is
+    * locale-free), but Spark's slow path for non-ASCII strings lowercases
+    * under the JVM DEFAULT locale — on e.g. a tr_TR-default JVM, batch
+    * and stream can case-fold dotted/dotless I differently. The parity
+    * contract is therefore exact for ASCII corpora unconditionally, and
+    * for non-ASCII corpora only on a ROOT/en-default JVM (the fixtures,
+    * the harness, and any sanely-configured cluster; pinning
+    * -Duser.language at deploy is the production guard — flipping
+    * Locale.setDefault in library code is NOT safe, see HostLoad's
+    * Derby note). */
   def nbScoreStream(ds: Dataset[DocRecord],
                     model: graft.operators.Classifier.NbModel): DataFrame = {
     val s = ds.sparkSession

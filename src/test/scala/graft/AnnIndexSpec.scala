@@ -401,4 +401,76 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "all-cluster adaptive serve diverged from brute force over the filter")
     GraftSession.releasePersisted(spark)
   }
+
+  test("a LARGE allowed set takes the non-broadcast semi-join path (the r19 " +
+      "scale-killer fix): the filter frame must never be forced through the " +
+      "driver") {
+    val q = corpus.filter(col("vec_id") < 3).toDF("qid", "qv")
+    // ~5M ids ≈ 40 MB by Spark's size estimate — over the 10 MB broadcast
+    // threshold, so the static planner must NOT broadcast it (AQE may still
+    // downgrade at runtime if the actual bytes fit; the guarantee under
+    // test is that no broadcast() HINT forces the driver to materialize a
+    // corpus-proportional set)
+    val bigAllowed = spark.range(5000000L).select(col("id").as("cid"))
+    val served = Similarity.searchIndex(
+      Similarity.loadIndex(spark, idxPath), q, allowed = Some(bigAllowed))
+    // static planner output (pre-AQE): a broadcast() HINT would already
+    // plan the Range leaf under a BroadcastExchange here
+    val rangeUnderBroadcast = ScanAudit.walk(served.queryExecution.sparkPlan)
+      .exists {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          b.exists { case _: org.apache.spark.sql.execution.RangeExec => true
+                     case _ => false }
+        case _ => false
+      }
+    assert(!rangeUnderBroadcast,
+      "the allowed-set frame was planned under a BroadcastExchange — " +
+        "the corpus-proportional filter is being forced through the driver")
+    // and the join is still correct: results come only from the allowed set
+    // (everything is allowed here, so just sanity-check rows exist)
+    assert(served.limit(1).count() == 1)
+    GraftSession.releasePersisted(spark)
+  }
+
+  test("deletes compose with the adaptive floor: per-cluster counts are over " +
+      "LIVE allowed candidates, so deleting filter members expands probes " +
+      "and deleted ids never surface") {
+    import graft.operators.PqShape
+    val raw = Tables(spark, sfDir, "embeddings")
+    val e = corpus
+    val q = e.filter(col("vec_id") < 10).toDF("qid", "qv")
+    val allowedDf = raw.filter(col("label") % 10 === 7).select(col("vec_id").as("cid"))
+    val allowedIds = allowedDf.collect().map(_.getLong(0)).toSet
+    // a fresh artifact so the spec-wide index keeps no tombstones
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_del_adapt").toString
+    Similarity.writeIndex(e, s"$tmp/idx")
+    def probesOf(): Map[Long, Long] =
+      Similarity.searchIndex(Similarity.loadIndex(spark, s"$tmp/idx"), q,
+          allowed = Some(allowedDf), adaptiveFloor = Some(Similarity.RerankR))
+        .select("qid", "n_probes").distinct().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = probesOf()
+    // delete HALF the allowed set: live allowed candidates per cluster drop,
+    // so the documented floor semantics ("live allowed candidates") require
+    // probe counts to be >= the pre-delete counts for every query
+    val victims = allowedIds.toSeq.sorted.take(allowedIds.size / 2)
+    assert(victims.nonEmpty)
+    Similarity.deleteFromIndex(spark, s"$tmp/idx",
+      e.filter(col("vec_id").isInCollection(victims)).select("vec_id"))
+    val after = Similarity.searchIndex(Similarity.loadIndex(spark, s"$tmp/idx"), q,
+        allowed = Some(allowedDf), adaptiveFloor = Some(Similarity.RerankR))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(after.nonEmpty)
+    assert(after.forall(r => !victims.contains(r._2)),
+      "a deleted id surfaced in adaptive filtered serve")
+    assert(after.forall(r => allowedIds.contains(r._2)))
+    val afterProbes = after.map(r => r._1 -> r._3).toMap
+    afterProbes.foreach { case (qid, np) =>
+      assert(np >= before.getOrElse(qid, PqShape.NProbe.toLong),
+        s"query $qid probed FEWER clusters after deleting filter members — " +
+          "the floor is counting dead candidates")
+    }
+    GraftSession.releasePersisted(spark)
+  }
 }

@@ -135,4 +135,27 @@ class ClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.contains(1L) && got(1L)._3 == 1L)
     assert(got == naiveNb(rows))
   }
+
+  test("model artifact (q174): write → load → score ≡ inline row-for-row, " +
+      "and the loaded driver-side NbModel equals the in-session trainer") {
+    val rows = sep ++ Seq((501L, "zq unseen mixture 123"), (502L, "alpha beta"))
+    val df = docsDf(rows)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_nb_model_spec").toString
+    Classifier.writeModel(spark, df, path)
+    // artifact-served scoring ≡ inline scoring, every column
+    val (lo, scalars) = Classifier.loadModelFrames(spark, path)
+    val served = Classifier.scoreWith(df, lo, scalars)
+      .collect().map(_.toSeq).toSeq
+    val inline = Classifier.nbQualityClassifier(df)
+      .collect().map(_.toSeq).toSeq
+    assert(served == inline, "artifact-served scores diverged from inline")
+    // the collected streaming model round-trips too (loadModel reads the
+    // SAME artifact the stream deploy path uses)
+    assert(Classifier.loadModel(spark, path) == Classifier.trainModel(df))
+    // artifact shape: vocab-sized log-odds + one scalars row
+    assert(scalars.count() == 1)
+    assert(lo.columns.sorted.toSeq == Seq("loq", "tok"))
+    GraftSession.releasePersisted(spark)
+  }
 }

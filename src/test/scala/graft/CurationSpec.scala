@@ -277,4 +277,33 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(without < 300, s"untrimmed decon kept $without — canary lost its teeth")
     assert(withTrim > 400, s"trimmed decon kept only $withTrim of ~470")
   }
+
+  test("q175: the curate→split COMPOSITION co-locates near-dup clusters " +
+      "that survive the trim (leak pairs 0 post-curation; trim-proof " +
+      "canary intact; naive residual measurable)") {
+    val rows = graft.operators.Curation.q175CuratedSplit(spark, sfDir).collect()
+    graft.GraftSession.releasePersisted(spark)
+    assert(rows.length == 3, "expected exactly train/val/test rows")
+    val bySplit = rows.map(r => r.getString(0) -> r).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val r0 = rows.head
+    // the theorem, post-curation: no confirmed near-dup pair straddles
+    // splits under the cluster assignment
+    assert(r0.getLong(3) == 0L, s"neardup_leak_pairs = ${r0.getLong(3)}")
+    // the residual the composition closes IS measurable on the fixture —
+    // the same confirmed pairs leak under the per-doc naive rule
+    assert(r0.getLong(4) > 0L, "naive_leak_pairs vacuous — canary clusters " +
+      "did not survive the trim into confirmed pairs")
+    // trim-proof canary: confirmed pairs exist post-trim, so components
+    // merged (the 20-member canary groups; LSH recall is partial by
+    // design, so >= a few, not == 20)
+    assert(r0.getLong(6) >= 3L, s"max_component = ${r0.getLong(6)}")
+    // the trim stage did real work on the SAME corpus (header/footer docs)
+    assert(r0.getLong(8) > 0L, "trim_tokens = 0 — boilerplate canary dead")
+    // quota deliberately not binding: the split consumes the whole corpus
+    assert(r0.getLong(12) == r0.getLong(13), "quota bound in the split lane")
+    // funnel sanity: splits partition the capped survivors
+    assert(rows.map(_.getLong(1)).sum == r0.getLong(13),
+      "split sizes do not sum to the survivor count")
+  }
 }

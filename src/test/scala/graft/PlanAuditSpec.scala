@@ -523,6 +523,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftSession.releasePersisted(spark)
   }
 
+  test("r20 artifact lanes fit their checked-in scan budgets (measured, " +
+      "not asserted by hand): q173 replay, q174 model round trip, q175 " +
+      "curate→split composition") {
+    val budgets = ScanAudit.loadBudgets("scan_budgets.json")
+      .getOrElse(fail("scan_budgets.json missing from the repo root"))
+    for (lane <- Seq("q173_bpe_encode_unseen", "q174_nb_model_artifact",
+        "q175_curated_split")) {
+      val rows = ScanAudit.collect(spark, sfDir, only = Some(lane))
+      assert(rows.nonEmpty, s"$lane crashed under the audit")
+      val (_, byTable, _) = rows.head
+      byTable.foreach { case (table, n) =>
+        val budget = budgets.getOrElse(lane, Map.empty).getOrElse(table, 1)
+        assert(n <= budget, s"$lane scans $table $n times (budget $budget)")
+      }
+      GraftSession.releasePersisted(spark)
+    }
+  }
+
   test("q116: scoring join is salted and the count side broadcasts at test SF") {
     val df = graft.operators.TextAnalysis.q116BigramRarity(spark, sfDir)
     val plan = planString(df)

@@ -194,14 +194,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("nbScoreStream scores arriving docs EXACTLY like batch q169 " +
-      "(frozen model, stateless, batch-boundary independent)") {
+      "(frozen model DEPLOYED FROM THE PERSISTED ARTIFACT, stateless, " +
+      "batch-boundary independent)") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
     import sp.implicits._
     val sfDir = "/root/testdata/sf0.001"
     val docsTbl = graft.Tables(sp, sfDir, "documents")
-    // the frozen classifier: trained "offline" by the batch trainer
-    val model = graft.operators.Classifier.trainModel(docsTbl)
+    // the frozen classifier: trained "offline", PERSISTED, then loaded the
+    // way an ingest job deploys it (r19 Next #3 — the artifact half); the
+    // loaded model must equal the in-session one field-for-field
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_nb_stream_spec").toString
+    graft.operators.Classifier.writeModel(sp, docsTbl, path)
+    val model = graft.operators.Classifier.loadModel(sp, path)
+    assert(model == graft.operators.Classifier.trainModel(docsTbl),
+      "artifact-loaded model diverged from the in-session trainer")
     assert(model.loq.nonEmpty && model.oovLoq != 0L)
     val all = docsTbl.select(col("doc_id"), col("text")).collect()
       .map(r => graft.streaming.DocRecord(r.getLong(0), r.getString(1)))

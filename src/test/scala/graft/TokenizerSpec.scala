@@ -221,6 +221,86 @@ class TokenizerSpec extends AnyFunSuite with BeforeAndAfterAll {
       "artifact-served tokenization diverged from inline")
   }
 
+  // --------------------------------------------- merge replay (q173)
+
+  /** Naive rank-ordered replay of naive merges — the reference for
+    * [[Tokenizer.replayMerges]] on ANY word, seen or unseen. */
+  private def naiveReplay(w: String, merges: Seq[(String, String)]): Long = {
+    var syms = w.map(_.toString).toVector :+ Tokenizer.Eow
+    merges.foreach { case (a, b) =>
+      syms = syms.tail.foldLeft(Vector(syms.head)) { (acc, x) =>
+        if (acc.last == a && x == b) acc.init :+ (a + b) else acc :+ x
+      }
+    }
+    syms.size.toLong
+  }
+
+  test("replayMerges ≡ naive rank-ordered replay on constructed OOV words, " +
+    "and ≡ the trained vocab's symbol counts on every in-vocab word") {
+    import org.apache.spark.sql.Row
+    val trainTexts = Seq.fill(10)(
+      "walk walked walking talks talked talking jumper jumped lifted lifting plays played rest")
+    val merges = naiveBpe(trainTexts, Tokenizer.NMerges).map(m => (m._2, m._3))
+    // distributed merge table equals the naive one (bpeTrain gate), so the
+    // replay comparison below exercises ONLY the apply side
+    assert(trainRows(trainTexts).map(m => (m._2, m._3)) == merges)
+    // OOV words: morphology the training corpus never saw, plus shapes that
+    // stress the fold (the merged unit as a prefix/suffix/interior run)
+    val oov = Seq("walkers", "stalking", "replayed", "zzz", "a",
+      "walkwalk", "ing", "splaying", "talkingest")
+    assert(oov.forall(w => !trainTexts.flatMap(_.split(" ")).contains(w)))
+    val words = spark.createDataFrame(
+      spark.sparkContext.parallelize(oov.map(Row(_)), 2),
+      StructType(Seq(StructField("word", StringType))))
+    val got = Tokenizer.replayMerges(words, merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    oov.foreach { w =>
+      assert(got(w) == naiveReplay(w, merges),
+        s"replay diverged from the naive fold on OOV '$w'")
+    }
+    // vocab-hit agreement: replaying an in-vocab word reproduces the
+    // trainer's final symbol count exactly (rank-order replay IS the
+    // trainer's evolution) — the property that makes artifact-served
+    // mixed seen/unseen corpora consistent
+    val df = docsDf(trainTexts)
+    val (merged, vocab) = Tokenizer.trainWithVocab(spark, df)
+    val vocabCounts = vocab.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).size.toLong).toMap
+    val replayAll = Tokenizer.replayMerges(
+      vocab.select("word"), merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(replayAll == vocabCounts,
+      "merge replay diverged from the trained vocabulary on in-vocab words")
+    merged.unpersist(); vocab.unpersist()
+    GraftSession.releasePersisted(spark)
+  }
+
+  test("encodeUnseen: held-out docs get every conforming word tokenized " +
+    "(n_conforming has no untokenized remainder) and OOV words are counted " +
+    "AND segmented") {
+    import org.apache.spark.sql.Row
+    val trainTexts = Seq.fill(8)(
+      "walk walked walking talks talked talking jumper jumped lifted lifting plays played rest")
+    val heldOut: Seq[(Long, String)] = Seq(
+      (1L, "walkers kept stalking 123 ahead"), // walkers/stalking/kept/ahead OOV; 123 non-conforming
+      (3L, "walk walked replays"))             // 2 in-vocab + 1 OOV
+    val trainDf = docsDf(trainTexts)
+    val heldDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(heldOut.map { case (i, t) => Row(i, t) }, 2),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val (merged, vocab) = Tokenizer.trainWithVocab(spark, trainDf)
+    val merges = naiveBpe(trainTexts, Tokenizer.NMerges).map(m => (m._2, m._3))
+    val got = Tokenizer.encodeUnseen(heldDf, vocab, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val exp1 = Seq("walkers", "kept", "stalking", "ahead").map(naiveReplay(_, merges)).sum
+    assert(got(1L) == ((5L, 4L, 4L, exp1)), s"doc 1: ${got(1L)}")
+    val exp3 = Seq("walk", "walked", "replays").map(naiveReplay(_, merges)).sum
+    assert(got(3L) == ((3L, 3L, 1L, exp3)), s"doc 3: ${got(3L)}")
+    merged.unpersist(); vocab.unpersist()
+    GraftSession.releasePersisted(spark)
+  }
+
   test("pre-tokenizer: case folds, non-letter tokens and over-long words " +
     "are excluded, whitespace splits") {
     val long = "x" * (Tokenizer.MaxWordLen + 1)
