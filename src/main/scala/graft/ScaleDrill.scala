@@ -204,6 +204,12 @@ object ScaleDrill {
                              // of the metadata selection into the
                              // candidate set; gates at 2.5: the filter
                              // must stay invisible under data growth
+    "q176_ann_index_retrain", // embeddings (r20): quantizer refresh —
+                             // build + append + delete + RETRAIN (one
+                             // live-vector pass re-deriving quantizers +
+                             // codes, ∝ |live| like the build) + serve;
+                             // gates at 2.5 like q157: refresh must add
+                             // only another linear encode pass
     "q156_curation_neardup", // documents×embeddings (r16): the composed
                              // curation funnel WITH the near-dup ladder —
                              // curation_flow's stages plus q50's banded

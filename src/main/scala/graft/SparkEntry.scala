@@ -261,6 +261,12 @@ object SparkEntry {
     // the survivors; trim-proof canary clusters prove the split still
     // co-locates near-dups after the ladder)
     "q175_curated_split" -> (graft.operators.Curation.q175CuratedSplit _),
+    // q176 (r20): quantizer refresh under churn — build, append (frozen-
+    // quantizer drift), delete, RETRAIN on the live rows from the
+    // artifact's own vectors, serve; retrain ≡ fresh build over the live
+    // set (the oracle replays the whole pipeline with the corpus — and
+    // therefore the quantizer training — filtered to live ids)
+    "q176_ann_index_retrain" -> (Similarity.q176AnnIndexRetrain _),
     // r7: weighted sampling w/o replacement (Efraimidis–Spirakis, md5 stream)
     "q115_weighted_sample" -> ((s, d) => TextAnalysis.q115WeightedSample(s, d)),
     // r7: per-doc bigram-rarity quality score (integer LM-perplexity proxy)
@@ -901,7 +907,7 @@ object SparkEntry {
     * assumption. */
   private val sqlPqCore: String =
     "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20), " +
-      "cbt AS (SELECT vec_id AS cent_id, v AS cbv FROM e WHERE vec_id < 16), " +
+      "cbt AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cent_id, v AS cbv FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16) tb0), " +
       "ms AS (SELECT unnest(range(0, 8)) AS m), " +
       s"ss AS (SELECT e.vec_id AS scid, m, cent_id, (${sqlSubDot("e.v", "cbv")}) / (SQRT(${sqlSubDot("e.v", "e.v")}) * SQRT(${sqlSubDot("cbv", "cbv")})) AS ssim FROM e CROSS JOIN cbt CROSS JOIN ms), " +
       "codes AS (SELECT scid, m, cent_id AS code FROM (SELECT scid, m, cent_id, ROW_NUMBER() OVER (PARTITION BY scid, m ORDER BY ssim DESC, cent_id) AS rk FROM ss) r WHERE rk = 1), " +
@@ -976,9 +982,15 @@ object SparkEntry {
   /** [[annIndexServeOracle]] with an extra candidate-relation predicate —
     * q165 removes the deleted ids (`AND cd.scid % 10 <> 7`), q166 pushes
     * the metadata filter; the quantizer/query CTEs stay untouched, which
-    * is precisely the "same frozen quantizers" contract both lanes gate. */
-  private def annIndexServeOracleWhere(candFilter: String): String = materializeCtes(
-    s"WITH $sqlEmb, $sqlCentroids, $sqlAssign, $sqlPqCore, " +
+    * is precisely the "same frozen quantizers" contract both lanes gate.
+    * `embWhere` (q176) instead filters the CORPUS relation itself, which
+    * re-derives EVERYTHING — stride, centroids, codebook, codes, queries
+    * — over the filtered set: the retrained-quantizer contract, the one
+    * serve lane where the quantizers are deliberately NOT frozen. */
+  private def annIndexServeOracleWhere(candFilter: String,
+                                       embWhere: String = ""): String = materializeCtes(
+    s"WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings$embWhere), " +
+      s"$sqlCentroids, $sqlAssign, $sqlPqCore, " +
       s"pr AS (SELECT qid, cluster FROM (SELECT qid, cent_id AS cluster, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY csim DESC, cent_id) AS rk FROM (SELECT q.qid, c.cent_id, ${sqlCosine("qv", "cv", 64)} AS csim FROM q CROSS JOIN c) s) r WHERE rk <= 4), " +
       s"parts AS (SELECT l.qid, cd.scid AS cid, l.m, l.lv, l.nv FROM codes cd JOIN asg ON asg.vid = cd.scid JOIN pr ON pr.cluster = asg.cluster JOIN lut l ON l.qid = pr.qid AND l.m = cd.m AND l.code = cd.code WHERE l.qid <> cd.scid$candFilter), " +
       s"$sqlAdcScore, " +
@@ -1059,7 +1071,7 @@ object SparkEntry {
         "bm25 AS (SELECT qid, cid, SUM(contrib) AS bm25_s FROM con GROUP BY qid, cid), " +
         s"kw AS (SELECT qid, cid, kw_rank FROM (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bm25_s DESC, cid) AS kw_rank FROM bm25) z WHERE kw_rank <= $chan), " +
         // ---- q153 IVF-PQ + exact-rerank vector channel, queries = corp cid < 8 ----
-        "cbt AS (SELECT vec_id AS cent_id, v AS cbv FROM e WHERE vec_id < 16), " +
+        "cbt AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cent_id, v AS cbv FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16) tb0), " +
         "ms AS (SELECT unnest(range(0, 8)) AS m), " +
         s"ss AS (SELECT e.vec_id AS scid, m, cent_id, (${sqlSubDot("e.v", "cbv")}) / (SQRT(${sqlSubDot("e.v", "e.v")}) * SQRT(${sqlSubDot("cbv", "cbv")})) AS ssim FROM e CROSS JOIN cbt CROSS JOIN ms), " +
         "codes AS (SELECT scid, m, cent_id AS code FROM (SELECT scid, m, cent_id, ROW_NUMBER() OVER (PARTITION BY scid, m ORDER BY ssim DESC, cent_id) AS rk FROM ss) r WHERE rk = 1), " +
@@ -1308,6 +1320,10 @@ object SparkEntry {
     // filtered search: the metadata predicate pushed into the candidates
     "q166_ann_filtered_search" -> annIndexServeOracleWhere(
       " AND cd.scid IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)"),
+    // quantizer refresh: retrain ≡ fresh build over the live rows, so the
+    // replay filters the CORPUS relation (training included) to live ids
+    "q176_ann_index_retrain" -> annIndexServeOracleWhere("",
+      embWhere = " WHERE vec_id % 10 <> 3"),
     "q161_exact_substr_spans" -> // ExactSubstr (Lee et al. 2021): k-gram
       // md5 occurrences -> corpus-wide multiplicity window -> per-doc
       // interval merge; the injected header/footer canaries (q92 rule)

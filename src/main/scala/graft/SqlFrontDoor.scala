@@ -322,7 +322,7 @@ object SqlFrontDoor {
       s"aggregate(transform(codes, (c, i) -> CASE WHEN c < 0 THEN CAST(0.0 AS DOUBLE) " +
         s"ELSE element_at($lut, CAST(i * $K + c + 1 AS INT)) END), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
     "WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
-      s"cbr AS (SELECT $cbCols FROM e WHERE vec_id < $K), " +
+      s"cbr AS (SELECT $cbCols FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS vec_id, v FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $K) eb0) ebk), " +
       s"cb AS (SELECT *, $nlut AS nlut FROM cbr), " +
       s"codes AS (SELECT vec_id AS cid, $codesArr AS codes FROM e CROSS JOIN cb), " +
       "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20), " +
@@ -358,7 +358,16 @@ object SqlFrontDoor {
     * allowed candidates (never fewer than the static 4) — and adds the
     * per-query `np` (n_probes) CTE for the final projection. */
   private def ivfPqCommonCtes(candFilter: String,
-                              adaptive: Option[(String, Int)]): String = {
+                              adaptive: Option[(String, Int)]): String =
+    ivfPqCommonCtes(candFilter, adaptive, "")
+
+  /** `embWhere` (s176) filters the corpus relation itself — quantizer
+    * training, codes, and queries all re-derive over the filtered set
+    * (the retrained-quantizer contract; every other serve twin keeps the
+    * full-corpus frozen quantizers). */
+  private def ivfPqCommonCtes(candFilter: String,
+                              adaptive: Option[(String, Int)],
+                              embWhere: String): String = {
     val M = 8; val K = 16
     val cbCols = (0 until M).map(m =>
       s"sort_array(collect_list(named_struct('cent_id', vec_id, 'centv', slice(v, ${m * 8 + 1}, 8)))) AS cb$m").mkString(", ")
@@ -376,8 +385,8 @@ object SqlFrontDoor {
       "aggregate(cents, named_struct('b', CAST('-Infinity' AS DOUBLE), 'id', CAST(-1 AS BIGINT)), " +
         "(acc, c) -> CASE WHEN graft_cosine(v, c.centv) > acc.b " +
         "THEN named_struct('b', graft_cosine(v, c.centv), 'id', c.cent_id) ELSE acc END).id"
-    "WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
-      s"cbr AS (SELECT $cbCols FROM e WHERE vec_id < $K), " +
+    s"WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings$embWhere), " +
+      s"cbr AS (SELECT $cbCols FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS vec_id, v FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $K) eb0) ebk), " +
       s"cb AS (SELECT *, $nlut AS nlut FROM cbr), " +
       "st AS (SELECT GREATEST(2, CAST(ROUND(SQRT(COUNT(*)), 0) AS INT)) AS stride FROM e), " +
       "cents0 AS (SELECT vec_id AS cent_id, v AS centv FROM e, st WHERE vec_id % stride = 0), " +
@@ -757,9 +766,10 @@ object SqlFrontDoor {
     * the deleted ids, s166 pushes the metadata filter) — the SQL-text twin
     * of the lanes that serve a modified artifact; the text replays the
     * same inline math minus the same candidates. */
-  private def annIndexServeSqlWhere(candFilter: String): String = {
+  private def annIndexServeSqlWhere(candFilter: String,
+                                    embWhere: String = ""): String = {
     val r = graft.operators.Similarity.RerankR
-    ivfPqCommonCtes(candFilter) + ", " +
+    ivfPqCommonCtes(candFilter, None, embWhere) + ", " +
       s"short AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM scored) t WHERE rnk <= $r), " +
       "rr AS (SELECT short.qid, short.cid, round(graft_cosine(q.qv, e2.v), 4) AS rsim FROM short JOIN q ON q.qid = short.qid JOIN e e2 ON e2.vec_id = short.cid) " +
       "SELECT qid, cid, CAST(rnk AS BIGINT) AS rnk, rsim FROM (SELECT qid, cid, rsim, row_number() OVER (PARTITION BY qid ORDER BY rsim DESC, cid) AS rnk FROM rr) t WHERE rnk <= 10 ORDER BY qid, rnk"
@@ -816,7 +826,7 @@ object SqlFrontDoor {
       s"con AS (SELECT qt.qid, tf.cid, ((bst.n_docs * 1000) div dfs.df) * ((tf.tf * ${1000 + k1m} * 1000) div (tf.tf * 1000 + ($k1m * ((1000 - $bm) + ($bm * tf.dl * 1000) div bst.avgdl_m)) div 1000)) AS contrib FROM tf JOIN dfs USING (w) JOIN qt USING (w) CROSS JOIN bst WHERE qt.qid <> tf.cid), " +
       "bm25 AS (SELECT qid, cid, SUM(contrib) AS bm25_s FROM con GROUP BY qid, cid), " +
       s"kw AS (SELECT qid, cid, kw_rank FROM (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bm25_s DESC, cid) AS kw_rank FROM bm25) z WHERE kw_rank <= $chan), " +
-      s"cbr AS (SELECT $cbCols FROM e WHERE vec_id < $K), " +
+      s"cbr AS (SELECT $cbCols FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS vec_id, v FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $K) eb0) ebk), " +
       s"cb AS (SELECT *, $nlut AS nlut FROM cbr), " +
       "st AS (SELECT GREATEST(2, CAST(ROUND(SQRT(COUNT(*)), 0) AS INT)) AS stride FROM e), " +
       "cents0 AS (SELECT vec_id AS cent_id, v AS centv FROM e, st WHERE vec_id % stride = 0), " +
@@ -908,6 +918,12 @@ object SqlFrontDoor {
     "q166_ann_filtered_search" -> annIndexServeSqlWhere(
       " AND codes.cid IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0)"),
     "q171_ann_adaptive_search" -> annAdaptiveServeSparkSql,
+    // s176: the retrain twin re-derives the WHOLE pipeline — quantizer
+    // training included — over the live rows (retrain ≡ fresh build on
+    // the live set; SQL text cannot run the build/append/delete/retrain
+    // side effects)
+    "q176_ann_index_retrain" -> annIndexServeSqlWhere("",
+      embWhere = " WHERE vec_id % 10 <> 3"),
     "q155_hybrid_bm25_ann" -> hybridBm25AnnSparkSql,
     "q156_curation_neardup" -> curationNearDupSparkSql,
     "q154_hybrid_rrf" -> { // hybrid RRF as text: split/explode tokenization,

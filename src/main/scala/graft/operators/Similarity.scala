@@ -435,7 +435,18 @@ object Similarity {
       sort_array(collect_list(struct(col("cid").as("cent_id"),
         subv(col("cv"), i, sub).as("centv")))).as(s"cb$i")
     }
-    val row = corpus.toDF("cid", "cv").filter(col("cid") < k).agg(cbCols.head, cbCols.tail: _*)
+    // Train on the k LOWEST-id vectors (deterministic sample — FAISS trains
+    // on a sample the same way), then renumber the entries to DENSE ranks
+    // 0..k-1: a PQ code is an index into the flattened ADC lookup table,
+    // so code values must be positional, not raw ids. On a dense 0-based
+    // corpus this is exactly the historical `cid < k` identity slice;
+    // under id turnover (q176 retrain on an aged-out corpus) the literal
+    // filter would shrink the codebook and the raw ids would overrun the
+    // LUT stride — both fixed by sample-then-renumber.
+    val row = corpus.toDF("cid", "cv").orderBy("cid").limit(k)
+      .withColumn("cid",
+        row_number().over(Window.orderBy("cid")).cast("long") - 1)
+      .agg(cbCols.head, cbCols.tail: _*)
     row.withColumn("__nlut", flatten(array((0 until m).map { i =>
       transform(col(s"cb$i"),
         c => aggregate(c.getField("centv"), lit(0.0), (a, x) => a + x * x))
@@ -1071,6 +1082,110 @@ object Similarity {
     rm(new java.io.File(s"$path/tombstones"))
     writeIndex(e, path)
     deleteFromIndex(s, path, e.filter(col("vec_id") % 10 === 7).select("vec_id"))
+    searchIndex(loadIndex(s, path), q).orderBy("qid", "rnk")
+  }
+
+  /** RETRAIN an index artifact's quantizers on its LIVE rows and re-encode
+    * every code — the FAISS re-train / Milvus reindex half of the
+    * lifecycle (r19 verdict Next #7): [[appendToIndex]] encodes against
+    * FROZEN quantizers by design, so after heavy append/delete churn the
+    * coarse centroids and PQ codebook drift away from the data
+    * distribution actually being served and recall decays (AnnIndexSpec
+    * measures the decay and the recovery on a constructed drifted
+    * corpus). The refresh trains from the artifact ALONE — the raw
+    * vectors the refine stage already stores are the training set, so no
+    * source-corpus re-read, and pending tombstones are applied first
+    * (retrain on deleted rows would re-anchor the quantizers to data
+    * that can never be served).
+    *
+    * Determinism contract: quantizer training is a pure function of the
+    * live row set ([[ivfCentroids]] stride filter, [[pqCodebook]] lowest-k
+    * filter — both vec_id predicates, order-free), and parquet round-trips
+    * doubles bit-exactly, so retrain ≡ a fresh [[writeIndex]] over the
+    * live rows EXACTLY — the identity both the spec and the q176 oracle
+    * gate.
+    *
+    * Publish discipline: the whole retrained artifact lands as a SIBLING
+    * directory first ([[writeIndexWith]] into `path + "_retraining"` —
+    * centroids, codebook, codes, vectors; tombstones applied, none
+    * carried), then swaps in by two whole-directory renames (the
+    * compaction side-dir pattern lifted to the artifact root, because a
+    * retrain changes every table at once and a PER-table swap could
+    * publish new codes under the old codebook). A crash before the swap
+    * leaves the old artifact serving untouched; a crash between the two
+    * renames leaves `path` absent with BOTH complete artifacts on disk
+    * (`_retired` = old, `_retraining` = new) — detectable and
+    * recoverable, never a half-written or mixed-generation index.
+    *
+    * 100 TB shape: one pass over live vectors for assignment + encode
+    * (per-row broadcast kernels, the build's own cost), √n-row centroid
+    * table, one codebook row; cost ∝ |live| with no corpus-proportional
+    * driver state. */
+  def retrainIndex(s: SparkSession, path: String): Unit = {
+    val M = PqShape.M; val K = PqShape.K; val Dim = PqShape.Dim
+    val tombDir = new java.io.File(s"$path/tombstones")
+    val tomb: Option[DataFrame] =
+      if (tombDir.exists()) Some(s.read.parquet(s"$path/tombstones").select("cid"))
+      else None
+    val vecs = s.read.parquet(s"$path/vectors")
+    val live0 = tomb match {
+      // tombstones are bounded small between compactions (the delete
+      // contract) — the broadcast hint is legitimate here, unlike the
+      // corpus-proportional q166 filter
+      case Some(t) => vecs.join(broadcast(t), Seq("cid"), "left_anti")
+      case None => vecs
+    }
+    // read the live training set ONCE: stride count, centroid filter,
+    // codebook collect, assignment and encode all fan out of this frame
+    val live = live0.select(col("cid").as("vec_id"), col("cv").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = ivfCentroids(live, sqrtStride(live))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cb = pqCodebook(live, M, K, Dim)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = path + "_retraining"
+      writeIndexWith(live, cents, cb, next)
+      cents.unpersist(); cb.unpersist(): Unit
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      val retired = new java.io.File(path + "_retired")
+      rm(retired)
+      require(new java.io.File(path).renameTo(retired) &&
+        new java.io.File(next).renameTo(new java.io.File(path)),
+        s"retrainIndex: artifact swap failed under $path")
+      rm(retired)
+    } finally { live.unpersist(): Unit }
+  }
+
+  /** Q176 — quantizer refresh under churn: build on 90% of the corpus
+    * (quantizers trained on that base), APPEND the held-out 10% (encoded
+    * against the now-stale frozen quantizers — the drift), DELETE the
+    * vec_id % 10 == 3 slice (tombstones), then [[retrainIndex]] and serve
+    * the q157 query set restricted to live members. The retrained index
+    * must equal a fresh build over exactly the live rows — which is what
+    * the computed oracle replays: the q157 pipeline with the corpus
+    * relation (quantizer training INCLUDED, unlike every frozen-quantizer
+    * lane) filtered to vec_id % 10 <> 3. Queries are live members only —
+    * q165 owns the deleted-ids-still-query contract; here the query set
+    * must survive the retrain's physical delete. */
+  def q176AnnIndexRetrain(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val path = indexPathFor(dir) + "_retrain"
+    // re-run hygiene: clear any stale tombstones or half-finished swap
+    // state before the base build's Overwrite resets the tables
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(s"$path/tombstones"))
+    rm(new java.io.File(path + "_retraining"))
+    rm(new java.io.File(path + "_retired"))
+    writeIndex(e.filter(col("vec_id") % 10 =!= 7), path)
+    appendToIndex(s, path, e.filter(col("vec_id") % 10 === 7))
+    deleteFromIndex(s, path, e.filter(col("vec_id") % 10 === 3).select("vec_id"))
+    retrainIndex(s, path)
+    val q = e.filter(col("vec_id") < 20 && col("vec_id") % 10 =!= 3).toDF("qid", "qv")
     searchIndex(loadIndex(s, path), q).orderBy("qid", "rnk")
   }
 

@@ -473,4 +473,99 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     GraftSession.releasePersisted(spark)
   }
+
+  test("quantizer refresh (q176): retrainIndex ≡ a fresh build over the " +
+      "live rows, tombstones applied physically, swap scaffolding gone") {
+    val e = corpus
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_retrain_id").toString
+    // churn: full build, delete a slice, retrain
+    Similarity.writeIndex(e, s"$tmp/idx")
+    Similarity.deleteFromIndex(spark, s"$tmp/idx",
+      e.filter(col("vec_id") % 10 === 3).select("vec_id"))
+    Similarity.retrainIndex(spark, s"$tmp/idx")
+    // the determinism contract: quantizer training is a pure function of
+    // the live row SET, so the retrained artifact must serve identically
+    // to a from-scratch build over exactly those rows
+    val live = e.filter(col("vec_id") % 10 =!= 3)
+    Similarity.writeIndex(live, s"$tmp/fresh")
+    val q = live.filter(col("vec_id") < 20).toDF("qid", "qv")
+    def servedOf(p: String) =
+      Similarity.searchIndex(Similarity.loadIndex(spark, p), q)
+        .orderBy("qid", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(servedOf(s"$tmp/idx") == servedOf(s"$tmp/fresh"),
+      "retrained serve diverged from a fresh build over the live rows")
+    // deletes were applied physically and the publish scaffolding cleaned up
+    assert(!new java.io.File(s"$tmp/idx/tombstones").exists(),
+      "retrain left tombstones behind — deletes must be applied physically")
+    assert(!new java.io.File(s"$tmp/idx_retraining").exists() &&
+      !new java.io.File(s"$tmp/idx_retired").exists(),
+      "retrain left swap scaffolding behind")
+    GraftSession.releasePersisted(spark)
+  }
+
+  test("quantizer refresh under CORPUS TURNOVER: aging out the training " +
+      "generation degrades frozen-quantizer recall; retrain on the live " +
+      "rows restores it (the r19 Next #7 drift measurement)") {
+    val sp = spark
+    import sp.implicits._
+    // two generations with disjoint support regions: gen-A bumps live in
+    // dims 0..31, gen-B bumps in dims 32..63, plus a small id-keyed jitter
+    // baseline everywhere so no cosine is degenerate. ids 0..15 are the
+    // PQ-codebook anchors (the cid < K training convention) and survive
+    // the turnover so both codebooks train on the same rows — the test
+    // isolates the COARSE-quantizer drift, which is the production
+    // mechanism (FAISS re-train guidance: stale centroids under
+    // distribution shift).
+    def vec(id: Long): Array[Double] = {
+      val v = Array.tabulate(64)(d => 0.05 + 0.002 * ((id * (d + 3)) % 7))
+      if (id < 300) {
+        v((id % 32).toInt) += 1.0; v(((id * 7) % 32).toInt) += 0.3
+      } else {
+        v((32 + id % 16).toInt) += 1.0; v((32 + (id * 5) % 16).toInt) += 0.3
+      }
+      v
+    }
+    val aIds = 0L until 300L
+    val bIds = 300L until 500L
+    def mk(ids: Seq[Long]) = ids.map(i => (i, vec(i))).toDF("vec_id", "v")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_retrain_drift").toString
+    val path = s"$tmp/idx"
+    Similarity.writeIndex(mk(aIds), path)           // quantizers trained on gen-A
+    Similarity.appendToIndex(spark, path, mk(bIds)) // gen-B encoded against them
+    Similarity.deleteFromIndex(spark, path,         // gen-A ages out (anchors stay)
+      mk(aIds.filter(_ >= 16)).select("vec_id"))
+    val liveIds = (0L until 16L) ++ bIds
+    val liveVecs = liveIds.map(i => i -> vec(i)).toMap
+    val qIds = bIds.filter(_ % 10 == 0)
+    val qDf = qIds.map(i => (i, vec(i))).toDF("qid", "qv")
+    // recall@10 against the exact rounded-cosine ranking over the live set
+    // (the serve tie contract: rsim DESC, cid)
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth: Map[Long, Set[Long]] = qIds.map { qid =>
+      val top = liveIds.filter(_ != qid)
+        .map(c => (BigDecimal(cosine(liveVecs(qid), liveVecs(c)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, c))
+        .sortBy { case (s, c) => (-s, c) }.take(10).map(_._2).toSet
+      qid -> top
+    }.toMap
+    def recallOf(): Double = {
+      val served = Similarity.searchIndex(Similarity.loadIndex(spark, path), qDf)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val hits = served.count { case (qid, cid) => truth(qid).contains(cid) }
+      hits.toDouble / (qIds.size * 10)
+    }
+    val before = recallOf()
+    Similarity.retrainIndex(spark, path)
+    val after = recallOf()
+    assert(after > before,
+      f"retrain did not improve drifted recall: before=$before%.3f after=$after%.3f")
+    assert(after >= 0.5,
+      f"retrained recall $after%.3f below the 0.5 floor — refresh is not recovering")
+    GraftSession.releasePersisted(spark)
+  }
 }

@@ -525,11 +525,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("r20 artifact lanes fit their checked-in scan budgets (measured, " +
       "not asserted by hand): q173 replay, q174 model round trip, q175 " +
-      "curate→split composition") {
+      "curate→split composition, q176 quantizer refresh") {
     val budgets = ScanAudit.loadBudgets("scan_budgets.json")
       .getOrElse(fail("scan_budgets.json missing from the repo root"))
     for (lane <- Seq("q173_bpe_encode_unseen", "q174_nb_model_artifact",
-        "q175_curated_split")) {
+        "q175_curated_split", "q176_ann_index_retrain")) {
       val rows = ScanAudit.collect(spark, sfDir, only = Some(lane))
       assert(rows.nonEmpty, s"$lane crashed under the audit")
       val (_, byTable, _) = rows.head
