@@ -109,11 +109,22 @@ object Curation {
     // reads it from the ONE persisted materialization — an Observation
     // here would sit under both the spine and the returned join and hit
     // the duplicate-CollectMetrics race the stage discipline above bans.
+    // The trimmed corpus is read by TWO actions — the observed spine's
+    // narrow projection (materialized at ids.count) and the returned
+    // position join (materialized when the caller consumes `ordered`) —
+    // and the trim chain behind it is two full ExactSubstr passes, so it
+    // is persisted (r20 optimization, guide §2.4: don't run the expensive
+    // subtree twice when a disk-backed cache of its output is the
+    // production shape anyway — a curation pipeline materializes the
+    // trimmed corpus before the downstream stages). Raw, un-trimmed input
+    // stays un-persisted: it is a plain scan both consumers push their own
+    // projections into. Released by the caller/harness sweep like `narrow`.
     val input = if (!exactSubstrTrim) raw
       else Dedup.trimSpans(raw,
           Dedup.exactSubstrSpans(
             raw.filter(nonEmptyPred).select(col("doc_id"), col("text"))))
         .drop("kept_tokens")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
       .cast("double") / length(col("text"))
     // r17 (r16 verdict #5): ONE narrow tokenized projection — the quality
@@ -572,9 +583,24 @@ object Curation {
     val (ordered, funnel) = curate(canaried, benchmark, quotaPerSource = 1000000,
       exactSubstrTrim = true)
     // survivors with their TRIMMED text (curate's returned join reads the
-    // trimmed input when exactSubstrTrim is on)
+    // trimmed input when exactSubstrTrim is on). EAGER localCheckpoint, not
+    // persist (r20 optimization, guide §3.3/§5): nearDupAwareSplit references
+    // this frame from ~8 subtrees (token explode, fingerprints, LSH bands,
+    // rep window, leak joins), and under persist each reference re-inlines
+    // the WHOLE curate lineage — the trim chain alone is two ExactSubstr
+    // passes — into the analyzed tree: the composed plan exploded to ~17,500
+    // Exchange nodes / 4,500 scan nodes in formatted explain and the lane
+    // spent ~45 s at sf0.001 (~1000 docs) in pure plan work, 25.6 s at
+    // sf0.1. Checkpointing materializes the survivors ONCE (same rows — the
+    // cache the persist already paid for) and truncates the lineage to a
+    // LogicalRDD leaf, so the split composes over a table-shaped input
+    // exactly as it does in q164. At 100 TB the equivalent move is
+    // materializing the curated corpus to storage before splitting — which
+    // is what a production pipeline does anyway (the curated corpus IS a
+    // deliverable); fault-tolerance of the in-memory blocks is a non-issue
+    // for a single-session lane. Measured: 25.55 s → see OPTIMIZATION_r20.md.
     val survivors = ordered.select(col("doc_id"), col("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val split = nearDupAwareSplit(survivors, "q175")
     val f = funnel.map(sc => sc.stage -> sc.rows).toMap
     import s.implicits._
