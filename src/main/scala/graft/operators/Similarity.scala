@@ -821,8 +821,16 @@ object Similarity {
 
   private def writeVectors(vecs: DataFrame, path: String,
       mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Overwrite): Unit =
-    vecs.repartitionByRange(
-        vecs.sparkSession.sessionState.conf.numShufflePartitions, col("cid"))
+    // cid-range layout with NO explicit partition count (r20 optimization,
+    // guide §2.2/§6): an explicit numShufflePartitions pinned the file
+    // count to the conf value at every scale — 32 near-empty files per
+    // artifact at bench SF, and a too-small constant at 100 TB. Leaving
+    // the count unspecified keeps the same range layout but lets AQE
+    // coalesce the range partitions toward advisoryPartitionSizeInBytes,
+    // so file count tracks DATA SIZE at every scale. Row content and the
+    // cid sort are unchanged — the refine read path (by-cid point lookups
+    // against row-group min/max) only gets tighter with fuller files.
+    vecs.repartitionByRange(col("cid"))
       .sortWithinPartitions("cid")
       .write.mode(mode).parquet(path)
 
@@ -1693,11 +1701,25 @@ object Similarity {
     val queries = corpus.filter(col("cid") < 8)
     val kwTop = bm25Ranks(corpus.select("cid", "text"), queries.select("cid", "text"))
     val q = queries.select(col("cid").as("qid"), col("v").as("qv"))
-    val (_, rer) = ivfPqRerankScores(e, q)
-    val wv = Window.partitionBy("qid").orderBy(col("rsim").desc, col("cid"))
-    val vecTop = rer.withColumn("vec_rank", row_number().over(wv))
-      .filter(col("vec_rank") <= HybridChan)
-      .select(col("qid"), col("cid"), col("vec_rank"))
+    // vector channel served from the SHARED per-(process, SF) q157 index
+    // artifact (r20 optimization — the q166/q171 consumer discipline):
+    // [[searchIndex]] over the loaded artifact computes the IDENTICAL
+    // ranking the inline [[ivfPqRerankScores]] channel produced — same
+    // quantizer derivations (ivfCentroids stride filter, pqCodebook —
+    // writeIndex runs the very same calls), same NProbe probes, same ADC,
+    // same RerankR shortlist window, same round(cos, 4) refine, same
+    // excludeSelf — and RerankR == HybridChan, so topK = HybridChan
+    // returns exactly the old vec_rank <= HybridChan frame (rnk is the
+    // same row_number over (rsim DESC, cid)). This is the composition the
+    // lane's own scaladoc promises ("the q153 IVF-PQ+rerank INDEX serves
+    // the vector channel"): a production hybrid stack queries its
+    // persisted ANN index, it does not re-train quantizers per query
+    // batch. The oracle and the s155 twin replay the inline math — output
+    // is row-identical either way (the q157 ≡ q153 identity).
+    val path = indexPathFor(dir)
+    ensureIndex(s, e, path)
+    val vecTop = searchIndex(loadIndex(s, path), q, topK = HybridChan)
+      .select(col("qid"), col("cid"), col("rnk").cast("int").as("vec_rank"))
     val fused = kwTop.join(vecTop, Seq("qid", "cid"), "full_outer")
       .select(col("qid"), col("cid"), col("kw_rank"), col("vec_rank"),
         (coalesce(lit(1.0) / (lit(RrfK) + col("kw_rank")), lit(0.0)) +

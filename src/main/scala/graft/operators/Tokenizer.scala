@@ -123,6 +123,27 @@ object Tokenizer {
   def trainWithVocab(s: SparkSession, docs: DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // AQE OFF for the duration of the training loop (r20 optimization,
+    // guide §1.2 step 3 — measured, not assumed: Prof q168 7.7 s → 3.3 s
+    // steady-state at sf0.1). Rationale: after the one corpus pass, every
+    // query in here runs over the VOCAB table — Zipf-bounded, orders of
+    // magnitude below corpus scale by construction — so AQE's per-stage
+    // materialize-and-replan loop costs 2-3 driver round-trips per merge
+    // round and buys nothing (there is no skew to split and nothing
+    // corpus-scale to coalesce; the pair groupBy partial-aggregates to
+    // one row per distinct pair per partition before its shuffle). The
+    // prior value is restored on exit — corpus-scale operators keep the
+    // 100 TB safety net. Results are unchanged (AQE never changes
+    // semantics), so every gated oracle stays byte-identical.
+    val aqePrior = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try trainWithVocabImpl(s, docs, lvl)
+    finally s.conf.set("spark.sql.adaptive.enabled", aqePrior)
+  }
+
+  private def trainWithVocabImpl(s: SparkSession, docs: DataFrame,
+      lvl: org.apache.spark.storage.StorageLevel): (DataFrame, DataFrame) = {
+    import s.implicits._
     var cur = wordSymbols(docs).persist(lvl)
     // Per-round driver work is ONE collect: the best pair rides the pair
     // aggregation together with the round's TOTAL pair mass (a window over
@@ -136,14 +157,27 @@ object Tokenizer {
       sum(col("freq")).as("w")).first()
     val initMass = init.getLong(0)
     val w = init.getLong(1)
+    // best pair + round total in ONE global aggregation (r20 optimization,
+    // guide §2.4): the old spelling window-summed `tot` over an EMPTY
+    // partitionSpec — WindowExec moves the whole pair table to a single
+    // partition and sorts it — and then paid a second global sort for the
+    // orderBy().limit(1), BOTH once per merge round (the bench log showed
+    // 1,800+ "No Partition Defined" warnings per recording, all from here).
+    // min(struct(-cnt, a, b)) is the identical pick (max cnt, then lexi-
+    // cographically smallest a, b — struct comparison is field-ordered and
+    // Spark string order is the same binary order orderBy used), and sum +
+    // min aggregate map-side, so the shuffle after the pair groupBy carries
+    // one partial row per partition instead of the full pair table.
     def pairStats(v: DataFrame): Array[org.apache.spark.sql.Row] = v
       .select(col("freq"), explode(pairsExpr).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum("freq").as("cnt"))
-      .withColumn("tot", sum("cnt").over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
-      .orderBy(desc("cnt"), asc("a"), asc("b"))
-      .limit(1).collect()
+      .agg(min(struct((-col("cnt")).as("negc"), col("a").as("a"),
+          col("b").as("b"))).as("best"),
+        sum(col("cnt")).as("tot"))
+      .select(col("best.a"), col("best.b"), (-col("best.negc")).as("cnt"),
+        col("tot"))
+      .collect()
     val picked = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long, Long)] // rank,a,b,merged,cnt,massBefore
     // release discipline: a round's vocab may only unpersist AFTER its
