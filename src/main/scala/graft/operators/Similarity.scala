@@ -803,20 +803,32 @@ object Similarity {
       .select(col("cid"), col("cluster"), array((0 until M).map { i =>
         VectorOps.bestCentroid(subv(col("cv"), i, sub), col(s"cb$i"))
       }: _*).as("codes"))
-    cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/centroids")
-    cb.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/codebook")
-    graft.sources.ParquetLayout.writePartitioned(
-      coded, s"$path/codes", Seq("cluster"), Seq("cid"))
+    // the four table writes are INDEPENDENT jobs over disjoint directories
+    // (quantizers are inputs; codes and vectors both stream the corpus
+    // through the per-row assignment kernel — deliberately one pass EACH,
+    // never a corpus-scale persist) — so they overlap from driver threads
+    // (guide §2.6: later jobs back-fill executors freed by the tail of the
+    // current one; the q158 concurrent-shard-build precedent applied one
+    // level down). Results are byte-identical — same rows to the same
+    // files, only the wall-clock overlap changes.
     // vectors are NOT cluster-partitioned: the refine stage fetches them by
     // cid (broadcast shortlist semi-join), never by cluster prune — so the
     // right layout is cid-range files with a local sort (tight cid min/max
     // per row group serves the point lookups) instead of √n hive
     // directories whose per-dir filesystem cost buys nothing this read
     // path uses. cluster rides along as a data column.
-    writeVectors(assigned.select(col("cid"), col("cluster"), col("cv")),
-      s"$path/vectors")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/centroids")),
+      Future(cb.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/codebook")),
+      Future(graft.sources.ParquetLayout.writePartitioned(
+        coded, s"$path/codes", Seq("cluster"), Seq("cid"))),
+      Future(writeVectors(assigned.select(col("cid"), col("cluster"), col("cv")),
+        s"$path/vectors")))),
+      scala.concurrent.duration.Duration.Inf)
   }
 
   private def writeVectors(vecs: DataFrame, path: String,
@@ -864,11 +876,18 @@ object Similarity {
       .select(col("cid"), col("cluster"), array((0 until M).map { i =>
         VectorOps.bestCentroid(subv(col("cv"), i, sub), col(s"cb$i"))
       }: _*).as("codes"))
-    graft.sources.ParquetLayout.writePartitioned(
-      coded, s"$path/codes", Seq("cluster"), Seq("cid"),
-      org.apache.spark.sql.SaveMode.Append)
-    writeVectors(assigned.select(col("cid"), col("cluster"), col("cv")),
-      s"$path/vectors", org.apache.spark.sql.SaveMode.Append)
+    // the two appends are independent jobs on disjoint directories — overlap
+    // them (guide §2.6, the writeIndexWith discipline); each still streams
+    // newRows once through the per-row kernels
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(graft.sources.ParquetLayout.writePartitioned(
+        coded, s"$path/codes", Seq("cluster"), Seq("cid"),
+        org.apache.spark.sql.SaveMode.Append)),
+      Future(writeVectors(assigned.select(col("cid"), col("cluster"), col("cv")),
+        s"$path/vectors", org.apache.spark.sql.SaveMode.Append)))),
+      scala.concurrent.duration.Duration.Inf)
   }
 
   /** DELETE rows from an index artifact by id — the FAISS `remove_ids` /
@@ -926,12 +945,6 @@ object Similarity {
       require(sameRows(s.read.parquet(s"$p/codebook"), refCb),
         s"mergeIndexes: codebooks differ between ${parts.head} and $p")
     }
-    s.read.parquet(s"${parts.head}/centroids")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$out/centroids")
-    s.read.parquet(s"${parts.head}/codebook")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$out/codebook")
     // shard inputs are ALREADY cluster-partitioned on disk (every input
     // file holds exactly one cluster), so the merged layout is written
     // WITHOUT ParquetLayout's repartition: each read task only ever holds
@@ -939,15 +952,28 @@ object Similarity {
     // and the file count stays Σ shard files — no T×P fan-out, no shuffle.
     // Within a merged file, rows are cid-sorted per shard segment (shards
     // wrote them sorted); row-group stats stay tight.
-    parts.map(p => s.read.parquet(s"$p/codes")
-        .withColumn("cluster", col("cluster").cast("long")))
-      .reduce(_ unionByName _)
-      .write.partitionBy("cluster")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$out/codes")
-    writeVectors(
-      parts.map(p => s.read.parquet(s"$p/vectors")).reduce(_ unionByName _),
-      s"$out/vectors")
+    // All four merged-table writes are independent jobs on disjoint
+    // directories — overlap them (guide §2.6, the writeIndexWith
+    // discipline).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(s.read.parquet(s"${parts.head}/centroids")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/centroids")),
+      Future(s.read.parquet(s"${parts.head}/codebook")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/codebook")),
+      Future(parts.map(p => s.read.parquet(s"$p/codes")
+          .withColumn("cluster", col("cluster").cast("long")))
+        .reduce(_ unionByName _)
+        .write.partitionBy("cluster")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/codes")),
+      Future(writeVectors(
+        parts.map(p => s.read.parquet(s"$p/vectors")).reduce(_ unionByName _),
+        s"$out/vectors")))),
+      scala.concurrent.duration.Duration.Inf)
   }
 
   /** Q158 — sharded build + merge ≡ monolithic build: the quantizers are
@@ -1062,9 +1088,18 @@ object Similarity {
     val codes = live(s.read.parquet(s"$path/codes")
       .withColumn("cluster", col("cluster").cast("long")))
     val vecs = live(s.read.parquet(s"$path/vectors"))
-    graft.sources.ParquetLayout.writePartitioned(
-      codes, s"$path/codes_compacting", Seq("cluster"), Seq("cid"))
-    writeVectors(vecs, s"$path/vectors_compacting")
+    // independent re-land jobs on disjoint side directories — overlap them
+    // (guide §2.6, the writeIndexWith discipline); the swap below still
+    // happens only after BOTH have fully landed
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(
+        Future(graft.sources.ParquetLayout.writePartitioned(
+          codes, s"$path/codes_compacting", Seq("cluster"), Seq("cid"))),
+        Future(writeVectors(vecs, s"$path/vectors_compacting")))),
+        scala.concurrent.duration.Duration.Inf)
+    }
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
     }
